@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one PySpark callable per implemented operator
+(SURVEY.md section 2 + north-star extensions).
+``oracle_sql()`` — matching ANSI SQL for the DuckDB oracle.
+
+Determinism contract with the oracle: every double aggregate goes
+through exact DECIMAL(38,10) accumulation before casting back to
+double (see operators/exact.py), every rank/top-k has a total-order
+tiebreaker, and the Spark session runs in UTC.
 """
 
 from __future__ import annotations
@@ -13,26 +17,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crypto_price_tracker_with_etl_dashboard_spark.session import tune_session
+from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES, ORACLE_SQL
+from crypto_price_tracker_with_etl_dashboard_spark.sources import prices_from_events
+from crypto_price_tracker_with_etl_dashboard_spark.operators import latest_snapshot
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: latest-per-symbol
+    snapshot of the prices series (the reference's /api/crypto)."""
+    tune_session(spark)
+    prices = prices_from_events(spark, "/root/testdata/sf0.001")
+    return latest_snapshot(prices)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,19 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of ScarySuffer/Crypto-Price-Tracker-with-ETL-Dashboard.
+
+The reference is a three-tier pipeline (Python ETL -> PostgreSQL ->
+Node/React dashboard); its relational surface is re-expressed here as
+idiomatic Spark DataFrame / SQL / Structured Streaming, designed for
+100 TB scale (partition pruning, broadcast joins, no row-at-a-time
+Python in the hot path).
+
+Layout:
+    session     - SparkSession factory with scale-appropriate defaults
+    schema      - canonical schemas (prices fact table, coingecko raw)
+    sources/    - ingest (validate/project/normalize), prices view, writers
+    operators/  - relational operators from SURVEY.md section 2
+    functions/  - text analysis, dedup, similarity (north-star ops)
+    streaming/  - Structured Streaming ETL pipeline
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,89 @@
+"""Text-analysis column builders for the training-data pipeline:
+tokenization, token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All pure JVM-side Column expressions (no
+UDFs) so they fuse into whole-stage codegen and scale linearly with
+the corpus — at 100 TB these run as a single map stage over the
+document partitions with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic.  Deterministic tie order: en > es > fr > de > zh.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization.  Matches DuckDB's
+    string_split_regex(text, '\\s+') for already-normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """lower + collapse runs of whitespace + trim: canonical form for
+    fingerprinting and exact dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex).
+    Stable across engines; used as the exact-dedup key."""
+    return F.md5(normalized_text(text))
+
+
+def marker_hits(text: Column | str, lang: str) -> Column:
+    """Number of distinct language-marker words present."""
+    return F.size(
+        F.array_intersect(tokens(text), F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]))
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose marker-word set has
+    the most distinct hits; ties resolved in fixed priority order;
+    'und' (undetermined) when nothing matches."""
+    hits = {lang: marker_hits(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # Build CASE from lowest priority up so highest priority wins ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: char/token counts, mean token
+    length, punctuation ratio, stopword ratio.  Integer/ratio
+    arithmetic only — deterministic across engines."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    n_punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]))
+    )
+    return {
+        "n_chars": n_char.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "mean_token_len": (
+            (n_char - (n_tok - F.lit(1))) / n_tok
+        ).cast("double"),
+        "punct_ratio": (n_punct / n_char).cast("double"),
+        "distinct_stopwords": n_stop.cast("bigint"),
+    }

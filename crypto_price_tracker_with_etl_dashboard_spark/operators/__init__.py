@@ -1,0 +1,18 @@
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import dsum, davg
+from crypto_price_tracker_with_etl_dashboard_spark.operators.latest import latest_snapshot
+from crypto_price_tracker_with_etl_dashboard_spark.operators.history import history_slice
+from crypto_price_tracker_with_etl_dashboard_spark.operators.dashboard import (
+    topk_with_other,
+    market_share,
+    distinct_symbols,
+)
+
+__all__ = [
+    "dsum",
+    "davg",
+    "latest_snapshot",
+    "history_slice",
+    "topk_with_other",
+    "market_share",
+    "distinct_symbols",
+]

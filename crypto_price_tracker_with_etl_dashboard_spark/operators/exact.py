@@ -1,0 +1,58 @@
+"""Deterministic floating-point aggregation.
+
+A distributed SUM over doubles is order-dependent (IEEE-754 addition
+is not associative), so the same query can differ in the last ulp
+between Spark (partial aggs in partition order) and a single-threaded
+oracle — and between two runs on different cluster sizes.  Worse,
+double->decimal->double round-trips are engine-specific (Spark's
+Decimal.toDouble double-rounds through the unscaled long).
+
+This engine therefore defines monetary/metric aggregates at a fixed
+decimal precision (4 places by default): each term is rounded to an
+integer number of 1e-4 units, accumulated exactly in BIGINT, and
+divided back once at the end.
+
+Why this is portable bit-for-bit: rounding a double to an INTEGER
+count of units only requires comparing it against k+0.5 boundaries,
+which is unambiguous for any faithful representation of the value
+(and both Spark's HALF_UP and DuckDB's half-away-from-zero agree on
+exact ties).  The BIGINT sum is exact and order-independent, and the
+final division is a single correctly-rounded operation.
+
+It is also the right call at 100 TB independent of any oracle:
+results do not change when partitioning, AQE decisions, or executor
+counts change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 10_000  # 4 fractional decimal digits
+
+
+def dsum(col: Column | str, alias: str | None = None, scale: int = SCALE) -> Column:
+    """Exact fixed-point SUM, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(F.round(c * scale).cast("bigint")).cast("double") / scale
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None, scale: int = SCALE) -> Column:
+    """Exact fixed-point mean: fixed-point sum, then one double
+    division by the non-null count."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (F.sum(F.round(c * scale).cast("bigint")).cast("double") / scale) / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum(expr: str, scale: int = SCALE) -> str:
+    return f"(CAST(SUM(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale})"
+
+
+def sql_davg(expr: str, scale: int = SCALE) -> str:
+    return (
+        f"((CAST(SUM(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale})"
+        f" / COUNT({expr}))"
+    )

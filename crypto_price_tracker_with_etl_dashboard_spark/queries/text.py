@@ -1,0 +1,216 @@
+"""Training-data text operators over the ``documents`` table, each
+paired with a DuckDB oracle built from the same portable md5/list
+primitives (the algorithms are engine-portable by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
+from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+# In oracle SQL, tokens(text) for the space-normalized corpus:
+_SQL_TOKS = "string_split(text, ' ')"
+
+
+# ---- exact dedup on content fingerprint ------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "doc_exact_dedup",
+    q_doc_exact_dedup,
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+
+# ---- token counting + quality features -------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in feats.items()]
+    )
+
+
+register(
+    "doc_quality",
+    q_doc_quality,
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST((length(text) - (len({_SQL_TOKS}) - 1)) AS DOUBLE)
+               / len({_SQL_TOKS}) AS mean_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_intersect({_SQL_TOKS},
+                ['the','a','and','of','to'])) AS BIGINT) AS distinct_stopwords
+    FROM documents
+    """,
+)
+
+
+# ---- language-ID heuristic --------------------------------------------------
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_guess("text").alias("lang_guess"))
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lang, markers in T.LANG_MARKERS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in markers) + "]"
+        hit_exprs.append(f"len(list_intersect({_SQL_TOKS}, {arr})) AS h_{lang}")
+    hits_sql = ",\n           ".join(hit_exprs)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in T.LANG_MARKERS) + ")"
+    case = "CASE "
+    for lang in T.LANG_MARKERS:  # declaration order = priority order
+        case += f"WHEN {best} > 0 AND h_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH hits AS (
+      SELECT doc_id,
+           {hits_sql}
+      FROM documents
+    )
+    SELECT doc_id, {case} AS lang_guess FROM hits
+    """
+
+
+register("doc_langid", q_doc_langid, _langid_sql())
+
+
+# ---- fingerprint ------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+register(
+    "doc_fingerprint",
+    q_doc_fingerprint,
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+
+
+# ---- n-gram Jaccard near-dup pairs (blocked all-pairs) ----------------------
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2]))"
+)
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.1)
+
+
+register(
+    "doc_ngram_jaccard",
+    q_doc_ngram_jaccard,
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS s FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+    """,
+)
+
+
+# ---- MinHash + LSH near-dup candidates --------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+def _minhash_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    sig = (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(s, x -> md5('{j}:' || x)))"
+            for j in range(_NUM_HASHES)
+        )
+        + "]"
+    )
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_key': md5(%s)}"
+        % (b, " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {sig} AS sig FROM sh WHERE len(s) > 0
+    ),
+    banded AS (
+      SELECT doc_id, sig, unnest([{band_structs}],  recursive := true)
+      FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(range(1, {_NUM_HASHES} + 1),
+                    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {_NUM_HASHES} AS est_jaccard
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+
+register("doc_minhash_lsh", q_doc_minhash_lsh, _minhash_sql())
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    hashes = f"list_transform({_SQL_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {hashes} AS h FROM documents)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+    """
+
+
+register("doc_simhash", q_doc_simhash, _simhash_sql())

@@ -1,0 +1,116 @@
+"""Similarity-search operators over the ``embeddings`` table
+(array<float> column).  The brute-force top-k is oracle-checked
+against DuckDB computing the identical double-precision fold; the
+LSH-bucketed approximate variant has no SQL twin (checked rows-only
+by the driver, and recall-checked against brute force in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions import similarity as S
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+_N_QUERIES = 5  # first N vec_ids serve as the query set
+_K = 5
+_DIM = 64
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=_K)
+
+
+register(
+    "emb_cosine_topk",
+    q_emb_cosine_topk,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_K}
+    """,
+)
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.random_hyperplane_lsh_topk(emb, queries, dim=_DIM, k=_K)
+
+
+# Non-SQL-expressible (deterministic hyperplane family lives in
+# Python); the driver records a rows-only check, tests check recall.
+register("emb_ann_lsh", q_emb_ann_lsh, None)
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + count: array aggregation via
+    element-wise decimal-exact sums (posexplode -> groupBy position).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v")).alias("mean_v")
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum((F.col("mean_v") * F.col("mean_v")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sq"),
+            F.count("pos").alias("dim"),
+        )
+        .select(
+            "label",
+            F.round(F.sqrt("sq"), 6).alias("centroid_norm"),
+            "dim",
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "emb_label_centroids",
+    q_emb_label_centroids,
+    f"""
+    WITH per_dim AS (
+      SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS mean_v
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    )
+    SELECT label,
+           round(sqrt(CAST(SUM(CAST(mean_v * mean_v AS DECIMAL(38,10))) AS DOUBLE)), 6)
+             AS centroid_norm,
+           COUNT(pos) AS dim
+    FROM per_dim GROUP BY label ORDER BY label
+    """,
+)

@@ -1,0 +1,52 @@
+"""SparkSession factory with defaults sized for the driver harness
+(local[32], 128 GiB) but configured the way a 1000-executor cluster
+run would be: UTC session time zone (oracle parity), AQE on
+(runtime re-planning, skew-join splitting, partition coalescing),
+shuffle partitions ~ cores locally (on a real cluster this is set to
+2-3x total cores or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "crypto-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Oracle parity: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Adaptive execution: coalesce small shuffle partitions, split
+        # skewed ones, demote/promote join strategies at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the few pandas-UDF paths (similarity/multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity/perf settings to an externally
+    provided session (the driver passes its own SparkSession to
+    ``entry``/``queries`` — static configs like driver memory cannot
+    change there, but these can)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark

@@ -1,0 +1,87 @@
+"""Table loaders over the driver's parquet testdata, plus the
+deterministic ``events -> prices`` mapping used to exercise the
+reference's query semantics on driver-generated data.
+
+The mapping (FIXTURES.md section 3: user_id -> symbol, value ->
+current_price, ts -> timestamp) is defined twice — once as Spark
+column expressions and once as an ANSI-SQL CTE for the DuckDB oracle
+— and MUST stay in sync.  Null/zero market caps are injected
+deterministically from ``event_type`` so that the reference's
+null-handling paths (api/server.js:54-55, frontend/src/App.js:94,
+NULLS-FIRST ordering api/server.js:76) are exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet loader.  The driver's events.parquet stores ``ts`` as
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we
+    read nanos as long (legacy conf) and truncate to microseconds —
+    the same truncation DuckDB applies when it maps parquet ns to its
+    microsecond TIMESTAMP, so both engines see identical values."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def prices_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference fact table (SURVEY.md section 1.1) derived from the
+    ``events`` table.  Keeps ``event_id`` as a deterministic
+    tiebreaker (the reference's ties-on-batch-timestamp semantics,
+    etl/crypto_etl.py:82, need a total order for reproducible
+    latest-per-group results)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("symbol"),
+        F.concat(F.lit("Coin "), F.col("user_id").cast("string")).alias("name"),
+        F.col("value").alias("current_price"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .when(F.col("event_type") == "signup", F.lit(0.0))
+        .otherwise(F.col("value") * 1000000.0)
+        .alias("market_cap"),
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 50000.0)
+        .alias("total_volume"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+    )
+
+
+# Must mirror prices_from_events() exactly — the oracle runs this CTE.
+PRICES_CTE_SQL = """
+prices AS (
+  SELECT
+    concat('c', CAST(user_id AS VARCHAR))       AS symbol,
+    concat('Coin ', CAST(user_id AS VARCHAR))   AS name,
+    value                                       AS current_price,
+    CASE WHEN event_type = 'error'  THEN NULL
+         WHEN event_type = 'signup' THEN 0.0
+         ELSE value * 1000000.0 END             AS market_cap,
+    CASE WHEN event_type = 'click'  THEN NULL
+         ELSE value * 50000.0 END               AS total_volume,
+    ts                                          AS timestamp,
+    event_id
+  FROM events
+)
+"""
