@@ -1,0 +1,88 @@
+"""Benchmark harness: times the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed once as a warm-up-free wall-clock run to a
+count() action (materializes the full result without driver-side
+collection overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_price_tracker_with_etl_dashboard_spark.session import get_spark
+
+# Representative slice of SURVEY.md section 2 + north-star operators:
+# reference parity, joins/aggs/windows at lineitem scale, text dedup,
+# vector search.  (The full registry runs in the correctness gate;
+# the bench tracks the throughput-critical ones.)
+HEADLINE = [
+    "latest_snapshot",
+    "history_slice",
+    "topk_other",
+    "market_share",
+    "ingest_normalize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_orders_per_customer",
+    "segment_order_stats",
+    "events_tumbling_5min",
+    "events_sessionize",
+    "events_daily_pivot",
+    "doc_exact_dedup",
+    "doc_quality",
+    "doc_simhash",
+    "doc_minhash_lsh",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    # JVM / codegen warm-up so the first query doesn't absorb session
+    # startup cost (we measure query time, not JVM boot).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ["lineitem", "events", "documents", "embeddings"]:
+        from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+        load_table(spark, sf_dir, t).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

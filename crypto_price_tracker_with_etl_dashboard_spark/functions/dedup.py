@@ -99,7 +99,13 @@ def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as an array of ``num_hashes`` hex strings:
     element j is min over shingles s of md5(j || ':' || s).  The md5
     family is portable (identical in DuckDB), and string-min is
-    order-independent."""
+    order-independent.
+
+    Note: fine for one-off signatures, but the array expression tree
+    re-derives the shingle array per hash family; for corpus-scale
+    signature computation use the explode/groupBy path inside
+    minhash_lsh_pairs, which computes each shingle hash once and
+    aggregates with map-side partial mins."""
     return F.array(
         *[
             F.array_min(
@@ -128,9 +134,22 @@ def minhash_lsh_pairs(
     join on the band key, one distinct — no all-pairs stage.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(shingles(text_col, k), num_hashes).alias("sig")
-    ).filter(F.col("sig")[0].isNotNull())
+    # Scalable signature computation: explode shingles (duplicates
+    # don't affect the min, so no distinct needed), hash each shingle
+    # once per family, aggregate per-doc mins (map-side partial agg,
+    # one shuffle on the doc id).
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    sig = mins.select(
+        id_col, F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    )
     banded = sig.select(
         id_col,
         "sig",
@@ -148,8 +167,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_key")
-    # The signature expression tree is wide (num_hashes md5 families);
-    # materialize it once instead of re-deriving it on both join sides.
+    # Materialize once instead of re-deriving on both join sides.
     banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
