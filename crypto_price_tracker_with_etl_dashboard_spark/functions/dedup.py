@@ -61,7 +61,9 @@ def jaccard(a: Column, b: Column) -> Column:
     integer set sizes -> one double division: deterministic)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return (inter / union).cast("double")
+    # try_divide: NULL on 0/0 (two empty shingle sets), matching
+    # DuckDB's double-division semantics so the oracle agrees.
+    return F.try_divide(inter, union).cast("double")
 
 
 def ngram_jaccard_pairs(
@@ -122,7 +124,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 

@@ -83,14 +83,32 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
     """Sign-bit bucket id in [0, 2^n_planes): bit p set iff
-    dot(vec, plane_p) > 0."""
+    dot(vec, plane_p) > 0.  ``table`` selects an independent plane
+    family so multiple hash tables can be OR-combined."""
     out = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * n_planes + p)])
         out = out + F.when(_dot(vec, plane) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
     return out
+
+
+def _lsh_tables(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Exploded (table_idx, bucket) pairs for OR-amplified LSH: a
+    corpus/query pair is a candidate iff the buckets match in ANY
+    table.  More tables -> higher recall, linearly more candidates."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"),
+                    lsh_bucket(vec, dim, n_planes, table=t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
 
 
 def random_hyperplane_lsh_topk(
@@ -101,25 +119,32 @@ def random_hyperplane_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine re-rank.  The bucket equi-join replaces
-    the cross join — at scale this shuffles each side once on a
-    small integer key instead of scoring |corpus| x |queries| pairs.
+    """Approximate top-k: candidates restricted to rows sharing the
+    query's LSH bucket in at least one of ``n_tables`` hash tables
+    (OR-amplification), then exact cosine re-rank.  The bucket
+    equi-join replaces the cross join — at scale this shuffles each
+    side once on a small (table, bucket) key instead of scoring
+    |corpus| x |queries| pairs; recall is tuned with n_tables (up)
+    and n_planes (selectivity up, recall down).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        _lsh_tables(F.col(vec_col), dim, n_planes, n_tables).alias("t"),
+    ).select("neighbor_id", "vec", "t.table_idx", "t.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        _lsh_tables(F.col(vec_col), dim, n_planes, n_tables).alias("t"),
+    ).select("query_id", "query_vec", "t.table_idx", "t.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in several tables must be scored once
+        .select("query_id", "neighbor_id", "query_vec", "vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -146,8 +146,11 @@ register(
 
 # ---- MinHash + LSH near-dup candidates --------------------------------------
 
+# 8 bands x 2 rows: for a near-dup with Jaccard j, the probability of
+# sharing at least one band is 1-(1-j^2)^8 (~0.99 at j=0.65), vs
+# ~0.59 for 4 bands x 4 rows — bands are the recall knob.
 _NUM_HASHES = 16
-_BANDS = 4
+_BANDS = 8
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

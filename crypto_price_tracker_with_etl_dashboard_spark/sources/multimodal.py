@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque ``binary``
+payloads plus typed metadata structs, processed with Arrow-batched
+``mapInPandas`` (the only operators in this engine that leave the
+JVM, because codec work is inherently Python/native-library work).
+
+Design for 100 TB: the binary column never moves through a shuffle —
+decode/feature-extract are narrow map stages over the source
+partitions; only the (small) extracted features flow onward.  Batch
+size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+so executor memory stays flat regardless of blob sizes.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT present in this
+container, so the decode kernel is pluggable: ``decode_image``
+raises NotImplementedError unless given a decoder, and
+``fake_decode`` provides the deterministic stand-in used by tests.
+The Spark-side plumbing — schemas, UDF signatures, Arrow batching,
+partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("format", StringType(), True),      # png|jpg|wav|mp4...
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: derives
+    pseudo-dimensions and a FEATURE_DIM-float signature from the md5
+    of the payload.  Replace with a PIL/torchvision kernel in a real
+    deployment."""
+    if content is None:
+        return {"width": None, "height": None, "features": None}
+    digest = hashlib.md5(content).digest()
+    feats = [b / 255.0 for b in digest[:FEATURE_DIM]]
+    return {
+        "width": 1 + digest[0],
+        "height": 1 + digest[1],
+        "features": feats,
+    }
+
+
+def real_decode(content: bytes) -> dict:
+    """Placeholder for the production decoder (PIL / ffmpeg).  The
+    libraries are not available in this environment."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this container; "
+        "pass decode_fn=fake_decode or a custom kernel"
+    )
+
+
+def decode_media(
+    media: DataFrame,
+    decode_fn: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.  One Arrow batch in,
+    one out; the binary column is dropped after decoding so only
+    small typed outputs continue through the plan."""
+    if decode_fn is None:
+        decode_fn = real_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_fn(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: emits one row per sampled frame
+    offset (the decode itself is the pluggable kernel).  Pure column
+    arithmetic — the expensive part stays a narrow map."""
+    n_frames = (F.col("duration_ms") / every_ms).cast("int")
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
+        )
+        .withColumn("offset_ms", F.col("frame_idx") * every_ms)
+    )

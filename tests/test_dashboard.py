@@ -1,0 +1,48 @@
+"""Dashboard aggregates (top-K+Other, ratio-of-total, distinct)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+    distinct_symbols,
+    latest_snapshot,
+    market_share,
+    topk_with_other,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshot(prices_fixture):
+    return latest_snapshot(prices_fixture, order_by_cap=False)
+
+
+def test_null_and_zero_caps_excluded(snapshot):
+    """frontend/src/App.js:94 keeps only market_cap > 0: doge (null)
+    and zero (0.0) must not appear."""
+    labels = [r["label"] for r in topk_with_other(snapshot, k=7).collect()]
+    assert "DOGE" not in labels and "ZERO" not in labels
+
+
+def test_topk_split_and_other_sum(snapshot):
+    out = {r["label"]: r["market_cap"] for r in topk_with_other(snapshot, k=2).collect()}
+    # eligible caps: btc 1110, eth 550, stale 90 -> top2 btc/eth, Other=90
+    assert set(out) == {"BTC", "ETH", "Other"}
+    assert out["Other"] == 90.0
+
+
+def test_no_other_row_when_k_covers_all(snapshot):
+    labels = [r["label"] for r in topk_with_other(snapshot, k=7).collect()]
+    assert "Other" not in labels  # only 3 eligible symbols
+
+
+def test_market_share_sums_to_100(snapshot):
+    rows = market_share(snapshot, k=2).collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.05
+    by_label = {r["label"]: r["pct"] for r in rows}
+    assert by_label["BTC"] == pytest.approx(1110 / 1750 * 100, abs=0.01)
+
+
+def test_distinct_symbols_sorted(prices_fixture):
+    out = [r["symbol"] for r in distinct_symbols(prices_fixture).collect()]
+    assert out == ["btc", "doge", "eth", "stale", "zero"]

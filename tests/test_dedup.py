@@ -1,0 +1,91 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash —
+correctness on planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash32,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")  # 2-word edit
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and runtime "
+    "code generation for analytical workloads at petabyte scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),        # exact duplicate of 1
+        (3, NEAR, "en"),        # near duplicate of 1
+        (4, OTHER, "en"),
+        (5, "tiny", "en"),      # < 3 tokens -> empty shingle set
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["kept_doc_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse, keep min id
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO   WORLD ")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup(df).collect()
+    assert len(out) == 1 and out[0]["n_dups"] == 3
+
+
+def test_jaccard_identical_is_one(docs, spark):
+    sh = docs.select("doc_id", shingles("text").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    row = (
+        a.join(b, (F.col("a.doc_id") == 1) & (F.col("b.doc_id") == 2))
+        .select(jaccard(F.col("a.s"), F.col("b.s")).alias("j"))
+        .collect()[0]
+    )
+    assert row["j"] == 1.0
+
+
+def test_ngram_pairs_rank_near_dup_above_unrelated(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] > 0.5
+    assert out.get((1, 4), 0.0) < 0.05
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs          # near-dup shares at least one band
+    assert (1, 4) not in pairs      # unrelated doc never co-buckets
+
+
+def test_simhash_identical_equal_and_near_close(docs):
+    out = {r["doc_id"]: r["simhash"] for r in
+           docs.select("doc_id", simhash32("text").alias("simhash")).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far

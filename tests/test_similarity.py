@@ -1,0 +1,62 @@
+"""Similarity search: exact brute-force correctness on planted
+vectors; LSH recall against the exact baseline on real embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    random_hyperplane_lsh_topk,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])], ["a", "b"]
+    )
+    out = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()]
+    assert out[0] == 0.0
+    assert out[1] == 1.0
+
+
+def test_brute_force_finds_planted_neighbor(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # nearest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(df, q, k=2).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["rnk"] == 1
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = random_hyperplane_lsh_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 hyperplanes -> 16 buckets over 500 vecs; same-bucket recall of
+    # true top-5 should be well above random (5/500).
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_lsh_scores_match_exact_for_shared_pairs(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+              for r in random_hyperplane_lsh_topk(emb, queries, dim=64, k=5).collect()}
+    shared = set(exact) & set(approx)
+    assert all(exact[p] == approx[p] for p in shared)

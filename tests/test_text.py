@@ -1,0 +1,57 @@
+"""Text analysis: token counts, quality features, language ID,
+fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_features,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("one two three",), ("solo",)], ["text"])
+    out = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert out == [3, 1]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([("the cat, the hat!",)], ["text"])
+    feats = quality_features("text")
+    row = df.select(*[c.alias(n) for n, c in feats.items()]).collect()[0]
+    assert row["n_chars"] == 17
+    assert row["n_tokens"] == 4
+    assert row["punct_ratio"] == pytest.approx(2 / 17)
+    assert row["distinct_stopwords"] == 1  # 'the' (punctuation sticks to cat,/hat!)
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de que y el gato"),
+            (3, "der hund und die katze und das haus"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["g"] for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 32  # md5 hex
