@@ -37,13 +37,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles. Empty array when the document has
-    fewer than k tokens."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a token-array column.  Empty
+    array when the document has fewer than k tokens.
+
+    Pass a MATERIALIZED token column (projected in a prior select),
+    not ``tokens(text)`` inline: higher-order-function lambdas are
+    interpreted per element and re-evaluate captured expressions, so
+    an inline regex split would run k times per shingle instead of
+    once per row (~20x slower on real corpora)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)  # first token index of each shingle
-    parts = lambda i: [i + j for j in range(k)]
 
     def shingle_at(i: Column) -> Column:
         out = toks[i]
@@ -54,6 +58,13 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column.  Convenience form;
+    for corpus-scale plans project ``tokens(text)`` first and use
+    ``shingles_from_tokens`` (see its docstring)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -77,9 +88,17 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard within blocking-key groups.  The
     blocking key bounds the quadratic blow-up; for unblocked corpora
     use minhash_lsh_pairs instead."""
-    sh = df.select(
-        F.col(id_col), F.col(block_col), shingles(text_col, k).alias("sh")
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    toked = fan_out(df.select(F.col(id_col), F.col(block_col), F.col(text_col))).select(
+        F.col(id_col), F.col(block_col), tokens(text_col).alias("toks")
     )
+    sh = toked.select(
+        F.col(id_col), F.col(block_col), shingles_from_tokens(F.col("toks"), k).alias("sh")
+    )
+    # Shingle arrays feed BOTH sides of the self-join — materialize
+    # once instead of re-deriving per side.
+    sh = sh.cache()
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -97,22 +116,51 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex strings:
-    element j is min over shingles s of md5(j || ':' || s).  The md5
-    family is portable (identical in DuckDB), and string-min is
-    order-independent.
+_MERSENNE_P = (1 << 61) - 1
 
-    Note: fine for one-off signatures, but the array expression tree
-    re-derives the shingle array per hash family; for corpus-scale
-    signature computation use the explode/groupBy path inside
-    minhash_lsh_pairs, which computes each shingle hash once and
-    aggregates with map-side partial mins."""
+
+def minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic (a, b) for universal-hash family j, derived from
+    md5 so any engine can regenerate them.  Both ~60-bit (< p), a
+    odd; the a*x product needs 128-bit arithmetic (decimal(38,0) in
+    Spark, HUGEINT in DuckDB) — exact integers in both engines."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{j}".encode()).hexdigest()[:15], 16) | 1
+    b = int(hashlib.md5(f"b:{j}".encode()).hexdigest()[:15], 16)
+    return a, b
+
+
+def _base_hash(s: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 hex chars of md5.
+    Computed ONCE per shingle; the num_hashes families are derived
+    from it by (a_j*x + b_j) mod 2^61-1 — classic universal hashing,
+    ~16x cheaper than one md5 per family."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def _family(x: Column, j: int) -> Column:
+    """(a_j*x + b_j) mod (2^61-1) through exact decimal(38,0)
+    arithmetic: the ~120-bit product wraps the Mersenne prime ~2^59
+    times, fully scrambling the per-family ordering (a no-wrap linear
+    map would be monotone in x and every family would pick the same
+    argmin shingle, destroying MinHash independence)."""
+    a, b = minhash_params(j)
+    big = F.lit(a).cast("decimal(38,0)") * x + F.lit(b)
+    return (big % F.lit(_MERSENNE_P)).cast("bigint")
+
+
+def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of ``num_hashes`` bigints over a
+    MATERIALIZED column of 60-bit shingle hashes (see ``_base_hash``):
+    element j is min over x of ((a_j*x+b_j) mod 2^61-1).  Entirely
+    row-local — signature computation for a whole corpus is one
+    narrow map stage with ZERO shuffle; only the LSH band join
+    shuffles.  Portable: DuckDB reproduces identical values
+    (queries/text.py oracle)."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            )
+            F.array_min(F.transform(hashed, lambda x: _family(x, j)))
             for j in range(num_hashes)
         ]
     )
@@ -131,26 +179,34 @@ def minhash_lsh_pairs(
     signature (num_hashes mins) -> bands of rows=num_hashes/bands ->
     band key = md5(concat(band slice)).  Docs sharing any band key
     become candidates; candidates are scored by signature agreement
-    (estimated Jaccard).  Plan shape: one narrow map to build
-    signatures, one explode to (band_idx, band_key, id), one shuffle
-    join on the band key, one distinct — no all-pairs stage.
+    (estimated Jaccard).  Plan shape: one narrow ZERO-SHUFFLE map to
+    build signatures (tokens -> shingles -> 60-bit hashes -> family
+    mins, each stage a materialized projection so nothing is
+    re-evaluated inside HOF lambdas), one explode to (band_idx,
+    band_key, id), one shuffle join on the band key, one distinct —
+    no all-pairs stage and no signature shuffle.
     """
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
     rows = num_hashes // bands
-    # Scalable signature computation: explode shingles (duplicates
-    # don't affect the min, so no distinct needed), hash each shingle
-    # once per family, aggregate per-doc mins (map-side partial agg,
-    # one shuffle on the doc id).
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
+    toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("toks")
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
-            for j in range(num_hashes)
-        ]
+    # Docs with < k tokens have empty shingle sets: drop them HERE
+    # with a cheap token-count predicate.  Filtering on size(sh)>0
+    # would sink the whole shingle expression below the exchange into
+    # the scan (Catalyst pushes deterministic filters down), which
+    # both serializes it onto the scan's partitioning and re-evaluates
+    # it once in the filter and once in the projection.
+    toked = toked.filter(F.size("toks") >= k)
+    sh = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("toks"), k).alias("sh")
     )
-    sig = mins.select(
-        id_col, F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    hashed = sh.select(
+        F.col(id_col), F.transform(F.col("sh"), _base_hash).alias("hs")
+    )
+    sig = hashed.select(
+        F.col(id_col), minhash_signature(F.col("hs"), num_hashes).alias("sig")
     )
     banded = sig.select(
         id_col,
@@ -161,7 +217,13 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         F.md5(
-                            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("band_key"),
                     )
                     for b in range(bands)
@@ -195,13 +257,20 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.  Per-token hash = first
-    8 hex chars of md5 as an integer; bit b of the output is 1 iff
-    the sum over tokens of (+1 / -1 for bit b set / unset) is
-    positive.  Pure integer arithmetic -> engine-portable."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+def token_hashes(text: Column | str) -> Column:
+    """Per-token 32-bit hashes (first 8 hex chars of md5).  Project
+    this into a column BEFORE simhash32_from_hashes so the tokenize +
+    md5 pass runs once per row, not once per output bit."""
+    return F.transform(
+        tokens(text), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED token-hash array column:
+    bit b of the output is 1 iff the sum over tokens of (+1 / -1 for
+    bit b set / unset) is positive.  Pure integer arithmetic ->
+    engine-portable."""
 
     def bit_term(b: int):
         return F.aggregate(
@@ -217,3 +286,11 @@ def simhash32(text: Column | str) -> Column:
             F.lit(0).cast("bigint")
         )
     return out
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash of a text column.  Convenience form for small
+    inputs; corpus-scale plans should project ``token_hashes(text)``
+    first and use ``simhash32_from_hashes`` (one tokenize+md5 pass
+    per row instead of one per output bit)."""
+    return simhash32_from_hashes(token_hashes(text))

@@ -159,15 +159,24 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    rows = _NUM_HASHES // _BANDS
-    sig = (
-        "["
-        + ", ".join(
-            f"list_min(list_transform(s, x -> md5('{j}:' || x)))"
-            for j in range(_NUM_HASHES)
-        )
-        + "]"
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        _MERSENNE_P,
+        minhash_params,
     )
+
+    rows = _NUM_HASHES // _BANDS
+    # Same universal-hash families as the Spark side: one md5 per
+    # shingle -> 60-bit base hash x, then (a_j*x + b_j) mod 2^61-1
+    # in exact 128-bit integer arithmetic (HUGEINT here, decimal(38,0)
+    # on the Spark side).
+    fams = []
+    for j in range(_NUM_HASHES):
+        a, b = minhash_params(j)
+        fams.append(
+            f"list_min(list_transform(h, "
+            f"x -> CAST((x::HUGEINT * {a} + {b}) % {_MERSENNE_P} AS BIGINT)))"
+        )
+    sig = "[" + ", ".join(fams) + "]"
     band_structs = ", ".join(
         "{'band_idx': %d, 'band_key': md5(%s)}"
         % (b, " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
@@ -177,8 +186,13 @@ def _minhash_sql() -> str:
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
     ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+      FROM sh WHERE len(s) > 0
+    ),
     sigs AS (
-      SELECT doc_id, {sig} AS sig FROM sh WHERE len(s) > 0
+      SELECT doc_id, {sig} AS sig FROM hashed
     ),
     banded AS (
       SELECT doc_id, sig, unnest([{band_structs}],  recursive := true)
@@ -199,8 +213,13 @@ register("doc_minhash_lsh", q_doc_minhash_lsh, _minhash_sql())
 # ---- SimHash ----------------------------------------------------------------
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select("doc_id", D.token_hashes("text").alias("hs"))
+    return hashed.select(
+        "doc_id", D.simhash32_from_hashes(F.col("hs")).alias("simhash")
+    )
 
 
 def _simhash_sql() -> str:

@@ -45,6 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before an
+    expression-heavy map stage.  Small local parquet files arrive as
+    ONE partition (a single row group), which serializes per-row
+    compute onto one core; at cluster scale the input is already
+    partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def prices_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference fact table (SURVEY.md section 1.1) derived from the
     ``events`` table.  Keeps ``event_id`` as a deterministic
