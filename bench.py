@@ -46,6 +46,9 @@ HEADLINE = [
     "doc_minhash_lsh",
     "emb_cosine_topk",
     "emb_ann_lsh",
+    "emb_ivf_topk",
+    "emb_cosine_neardup",
+    "media_decode",
 ]
 
 
@@ -61,6 +64,11 @@ def main() -> None:
     # JVM / codegen warm-up so the first query doesn't absorb session
     # startup cost (we measure query time, not JVM boot).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Arrow/Python-worker fleet warm-up (mapInPandas queries would
+    # otherwise absorb one-time worker startup, ~7s on 32 cores).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     for t in ["lineitem", "events", "documents", "embeddings"]:
         from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 

@@ -38,6 +38,14 @@ def cosine(a: Column, b: Column) -> Column:
     return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
 
 
+def _pair_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """Cosine from PRE-COMPUTED norms: dot/(qn*cn) — identical float
+    grouping to ``cosine`` (dot/(norm*norm)), so results are
+    bit-equal, but the O(pairs) stage folds one array pass instead of
+    three (norms are O(rows), computed once per side)."""
+    return (_dot(qv, cv) / (qn * cn)).cast("double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,17 +55,167 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: for every query row, the k nearest corpus
     rows (excluding itself).  Ties broken by neighbor id ascending."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    ).select("neighbor_id", "vec", _norm(F.col("vec")).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            F.round(
+                _pair_cosine(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs within a blocking
+    group whose (6-dp rounded) cosine clears the threshold.  The
+    blocking key bounds the quadratic stage; for unblocked corpora
+    feed ``lsh_bucket`` output as the block column so candidates are
+    LSH-bucketed instead (same shape, approximate recall).
+
+    Norms are precomputed per row (O(n)) so the quadratic stage folds
+    a single dot product per pair; the normed side is cached because
+    it feeds both sides of the self-join."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    side = (
+        fan_out(df.select(F.col(id_col), F.col(block_col), F.col(vec_col)))
+        .withColumn("nrm", _norm(F.col(vec_col)))
+        .cache()
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                _pair_cosine(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid as array<double>: element-wise mean with
+    exact decimal accumulation (order-independent, so identical on
+    any engine / partitioning).  Output is tiny (|labels| rows) —
+    always broadcast-sized."""
+    per_dim = (
+        corpus.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v"))
+            .alias("mean_v")
+        )
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer = per-label
+    centroids; each query probes its ``nprobe`` nearest centroids and
+    re-ranks exactly within those inverted lists only.
+
+    Scale shape: centroids are |labels| rows (broadcast); probe
+    assignment is a narrow map over queries; the candidate stage is a
+    broadcast join of (query, probe_label) pairs against the corpus
+    partitioned by label — the corpus is scanned once, never
+    shuffled, and only 1/|labels|*nprobe of it is scored per query.
+    Fully deterministic (centroids use exact decimal means), so —
+    unlike random-hyperplane LSH — the oracle can replicate it."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    cents = label_centroids(corpus, id_col, vec_col, label_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col(label_col).asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "qn",
+            F.col(label_col),
+            F.round(cosine(F.col("query_vec"), F.col("centroid")), 6).alias("cent_sim"),
+        )
+        .withColumn("probe_rnk", F.row_number().over(probe_w))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("query_id", "query_vec", "qn", label_col)
+    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
+            F.col(label_col),
+        )
+    ).select("neighbor_id", "vec", label_col, _norm(F.col("vec")).alias("cn"))
+    scored = (
+        c.join(F.broadcast(probes), label_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pair_cosine(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -129,26 +287,35 @@ def random_hyperplane_lsh_topk(
     |corpus| x |queries| pairs; recall is tuned with n_tables (up)
     and n_planes (selectivity up, recall down).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vec"),
-        _lsh_tables(F.col(vec_col), dim, n_planes, n_tables).alias("t"),
-    ).select("neighbor_id", "vec", "t.table_idx", "t.bucket")
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    ).select(
+        "neighbor_id",
+        "vec",
+        _norm(F.col("vec")).alias("cn"),
+        _lsh_tables(F.col("vec"), dim, n_planes, n_tables).alias("t"),
+    ).select("neighbor_id", "vec", "cn", "t.table_idx", "t.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qn"),
         _lsh_tables(F.col(vec_col), dim, n_planes, n_tables).alias("t"),
-    ).select("query_id", "query_vec", "t.table_idx", "t.bucket")
+    ).select("query_id", "query_vec", "qn", "t.table_idx", "t.bucket")
     scored = (
         c.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in several tables must be scored once
-        .select("query_id", "neighbor_id", "query_vec", "vec")
+        .select("query_id", "neighbor_id", "query_vec", "vec", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            F.round(
+                _pair_cosine(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

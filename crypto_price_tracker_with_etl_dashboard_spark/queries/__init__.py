@@ -28,3 +28,4 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import reference  # n
 from crypto_price_tracker_with_etl_dashboard_spark.queries import relational  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import text  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import vector  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # noqa: E402,F401

@@ -1,0 +1,85 @@
+"""Multimodal-column operators, oracle-checked end to end.
+
+The binary payloads are deterministic (utf-8 bytes of document text,
+see sources/multimodal.py), so even the Arrow-batched mapInPandas
+decode kernel has an exact DuckDB twin: fake_decode derives
+dimensions/features from md5(content), which the oracle reproduces
+with hex-substring arithmetic on md5(text).  What this certifies is
+the REAL plumbing — binary column handling, mapInPandas schema and
+batching, float32 feature arrays — not the stub codec itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+    MEDIA_CTE_SQL,
+    decode_media,
+    fake_decode,
+    frame_sample_plan,
+    media_from_documents,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the binary column, reduced to
+    engine-portable integers: the float32 features are mapped back to
+    their source bytes (round(f*255) is exact — the float32
+    representation error of b/255 is ~1e-7) and summed."""
+    media = media_from_documents(fan_out(load_table(spark, sf_dir, "documents")))
+    decoded = decode_media(media, decode_fn=fake_decode)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.aggregate(
+            "features",
+            F.lit(0).cast("bigint"),
+            lambda acc, f: acc + F.round(f * 255).cast("bigint"),
+        ).alias("feat_byte_sum"),
+    )
+
+
+register(
+    "media_decode",
+    q_media_decode,
+    f"""
+    WITH {MEDIA_CTE_SQL}
+    SELECT media_id,
+           1 + ('0x' || substr(md5(content_text), 1, 2))::INT  AS width,
+           1 + ('0x' || substr(md5(content_text), 3, 2))::INT  AS height,
+           CAST(strlen(content_text) AS BIGINT)                AS n_bytes,
+           16                                                  AS n_features,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> ('0x' || substr(md5(content_text), 1 + 2*i, 2))::BIGINT))
+                AS BIGINT)                                     AS feat_byte_sum
+    FROM media
+    """,
+)
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000)
+
+
+register(
+    "media_frame_sample",
+    q_media_frame_sample,
+    f"""
+    WITH {MEDIA_CTE_SQL}
+    SELECT media_id,
+           CAST(unnest(range(0, greatest(CAST(duration_ms / 1000 AS BIGINT), 1)))
+                AS INT)                         AS frame_idx,
+           CAST(unnest(range(0, greatest(CAST(duration_ms / 1000 AS BIGINT), 1)))
+                * 1000 AS INT)                  AS offset_ms
+    FROM media WHERE media_type = 'video'
+    """,
+)

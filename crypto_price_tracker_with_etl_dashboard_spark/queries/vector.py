@@ -67,6 +67,96 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("emb_ann_lsh", q_emb_ann_lsh, None)
 
 
+# Shared SQL fragment: double-precision cosine between two 64-dim
+# list columns with the same sequential fold order as the Spark side.
+def _sql_cosine(a: str, b: str) -> str:
+    return f"""round(
+      list_sum(list_transform(range(1, {_DIM} + 1),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))),
+      6)"""
+
+
+_NEARDUP_THRESHOLD = 0.35
+
+
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+register(
+    "emb_cosine_neardup",
+    q_emb_cosine_neardup,
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+    """,
+)
+
+
+_NPROBE = 2
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(emb, queries, k=_K, nprobe=_NPROBE)
+
+
+register(
+    "emb_ivf_topk",
+    q_emb_ivf_topk,
+    f"""
+    WITH per_dim AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS mean_v
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label, list(mean_v ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    probed AS (
+      SELECT query_id, query_vec, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_sql_cosine('query_vec', 'centroid')} DESC, label ASC
+             ) AS probe_rnk
+      FROM q CROSS JOIN cents
+    ),
+    probes AS (
+      SELECT query_id, query_vec, label FROM probed WHERE probe_rnk <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('p.query_vec', 'e.embedding')} AS cosine_sim
+      FROM embeddings e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_K}
+    """,
+)
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + count: array aggregation via
     element-wise decimal-exact sums (posexplode -> groupBy position).

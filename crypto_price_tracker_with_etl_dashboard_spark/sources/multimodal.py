@@ -113,6 +113,44 @@ def decode_media(
     return media.mapInPandas(kernel, DECODED_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents`` (the
+    container ships no binary fixtures): content = utf-8 bytes of the
+    text, media_type cycles image/audio/video on doc_id, duration
+    only for audio/video.  Mirrored by MEDIA_CTE_SQL for the oracle."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        mt.alias("media_type"),
+        F.when(mt == "image", F.lit("png")).otherwise(F.lit("mp4")).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(mt != "image", (F.col("doc_id") % 30 + 1) * 1000)
+        .cast("bigint")
+        .alias("duration_ms"),
+    )
+
+
+# Must mirror media_from_documents() exactly (oracle CTE).
+MEDIA_CTE_SQL = """
+media AS (
+  SELECT doc_id AS media_id,
+         text AS content_text,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'mp4' END AS format,
+         CAST(NULL AS INT) AS width,
+         CAST(NULL AS INT) AS height,
+         CASE WHEN doc_id % 3 <> 0
+              THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT) END AS duration_ms
+  FROM documents
+)
+"""
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: emits one row per sampled frame
     offset (the decode itself is the pluggable kernel).  Pure column

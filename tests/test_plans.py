@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the 100 TB story depends on plan
+SHAPE (pushdown, broadcast, shuffle count), not just row-level
+correctness — these pin the shapes so a refactor that silently
+de-optimizes a plan fails CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
+from crypto_price_tracker_with_etl_dashboard_spark.functions import similarity as S
+from crypto_price_tracker_with_etl_dashboard_spark.sources import fan_out, load_table
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan
+    # column pruning: the scan must not read the text column
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_small_dim_joins_broadcast(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["q5_local_supplier"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims are broadcast-sized
+
+
+def test_latest_snapshot_single_shuffle_partial_agg(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["latest_snapshot"](spark, SF_SMALL))
+    # map-side top-1-per-group (WindowGroupLimit Partial) BEFORE the
+    # shuffle — the window equivalent of a partial aggregate; then
+    # exactly the group-by-symbol exchange plus the output sort's
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    """Signature computation must be a narrow map: the only Exchange
+    allowed before the band join is the fan_out repartition."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    toked = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", D.tokens("text").alias("toks")
+    )
+    toked = toked.filter(F.size("toks") >= 3)
+    sh = toked.select("doc_id", D.shingles_from_tokens(F.col("toks")).alias("sh"))
+    hashed = sh.select("doc_id", F.transform("sh", D._base_hash).alias("hs"))
+    sig = hashed.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
+    assert plan_of(sig).count("Exchange") <= 1
+
+
+def test_brute_force_broadcasts_queries_not_corpus(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = plan_of(S.brute_force_topk(emb, queries, k=3))
+    assert "BroadcastExchange" in plan
+    # the corpus-side scoring stage must not shuffle the corpus; the
+    # only non-broadcast exchange is the window's partition-by-query
+    assert plan.count("Exchange hashpartitioning") <= 1

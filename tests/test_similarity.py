@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
     brute_force_topk,
     cosine,
+    cosine_neardup_pairs,
+    ivf_topk,
     random_hyperplane_lsh_topk,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
@@ -50,6 +52,35 @@ def test_lsh_recall_vs_brute_force(spark):
     # true top-5 should be well above random (5/500).
     assert recall >= 0.3, f"recall {recall}"
 
+
+def test_cosine_neardup_finds_planted_pair(spark):
+    rows = [
+        (0, "x", [1.0, 0.0, 0.0]),
+        (1, "x", [0.999, 0.04, 0.0]),   # near-dup of 0, same block
+        (2, "x", [0.0, 1.0, 0.0]),      # orthogonal, same block
+        (3, "y", [1.0, 0.0, 0.0]),      # identical to 0 but other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in cosine_neardup_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert (0, 2) not in out            # below threshold
+    assert (0, 3) not in out            # blocked apart
+
+def test_ivf_topk_recall_and_exactness(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+              for r in ivf_topk(emb, queries, k=5, nprobe=2).collect()}
+    # probing 2 of 10 inverted lists must find a decent share of the
+    # true top-5, and scores must be exact for every shared pair
+    shared = set(exact) & set(approx)
+    assert len(shared) / len(exact) >= 0.3
+    assert all(exact[p] == approx[p] for p in shared)
+    # every query returns exactly k candidates (lists are big enough)
+    assert len(approx) == 10 * 5
 
 def test_lsh_scores_match_exact_for_shared_pairs(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
