@@ -44,6 +44,8 @@ HEADLINE = [
     "doc_quality",
     "doc_simhash",
     "doc_minhash_lsh",
+    "doc_token_bpe",
+    "doc_winnow",
     "emb_cosine_topk",
     "emb_ann_lsh",
     "emb_ivf_topk",

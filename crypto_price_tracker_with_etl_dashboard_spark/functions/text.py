@@ -66,6 +66,56 @@ def lang_guess(text: Column | str) -> Column:
     return out
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no \p
+# classes, no lookarounds.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: contraction suffixes, letter runs,
+    digit runs, punctuation runs (each with optional leading space) —
+    the shape of byte-pair-encoder input segmentation, engine-portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def gram_hashes(text: Column | str, k: int = 5) -> Column:
+    """32-bit hashes of all character k-grams (md5-prefix stand-in
+    for a Rabin-Karp rolling hash: same sliding-window semantics,
+    engine-portable values; swap in a true rolling hash kernel when
+    hashing throughput dominates).  Empty when len(text) < k."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c) - k + 1
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): the distinct set of
+    per-window minima over a MATERIALIZED k-gram hash array — the
+    standard local document fingerprint for plagiarism/near-dup
+    detection.  Guarantees every match of length >= w+k-1 shares a
+    fingerprint.  Row-local: zero shuffle at corpus scale."""
+    n_win = F.size(hashes) - w + 1
+    return F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-scoring features: char/token counts, mean token
     length, punctuation ratio, stopword ratio.  Integer/ratio

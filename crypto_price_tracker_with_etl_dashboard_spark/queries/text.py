@@ -144,6 +144,95 @@ register(
 )
 
 
+# ---- BPE-ish tokenization stats ---------------------------------------------
+
+def q_doc_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", "text", T.bpe_tokens("text").alias("bpe"))
+    return toked.select(
+        "doc_id",
+        F.size("bpe").cast("bigint").alias("n_bpe_tokens"),
+        T.token_count("text").cast("bigint").alias("n_ws_tokens"),
+        F.size(F.filter(F.col("bpe"), lambda t: t.rlike("^ ?[0-9]+$")))
+        .cast("bigint")
+        .alias("n_digit_tokens"),
+    )
+
+
+register(
+    "doc_token_bpe",
+    q_doc_token_bpe,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(bpe, t -> regexp_matches(t, '^ ?[0-9]+$')))
+                AS BIGINT) AS n_digit_tokens
+    FROM toked
+    """,
+)
+
+
+# ---- winnowing (rolling-hash) fingerprints ----------------------------------
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id", T.gram_hashes("text", _WINNOW_K).alias("hs")
+    )
+    fps = hashed.select(
+        "doc_id", T.winnow_fingerprints(F.col("hs"), _WINNOW_W).alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+            "fp_checksum"
+        ),
+    )
+
+
+register(
+    "doc_winnow",
+    q_doc_winnow,
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             CASE WHEN strlen(text) >= {_WINNOW_K}
+                  THEN list_transform(range(1, strlen(text) - {_WINNOW_K} + 2),
+                       i -> ('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 8))::BIGINT)
+                  ELSE [] END AS hs
+      FROM documents
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WINNOW_W}
+                  THEN list_distinct(list_transform(range(0, len(hs) - {_WINNOW_W} + 1),
+                       j -> list_min(hs[j + 1 : j + {_WINNOW_W}])))
+                  ELSE [] END AS fps
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+    FROM fps
+    """,
+)
+
+
 # ---- MinHash + LSH near-dup candidates --------------------------------------
 
 # 8 bands x 2 rows: for a near-dup with Jaccard j, the probability of

@@ -55,3 +55,38 @@ def test_fingerprint_normalization_invariant(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert len(out[1]) == 32  # md5 hex
+
+
+def test_bpe_tokens_segmentation(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([("It's 42 degrees, isn't it?",)], ["text"])
+    out = df.select(bpe_tokens("text").alias("t")).collect()[0]["t"]
+    assert out == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?"]
+
+
+def test_winnow_fingerprints_shared_for_common_substring(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        gram_hashes,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "XX the quick brown fox jumps over a sleepy cat"),
+        (3, "completely unrelated short string here"),
+        (4, "abc"),  # shorter than k -> no grams, no fingerprints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashed = df.select("doc_id", gram_hashes("text", 5).alias("hs"))
+    fps = hashed.select("doc_id", winnow_fingerprints(F.col("hs"), 4).alias("fps"))
+    by_id = {r["doc_id"]: set(r["fps"]) for r in fps.collect()}
+    # winnowing guarantees: any shared substring of length >= w+k-1
+    # (=8) yields at least one shared fingerprint
+    assert by_id[1] & by_id[2]
+    assert len(by_id[1] & by_id[3]) < len(by_id[1] & by_id[2])
+    assert by_id[4] == set()
