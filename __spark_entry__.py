@@ -32,7 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(SPARK_QUERIES)
+    """Every callable first applies the runtime-settable session tuning
+    (UTC timezone for oracle parity, AQE) — the driver invokes these
+    with its OWN SparkSession, which entry()'s tuning never touched."""
+
+    def tuned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: tuned(fn) for name, fn in SPARK_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,6 +37,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "top_orders_per_customer",
     "segment_order_stats",
+    "prices_ohlc_5min",
     "events_tumbling_5min",
     "events_sessionize",
     "events_daily_pivot",

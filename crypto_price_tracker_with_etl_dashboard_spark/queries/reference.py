@@ -198,3 +198,36 @@ register(
     WHERE symbol IS NOT NULL AND name IS NOT NULL AND current_price IS NOT NULL
     """,
 )
+
+
+# ---- T5 extension: tumbling-window OHLC candles ---------------------------
+
+def q_prices_ohlc_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import ohlc_candles
+
+    prices = prices_from_events(spark, sf_dir)
+    return ohlc_candles(prices, tiebreak_col="event_id", exact_volume=True)
+
+
+register(
+    "prices_ohlc_5min",
+    q_prices_ohlc_5min,
+    f"""
+    WITH {PRICES_CTE_SQL}
+    SELECT symbol,
+           CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300)
+                AS TIMESTAMP)                                      AS window_start,
+           CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300 + 300)
+                AS TIMESTAMP)                                      AS window_end,
+           arg_min(current_price,
+                   epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS open,
+           MAX(current_price)                                      AS high,
+           MIN(current_price)                                      AS low,
+           arg_max(current_price,
+                   epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS close,
+           {sql_dsum('total_volume')}                              AS volume,
+           COUNT(*)                                                AS n_ticks
+    FROM prices
+    GROUP BY 1, 2, 3
+    """,
+)

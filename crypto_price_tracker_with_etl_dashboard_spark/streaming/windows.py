@@ -1,0 +1,61 @@
+"""Windowed streaming aggregations over the prices stream: OHLC
+candles on tumbling event-time windows with a watermark for late
+data — the natural extension of the reference's 5-minute cadence
+(SURVEY.md section 2.8 T5: the reference itself has no event
+windows; this is north-star scope).
+
+Append output mode: a candle is emitted exactly once, when the
+watermark passes the end of its window.  State is bounded by
+(symbols x open windows), and late rows beyond the watermark are
+dropped — the explicit late-data contract the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlc_candles(
+    prices: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    tiebreak_col: str | None = None,
+    exact_volume: bool = False,
+) -> DataFrame:
+    """prices (symbol, current_price, total_volume, timestamp) ->
+    per-symbol tumbling-window OHLC.  Works on a stream (watermarked,
+    incremental state) and, unchanged, on a batch DataFrame.
+
+    ``tiebreak_col`` totals the open/close order: the reference
+    stamps one timestamp per poll batch (etl/crypto_etl.py:82), so
+    rows tie on event time and min_by/max_by alone would be
+    partition-order-dependent.  ``exact_volume`` switches the volume
+    sum to order-independent fixed-point accumulation
+    (operators/exact.py) for cross-engine determinism."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import dsum
+
+    df = prices
+    if prices.isStreaming:
+        df = prices.withWatermark("timestamp", watermark)
+    order = (
+        F.struct("timestamp", tiebreak_col) if tiebreak_col else F.col("timestamp")
+    )
+    vol = dsum("total_volume") if exact_volume else F.sum("total_volume")
+    return (
+        df.groupBy("symbol", F.window("timestamp", window).alias("w"))
+        .agg(
+            F.min_by("current_price", order).alias("open"),
+            F.max("current_price").alias("high"),
+            F.min("current_price").alias("low"),
+            F.max_by("current_price", order).alias("close"),
+            vol.alias("volume"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "open", "high", "low", "close", "volume", "n_ticks",
+        )
+    )

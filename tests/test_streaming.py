@@ -112,3 +112,92 @@ def test_stateful_snapshot_stream(spark, tmp_path):
         assert snap["eth"]["current_price"] == 50.0
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_closes_on_gap(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a later
+    event beyond the gap closes the open session and emits it."""
+    import datetime as dt
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    pdir = str(tmp_path / "events_stream")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),   # same session (gap 30 min)
+        (2, t0),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: both sessions still open in state
+        assert spark.sql("SELECT * FROM sessions_test").count() == 0
+
+        batch2 = [(1, t0 + dt.timedelta(hours=2))]  # gap > 30 min -> closes
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n_events"] == 2
+        assert r["session_start"] == t0
+        assert r["session_end"] == t0 + dt.timedelta(minutes=10)
+    finally:
+        q.stop()
+
+
+def test_streaming_ohlc_emits_on_watermark(spark, tmp_path):
+    """Tumbling-window OHLC in append mode: a candle is emitted once
+    the watermark passes its window end."""
+    import datetime as dt
+
+    from crypto_price_tracker_with_etl_dashboard_spark.schema import PRICES_SCHEMA
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import ohlc_candles
+
+    pdir = str(tmp_path / "prices_ohlc")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        ("btc", "Bitcoin", 100.0, 1e9, 10.0, t0),
+        ("btc", "Bitcoin", 120.0, 1e9, 5.0, t0 + dt.timedelta(minutes=2)),
+        ("btc", "Bitcoin", 90.0, 1e9, 2.5, t0 + dt.timedelta(minutes=4)),
+    ]
+    spark.createDataFrame(batch1, PRICES_SCHEMA).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(PRICES_SCHEMA).parquet(pdir)
+    q = (
+        ohlc_candles(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ohlc_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far enough to close the first window
+        late = [("btc", "Bitcoin", 200.0, 1e9, 1.0, t0 + dt.timedelta(minutes=30))]
+        spark.createDataFrame(late, PRICES_SCHEMA).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ohlc_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["symbol"] == "btc" and r["n_ticks"] == 3
+        assert (r["open"], r["high"], r["low"], r["close"]) == (100.0, 120.0, 90.0, 90.0)
+        assert r["volume"] == 17.5
+        assert r["window_start"] == t0
+    finally:
+        q.stop()
