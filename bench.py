@@ -41,6 +41,13 @@ HEADLINE = [
     "events_tumbling_5min",
     "events_sessionize",
     "events_daily_pivot",
+    "events_asof_join",
+    "events_moving_stats",
+    "orders_rollup",
+    "returned_orders_semi",
+    "user_cohort_setops",
+    "events_json_extract",
+    "daily_distinct_users",
     "doc_exact_dedup",
     "doc_quality",
     "doc_simhash",

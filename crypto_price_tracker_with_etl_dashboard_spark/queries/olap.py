@@ -1,0 +1,217 @@
+"""OLAP operator breadth over the star schema: hierarchical rollup,
+semi/anti joins, set operations, JSON extraction, and distinct-count
+aggregation (exact + sketch).
+
+The reference's operator set (SURVEY.md §2) has none of these — its
+workload needed only one join shape and flat aggregates — but they
+are core relational surface for any engine replacing it at warehouse
+scale.  Each query is oracle-checked except the approximate sketch,
+which is registered rows-only (its result is estimator-specific by
+design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import dsum, sql_dsum
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+
+# ---- Rollup: order revenue by (year, priority) hierarchy ------------------
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+register(
+    "orders_rollup",
+    q_orders_rollup,
+    f"""
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP(order_year, o_orderpriority)
+    ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+
+
+# ---- Semi join: order priorities that saw returned items ------------------
+
+def q_returned_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "returned_orders_semi",
+    q_returned_orders_semi,
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---- Anti join: churned customers (no orders since the cutoff) ------------
+
+_CHURN_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_churned_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_CHURN_CUTOFF).cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "churned_customers_anti",
+    q_churned_customers_anti,
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_CHURN_CUTOFF}')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+
+# ---- Set ops: user cohorts across the two halves of the month -------------
+
+_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_user_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    early = ev.filter(F.col("ts") < F.lit(_SPLIT).cast("timestamp")).select("user_id").distinct()
+    late = ev.filter(F.col("ts") >= F.lit(_SPLIT).cast("timestamp")).select("user_id").distinct()
+    both = early.intersect(late).withColumn("cohort", F.lit("both"))
+    early_only = early.exceptAll(late).withColumn("cohort", F.lit("early_only"))
+    late_only = late.exceptAll(early).withColumn("cohort", F.lit("late_only"))
+    return both.unionByName(early_only).unionByName(late_only)
+
+
+register(
+    "user_cohort_setops",
+    q_user_cohort_setops,
+    f"""
+    WITH early AS (SELECT DISTINCT user_id FROM events
+                   WHERE ts < TIMESTAMP '{_SPLIT}'),
+         late  AS (SELECT DISTINCT user_id FROM events
+                   WHERE ts >= TIMESTAMP '{_SPLIT}')
+    SELECT user_id, 'both' AS cohort
+      FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)
+    UNION ALL
+    SELECT user_id, 'early_only'
+      FROM (SELECT user_id FROM early EXCEPT SELECT user_id FROM late)
+    UNION ALL
+    SELECT user_id, 'late_only'
+      FROM (SELECT user_id FROM late EXCEPT SELECT user_id FROM early)
+    """,
+)
+
+
+# ---- JSON extraction: schema-on-read over the props column ----------------
+# Mirrors the reference's null-tolerant JSON field access
+# (etl/crypto_etl.py:88-92 uses .get() over CoinGecko JSON; here it is
+# from_json with an explicit schema — missing/corrupt fields -> null).
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_json_extract",
+    q_events_json_extract,
+    """
+    SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+# ---- Distinct users per day: exact (oracle) + HLL sketch (rows-only) ------
+
+def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+register(
+    "daily_distinct_users",
+    q_daily_distinct_users,
+    """
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def q_daily_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch: one pass, O(sketch) memory per group —
+    the scale path when exact distinct's per-group shuffle of all
+    distinct values is too expensive.  Estimator-specific output, so
+    rows-only check (no cross-engine oracle can match it)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("day")
+    )
+
+
+register("daily_approx_distinct_users", q_daily_approx_distinct_users, None)

@@ -1,0 +1,107 @@
+"""Time-series operators over the events stream: as-of join and
+frame-window statistics (moving average, pct-change, running max).
+
+These extend the reference's time-series surface (SURVEY.md §2.7: its
+only window patterns are greatest-per-group / ranked top-K /
+ratio-of-total) with the frame-spec windows and as-of correlation a
+prices-table consumer needs.  All double aggregation goes through the
+fixed-point helpers (operators/exact.py) so results are bit-exact
+across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.asof import asof_join
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+
+# ---- As-of join: each purchase against the latest prior quote -------------
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Quotes: every non-purchase event; dedup equal timestamps per user
+    # (keep the max-event_id row) so the as-of match is well-defined.
+    quotes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("quote_price"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("trade_id"), "ts"
+    )
+    return asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        ts="ts",
+        right_value_cols=["quote_price"],
+        right_ts_alias="quote_ts",
+    ).select("user_id", "trade_id", "ts", "quote_ts", "quote_price")
+
+
+register(
+    "events_asof_join",
+    q_events_asof_join,
+    """
+    WITH quotes AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS quote_price
+      FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+    ),
+    trades AS (
+      SELECT user_id, event_id AS trade_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT t.user_id, t.trade_id, t.ts,
+           q.ts AS quote_ts, q.quote_price
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+
+
+# ---- Frame windows: moving average / pct change / running max -------------
+
+def q_events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame7 = w.rowsBetween(-6, Window.currentRow)
+    # Fixed-point moving sum -> exact across engines; one double division.
+    fixed = F.round(F.col("value") * SCALE).cast("bigint")
+    mavg7 = (F.sum(fixed).over(frame7).cast("double") / SCALE) / F.count("*").over(frame7)
+    prev = F.lag("value").over(w)
+    pct = (F.col("value") - prev) / F.nullif(prev, F.lit(0.0)) * 100.0
+    run_max = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        mavg7.alias("mavg7"),
+        pct.alias("pct_change"),
+        run_max.alias("run_max"),
+    )
+
+
+register(
+    "events_moving_stats",
+    q_events_moving_stats,
+    f"""
+    SELECT user_id, event_id, ts, value,
+           (CAST(SUM(CAST(round(value * {SCALE}) AS BIGINT))
+                 OVER w7 AS DOUBLE) / {SCALE})
+             / COUNT(*) OVER w7                                AS mavg7,
+           (value - lag(value) OVER w)
+             / nullif(lag(value) OVER w, 0.0) * 100.0          AS pct_change,
+           MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)                   AS run_max
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+           w7 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
