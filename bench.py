@@ -48,6 +48,8 @@ HEADLINE = [
     "user_cohort_setops",
     "events_json_extract",
     "daily_distinct_users",
+    "event_value_quantiles",
+    "doc_top_terms",
     "doc_exact_dedup",
     "doc_quality",
     "doc_simhash",

@@ -215,3 +215,61 @@ def q_daily_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 register("daily_approx_distinct_users", q_daily_approx_distinct_users, None)
+
+
+# ---- Quantiles: exact interpolated percentiles (oracle) + sketch ----------
+# Spark's percentile() and DuckDB's quantile_cont() share the linear-
+# interpolation definition and agree bit-for-bit on the same doubles
+# (verified empirically; both compute lo + (hi-lo)*frac on sorted data).
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.max("value").alias("p100"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "event_value_quantiles",
+    q_event_value_quantiles,
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MAX(value) AS p100
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+def q_event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: bounded-memory quantile sketch — exact
+    percentile() materializes each group's values; at 100 TB the
+    sketch (relative-error histogram, mergeable across partitions)
+    is the only viable plan.  Rows-only check: sketch output is
+    estimator-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.25, 0.5, 0.95), 10000)").alias("q"),
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("event_value_quantiles_approx", q_event_value_quantiles_approx, None)

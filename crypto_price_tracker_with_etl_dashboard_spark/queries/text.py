@@ -325,3 +325,71 @@ def _simhash_sql() -> str:
 
 
 register("doc_simhash", q_doc_simhash, _simhash_sql())
+
+
+# ---- TF-IDF-style distinctive terms per document ---------------------------
+# Score = tf * (N+1)/(df+1): the idf is kept as a raw ratio (no ln)
+# because Java's Math.log and libm's log differ in the last ulp —
+# ranking behavior is the same, and every arithmetic op here is
+# exactly representable (tf, df, N are small ints) so the oracle
+# comparison is bit-exact.  Plan shape: explode -> two hash aggs
+# (term-per-doc, then term) -> broadcast of the term-df side back
+# onto the per-doc tf table -> per-doc window top-k.
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+register(
+    "doc_top_terms",
+    q_doc_top_terms,
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE)
+             / CAST(df + 1 AS DOUBLE) AS score,
+           rnk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+                        / CAST(df.df + 1 AS DOUBLE) DESC, tf.term ASC
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    """,
+)

@@ -201,3 +201,113 @@ def test_streaming_ohlc_emits_on_watermark(spark, tmp_path):
         assert r["window_start"] == t0
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a row re-delivered in a later
+    micro-batch (same key, within the watermark) is emitted once."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming import dedup_stream
+
+    schema = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("current_price", DoubleType()),
+            StructField("timestamp", TimestampType()),
+        ]
+    )
+    pdir = str(tmp_path / "dedup_stream")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [("btc", 100.0, t0), ("eth", 50.0, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        dedup_stream(stream, ["symbol", "timestamp"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # redelivery of btc@t0 plus one genuinely new row
+        spark.createDataFrame(
+            [("btc", 100.0, t0), ("btc", 101.0, t0 + dt.timedelta(minutes=1))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT symbol, current_price FROM dedup_test").collect()
+        got = sorted((r["symbol"], r["current_price"]) for r in rows)
+        assert got == [("btc", 100.0), ("btc", 101.0), ("eth", 50.0)]
+    finally:
+        q.stop()
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: trades match quotes within the
+    lookback window only; out-of-window quotes don't join."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming import (
+        interval_join_streams,
+    )
+
+    qschema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("qts", TimestampType()),
+            StructField("quote_price", DoubleType()),
+        ]
+    )
+    tschema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tts", TimestampType()),
+            StructField("trade_id", LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    qdir, tdir = str(tmp_path / "quotes"), str(tmp_path / "trades")
+    spark.createDataFrame(
+        [
+            (1, t0, 10.0),                                # in window for trade@t0+5m
+            (1, t0 - dt.timedelta(minutes=30), 9.0),      # too old -> no match
+            (2, t0 + dt.timedelta(minutes=6), 99.0),      # after trade@t0+5m -> no match
+        ],
+        qschema,
+    ).coalesce(1).write.mode("append").parquet(qdir)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 100), (2, t0 + dt.timedelta(minutes=5), 200)],
+        tschema,
+    ).coalesce(1).write.mode("append").parquet(tdir)
+
+    trades = spark.readStream.schema(tschema).parquet(tdir)
+    quotes = spark.readStream.schema(qschema).parquet(qdir)
+    joined = interval_join_streams(
+        trades, quotes, on="user_id", left_ts="tts", right_ts="qts",
+        lookback="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT trade_id, quote_price FROM ssjoin_test"
+        ).collect()
+        assert [(r["trade_id"], r["quote_price"]) for r in rows] == [(100, 10.0)]
+    finally:
+        q.stop()
