@@ -10,10 +10,14 @@ Python in the hot path).
 Layout:
     session     - SparkSession factory with scale-appropriate defaults
     schema      - canonical schemas (prices fact table, coingecko raw)
+    api         - PriceTracker facade: the reference's app surface 1:1
     sources/    - ingest (validate/project/normalize), prices view, writers
-    operators/  - relational operators from SURVEY.md section 2
+    operators/  - relational operators from SURVEY.md section 2, plus
+                  asof join, skew salting, bucketing, compaction, exact sums
     functions/  - text analysis, dedup, similarity (north-star ops)
-    streaming/  - Structured Streaming ETL pipeline
+    queries/    - the oracle-checked query registry (driver contract)
+    streaming/  - Structured Streaming pipeline, sessionize, OHLC,
+                  stream dedup, stream-stream joins
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,46 @@
+"""Bucketed tables: pre-shuffle a fact table ONCE at write time so
+every later join/aggregation on the bucket key runs shuffle-free.
+
+At 100 TB the dominant cost of a fact-fact join (e.g. orders x
+lineitem on orderkey) is shuffling both sides; writing both tables
+bucketed on the join key with the same bucket count moves that
+shuffle to write time — each join then reads co-located buckets and
+sort-merges them directly.  `tests/test_bucketing.py` pins the
+no-Exchange plan.
+
+Spark specifics: bucketing requires the table catalog (`saveAsTable`
+— a plain `.parquet(path)` write silently drops bucket metadata), and
+`spark.sql.sources.bucketing.enabled` (default true) at read time.
+Bucket count is fixed at write: pick it for target-scale parallelism
+(e.g. 100 TB / 128 MB ~ 800k splits -> thousands of buckets), not for
+the test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a parquet table hash-bucketed (and per-bucket
+    sorted, for sort-merge-ready reads) on ``bucket_col``."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket key.  With
+    matching bucketing Spark plans a sort-merge join with ZERO
+    Exchange operators — the co-location was paid at write time."""
+    return spark.table(left_table).hint("merge").join(spark.table(right_table), on, how)
