@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_quality",
     "doc_simhash",
     "doc_minhash_lsh",
+    "doc_dup_clusters",
     "doc_token_bpe",
     "doc_winnow",
     "emb_cosine_topk",

@@ -393,3 +393,62 @@ register(
     WHERE rnk <= 3
     """,
 )
+
+
+# ---- Near-dup clusters: LSH pairs -> connected components ------------------
+# The step after pair generation in a real dedup pipeline: group
+# transitively-linked near-dups into clusters, pick the min doc_id as
+# the canonical representative.  Oracle: transitive closure via a
+# recursive CTE (fine for the oracle's small graphs; the Spark side
+# is the scalable label-propagation operator).
+
+_CLUSTER_MIN_EST_J = 0.5
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS).filter(
+        F.col("est_jaccard") >= _CLUSTER_MIN_EST_J
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+        )
+        .select(F.col("component").alias("cluster_id"), "n_docs", "members")
+    )
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_sql()}
+    ),
+    strong AS (
+      SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_EST_J}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM strong
+      UNION SELECT doc_b, doc_a FROM strong
+    ),
+    walk(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
+    ),
+    comp AS (
+      SELECT n, least(n, MIN(m)) AS component FROM walk GROUP BY n
+    )
+    SELECT component AS cluster_id, COUNT(*) AS n_docs,
+           string_agg(n, ',' ORDER BY n) AS members
+    FROM comp GROUP BY component
+    """
+
+
+register("doc_dup_clusters", q_doc_dup_clusters, _dup_clusters_sql())
