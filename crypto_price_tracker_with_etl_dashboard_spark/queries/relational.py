@@ -433,3 +433,56 @@ register(
     ORDER BY custdist DESC, c_count DESC
     """,
 )
+
+
+# ---- TPC-H Q17: small-quantity-order revenue (correlated subquery) ---------
+# The classic decorrelation pattern: a per-part average threshold
+# compared against each lineitem row.  Spark expresses the decorrelated
+# form directly: aggregate per part, broadcast back, filter, aggregate.
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+    # Plain avg is safe here: l_quantity values are integral doubles,
+    # so the partial sums are exact and order-independent (verified on
+    # the testdata; non-integral metrics would need davg).
+    thresholds = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_b.join(F.broadcast(thresholds), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            dsum("l_extendedprice", "total_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            (F.col("total_price") / 7.0).alias("avg_yearly"),
+            "n_rows",
+        )
+    )
+
+
+register(
+    "q17_small_quantity",
+    q17_small_quantity,
+    f"""
+    SELECT total_price / 7.0 AS avg_yearly, n_rows
+    FROM (
+      SELECT {sql_dsum('l_extendedprice')} AS total_price,
+             COUNT(*) AS n_rows
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#1' AND p_size <= 10
+        AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem
+          WHERE l_partkey = p_partkey
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = 'Brand#1' AND p_size <= 10)
+        )
+    )
+    """,
+)
