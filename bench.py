@@ -37,6 +37,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q13_order_distribution",
     "q14_promo_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
     "top_orders_per_customer",
     "segment_order_stats",
     "prices_ohlc_5min",

@@ -26,6 +26,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
 
 from crypto_price_tracker_with_etl_dashboard_spark.queries import reference  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import relational  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import tpch  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import timeseries  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import olap  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import text  # noqa: E402,F401

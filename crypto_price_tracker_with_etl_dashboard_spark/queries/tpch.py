@@ -1,0 +1,477 @@
+"""TPC-H-derived relational coverage, adapted to the driver's reduced
+star schema (no partsupp table, no l_commitdate / l_receiptdate /
+l_shipmode / c_phone columns — see TESTDATA.md).  Each query keeps
+the defining operator shape of its TPC-H original:
+
+- Q4  — correlated EXISTS  -> left-semi join with a non-equi term
+- Q7  — two-nation volume  -> double dimension role-playing (nation
+        joined twice under different roles)
+- Q8  — market share       -> conditional aggregate ratio per group
+- Q9  — product profit     -> multi-fact expression over a 5-way join
+- Q10 — returned items     -> group-by over a wide key + top-K
+- Q18 — large-volume orders-> agg-as-filter (HAVING) then re-join
+- Q19 — disjunctive preds  -> OR-of-ANDs pushed into one scan
+- Q22 — idle balances      -> scalar subquery threshold + anti join
+
+Plans to check at scale (SCALE.md): every dimension side is
+broadcast; the only shuffles are the fact-table aggregations.
+Reference parity context: the reference's single join J1
+(api/server.js:67-77) is subsumed by these shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+def _revenue():
+    # Built lazily: Column construction needs an active SparkContext,
+    # which doesn't exist at import time.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# ---- Q4 (adapted): late-shipment order priority check ----------------------
+# TPC-H Q4's EXISTS(l_commitdate < l_receiptdate) becomes
+# EXISTS(l_shipdate > o_orderdate + 60 days): same correlated-exists
+# shape, expressed as a LEFT SEMI join whose condition carries the
+# non-equi term alongside the orderkey equi-join.  Catalyst executes
+# the equi part as the hash key and the interval term as a residual
+# filter — no nested-loop, one shuffle of each side on orderkey.
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "q4_order_priority",
+    q4_order_priority,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---- Q7: volume shipping between two nations -------------------------------
+# nation role-plays twice (supplier's vs customer's); both copies are
+# broadcast, as are supplier and customer, so the whole 6-way join is
+# one pass over lineitem plus one shuffle into orders (the only other
+# fact-sized table).
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1, n2 = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    "q7_volume_shipping",
+    q7_volume_shipping,
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {SQL_REVENUE} AS volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+
+# ---- Q8: national market share ---------------------------------------------
+# Share of one supplier-nation's revenue within a customer-region's
+# market for one part type, per year.  The ratio of two exact
+# fixed-point sums is a single double division — deterministic across
+# partitionings, so it oracle-matches bit-for-bit.
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target_vol = F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(target_vol, "nation_volume"),
+            dsum(_revenue(), "total_volume"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "q8_market_share",
+    q8_market_share,
+    f"""
+    SELECT o_year, nation_volume / total_volume AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {sql_dsum("CASE WHEN n2.n_name = 'NATION_5' THEN " + SQL_REVENUE + " ELSE 0.0 END")}
+               AS nation_volume,
+             {sql_dsum(SQL_REVENUE)} AS total_volume
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+      GROUP BY 1
+    )
+    ORDER BY o_year
+    """,
+)
+
+
+# ---- Q9 (adapted): product-type profit by nation and year ------------------
+# TPC-H Q9 prices supply cost from partsupp; with no partsupp table
+# the unit cost proxies as 40% of p_retailprice.  The operator shape
+# is unchanged: a profit expression spanning three tables' columns,
+# aggregated by two derived keys.
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    orders = load_table(spark, sf_dir, "orders")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = _revenue() - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+register(
+    "q9_product_profit",
+    q9_product_profit,
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum(SQL_REVENUE + ' - 0.4 * p_retailprice * l_quantity')} AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+
+# ---- Q10: returned-item reporting (top 20 customers) -----------------------
+# Wide group-by key (everything the report displays) then top-K; the
+# unique c_custkey inside the key makes the LIMIT deterministic under
+# the revenue-desc, custkey-asc total order.
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+register(
+    "q10_returned_items",
+    q10_returned_items,
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {sql_dsum(SQL_REVENUE)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+
+# ---- Q18: large-volume customers (agg-as-filter, then re-join) -------------
+# The HAVING-side aggregate keeps only orderkeys above the quantity
+# threshold; that tiny set broadcasts back into orders/customer.  At
+# 100 TB the first aggregation is the only lineitem shuffle, and its
+# output (filtered orderkeys) is orders-of-magnitude smaller than its
+# input — the canonical agg-before-join reduction.
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big_orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"), F.col("o_totalprice"), F.col("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+register(
+    "q18_large_volume",
+    q18_large_volume,
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE sum_qty > 300
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+
+
+# ---- Q19: disjunctive predicate revenue ------------------------------------
+# OR-of-ANDs across two tables.  Expressed as one joined filter so
+# Catalyst can (a) push the p_brand/p_size disjunction to the part
+# scan and the quantity bounds to the lineitem scan as a derived
+# OR-envelope, (b) run the residual after a single broadcast join —
+# no union-of-three-scans rewrite needed.
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(_revenue(), "revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+register(
+    "q19_disjunctive_revenue",
+    q19_disjunctive_revenue,
+    f"""
+    SELECT {sql_dsum(SQL_REVENUE)} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+# ---- Q22 (adapted): idle balances — rich customers with no orders ----------
+# The scalar subquery (average positive balance) computes via exact
+# fixed-point mean, broadcasts as a 1-row cross join, then an anti
+# join drops customers with any order.  Without c_phone the TPC-H
+# country-code grouping becomes nation-name grouping.
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # Anti join against RECENT orders only (customers idle since 2000)
+    # — in the dense synthetic data every customer has *some* order,
+    # which would make the full-history anti join vacuously empty.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+register(
+    "q22_idle_balance",
+    q22_idle_balance,
+    f"""
+    SELECT n_name, COUNT(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
