@@ -43,6 +43,12 @@ HEADLINE = [
     "q17_small_quantity",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q12_delay_priority",
+    "q16_supplier_diversity",
+    "q21_last_shipper",
+    "events_cube",
+    "doc_stratified_sample",
+    "events_per_user_cap",
     "top_orders_per_customer",
     "segment_order_stats",
     "prices_ohlc_5min",

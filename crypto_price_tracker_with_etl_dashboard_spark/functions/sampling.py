@@ -1,0 +1,117 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus is split into train/valid/test, stratified per
+language or source, and capped per origin (domain, user) so no
+single origin dominates.  All three must be DETERMINISTIC functions
+of the row key — re-running the pipeline, changing the partition
+count, or adding executors must never move a document across splits
+(that silently leaks test data into training sets).
+
+The bucket function here is a 31-bit linear congruential mix of the
+integer key — chosen because it is exactly expressible in ANSI SQL
+(the DuckDB oracle runs the identical arithmetic), is stable across
+engines, and spreads sequential ids uniformly.  At production scale,
+swap :func:`lcg_bucket` for ``F.xxhash64`` (64-bit avalanche, still
+engine-deterministic inside Spark) via the ``hasher`` parameter of
+the public helpers; the plan shape is unchanged — a narrow map for
+the split, one hash shuffle per window for stratify/cap.
+
+Reference parity context: the reference has no sampling surface at
+all (SURVEY.md §2.11 north-star scope); these are the BASELINE.json
+training-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Classic glibc LCG constants; modulus 2^31 keeps every intermediate
+# below 2^63 for keys < ~8.3e9, so the same expression runs exactly
+# on any BIGINT engine (no overflow, no engine-specific hash).
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2_147_483_648
+
+
+def lcg_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key."""
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k.cast("bigint") * LCG_A + LCG_C) % LCG_M) % buckets
+
+
+def sql_lcg_bucket(expr: str, buckets: int = 100) -> str:
+    """The identical bucket arithmetic in ANSI SQL (oracle twin)."""
+    return f"((CAST(({expr}) AS BIGINT) * {LCG_A} + {LCG_C}) % {LCG_M}) % {buckets}"
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, int] | None = None,
+    hasher=lcg_bucket,
+) -> DataFrame:
+    """Tag each row with a split name by hashed-key percentile.
+
+    ``splits`` maps name -> percentage; ranges are assigned in the
+    given order (dict order is insertion order).  Default 80/10/10.
+    Narrow map only — no shuffle, fully parallel at any scale.
+    """
+    splits = splits or {"train": 80, "valid": 10, "test": 10}
+    assert sum(splits.values()) == 100
+    bucket = hasher(key, 100)
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = bucket < F.lit(lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    fraction: float,
+    hasher=lcg_bucket,
+) -> DataFrame:
+    """EXACT per-stratum fraction: ceil(fraction * |stratum|) rows,
+    chosen deterministically by hashed-key order.
+
+    Unlike ``df.sampleBy`` (Bernoulli — approximate counts, RNG
+    seeded per-partition, so resampling moves with partitioning),
+    this is reproducible under any cluster layout: one shuffle on
+    the stratum key, rank by (hash, key), keep the head.
+    """
+    w = Window.partitionBy(stratum).orderBy(hasher(key), F.col(key))
+    wc = Window.partitionBy(stratum)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
+        .drop("_rn", "_n")
+    )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group: str,
+    order_by: list[str],
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, by a total order.
+
+    The anti-domination primitive (max N documents per domain / max N
+    events per user).  One shuffle on the group key; with the
+    WindowGroupLimit physical rule (Spark >= 3.5) the per-partition
+    partial limit discards rows BEFORE the exchange, so shuffle
+    volume is O(groups x cap x tasks), not O(rows) — same plan
+    property pinned for latest-per-key in operators/latest.py.
+    """
+    w = Window.partitionBy(group).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -29,6 +29,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import relational  # 
 from crypto_price_tracker_with_etl_dashboard_spark.queries import tpch  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import timeseries  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import olap  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import sampling  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import text  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import vector  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # noqa: E402,F401

@@ -273,3 +273,45 @@ def q_event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 register("event_value_quantiles_approx", q_event_value_quantiles_approx, None)
+
+
+# ---- Cube: full event_type x weekday cross-tab with subtotals -------------
+# CUBE emits all four grouping sets in ONE pass over the fact table
+# (Spark expands them map-side before the single hash shuffle — no
+# union of four scans).  GROUPING() markers disambiguate subtotal
+# rows from genuine NULL keys, matching the oracle bit-for-bit.
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("dow", F.dayofweek("ts"))
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("dow").asc_nulls_first(),
+            "g_type",
+            "g_dow",
+        )
+    )
+
+
+register(
+    "events_cube",
+    q_events_cube,
+    f"""
+    SELECT event_type, dow,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(dow) AS INTEGER) AS g_dow,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+    GROUP BY CUBE(event_type, dow)
+    ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST, g_type, g_dow
+    """,
+)

@@ -1,0 +1,109 @@
+"""Training-data sampling queries over the documents/events tables:
+deterministic split assignment, exact stratified sampling, and
+per-origin capping.  All three are oracle-checked — the split hash
+is plain modular arithmetic (functions/sampling.py) that DuckDB
+evaluates identically.
+
+Reference parity context: north-star training-pipeline scope
+(SURVEY.md §2.11); the reference itself has no sampling surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+    hash_split,
+    per_group_cap,
+    sql_lcg_bucket,
+    stratified_sample,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+
+# ---- deterministic train/valid/test split ----------------------------------
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "doc_hash_split",
+    q_doc_hash_split,
+    f"""
+    SELECT CASE WHEN {sql_lcg_bucket('doc_id')} < 80 THEN 'train'
+                WHEN {sql_lcg_bucket('doc_id')} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+
+
+# ---- exact stratified sample (per-language) --------------------------------
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sample = stratified_sample(docs, stratum="lang", key="doc_id", fraction=0.1)
+    return sample.select("doc_id", "lang").orderBy("doc_id")
+
+
+register(
+    "doc_stratified_sample",
+    q_doc_stratified_sample,
+    f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {sql_lcg_bucket('doc_id')}, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= CEIL(n * 0.1)
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---- per-origin cap (anti-domination) --------------------------------------
+
+def q_events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    capped = per_group_cap(events, group="user_id", order_by=["ts", "event_id"], cap=5)
+    return (
+        capped.groupBy("user_id")
+        .agg(F.count("*").alias("kept"), F.min("ts").alias("first_ts"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_per_user_cap",
+    q_events_per_user_cap,
+    """
+    SELECT user_id, COUNT(*) AS kept, MIN(ts) AS first_ts
+    FROM (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn <= 5
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)

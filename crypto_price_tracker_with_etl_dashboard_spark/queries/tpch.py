@@ -475,3 +475,315 @@ register(
     ORDER BY n_name
     """,
 )
+
+
+# ---- Q2 (adapted): minimum-cost supplier per part --------------------------
+# TPC-H Q2's correlated MIN(ps_supplycost) subquery has no partsupp
+# table here; the unit price actually shipped (l_extendedprice /
+# l_quantity) plays the supply-cost role.  The operator shape is
+# intact: per-part scalar MIN, equality back-join to recover the
+# achieving supplier rows.  The window MIN shuffles only lineitems of
+# the ~1/6-of-parts broadcast-filtered subset, and equality on the
+# double is safe because both sides compare the *same* computed value.
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    offers = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", "p_name", "l_suppkey", unit
+    )
+    w = Window.partitionBy("p_partkey")
+    best = offers.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "p_partkey", "p_name",
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+register(
+    "q2_min_cost_supplier",
+    q2_min_cost_supplier,
+    """
+    SELECT DISTINCT s_acctbal, s_name, p_partkey, p_name,
+           l_extendedprice / l_quantity AS min_cost
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+      AND l_extendedprice / l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+
+
+# ---- Q12 (adapted): shipping-delay buckets vs order priority ---------------
+# TPC-H Q12's l_shipmode classes become ship-delay buckets (days from
+# order to ship); the defining shape — join + CASE-conditional counts
+# per class — is unchanged.
+
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay < 90, "mid").otherwise("slow")
+    ).alias("delay_bucket")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket, urgent.alias("is_urgent"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_urgent"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+register(
+    "q12_delay_priority",
+    q12_delay_priority,
+    """
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                WHEN datediff('day', o_orderdate, l_shipdate) < 90 THEN 'mid'
+                ELSE 'slow' END AS delay_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY delay_bucket
+    """,
+)
+
+
+# ---- Q15: top supplier(s) by quarterly revenue ------------------------------
+# The revenue "view" aggregates lineitem once; its scalar MAX
+# broadcasts back as a 1-row cross join.  Revenue equality is exact
+# because dsum is fixed-point (operators/exact.py), so the back-join
+# is deterministic across partitionings — the classic Q15 pitfall.
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(dsum(_revenue(), "total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "q15_top_supplier",
+    q15_top_supplier,
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey, {sql_dsum(SQL_REVENUE)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+
+# ---- Q16 (adapted): supplier diversity per part attribute ------------------
+# COUNT(DISTINCT supplier) per (brand, type, size) from the shipment
+# relation (lineitem stands in for partsupp), minus an excluded
+# supplier set (negative balances play Q16's complaints filter) — the
+# NOT IN becomes a hash anti join, the distinct-agg shuffles once on
+# the grouping key with the suppkey carried for the distinct.
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+register(
+    "q16_supplier_diversity",
+    q16_supplier_diversity,
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+
+# ---- Q20 (adapted): heavy shippers of a part family ------------------------
+# TPC-H Q20's nested partsupp/availqty subquery becomes: suppliers
+# who shipped more than 50 units of some 'widget' part during 1996.
+# Shape preserved: an aggregation-derived key set feeding a LEFT SEMI
+# into the supplier dimension; nation broadcast for display.
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    widget_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+register(
+    "q20_heavy_shippers",
+    q20_heavy_shippers,
+    f"""
+    SELECT s_name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, {sql_dsum('l_quantity')} AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+      ) WHERE qty > 50
+    )
+    ORDER BY s_name
+    """,
+)
+
+
+# ---- Q21 (adapted): the supplier who shipped last ---------------------------
+# TPC-H Q21 without l_receiptdate/l_commitdate: for finished orders
+# involving >= 2 suppliers, count per supplier the lineitems that
+# were strictly the LAST shipment of their order (no other supplier
+# shipped later).  Same defining shape: EXISTS(other supplier) as a
+# hash LEFT SEMI + NOT EXISTS(later other supplier) as a hash LEFT
+# ANTI, both on the orderkey hash key with the inequality terms as
+# residuals — no nested loop, lineitem shuffles once per side.
+
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .alias("l1")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    waiting = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+register(
+    "q21_last_shipper",
+    q21_last_shipper,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)

@@ -1,0 +1,109 @@
+"""Sampling / splitting primitives (functions/sampling.py): split
+determinism under repartitioning, exact stratified fractions,
+per-group cap enforcement, and the WindowGroupLimit plan pin that
+makes the cap scale-safe.  Value-level correctness runs through the
+DuckDB oracle gate (doc_hash_split, doc_stratified_sample,
+events_per_user_cap)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+    hash_split,
+    lcg_bucket,
+    per_group_cap,
+    stratified_sample,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_split_deterministic_under_repartitioning(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id").select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_split_covers_every_row_and_ratios(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    counts = {r["split"]: r["n"] for r in hash_split(docs, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # no row unassigned
+    assert set(counts) == {"train", "valid", "test"}
+    # hash uniformity: train share within a loose band of 80%
+    assert 0.6 * total <= counts["train"] <= 0.95 * total
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = {
+        r["lang"]: math.ceil(r["n"] * 0.1)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "lang", "doc_id", 0.1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want  # EXACT ceil(frac*n) per stratum, not Bernoulli-approximate
+
+
+def test_stratified_sample_stable_membership(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids1 = {r["doc_id"] for r in stratified_sample(docs, "lang", "doc_id", 0.1).select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), "lang", "doc_id", 0.1).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+
+
+def test_per_group_cap_enforced_and_keeps_earliest(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    capped = per_group_cap(events, "user_id", ["ts", "event_id"], cap=3)
+    per_user = capped.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("ts").alias("max_kept")
+    )
+    assert per_user.filter(F.col("n") > 3).count() == 0
+    # users with >3 events keep exactly 3, and they are the EARLIEST 3
+    sample_user = (
+        events.groupBy("user_id").agg(F.count("*").alias("n")).filter(F.col("n") > 3).first()["user_id"]
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in capped.filter(F.col("user_id") == sample_user).select("event_id").collect()
+    )
+    first3 = [
+        r["event_id"]
+        for r in events.filter(F.col("user_id") == sample_user)
+        .orderBy("ts", "event_id")
+        .limit(3)
+        .select("event_id")
+        .collect()
+    ]
+    assert kept == sorted(first3)
+
+
+def test_per_group_cap_uses_window_group_limit(spark):
+    # the partial group-limit must discard rows BEFORE the shuffle —
+    # the property that keeps shuffle volume O(groups*cap), not O(rows)
+    events = load_table(spark, SF_SMALL, "events")
+    plan = per_group_cap(events, "user_id", ["ts", "event_id"], cap=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_lcg_bucket_range(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    mm = docs.select(lcg_bucket("doc_id", 100).alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] <= 99

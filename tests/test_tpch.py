@@ -11,6 +11,12 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
 from tests.conftest import SF_SMALL
 
 TPCH_NAMES = [
+    "q2_min_cost_supplier",
+    "q12_delay_priority",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q20_heavy_shippers",
+    "q21_last_shipper",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
