@@ -1,0 +1,106 @@
+"""Custom Python DataSource (sources/market_feed.py): batch reads
+partition per page, streaming reads advance by poll tick, results are
+deterministic, and the feed pipes into the prices ingest path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.sources.market_feed import (
+    MarketFeedDataSource,
+    MarketFeedStreamReader,
+    feed_to_prices,
+    synthetic_page,
+)
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    spark.dataSource.register(MarketFeedDataSource)
+    return spark
+
+
+def test_batch_read_schema_and_counts(feed):
+    df = feed.read.format("market_feed").option("pages", 3).option("per_page", 50).load()
+    assert df.count() == 150
+    assert df.columns == [
+        "symbol", "name", "current_price", "market_cap", "total_volume", "page", "tick",
+    ]
+    # one input partition per page -> page column maps 1:1 to partitions
+    assert df.select("page").distinct().count() == 3
+
+
+def test_batch_read_parallelism_is_per_page(feed):
+    df = feed.read.format("market_feed").option("pages", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_deterministic_across_reads(feed):
+    opts = {"pages": "2", "per_page": "40", "seed": "7"}
+    a = feed.read.format("market_feed").options(**opts).load().collect()
+    b = feed.read.format("market_feed").options(**opts).load().collect()
+    assert a == b
+
+
+def test_synthetic_nulls_exercise_validation(feed):
+    # coin_id % 53 == 29 rows have NULL name and must be dropped by P2
+    df = feed.read.format("market_feed").option("pages", 1).load()
+    raw = df.count()
+    valid = feed_to_prices(df, dt.datetime(2024, 1, 1)).count()
+    null_names = df.filter(F.col("name").isNull()).count()
+    assert null_names > 0
+    assert valid == raw - null_names
+
+
+def test_feed_to_prices_batch_constant_timestamp(feed):
+    df = feed.read.format("market_feed").option("pages", 1).load()
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    out = feed_to_prices(df, ts)
+    stamps = out.select("timestamp").distinct().collect()
+    assert len(stamps) == 1 and stamps[0][0] == ts
+
+
+def test_stream_reader_offsets_advance_and_replay():
+    r = MarketFeedStreamReader({"pages": "2", "per_page": "10", "seed": "1"})
+    assert r.initialOffset() == {"tick": 0}
+    rows0, nxt = r.read({"tick": 0})
+    rows0 = list(rows0)
+    assert nxt == {"tick": 1} and len(rows0) == 20
+    # deterministic replay between offsets == original read
+    assert list(r.readBetweenOffsets({"tick": 0}, {"tick": 1})) == rows0
+    # successive ticks move prices (the drift walk)
+    rows1 = list(r.read({"tick": 1})[0])
+    assert rows0 != rows1
+    assert [x[0] for x in rows0] == [x[0] for x in rows1]  # same symbols
+
+
+def test_streaming_end_to_end_micro_batch(feed, tmp_path):
+    q = (
+        feed.readStream.format("market_feed")
+        .option("pages", 1)
+        .option("per_page", 20)
+        .load()
+        .writeStream.format("memory")
+        .queryName("mf_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # processAllAvailable() would never return (the feed always
+        # has a next tick) — poll the sink until a tick lands.
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if feed.sql("SELECT count(*) c FROM mf_sink").first()["c"] >= 20:
+                break
+            time.sleep(0.5)
+        got = feed.sql("SELECT count(*) c, count(DISTINCT tick) t FROM mf_sink").first()
+        assert got["c"] >= 20  # at least one tick of 20 rows landed
+        assert got["c"] == got["t"] * 20
+    finally:
+        q.stop()
