@@ -49,6 +49,8 @@ HEADLINE = [
     "events_cube",
     "doc_stratified_sample",
     "events_per_user_cap",
+    "doc_decontaminate",
+    "doc_pack_chunks",
     "top_orders_per_customer",
     "segment_order_stats",
     "prices_ohlc_5min",

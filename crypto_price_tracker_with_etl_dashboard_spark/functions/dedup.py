@@ -341,3 +341,55 @@ def simhash32(text: Column | str) -> Column:
     first and use ``simhash32_from_hashes`` (one tokenize+md5 pass
     per row instead of one per output bit)."""
     return simhash32_from_hashes(token_hashes(text))
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, how
+    many of its k-word shingles appear anywhere in the evaluation
+    corpus.
+
+    The scale asymmetry IS the plan: the eval side (a benchmark —
+    thousands of documents, not billions) collapses to a DISTINCT
+    shingle set that broadcasts to every executor, so the 100 TB
+    train side is one narrow explode + broadcast-hash semi-probe +
+    re-aggregation on the doc id.  Nothing corpus-sized ever
+    shuffles except the per-doc hit counts (bounded by train rows).
+
+    Returns (id, n_shingles, shared, contamination in [0,1]); rows
+    with no shingles (docs shorter than k tokens) are dropped.
+    """
+    from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
+
+    tr = train.select(F.col(id_col), T.tokens(text_col).alias("_toks")).select(
+        id_col, shingles_from_tokens(F.col("_toks"), k).alias("_sh")
+    )
+    ev_sh = (
+        eval_df.select(T.tokens(text_col).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("s"))
+        .distinct()
+    )
+    base = tr.select(id_col, F.size("_sh").alias("n_shingles"))
+    # per-doc shingles are already distinct -> count(*) == distinct hits
+    hits = (
+        tr.select(id_col, F.explode("_sh").alias("s"))
+        .join(F.broadcast(ev_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared"))
+    )
+    shared = F.coalesce(F.col("shared"), F.lit(0))
+    return (
+        base.join(hits, id_col, "left")
+        .filter(F.col("n_shingles") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            shared.alias("shared"),
+            (shared / F.col("n_shingles")).alias("contamination"),
+        )
+    )

@@ -115,3 +115,45 @@ def per_group_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    in ``order_col`` order and cut into fixed ``budget``-token
+    context windows; each document learns its [start_chunk,
+    end_chunk] span (a document may straddle a window boundary —
+    the standard GPT-style packing semantic).
+
+    The global running token count is computed WITHOUT a global
+    sort: rows cumsum within ``order_col``-range buckets in
+    parallel, bucket totals (corpus/bucket_size rows — tiny)
+    prefix-sum and broadcast back as offsets.  One shuffle on the
+    bucket id, never a single-partition window over the corpus.
+    """
+    b = F.floor(F.col(order_col) / bucket_size).cast("bigint")
+    dfb = df.withColumn("_b", b)
+    w_in = Window.partitionBy("_b").orderBy(order_col)
+    dfb = dfb.withColumn(
+        "_excl_in", F.sum(tokens_col).over(w_in) - F.col(tokens_col)
+    )
+    totals = dfb.groupBy("_b").agg(F.sum(tokens_col).alias("_bt"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+    out = dfb.join(F.broadcast(offsets), "_b").withColumn(
+        "_excl", (F.col("_excl_in") + F.col("_off")).cast("bigint")
+    )
+    return (
+        out.withColumn("start_chunk", F.expr(f"_excl div {budget}"))
+        .withColumn(
+            "end_chunk", F.expr(f"(_excl + {tokens_col} - 1) div {budget}")
+        )
+        .drop("_b", "_excl_in", "_off", "_excl")
+    )

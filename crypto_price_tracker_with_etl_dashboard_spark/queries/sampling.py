@@ -107,3 +107,47 @@ register(
     ORDER BY user_id
     """,
 )
+
+
+# ---- concat-and-chunk sequence packing -------------------------------------
+
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        pack_chunks,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    packed = pack_chunks(
+        docs, order_col="doc_id", tokens_col="n_tokens", budget=512, bucket_size=1000
+    )
+    return packed.select("doc_id", "n_tokens", "start_chunk", "end_chunk").orderBy(
+        "doc_id"
+    )
+
+
+register(
+    "doc_pack_chunks",
+    q_doc_pack_chunks,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           excl // 512 AS start_chunk,
+           (excl + n_tokens - 1) // 512 AS end_chunk
+    FROM c
+    ORDER BY doc_id
+    """,
+)

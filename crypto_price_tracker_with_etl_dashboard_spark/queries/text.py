@@ -452,3 +452,55 @@ def _dup_clusters_sql() -> str:
 
 
 register("doc_dup_clusters", q_doc_dup_clusters, _dup_clusters_sql())
+
+
+# ---- Benchmark decontamination ---------------------------------------------
+# Composition of the deterministic split (functions/sampling.py) and
+# the shingle machinery: the LCG-derived 'test' slice plays the held-
+# out benchmark, and every 'train' document reports how many of its
+# 3-gram shingles leak into it.  The eval shingle set is broadcast —
+# the train corpus never shuffles (see contamination_report).
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = hash_split(fan_out(load_table(spark, sf_dir, "documents")), "doc_id")
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return D.contamination_report(train, test).orderBy("doc_id")
+
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (  # noqa: E402
+    sql_lcg_bucket,
+)
+
+register(
+    "doc_decontaminate",
+    q_doc_decontaminate,
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {sql_lcg_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {sql_lcg_bucket('doc_id')} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, split, {_SQL_SHINGLES} AS s FROM labeled),
+    ev AS (SELECT DISTINCT unnest(s) AS u FROM sh WHERE split = 'test'),
+    tr_ex AS (SELECT doc_id, unnest(s) AS u FROM sh WHERE split = 'train'),
+    hits AS (
+      SELECT tr_ex.doc_id, COUNT(*) AS shared
+      FROM tr_ex JOIN ev ON tr_ex.u = ev.u
+      GROUP BY tr_ex.doc_id
+    )
+    SELECT t.doc_id, len(t.s) AS n_shingles,
+           COALESCE(h.shared, 0) AS shared,
+           COALESCE(h.shared, 0) / len(t.s) AS contamination
+    FROM sh t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.split = 'train' AND len(t.s) > 0
+    ORDER BY t.doc_id
+    """,
+)

@@ -89,3 +89,26 @@ def test_simhash_identical_equal_and_near_close(docs):
     ham_near = bin(out[1] ^ out[3]).count("1")
     ham_far = bin(out[1] ^ out[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_contamination_self_and_disjoint(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        contamination_report,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    some = docs.limit(20)
+    # eval == train -> every doc fully contaminated
+    full = contamination_report(some, some)
+    assert full.count() > 0
+    assert full.filter(F.col("contamination") < 1.0).count() == 0
+    # eval with no shared vocabulary -> zero contamination
+    import pyspark.sql.functions as SF
+
+    alien = spark.createDataFrame(
+        [(1, "zzq qqz zqz qzz zzz qqq")], ["doc_id", "text"]
+    )
+    none = contamination_report(some, alien)
+    assert none.filter(SF.col("shared") > 0).count() == 0

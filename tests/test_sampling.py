@@ -107,3 +107,42 @@ def test_lcg_bucket_range(spark):
         F.min("b").alias("lo"), F.max("b").alias("hi")
     ).first()
     assert 0 <= mm["lo"] and mm["hi"] <= 99
+
+
+def test_pack_chunks_invariant_to_bucket_size(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import pack_chunks
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import token_count
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    a = {
+        r["doc_id"]: (r["start_chunk"], r["end_chunk"])
+        for r in pack_chunks(docs, "doc_id", "n_tokens", 512, bucket_size=1000).collect()
+    }
+    b = {
+        r["doc_id"]: (r["start_chunk"], r["end_chunk"])
+        for r in pack_chunks(docs, "doc_id", "n_tokens", 512, bucket_size=37).collect()
+    }
+    assert a == b  # bucketed prefix sum == global prefix sum, any bucketing
+
+
+def test_pack_chunks_contiguous_coverage(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import pack_chunks
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import token_count
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    rows = (
+        pack_chunks(docs, "doc_id", "n_tokens", 512)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # spans are monotone and gapless: next doc starts in the same or
+    # the immediately following chunk of the previous doc's end
+    total = 0
+    for r in rows:
+        assert r["start_chunk"] == total // 512
+        total += r["n_tokens"]
+        assert r["end_chunk"] == (total - 1) // 512
