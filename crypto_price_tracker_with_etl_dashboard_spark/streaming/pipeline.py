@@ -111,3 +111,65 @@ def streaming_snapshot_query(
         .queryName(query_name)
         .start()
     )
+
+
+def run_feed_stream(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    push_fn: Optional[Callable[[list], None]] = None,
+    feed_options: Optional[dict] = None,
+    trigger_seconds: Optional[int] = None,
+) -> StreamingQuery:
+    """The same ETL loop driven by the ``market_feed`` custom
+    DataSource (sources/market_feed.py) instead of a file drop:
+    poll tick -> validate/normalize -> append -> snapshot push.
+
+    The batch timestamp derives from the tick number (epoch +
+    tick x 5 min), not wall clock — deterministic replay across
+    checkpoint recovery, preserving the reference's batch-constant
+    timestamp tie semantics (etl/crypto_etl.py:82) under re-delivery
+    too: a replayed tick re-writes IDENTICAL rows.
+    """
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.market_feed import (
+        MarketFeedDataSource,
+    )
+
+    spark.dataSource.register(MarketFeedDataSource)
+    reader = spark.readStream.format("market_feed")
+    for k, v in (feed_options or {}).items():
+        reader = reader.option(k, v)
+    feed = reader.load()
+
+    epoch = dt.datetime(2024, 1, 1)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            ticks = [r["tick"] for r in batch_df.select("tick").distinct().collect()]
+            for tick in sorted(ticks):
+                batch_ts = epoch + dt.timedelta(seconds=300 * tick)
+                clean = validate_and_normalize(
+                    batch_df.filter(F.col("tick") == tick).select(
+                        "symbol", "name", "current_price", "market_cap", "total_volume"
+                    ),
+                    batch_ts,
+                )
+                (
+                    clean.withColumn("dt", F.to_date("timestamp"))
+                    .withColumn("event_id", F.monotonically_increasing_id())
+                    .write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(table_path)
+                )
+            if push_fn is not None:
+                prices = spark.read.parquet(table_path)
+                push_fn(snapshot_for_push(prices).collect())
+        except Exception as exc:  # batch isolation (T7)
+            print(f"[feed] batch {batch_id} failed, skipping: {exc}")
+
+    writer = feed.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -104,3 +104,43 @@ def test_streaming_end_to_end_micro_batch(feed, tmp_path):
         assert got["c"] == got["t"] * 20
     finally:
         q.stop()
+
+
+def test_full_etl_loop_from_custom_source(feed, tmp_path):
+    """End-to-end reference pipeline (SURVEY.md §3.1) on the custom
+    source: poll -> validate -> append -> snapshot push."""
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.pipeline import (
+        run_feed_stream,
+    )
+
+    pushed: list = []
+    table = str(tmp_path / "prices")
+    q = run_feed_stream(
+        feed,
+        table_path=table,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        push_fn=lambda rows: pushed.append(rows),
+        feed_options={"pages": 1, "per_page": 30},
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline and len(pushed) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(pushed) >= 2
+    # snapshot is one row per valid symbol (NULL-name rows dropped by P2)
+    symbols = {r["symbol"] for r in pushed[-1]}
+    assert len(pushed[-1]) == len(symbols)
+    assert "c29" not in symbols  # coin 29 has NULL name -> dropped
+    assert "c0" in symbols
+    # later pushes reflect newer ticks: snapshot timestamp advances
+    t0 = max(r["timestamp"] for r in pushed[0])
+    t1 = max(r["timestamp"] for r in pushed[-1])
+    assert t1 > t0
+    # the appended table is date-partitioned parquet readable as prices
+    stored = feed.read.parquet(table)
+    assert {"symbol", "current_price", "timestamp", "dt", "event_id"} <= set(stored.columns)
+    assert stored.count() >= 58  # >= 2 ticks x 29 valid rows
