@@ -125,13 +125,17 @@ def ngram_jaccard_pairs(
         F.size("toks") >= k, F.sequence(F.lit(0), F.size("toks") - k)
     ).otherwise(F.array().cast("array<int>"))
     shingle = F.concat_ws(" ", *[F.col("toks")[F.col("__i") + j] for j in range(k)])
+    # explode_outer (not explode): avoids the inferred size>0 filter
+    # that would push the sequence construction below the fan_out
+    # exchange into the scan (see contamination_report).
     posts = (
         toked.select(
             F.col(block_col).alias("__blk"),
             F.col(id_col).alias("__id"),
             "toks",
-            F.explode(idx).alias("__i"),
+            F.explode_outer(idx).alias("__i"),
         )
+        .filter(F.col("__i").isNotNull())
         .select("__blk", "__id", shingle.alias("__shingle"))
         .distinct()
     )
@@ -369,27 +373,39 @@ def contamination_report(
     tr = train.select(F.col(id_col), T.tokens(text_col).alias("_toks")).select(
         id_col, shingles_from_tokens(F.col("_toks"), k).alias("_sh")
     )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer
+    # a size(..)>0 AND isnotnull(..) pre-filter that gets pushed below
+    # the exchange into the scan, re-evaluating the whole interpreted-
+    # lambda shingle expression twice per row on the scan's (single-
+    # file) partitioning — 20x slower.  explode_outer infers no such
+    # filter; the post-hoc IS NOT NULL on the emitted attribute drops
+    # the one null row an empty shingle set produces.
     ev_sh = (
         eval_df.select(T.tokens(text_col).alias("_toks"))
-        .select(F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("s"))
+        .select(F.explode_outer(shingles_from_tokens(F.col("_toks"), k)).alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    base = tr.select(id_col, F.size("_sh").alias("n_shingles"))
-    # per-doc shingles are already distinct -> count(*) == distinct hits
-    hits = (
-        tr.select(id_col, F.explode("_sh").alias("s"))
-        .join(F.broadcast(ev_sh), "s")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("shared"))
+    # ONE pass over the train corpus: explode (drops empty shingle
+    # sets, i.e. docs shorter than k tokens), broadcast LEFT join the
+    # marked eval set, then a single re-aggregation recovers both the
+    # shingle count (per-doc shingles are distinct) and the hit count
+    # — the corpus text is scanned and shingled exactly once.
+    exploded = tr.select(id_col, F.explode_outer("_sh").alias("s")).filter(
+        F.col("s").isNotNull()
     )
-    shared = F.coalesce(F.col("shared"), F.lit(0))
     return (
-        base.join(hits, id_col, "left")
-        .filter(F.col("n_shingles") > 0)
+        exploded.join(F.broadcast(ev_sh), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("shared"),
+        )
         .select(
             id_col,
             "n_shingles",
-            shared.alias("shared"),
-            (shared / F.col("n_shingles")).alias("contamination"),
+            "shared",
+            (F.col("shared") / F.col("n_shingles")).alias("contamination"),
         )
     )

@@ -340,8 +340,11 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # explode_outer: plain explode's inferred size>0 filter would
+    # re-tokenize at the scan (see dedup.contamination_report); the
+    # term != '' predicate already drops the null row it emits.
     terms = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("term")
+        "doc_id", F.explode_outer(T.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -160,7 +160,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("media_type") == "video")
         .select(
             "media_id",
-            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
+            # explode_outer: explode would infer a size>0 scan filter
+            # re-evaluating the sequence (never empty here anyway —
+            # greatest(...,0) bounds it) — see dedup.contamination_report
+            F.explode_outer(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+            ).alias("frame_idx"),
         )
         .withColumn("offset_ms", F.col("frame_idx") * every_ms)
     )

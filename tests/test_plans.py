@@ -67,3 +67,30 @@ def test_brute_force_broadcasts_queries_not_corpus(spark):
     # the corpus-side scoring stage must not shuffle the corpus; the
     # only non-broadcast exchange is the window's partition-by-query
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_contamination_broadcasts_eval_not_train(spark):
+    # the eval shingle set must be the broadcast build side; the
+    # train corpus must never sort-merge (it would shuffle 100 TB)
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(D.contamination_report(docs, docs.limit(50)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_chunks_no_global_single_partition_window(spark):
+    # the corpus-sized window must be partitioned by the range
+    # bucket; only the tiny bucket-totals window may be global
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        pack_chunks,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import token_count
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    plan = plan_of(pack_chunks(docs, "doc_id", "n_tokens", 512, bucket_size=100))
+    # corpus window keyed by _b: its exchange hashes on _b
+    assert "hashpartitioning(_b" in plan
+    # offsets side is broadcast back, not joined by shuffle
+    assert "BroadcastHashJoin" in plan
