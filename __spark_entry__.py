@@ -6,9 +6,10 @@
 ``oracle_sql()`` — matching ANSI SQL for the DuckDB oracle.
 
 Determinism contract with the oracle: every double aggregate goes
-through exact DECIMAL(38,10) accumulation before casting back to
-double (see operators/exact.py), every rank/top-k has a total-order
-tiebreaker, and the Spark session runs in UTC.
+through exact fixed-point BIGINT accumulation (4 decimal places)
+before one final double division (see operators/exact.py), every
+rank/top-k has a total-order tiebreaker, and the Spark session runs
+in UTC.
 """
 
 from __future__ import annotations

@@ -10,9 +10,15 @@ becomes ONE streaming query:
 
 Delivery semantics: the reference is at-most-once (a failed fetch or
 insert skips the batch and keeps looping, etl/crypto_etl.py:47-52,
-120-123).  foreachBatch + checkpointing gives at-least-once for the
-append; the snapshot push is idempotent (full-state broadcast), so
-end-to-end behavior is strictly stronger than the reference's.
+120-123).  foreachBatch + checkpointing gives at-least-once replay;
+the table writes are made IDEMPOTENT (dynamic partition overwrite
+keyed by batch/tick — a replayed batch replaces its own previous
+output), so table contents are exactly-once, and the snapshot push
+is idempotent by construction (full-state broadcast) — strictly
+stronger than the reference end to end.  Cancellation exceptions
+propagate out of the batch body (``_is_cancellation``); swallowing
+them under the T7 catch-all would mark an interrupted batch
+committed and silently DROP its tick on restart.
 
 For tests the source is a file stream over a directory of parquet
 batch files (each file = one poll result); in production the same
@@ -32,6 +38,26 @@ from pyspark.sql.streaming import StreamingQuery
 from crypto_price_tracker_with_etl_dashboard_spark.schema import COINGECKO_RAW_SCHEMA
 from crypto_price_tracker_with_etl_dashboard_spark.sources.ingest import validate_and_normalize
 from crypto_price_tracker_with_etl_dashboard_spark.operators.latest import latest_snapshot
+
+
+def _is_cancellation(exc: Exception) -> bool:
+    """True when the batch failed because the QUERY is stopping (job
+    cancelled / context shut down), not because the data is bad.
+    Cancellations must propagate: swallowing them reports the batch
+    as successful, the offset log commits it, and the tick is LOST on
+    restart (falsely-committed batch).  Only genuine data errors are
+    isolated per the reference's T7 semantics."""
+    msg = str(exc)
+    return any(
+        s in msg
+        for s in (
+            "cancelled",
+            "Cancelled",
+            "InterruptedException",
+            "SparkContext was shut down",
+            "Task was denied",
+        )
+    )
 
 
 def snapshot_for_push(prices: DataFrame) -> DataFrame:
@@ -67,18 +93,28 @@ def run_ingest_stream(
         try:
             batch_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             clean = validate_and_normalize(batch_df, batch_ts)
+            # Idempotent sink: foreachBatch is at-least-once, so a
+            # replayed batch must REPLACE its own previous (possibly
+            # partial) output, not append next to it.  Dynamic
+            # partition overwrite keyed by batch_id rewrites exactly
+            # the partitions this batch owns — exactly-once to the
+            # table without a transaction log.
             (
                 clean.withColumn("dt", F.to_date("timestamp"))
+                .withColumn("batch", F.lit(batch_id))
                 .withColumn("event_id", F.monotonically_increasing_id())
-                .write.mode("append")
-                .partitionBy("dt")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dt", "batch")
                 .parquet(table_path)
             )
             if push_fn is not None:
                 prices = spark.read.parquet(table_path)
                 push_fn(snapshot_for_push(prices).collect())
-        except Exception as exc:  # batch isolation (T7)
-            print(f"[ingest] batch {batch_id} failed, skipping: {exc}")
+        except Exception as exc:
+            if _is_cancellation(exc):
+                raise  # stopping query: let Spark leave the batch uncommitted
+            print(f"[ingest] batch {batch_id} failed, skipping: {exc}")  # T7
 
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -154,18 +190,25 @@ def run_feed_stream(
                     ),
                     batch_ts,
                 )
+                # Idempotent per-tick sink (see run_ingest_stream):
+                # replaying a tick overwrites its own partition, so
+                # at-least-once replay yields exactly-once contents.
                 (
                     clean.withColumn("dt", F.to_date("timestamp"))
+                    .withColumn("tick", F.lit(int(tick)))
                     .withColumn("event_id", F.monotonically_increasing_id())
-                    .write.mode("append")
-                    .partitionBy("dt")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("dt", "tick")
                     .parquet(table_path)
                 )
             if push_fn is not None:
                 prices = spark.read.parquet(table_path)
                 push_fn(snapshot_for_push(prices).collect())
-        except Exception as exc:  # batch isolation (T7)
-            print(f"[feed] batch {batch_id} failed, skipping: {exc}")
+        except Exception as exc:
+            if _is_cancellation(exc):
+                raise  # stopping query: let Spark leave the batch uncommitted
+            print(f"[feed] batch {batch_id} failed, skipping: {exc}")  # T7
 
     writer = feed.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
