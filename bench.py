@@ -58,6 +58,7 @@ HEADLINE = [
     "events_sessionize",
     "events_daily_pivot",
     "events_asof_join",
+    "events_range_join",
     "events_moving_stats",
     "orders_rollup",
     "returned_orders_semi",

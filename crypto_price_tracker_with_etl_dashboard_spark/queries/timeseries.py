@@ -105,3 +105,57 @@ register(
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+# ---- Bucketed range (interval) join ----------------------------------------
+# Points-in-intervals via bucket quantization (operators/range_join):
+# each daily 08:00-16:00 campaign window joins the events that fall
+# inside it WITHOUT a nested-loop — the interval explodes into hour
+# buckets, events equi-join on their bucket, the exact range check
+# runs as a residual.  Plan pinned nested-loop-free in test_plans.
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import dsum
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    intervals = days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("campaign_id"),
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 8 HOURS")).alias("w_start"),
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 16 HOURS")).alias("w_end"),
+    )
+    joined = bucketed_range_join(
+        events, intervals, "ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    return (
+        joined.groupBy("campaign_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .orderBy("campaign_id")
+    )
+
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import (  # noqa: E402
+    sql_dsum,
+)
+
+register(
+    "events_range_join",
+    q_events_range_join,
+    f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    iv AS (
+      SELECT strftime(day, '%Y-%m-%d') AS campaign_id,
+             CAST(day AS TIMESTAMP) + INTERVAL 8 HOUR  AS w_start,
+             CAST(day AS TIMESTAMP) + INTERVAL 16 HOUR AS w_end
+      FROM days
+    )
+    SELECT campaign_id, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events JOIN iv ON ts >= w_start AND ts < w_end
+    GROUP BY campaign_id
+    ORDER BY campaign_id
+    """,
+)

@@ -94,3 +94,13 @@ def test_pack_chunks_no_global_single_partition_window(spark):
     assert "hashpartitioning(_b" in plan
     # offsets side is broadcast back, not joined by shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_no_nested_loop(spark):
+    # non-equi interval joins must run as bucket equi-joins with a
+    # residual, never as a nested loop over the fact table
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_range_join"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
