@@ -1,3 +1,23 @@
-from crypto_price_tracker_with_etl_dashboard_spark.functions import text, dedup, similarity
+from crypto_price_tracker_with_etl_dashboard_spark.functions import (
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+    hash_split,
+    pack_chunks,
+    per_group_cap,
+    stratified_sample,
+)
 
-__all__ = ["text", "dedup", "similarity"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "sampling",
+    "hash_split",
+    "stratified_sample",
+    "per_group_cap",
+    "pack_chunks",
+]

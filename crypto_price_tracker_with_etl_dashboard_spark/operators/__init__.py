@@ -6,6 +6,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.dashboard import (
     market_share,
     distinct_symbols,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.asof import asof_join
+from crypto_price_tracker_with_etl_dashboard_spark.operators.range_join import (
+    bucketed_range_join,
+)
 
 __all__ = [
     "dsum",
@@ -15,4 +19,6 @@ __all__ = [
     "topk_with_other",
     "market_share",
     "distinct_symbols",
+    "asof_join",
+    "bucketed_range_join",
 ]
