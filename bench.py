@@ -59,6 +59,8 @@ HEADLINE = [
     "events_daily_pivot",
     "events_asof_join",
     "events_range_join",
+    "prices_change_points",
+    "prices_validity_intervals",
     "events_moving_stats",
     "orders_rollup",
     "returned_orders_semi",

@@ -159,3 +159,83 @@ register(
     ORDER BY campaign_id
     """,
 )
+
+
+# ---- Temporal-table derivations (operators/temporal.py) --------------------
+# Change-point compression and SCD2 validity intervals over the
+# prices change log: one window shuffle on the symbol key each.
+
+def q_prices_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.temporal import (
+        change_points,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources import (
+        prices_from_events,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    return (
+        change_points(
+            prices, key="symbol", order_by=["timestamp", "event_id"],
+            value="current_price",
+        )
+        .select("symbol", "event_id", "current_price", "timestamp")
+        .orderBy("symbol", "event_id")
+    )
+
+
+def q_prices_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.temporal import (
+        validity_intervals,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources import (
+        prices_from_events,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    return (
+        validity_intervals(
+            prices, key="symbol", ts_col="timestamp",
+            order_by=["timestamp", "event_id"],
+        )
+        .select("symbol", "event_id", "current_price", "valid_from", "valid_to")
+        .orderBy("symbol", "event_id")
+    )
+
+
+from crypto_price_tracker_with_etl_dashboard_spark.sources import (  # noqa: E402
+    PRICES_CTE_SQL,
+)
+
+register(
+    "prices_change_points",
+    q_prices_change_points,
+    f"""
+    WITH {PRICES_CTE_SQL}
+    SELECT symbol, event_id, current_price, timestamp
+    FROM (
+      SELECT symbol, event_id, current_price, timestamp,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(current_price) OVER w AS prev
+      FROM prices
+      WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, event_id)
+    )
+    WHERE rn = 1 OR current_price IS DISTINCT FROM prev
+    ORDER BY symbol, event_id
+    """,
+)
+
+register(
+    "prices_validity_intervals",
+    q_prices_validity_intervals,
+    f"""
+    WITH {PRICES_CTE_SQL}
+    SELECT symbol, event_id, current_price,
+           timestamp AS valid_from,
+           LEAD(timestamp) OVER (
+             PARTITION BY symbol ORDER BY timestamp, event_id
+           ) AS valid_to
+    FROM prices
+    ORDER BY symbol, event_id
+    """,
+)
