@@ -57,6 +57,7 @@ HEADLINE = [
     "events_tumbling_5min",
     "events_sessionize",
     "events_daily_pivot",
+    "events_unpivot",
     "events_asof_join",
     "events_range_join",
     "prices_change_points",

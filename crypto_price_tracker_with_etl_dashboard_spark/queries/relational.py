@@ -486,3 +486,49 @@ register(
     )
     """,
 )
+
+
+# ---- Unpivot (melt): wide daily counts back to long ------------------------
+# The inverse reshape of events_daily_pivot: native df.unpivot emits
+# (day, event_type, n) rows in ONE narrow map over the wide table —
+# no shuffle, no union-of-selects re-scan.  The oracle expresses the
+# same reshape as a portable UNION ALL.
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_events_daily_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+register(
+    "events_unpivot",
+    q_events_unpivot,
+    """
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) FILTER (event_type = 'click')    AS click,
+             COUNT(*) FILTER (event_type = 'error')    AS error,
+             COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (event_type = 'signup')   AS signup,
+             COUNT(*) FILTER (event_type = 'view')     AS view
+      FROM events GROUP BY 1
+    )
+    SELECT day, event_type, n FROM (
+      SELECT day, 'click' AS event_type, click AS n FROM wide
+      UNION ALL SELECT day, 'error', error FROM wide
+      UNION ALL SELECT day, 'purchase', purchase FROM wide
+      UNION ALL SELECT day, 'signup', signup FROM wide
+      UNION ALL SELECT day, 'view', view FROM wide
+    )
+    WHERE n > 0
+    ORDER BY day, event_type
+    """,
+)
