@@ -6,9 +6,11 @@ from crypto_price_tracker_with_etl_dashboard_spark.functions import (
 )
 from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     hash_split,
+    lcg_bucket,
     pack_chunks,
     per_group_cap,
     stratified_sample,
+    xxhash_bucket,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "stratified_sample",
     "per_group_cap",
     "pack_chunks",
+    "lcg_bucket",
+    "xxhash_bucket",
 ]

@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     k: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (>= threshold) within blocking-key
     groups, via an inverted index: explode distinct shingles to
@@ -99,8 +100,18 @@ def ngram_jaccard_pairs(
     ~300k narrow rows (~3 s).  At 100 TB the posting join's cost
     tracks actual shingle co-occurrence (sum over shingles of
     C(df,2)), so pair generation is output-sensitive; hot shingles
-    (stop-shingles) are the skew knob — drop shingles with document
-    frequency above a cap before joining if the corpus needs it.
+    (stop-shingles) are the skew knob: ``max_doc_freq`` drops every
+    shingle appearing in more than that many documents of its block
+    BEFORE the posting join, bounding any single shingle's join
+    contribution at C(max_doc_freq, 2) pairs — a boilerplate shingle
+    shared by m docs would otherwise emit m(m-1)/2 rows from one
+    posting key (the classic LSH/posting-join skew failure).  Set
+    sizes |A|, |B| are recomputed AFTER the drop, so the result is
+    the exact Jaccard over the capped shingle universe (stop-shingle
+    removal semantics, like stopword removal — a pair whose overlap
+    was only boilerplate now scores 0).  The document-frequency
+    window partitions by (block, shingle), the same key the posting
+    join shuffles on, so AQE reuses one exchange for both.
     The blocking key still bounds the worst case; for unblocked
     corpora use minhash_lsh_pairs instead.
 
@@ -139,6 +150,16 @@ def ngram_jaccard_pairs(
         .select("__blk", "__id", shingle.alias("__shingle"))
         .distinct()
     )
+    if max_doc_freq is not None:
+        # stop-shingle cap: document frequency per (block, shingle) —
+        # same partitioning the posting join uses
+        posts = (
+            posts.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("__blk", "__shingle"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     # |distinct shingles| per doc, co-partitioned window (no broadcast
     # of a corpus-sized side at scale).
     sized = posts.withColumn(

@@ -7,14 +7,22 @@ of the row key — re-running the pipeline, changing the partition
 count, or adding executors must never move a document across splits
 (that silently leaks test data into training sets).
 
-The bucket function here is a 31-bit linear congruential mix of the
-integer key — chosen because it is exactly expressible in ANSI SQL
-(the DuckDB oracle runs the identical arithmetic), is stable across
-engines, and spreads sequential ids uniformly.  At production scale,
-swap :func:`lcg_bucket` for ``F.xxhash64`` (64-bit avalanche, still
-engine-deterministic inside Spark) via the ``hasher`` parameter of
-the public helpers; the plan shape is unchanged — a narrow map for
-the split, one hash shuffle per window for stratify/cap.
+Two bucket functions, one default:
+
+- :func:`xxhash_bucket` (the DEFAULT): xxHash64 avalanche of the
+  key — correct for ANY key value or type (string doc ids, 64-bit
+  ids; no overflow), engine-deterministic inside Spark.  Not
+  portable to other engines, so a cross-engine oracle cannot
+  reproduce its assignments.
+- :func:`lcg_bucket`: a 31-bit linear congruential mix, exactly
+  expressible in ANSI SQL (the DuckDB oracle runs the identical
+  arithmetic via :func:`sql_lcg_bucket`).  Oracle-compat only — its
+  intermediates overflow BIGINT for integer keys above ~8.3e9, so
+  it must not be the production default.
+
+Both plug into the ``hasher`` parameter of the public helpers; the
+plan shape is identical — a narrow map for the split, one hash
+shuffle per window for stratify/cap.
 
 Reference parity context: the reference has no sampling surface at
 all (SURVEY.md §2.11 north-star scope); these are the BASELINE.json
@@ -45,11 +53,20 @@ def sql_lcg_bucket(expr: str, buckets: int = 100) -> str:
     return f"((CAST(({expr}) AS BIGINT) * {LCG_A} + {LCG_C}) % {LCG_M}) % {buckets}"
 
 
+def xxhash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Production-default bucket in [0, buckets): xxHash64 avalanche,
+    defined for every key value and type (strings, full-range
+    BIGINTs — no LCG overflow cliff).  ``pmod`` keeps the bucket
+    non-negative for negative hash values."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(k), F.lit(buckets))
+
+
 def hash_split(
     df: DataFrame,
     key: str,
     splits: dict[str, int] | None = None,
-    hasher=lcg_bucket,
+    hasher=xxhash_bucket,
 ) -> DataFrame:
     """Tag each row with a split name by hashed-key percentile.
 
@@ -74,7 +91,7 @@ def stratified_sample(
     stratum: str,
     key: str,
     fraction: float,
-    hasher=lcg_bucket,
+    hasher=xxhash_bucket,
 ) -> DataFrame:
     """EXACT per-stratum fraction: ceil(fraction * |stratum|) rows,
     chosen deterministically by hashed-key order.

@@ -302,15 +302,34 @@ def random_hyperplane_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
-    n_tables: int = 4,
+    n_tables: int = 12,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to rows sharing the
     query's LSH bucket in at least one of ``n_tables`` hash tables
     (OR-amplification), then exact cosine re-rank.  The bucket
     equi-join replaces the cross join — at scale this shuffles each
     side once on a small (table, bucket) key instead of scoring
-    |corpus| x |queries| pairs; recall is tuned with n_tables (up)
-    and n_planes (selectivity up, recall down).
+    |corpus| x |queries| pairs.
+
+    ``probe_hamming=1`` enables multi-probe LSH (Lv et al., VLDB'07):
+    each query additionally probes every bucket at Hamming distance 1
+    from its own (flip one sign bit), on the QUERY side only — the
+    corpus still stores one bucket per table, so corpus-side cost is
+    unchanged and the probe fan-out multiplies only the broadcast-side
+    rows by (1 + n_planes).  A plane whose dot is near zero is exactly
+    the one most likely to mis-bucket a true neighbor, so Hamming-1
+    probing recovers most of the recall lost to boundary vectors —
+    fewer tables are needed for the same recall (memory for probes).
+
+    Recall knobs: n_tables up -> recall up (linear candidate cost);
+    n_planes up -> selectivity up, per-table recall down (scale
+    n_planes ~ log2(corpus) to keep bucket sizes bounded);
+    probe_hamming 0/1 trades query fan-out for tables.  Defaults hit
+    recall@5 >= 0.9 on the weakly-clustered synthetic embeddings
+    (hard case: true neighbors sit at cosine ~0.4, so per-plane
+    collision is barely above 1/2) — strongly-clustered real
+    embedding spaces need fewer tables.
     """
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
@@ -330,6 +349,15 @@ def random_hyperplane_lsh_topk(
         ),
         "query_vec", dim, n_planes, n_tables,
     )
+    if probe_hamming:
+        # multi-probe: query-side bucket fan-out to Hamming-1 buckets
+        offsets = [0] + [1 << p for p in range(n_planes)]
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(o)) for o in offsets])
+            ),
+        )
     scored = (
         c.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

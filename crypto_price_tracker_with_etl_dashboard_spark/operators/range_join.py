@@ -43,7 +43,21 @@ def bucketed_range_join(
     ``extra_on`` adds an equi-term (e.g. a shared key) to the bucket
     join.  Column names must be disjoint between the two sides
     except those referenced by ``extra_on``.
+
+    ``how``: 'inner' or 'left' only.  The range predicate is folded
+    INTO the join condition (not applied as a post-filter): a
+    post-filter would evaluate NULL on a left join's unmatched rows
+    and silently drop them, degrading 'left' to inner.  Right/full
+    outer are rejected: the bucket explosion replicates each interval
+    row once per covered bucket, so an unmatched right row would
+    surface once per replica — quantization is not transparent for
+    right-side preservation.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"how={how!r} unsupported: bucket replication of the interval side "
+            "breaks right/full-outer row preservation (use 'inner' or 'left')"
+        )
     ts_bucket = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
     start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("bigint")
     # end-exclusive: an interval ending exactly on a bucket boundary
@@ -62,9 +76,9 @@ def bucketed_range_join(
         )
         .filter(F.col("__bkt").isNotNull())
     )
-    cond = F.col(f"l.__bkt") == F.col(f"r.__bkt")
+    cond = F.col("l.__bkt") == F.col("r.__bkt")
     if extra_on is not None:
         cond = cond & extra_on
     residual = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
-    out = l.alias("l").join(r.alias("r"), cond, how).filter(residual)
+    out = l.alias("l").join(r.alias("r"), cond & residual, how)
     return out.drop("__bkt")

@@ -171,7 +171,7 @@ register(
     q_events_json_extract,
     """
     SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
@@ -204,17 +204,42 @@ register(
 def q_daily_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch: one pass, O(sketch) memory per group —
     the scale path when exact distinct's per-group shuffle of all
-    distinct values is too expensive.  Estimator-specific output, so
-    rows-only check (no cross-engine oracle can match it)."""
+    distinct values is too expensive.
+
+    The sketch estimate is engine-specific, so instead of emitting the
+    raw estimate we emit a *hard verdict*: the exact distinct count
+    (the oracle recomputes it) plus ``approx_ok`` — the HLL estimate
+    landed within 10% of exact (rsd=0.02, so 5 sigma; deterministic
+    for fixed input data).  The oracle asserts TRUE, turning the
+    sketch's accuracy contract into a driver-checkable row."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "day",
+            "n_users",
+            (
+                F.abs(F.col("approx") - F.col("n_users"))
+                <= 0.1 * F.col("n_users")
+            ).alias("approx_ok"),
+        )
         .orderBy("day")
     )
 
 
-register("daily_approx_distinct_users", q_daily_approx_distinct_users, None)
+register(
+    "daily_approx_distinct_users",
+    q_daily_approx_distinct_users,
+    """
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 
 
 # ---- Quantiles: exact interpolated percentiles (oracle) + sketch ----------
@@ -254,25 +279,39 @@ def q_event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     """approx_percentile: bounded-memory quantile sketch — exact
     percentile() materializes each group's values; at 100 TB the
     sketch (relative-error histogram, mergeable across partitions)
-    is the only viable plan.  Rows-only check: sketch output is
-    estimator-specific."""
+    is the only viable plan.
+
+    Sketch output is estimator-specific, so the emitted row is a hard
+    verdict instead: per group, ``approx_ok`` asserts each sketch
+    quantile lands within 5% of the group's value range of the exact
+    interpolated percentile (deterministic for fixed input).  The
+    oracle asserts TRUE — the sketch's error bound becomes a
+    driver-checkable row."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr("approx_percentile(value, array(0.25, 0.5, 0.95), 10000)").alias("q"),
-        )
-        .select(
-            "event_type",
-            F.col("q")[0].alias("p25"),
-            F.col("q")[1].alias("p50"),
-            F.col("q")[2].alias("p95"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.95), 10000)").alias("q"),
+        F.expr("percentile(value, array(0.25, 0.5, 0.95))").alias("x"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
     )
+    span = F.col("hi") - F.col("lo")
+    ok = (
+        (F.abs(F.col("q")[0] - F.col("x")[0]) <= 0.05 * span)
+        & (F.abs(F.col("q")[1] - F.col("x")[1]) <= 0.05 * span)
+        & (F.abs(F.col("q")[2] - F.col("x")[2]) <= 0.05 * span)
+    ).alias("approx_ok")
+    return agg.select("event_type", "n", ok).orderBy("event_type")
 
 
-register("event_value_quantiles_approx", q_event_value_quantiles_approx, None)
+register(
+    "event_value_quantiles_approx",
+    q_event_value_quantiles_approx,
+    """
+    SELECT event_type, COUNT(*) AS n, TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 
 
 # ---- Cube: full event_type x weekday cross-tab with subtotals -------------

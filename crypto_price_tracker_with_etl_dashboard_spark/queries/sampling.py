@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     hash_split,
+    lcg_bucket,
     per_group_cap,
     sql_lcg_bucket,
     stratified_sample,
@@ -28,7 +29,9 @@ from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        hash_split(docs, "doc_id")
+        # lcg hasher so the DuckDB twin reproduces the assignment;
+        # production default is xxhash_bucket (not SQL-portable)
+        hash_split(docs, "doc_id", hasher=lcg_bucket)
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -45,7 +48,7 @@ register(
     SELECT CASE WHEN {sql_lcg_bucket('doc_id')} < 80 THEN 'train'
                 WHEN {sql_lcg_bucket('doc_id')} < 90 THEN 'valid'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     ORDER BY split
@@ -57,7 +60,9 @@ register(
 
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sample = stratified_sample(docs, stratum="lang", key="doc_id", fraction=0.1)
+    sample = stratified_sample(
+        docs, stratum="lang", key="doc_id", fraction=0.1, hasher=lcg_bucket
+    )
     return sample.select("doc_id", "lang").orderBy("doc_id")
 
 
@@ -139,9 +144,9 @@ register(
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS excl
+             ), 0) AS BIGINT) AS excl
       FROM t
     )
     SELECT doc_id, n_tokens,

@@ -467,10 +467,15 @@ register("doc_dup_clusters", q_doc_dup_clusters, _dup_clusters_sql())
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
         hash_split,
+        lcg_bucket,
     )
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
-    docs = hash_split(fan_out(load_table(spark, sf_dir, "documents")), "doc_id")
+    # lcg hasher so the DuckDB twin reproduces the split; production
+    # default is xxhash_bucket (not SQL-portable)
+    docs = hash_split(
+        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", hasher=lcg_bucket
+    )
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
     return D.contamination_report(train, test).orderBy("doc_id")

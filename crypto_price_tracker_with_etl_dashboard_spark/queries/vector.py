@@ -63,8 +63,39 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Non-SQL-expressible (deterministic hyperplane family lives in
-# Python); the driver records a rows-only check, tests check recall.
+# Python); the driver records a rows-only check.  ANN *quality* gets
+# its hard driver verdict through emb_ann_recall below.
 register("emb_ann_lsh", q_emb_ann_lsh, None)
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verdict for the approximate path: recall@k of the LSH ANN
+    against the exact brute-force top-k.  The hyperplane family is
+    seeded, so recall is deterministic for fixed input — the oracle
+    asserts the expected pair count and a recall >= 0.8 pass, making
+    ANN quality a driver-checkable row instead of rows-only."""
+    exact = q_emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_emb_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = exact.agg(F.count("*").alias("n_pairs"))
+    return hits.crossJoin(total).select(
+        F.lit(f"ann_recall_at_{_K}").alias("metric"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("hits") >= 0.8 * F.col("n_pairs")).alias("recall_pass"),
+    )
+
+
+register(
+    "emb_ann_recall",
+    q_emb_ann_recall,
+    f"""
+    SELECT 'ann_recall_at_{_K}' AS metric,
+           CAST({_N_QUERIES * _K} AS BIGINT) AS n_pairs,
+           TRUE AS recall_pass
+    """,
+)
 
 
 # Shared SQL fragment: double-precision cosine between two 64-dim

@@ -9,18 +9,27 @@ partitions; only the (small) extracted features flow onward.  Batch
 size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 so executor memory stays flat regardless of blob sizes.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT present in this
-container, so the decode kernel is pluggable: ``decode_image``
-raises NotImplementedError unless given a decoder, and
-``fake_decode`` provides the deterministic stand-in used by tests.
-The Spark-side plumbing — schemas, UDF signatures, Arrow batching,
-partition behavior — is real and tested.
+The decode kernel is pluggable: ``pil_decode`` is a REAL image
+decoder used automatically when Pillow is importable; in containers
+without codec libraries (like this one) ``decode_media`` falls back
+to the deterministic ``fake_decode`` stand-in with a warning.  The
+Spark-side plumbing — schemas, UDF signatures, Arrow batching,
+partition behavior — is identical either way, real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import warnings
 from typing import Callable, Iterator, Optional
+
+try:  # optional codec dependency — absent in this container
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 import pandas as pd
 
@@ -78,13 +87,46 @@ def fake_decode(content: bytes) -> dict:
     }
 
 
+def pil_decode(content: bytes) -> dict:
+    """Real image decoder (requires Pillow): actual pixel dimensions
+    plus a FEATURE_DIM-float signature — the 4x4 grayscale thumbnail,
+    the standard cheap perceptual feature.  Undecodable payloads
+    (truncated files, non-image bytes) degrade to NULLs per row
+    instead of failing the task — at corpus scale some blobs are
+    always corrupt."""
+    if content is None:
+        return {"width": None, "height": None, "features": None}
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "Pillow is not installed; pass decode_fn=fake_decode or a custom kernel"
+        )
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(content))
+        img.load()
+    except Exception:
+        return {"width": None, "height": None, "features": None}
+    width, height = img.size
+    thumb = img.convert("L").resize((4, 4))  # 16 px = FEATURE_DIM
+    feats = [p / 255.0 for p in thumb.getdata()]
+    return {"width": width, "height": height, "features": feats}
+
+
 def real_decode(content: bytes) -> dict:
-    """Placeholder for the production decoder (PIL / ffmpeg).  The
-    libraries are not available in this environment."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed in this container; "
-        "pass decode_fn=fake_decode or a custom kernel"
+    """The production decoder: ``pil_decode`` when Pillow is
+    importable, else the deterministic ``fake_decode`` stand-in (one
+    warning per process) so pipelines stay runnable in codec-less
+    containers."""
+    if HAS_PIL:
+        return pil_decode(content)
+    warnings.warn(
+        "Pillow not installed: decode_media falling back to fake_decode "
+        "(deterministic stand-in features, not real pixels)",
+        RuntimeWarning,
+        stacklevel=2,
     )
+    return fake_decode(content)
 
 
 def decode_media(

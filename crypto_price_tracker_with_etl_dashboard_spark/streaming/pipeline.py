@@ -40,20 +40,44 @@ from crypto_price_tracker_with_etl_dashboard_spark.sources.ingest import validat
 from crypto_price_tracker_with_etl_dashboard_spark.operators.latest import latest_snapshot
 
 
-def _is_cancellation(exc: Exception) -> bool:
+def _is_cancellation(exc: Exception, spark: Optional[SparkSession] = None) -> bool:
     """True when the batch failed because the QUERY is stopping (job
     cancelled / context shut down), not because the data is bad.
     Cancellations must propagate: swallowing them reports the batch
     as successful, the offset log commits it, and the tick is LOST on
     restart (falsely-committed batch).  Only genuine data errors are
-    isolated per the reference's T7 semantics."""
+    isolated per the reference's T7 semantics.
+
+    Three signals, strongest first: (1) the SparkContext is already
+    stopped — any error during shutdown is a cancellation regardless
+    of its message; (2) a cancellation/interrupt exception CLASS
+    anywhere in the cause chain; (3) known cancellation substrings in
+    the message (py4j flattens the JVM stack into the message, so
+    this also catches wrapped JVM-side classes the chain walk can't
+    see)."""
+    if spark is not None:
+        try:
+            if spark.sparkContext._jsc.sc().isStopped():
+                return True
+        except Exception:
+            return True  # the gateway itself is gone: shutting down
+    cancel_classes = (
+        "CancellationException", "InterruptedException", "InterruptedIOException",
+        "StreamingQueryException", "SparkJobCancelled",
+    )
+    seen, cur = set(), exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if type(cur).__name__ in cancel_classes:
+            return True
+        cur = cur.__cause__ or cur.__context__
     msg = str(exc)
     return any(
         s in msg
         for s in (
             "cancelled",
             "Cancelled",
-            "InterruptedException",
+            *cancel_classes,
             "SparkContext was shut down",
             "Task was denied",
         )
@@ -66,6 +90,53 @@ def snapshot_for_push(prices: DataFrame) -> DataFrame:
     return latest_snapshot(prices, tiebreaker="event_id", order_by_cap=True)
 
 
+class _IncrementalSnapshot:
+    """Driver-side incremental latest-per-symbol state for the push
+    path.  The snapshot is bounded (<= |symbols| rows — the reference
+    serves <= 100, api/server.js:69) while the accumulated prices
+    table grows without bound, so re-reading the WHOLE table every
+    micro-batch (the naive T3 re-query) is an unbounded full-history
+    scan per trigger at scale.  Instead: seed ONCE per (re)start from
+    the table — restart-safe, a recovered stream rebuilds exact state
+    — then fold each batch's own latest rows into the dict.  Per
+    trigger this costs O(|batch| + |symbols|), independent of table
+    size.
+
+    Correctness: within a batch, ties on the batch-constant timestamp
+    are resolved by ``snapshot_for_push`` over the batch itself (same
+    event_id tiebreak as a full recompute); across batches timestamps
+    strictly increase, so newest-timestamp-wins merging reproduces
+    the full-table latest_snapshot exactly."""
+
+    def __init__(self) -> None:
+        self.rows: Optional[list] = None
+
+    @staticmethod
+    def _cap_order(rows: list) -> list:
+        # PG ORDER BY market_cap DESC NULLS FIRST parity (O1,
+        # api/server.js:76) — same order latest_snapshot emits.
+        return sorted(
+            rows,
+            key=lambda r: (r["market_cap"] is not None, -(r["market_cap"] or 0.0)),
+        )
+
+    def merge(self, spark: SparkSession, table_path: str, batch_clean: DataFrame) -> list:
+        """Fold one written batch into the snapshot; returns the rows
+        to push (cap-descending, NULLs first)."""
+        if self.rows is None:
+            # cold start / restart: one full read seeds state (the
+            # just-written batch is already in the table)
+            self.rows = snapshot_for_push(spark.read.parquet(table_path)).collect()
+            return self.rows
+        by_symbol = {r["symbol"]: r for r in self.rows}
+        for r in snapshot_for_push(batch_clean).collect():
+            prev = by_symbol.get(r["symbol"])
+            if prev is None or r["timestamp"] >= prev["timestamp"]:
+                by_symbol[r["symbol"]] = r
+        self.rows = self._cap_order(list(by_symbol.values()))
+        return self.rows
+
+
 def run_ingest_stream(
     spark: SparkSession,
     raw_dir: str,
@@ -73,15 +144,26 @@ def run_ingest_stream(
     checkpoint_dir: str,
     push_fn: Optional[Callable[[list], None]] = None,
     trigger_seconds: Optional[int] = None,
+    batch_ts_fn: Optional[Callable[[int], dt.datetime]] = None,
 ) -> StreamingQuery:
     """Start the ETL stream: watch ``raw_dir`` for new raw batch
     files, validate/normalize each micro-batch with a batch-constant
-    timestamp, append to the partitioned prices table, then recompute
-    and push the latest snapshot.
+    timestamp, append to the partitioned prices table, then push the
+    incrementally-maintained latest snapshot.
 
     A malformed batch must not kill the pipeline (reference behavior
     T7: rollback the batch, keep looping) — the foreachBatch body
     isolates per-batch failures.
+
+    ``batch_ts_fn`` maps batch_id -> the batch-constant timestamp
+    (P5).  The default derives it deterministically from batch_id
+    (epoch + batch_id x trigger interval), which keeps the sink
+    exactly-once across restarts: the (dt, batch) overwrite partition
+    a replayed batch writes is ALWAYS the same one it wrote before.
+    A wall-clock fn reproduces the reference's ingest-time stamps
+    (etl/crypto_etl.py:82) but a batch replayed across a day boundary
+    would then land in a fresh dt partition, leaving the original
+    partial output as duplicates — only exactly-once within a day.
     """
     raw_stream = (
         spark.readStream.schema(COINGECKO_RAW_SCHEMA)
@@ -89,10 +171,20 @@ def run_ingest_stream(
         .parquet(raw_dir)
     )
 
+    epoch = dt.datetime(2024, 1, 1)
+    step = trigger_seconds or 300
+    if batch_ts_fn is None:
+        batch_ts_fn = lambda batch_id: epoch + dt.timedelta(seconds=step * batch_id)  # noqa: E731
+    snapshot = _IncrementalSnapshot()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            batch_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-            clean = validate_and_normalize(batch_df, batch_ts)
+            clean = validate_and_normalize(batch_df, batch_ts_fn(batch_id))
+            out = (
+                clean.withColumn("dt", F.to_date("timestamp"))
+                .withColumn("batch", F.lit(batch_id))
+                .withColumn("event_id", F.monotonically_increasing_id())
+            )
             # Idempotent sink: foreachBatch is at-least-once, so a
             # replayed batch must REPLACE its own previous (possibly
             # partial) output, not append next to it.  Dynamic
@@ -100,19 +192,15 @@ def run_ingest_stream(
             # the partitions this batch owns — exactly-once to the
             # table without a transaction log.
             (
-                clean.withColumn("dt", F.to_date("timestamp"))
-                .withColumn("batch", F.lit(batch_id))
-                .withColumn("event_id", F.monotonically_increasing_id())
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("dt", "batch")
                 .parquet(table_path)
             )
             if push_fn is not None:
-                prices = spark.read.parquet(table_path)
-                push_fn(snapshot_for_push(prices).collect())
+                push_fn(snapshot.merge(spark, table_path, out))
         except Exception as exc:
-            if _is_cancellation(exc):
+            if _is_cancellation(exc, spark):
                 raise  # stopping query: let Spark leave the batch uncommitted
             print(f"[ingest] batch {batch_id} failed, skipping: {exc}")  # T7
 
@@ -178,10 +266,12 @@ def run_feed_stream(
     feed = reader.load()
 
     epoch = dt.datetime(2024, 1, 1)
+    snapshot = _IncrementalSnapshot()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
             ticks = [r["tick"] for r in batch_df.select("tick").distinct().collect()]
+            rows = None
             for tick in sorted(ticks):
                 batch_ts = epoch + dt.timedelta(seconds=300 * tick)
                 clean = validate_and_normalize(
@@ -193,20 +283,23 @@ def run_feed_stream(
                 # Idempotent per-tick sink (see run_ingest_stream):
                 # replaying a tick overwrites its own partition, so
                 # at-least-once replay yields exactly-once contents.
-                (
+                out = (
                     clean.withColumn("dt", F.to_date("timestamp"))
                     .withColumn("tick", F.lit(int(tick)))
                     .withColumn("event_id", F.monotonically_increasing_id())
-                    .write.mode("overwrite")
+                )
+                (
+                    out.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("dt", "tick")
                     .parquet(table_path)
                 )
-            if push_fn is not None:
-                prices = spark.read.parquet(table_path)
-                push_fn(snapshot_for_push(prices).collect())
+                if push_fn is not None:
+                    rows = snapshot.merge(spark, table_path, out)
+            if push_fn is not None and rows is not None:
+                push_fn(rows)
         except Exception as exc:
-            if _is_cancellation(exc):
+            if _is_cancellation(exc, spark):
                 raise  # stopping query: let Spark leave the batch uncommitted
             print(f"[feed] batch {batch_id} failed, skipping: {exc}")  # T7
 

@@ -62,3 +62,33 @@ def test_asof_join_single_shuffle(spark):
     # cartesian/range join here instead.
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_left_preserves_unmatched(spark):
+    """how='left' must keep points outside every interval (the
+    residual is part of the join condition, not a post-filter that
+    would NULL-drop them)."""
+    import pytest
+
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:30:00")), (2, ts("2024-01-05T00:00:00"))],
+        "point_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, ts("2024-01-01T00:00:00"), ts("2024-01-01T01:00:00"))],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    got = {
+        r["point_id"]: r["iv_id"]
+        for r in bucketed_range_join(
+            points, intervals, "ts", "start", "end", how="left"
+        ).collect()
+    }
+    assert got == {1: 10, 2: None}
+
+    with pytest.raises(ValueError, match="unsupported"):
+        bucketed_range_join(points, intervals, "ts", "start", "end", how="full")

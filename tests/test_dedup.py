@@ -74,6 +74,29 @@ def test_ngram_pairs_rank_near_dup_above_unrelated(docs):
     assert out.get((1, 4), 0.0) < 0.05
 
 
+def test_ngram_stop_shingle_cap_bounds_candidates(spark):
+    """Skewed corpus: every doc shares one boilerplate shingle, so the
+    uncapped posting join emits all C(n,2) pairs from that single key.
+    max_doc_freq drops the hot shingle, leaving only the genuinely
+    overlapping pair — bounded candidates under skew."""
+    boiler = "all rights reserved worldwide"   # 4 tokens -> 2 shingles, in every doc
+    rows = [(i, "en", f"{boiler} unique{i} filler{i} pad{i} tail{i}") for i in range(1, 9)]
+    # docs 100/101: genuine near-dups beyond the boilerplate
+    rows += [
+        (100, "en", f"{boiler} the quick brown fox jumps over lazy dogs"),
+        (101, "en", f"{boiler} the quick brown fox jumps over lazy dogs"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert len(uncapped) == 45  # C(10,2): every pair co-occurs via boilerplate
+
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=5).collect()}
+    assert (100, 101) in capped and capped[(100, 101)] == 1.0
+    assert len(capped) == 1  # boilerplate-only pairs are gone
+
+
 def test_minhash_lsh_finds_planted_pairs(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
              for r in minhash_lsh_pairs(docs).collect()}

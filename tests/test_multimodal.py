@@ -8,10 +8,13 @@ import pytest
 from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
     DECODED_SCHEMA,
     FEATURE_DIM,
+    HAS_PIL,
     MEDIA_SCHEMA,
     decode_media,
     fake_decode,
     frame_sample_plan,
+    pil_decode,
+    real_decode,
 )
 
 
@@ -45,10 +48,41 @@ def test_decode_media_null_content(media):
     assert rows[5]["n_bytes"] == 0
 
 
-def test_real_decoder_is_explicitly_stubbed(media):
-    with pytest.raises(Exception) as exc_info:
-        decode_media(media).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "not installed" in str(exc_info.value)
+@pytest.mark.skipif(HAS_PIL, reason="Pillow installed: fallback path inactive")
+def test_default_decode_falls_back_without_pil(media):
+    """Codec-less container: decode_media() must still run end to end
+    via the deterministic stand-in (with a warning), not fail."""
+    with pytest.warns(RuntimeWarning, match="fake_decode"):
+        assert real_decode(b"abc") == fake_decode(b"abc")
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert len(rows) == 5 and len(rows[1]["features"]) == FEATURE_DIM
+    # pil_decode itself must refuse rather than silently fake
+    with pytest.raises(NotImplementedError):
+        pil_decode(b"abc")
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_pil_decode_real_png(media, spark):
+    """Real-codec path: a generated PNG decodes to its true pixel
+    dimensions and a 16-float thumbnail signature."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    out = pil_decode(png)
+    assert (out["width"], out["height"]) == (7, 5)
+    assert len(out["features"]) == FEATURE_DIM
+    assert all(abs(f - 76 / 255.0) < 0.02 for f in out["features"])  # uniform red
+
+    rows = [(1, png, "image", "png", None, None, None),
+            (2, b"not an image", "image", "png", None, None, None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (7, 5)
+    assert got[2]["width"] is None  # corrupt blob degrades to NULLs
 
 
 def test_frame_sample_plan(media):

@@ -12,6 +12,8 @@ from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     LCG_A,
     LCG_C,
     LCG_M,
+    hash_split,
+    lcg_bucket,
     pack_chunks,
     per_group_cap,
     stratified_sample,
@@ -59,13 +61,46 @@ def test_pack_chunks_matches_sequential_reference(spark, token_counts, budget):
 def test_stratified_sample_matches_reference(spark, rows, frac):
     df = spark.createDataFrame(rows, ["key", "stratum"])
     got = sorted(
-        r["key"] for r in stratified_sample(df, "stratum", "key", frac).collect()
+        r["key"]
+        for r in stratified_sample(
+            df, "stratum", "key", frac, hasher=lcg_bucket
+        ).collect()
     )
     want = []
     for s in {"a", "b", "c"}:
         members = sorted((k for k, g in rows if g == s), key=lambda k: (lcg(k), k))
         want.extend(members[: math.ceil(len(members) * frac)])
     assert got == sorted(want)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62),  # incl. keys past the LCG cliff
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_hash_split_partition_invariant_default_hasher(spark, keys, nparts):
+    """The production (xxhash) split must be a pure function of the
+    key: identical assignment under any partition count, and defined
+    (non-null, valid name) for 64-bit keys where the LCG overflows."""
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    base = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id").select("doc_id", "split").collect()
+    }
+    reparted = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(nparts), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert base == reparted
+    assert set(base.values()) <= {"train", "valid", "test"}
+    assert None not in base.values()
 
 
 @settings(max_examples=EXAMPLES, deadline=None)

@@ -44,13 +44,29 @@ def test_lsh_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5).collect()
-    approx = random_hyperplane_lsh_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
+    approx = random_hyperplane_lsh_topk(emb, queries, dim=64, k=5).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 4 hyperplanes -> 16 buckets over 500 vecs; same-bucket recall of
-    # true top-5 should be well above random (5/500).
-    assert recall >= 0.3, f"recall {recall}"
+    # defaults (6 planes, 12 tables, Hamming-1 multi-probe) must hold
+    # the advertised recall contract even on these weakly-clustered
+    # synthetic embeddings — the same bound emb_ann_recall gates on.
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_lsh_multiprobe_beats_single_probe(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(**kw):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in random_hyperplane_lsh_topk(emb, queries, dim=64, k=5, **kw).collect()}
+        return len(exact & got) / len(exact)
+
+    # Hamming-1 probing must strictly improve recall at equal tables
+    assert recall(n_tables=8, probe_hamming=1) > recall(n_tables=8, probe_hamming=0)
 
 
 def test_cosine_neardup_finds_planted_pair(spark):

@@ -72,6 +72,17 @@ def main() -> int:
             status = f"row count {len(s)} vs {len(o)}"
         elif list(s.columns) != list(o.columns):
             status = f"columns {list(s.columns)} vs {list(o.columns)}"
+        elif [d.kind for d in s.dtypes] != [d.kind for d in o.dtypes]:
+            # the driver's value hash is width-insensitive (int32 vs int64
+            # both hash as ints) but NOT kind-insensitive: DuckDB HUGEINT
+            # round-trips through pandas as float/object, which is exactly
+            # how the four r1 hash mismatches surfaced.  Flag kind changes.
+            bad = [
+                f"{c}: {s[c].dtype} vs {o[c].dtype}"
+                for c in s.columns
+                if s[c].dtype.kind != o[c].dtype.kind
+            ]
+            status = "dtype kind mismatch " + "; ".join(bad)
         else:
             diffs = []
             for c in s.columns:
