@@ -787,3 +787,65 @@ register(
     LIMIT 100
     """,
 )
+
+
+# ---- Q11: important stock value (global-threshold HAVING) ------------------
+# Adapted: the testdata has no partsupp table, so lineitem plays the
+# supply ledger (l_partkey, l_suppkey, l_extendedprice as supply
+# value) — same operator shape as TPC-H Q11: join the ledger to a
+# one-nation supplier slice, aggregate value per part, then keep only
+# parts above a FRACTION OF THE GLOBAL TOTAL (correlated scalar
+# subquery -> broadcast scalar cross join + filter).  Completes the
+# 22-query TPC-H shape inventory (Q2/Q16/Q20 adapt partsupp the same
+# way).
+#
+# 100 TB shape: the ledger shuffles ONCE on l_partkey for the group
+# agg; supplier+nation reduce to a broadcast hash set before the
+# ledger is touched; the grand total re-aggregates the (already
+# small) per-part aggregate, not the ledger, and comes back as a
+# broadcast scalar — no second pass over the fact table.
+
+_Q11_NATION = "NATION_7"
+_Q11_FRACTION = 0.001
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    nat_supp = supp.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice", "value"))
+    )
+    total = per_part.agg(dsum("value").alias("grand"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand") * _Q11_FRACTION)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+register(
+    "q11_important_stock",
+    q11_important_stock,
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey, {sql_dsum('l_extendedprice')} AS value
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{_Q11_NATION}'
+      )
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM per_part
+    WHERE value > (SELECT {sql_dsum('value')} FROM per_part) * {_Q11_FRACTION}
+    ORDER BY value DESC, l_partkey
+    """,
+)
