@@ -156,6 +156,24 @@ def label_centroids(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF index build: materialize the coarse quantizer (per-label
+    centroids) as a CACHED |labels|-row DataFrame.  A real IVF index
+    (FAISS et al.) separates the expensive one-time build from the
+    per-query probe; recomputing centroids inside every query — one
+    posexplode + two shuffles over the whole corpus — is the wrong
+    plan at 100 TB.  Build once per (corpus, quantizer) and hand the
+    result to every ``ivf_topk`` call."""
+    cents = label_centroids(corpus, id_col, vec_col, label_col).cache()
+    cents.count()  # materialize eagerly: build cost paid here, not per query
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,6 +182,7 @@ def ivf_topk(
     label_col: str = "label",
     k: int = 5,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer = per-label
     centroids; each query probes its ``nprobe`` nearest centroids and
@@ -175,10 +194,18 @@ def ivf_topk(
     partitioned by label — the corpus is scanned once, never
     shuffled, and only 1/|labels|*nprobe of it is scored per query.
     Fully deterministic (centroids use exact decimal means), so —
-    unlike random-hyperplane LSH — the oracle can replicate it."""
+    unlike random-hyperplane LSH — the oracle can replicate it.
+
+    Pass ``centroids`` (from :func:`ivf_build`) to reuse a built
+    index; otherwise the centroid subplan is computed inline (one
+    extra corpus pass per call)."""
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
-    cents = label_centroids(corpus, id_col, vec_col, label_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(corpus, id_col, vec_col, label_col)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),

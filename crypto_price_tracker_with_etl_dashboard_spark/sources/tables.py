@@ -50,9 +50,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     expression-heavy map stage.  Small local parquet files arrive as
     ONE partition (a single row group), which serializes per-row
     compute onto one core; at cluster scale the input is already
-    partitioned and this is a no-op."""
+    partitioned and this is a no-op.
+
+    The partition estimate is plan-based (``inputFiles()`` walks the
+    analyzed plan to its scans), NOT ``df.rdd.getNumPartitions()`` —
+    the RDD conversion forces a full physical re-plan outside AQE on
+    every call.  Every caller applies this directly to a scan or a
+    narrow projection of one, where file count is the right proxy: a
+    multi-file input is already parallel (Spark splits further by
+    ``spark.sql.files.maxPartitionBytes``), while the pathological
+    case — one small single-row-group file — is exactly
+    ``len(inputFiles) == 1``."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # plan without file scans resolvable
+        n_files = 0
+    if n_files == 0:
+        # non-file source (in-memory frames, streaming): parallelize()
+        # already spreads over defaultParallelism — leave untouched
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -96,6 +96,39 @@ def test_pack_chunks_no_global_single_partition_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_query_reuses_built_index(spark):
+    """The IVF probe path must reuse the cached centroid index (BUILD
+    /QUERY split): a query given ivf_build output scans the cache, it
+    does not re-run the posexplode+groupBy centroid subplan over the
+    corpus (r2 verdict: that recompute-per-query was the bench
+    regression and is the wrong plan at 100 TB)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.ivf_build(emb)
+    try:
+        plan = plan_of(S.ivf_topk(emb, queries, k=3, centroids=cents))
+        assert "InMemoryTableScan" in plan
+        # the live plan is generate-free: posexplode may only appear
+        # inside the cached relation's recorded build plan
+        assert "Generate posexplode" not in plan.split("InMemoryRelation")[0]
+        # corpus side still broadcast-joins the probes, never shuffles
+        assert "BroadcastHashJoin" in plan
+    finally:
+        cents.unpersist()
+
+
+def test_fan_out_is_plan_based_not_rdd(spark):
+    """fan_out must decide from the plan's input files: single-file
+    scans get repartitioned to defaultParallelism, multi-file or
+    non-file inputs pass through untouched (no df.rdd conversion)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(fan_out(docs))
+    assert "Exchange RoundRobinPartitioning" in plan or "REPARTITION" in plan
+    # in-memory frames are left alone
+    mem = spark.range(10).toDF("x")
+    assert plan_of(fan_out(mem)) == plan_of(mem)
+
+
 def test_range_join_no_nested_loop(spark):
     # non-equi interval joins must run as bucket equi-joins with a
     # residual, never as a nested loop over the fact table
