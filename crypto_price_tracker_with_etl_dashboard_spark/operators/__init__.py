@@ -4,6 +4,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.history import hist
 from crypto_price_tracker_with_etl_dashboard_spark.operators.dashboard import (
     topk_with_other,
     market_share,
+    display_snapshot,
     distinct_symbols,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.asof import asof_join
@@ -18,6 +19,7 @@ __all__ = [
     "history_slice",
     "topk_with_other",
     "market_share",
+    "display_snapshot",
     "distinct_symbols",
     "asof_join",
     "bucketed_range_join",

@@ -64,3 +64,50 @@ def distinct_symbols(prices: DataFrame) -> DataFrame:
     """Unique symbols, lexicographically sorted (the dropdown,
     frontend/src/App.js:569-570)."""
     return prices.select("symbol").distinct().orderBy("symbol")
+
+
+def _fixed4_display(c: str) -> F.Column:
+    # toFixed(4): exactly 4 decimals, NO thousands grouping
+    # (frontend/src/App.js:549,306).  JS truthiness: null AND 0 both
+    # render 'N/A'; the '$' sits outside the ternary, so '$N/A'.
+    return F.concat(
+        F.lit("$"),
+        F.coalesce(
+            F.when(
+                F.col(c) != 0,
+                F.round(F.col(c), 4).cast("decimal(28,4)").cast("string"),
+            ),
+            F.lit("N/A"),
+        ),
+    )
+
+
+def _grouped_display(c: str) -> F.Column:
+    # toLocaleString(): thousands-grouped integer rendering
+    # (frontend/src/App.js:550-551).  The explicit round() before
+    # format_number pins HALF_UP ties (format_number alone rounds
+    # HALF_EVEN, which diverges from the reference's JS semantics and
+    # the oracle at exact .5 boundaries).
+    return F.concat(
+        F.lit("$"),
+        F.coalesce(
+            F.when(F.col(c) != 0, F.format_number(F.round(F.col(c), 0), 0)),
+            F.lit("N/A"),
+        ),
+    )
+
+
+def display_snapshot(snapshot: DataFrame) -> DataFrame:
+    """P10+P13 presentation projection of the latest snapshot — the
+    dashboard table row (frontend/src/App.js:545-552): uppercase
+    symbol, `$`-prefixed price at 4 fixed decimals, thousands-grouped
+    market cap / volume, with JS-truthy null-coalescing to 'N/A'
+    (null OR zero -> 'N/A', matching `x ? fmt(x) : 'N/A'`)."""
+    return snapshot.select(
+        F.upper(F.col("symbol")).alias("symbol"),
+        "name",
+        _fixed4_display("current_price").alias("price_display"),
+        _grouped_display("market_cap").alias("market_cap_display"),
+        _grouped_display("total_volume").alias("volume_display"),
+        "timestamp",
+    )

@@ -38,19 +38,37 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 # Registration ORDER is part of the driver contract: the driver's
 # correctness gate verifies the FIRST 50 registered queries against the
 # DuckDB oracle.  Module import order interleaves registrations, so we
-# pin the window explicitly: reference parity first, then the
-# training-data-pipeline surface (dedup / text / sampling / vector /
-# multimodal — the north-star scope), then one query per distinct
-# relational/OLAP operator family, then representative TPC-H
-# compositions.  Everything past the window stays registered (it still
-# runs in bench.py and the repo's own oracle harness) but is
-# deliberately the most redundant tail: TPC-H variants whose join/agg
-# shapes are already covered inside the window.
+# pin the window explicitly.
+#
+# WINDOW ROTATION POLICY (round 3 onward): the window is
+#
+#   FIXED_CORE (30)  — reference parity (7) + the training-data
+#                      pipeline surface (23): certified EVERY round.
+#   debuts + rotation (20)
+#                    — queries NEW this round debut at the head (new
+#                      work must always earn driver evidence in its
+#                      own round), then the next slots of
+#                      ROTATION_POOL, a documented cycle over the 44
+#                      relational / OLAP / TPC-H / time-series
+#                      queries.  The cursor advances 20 per round
+#                      (ROTATION_ROUND below, bumped each round), so
+#                      every pool query re-earns a driver row at
+#                      least every 3 rounds; everything stays
+#                      registered and keeps running in bench.py and
+#                      tools/check_oracle.py (which checks ALL
+#                      queries, not just the window) every round.
+#
+# Rotation table (cursor = (ROTATION_ROUND - 3) * 20 % len(pool)):
+#   round 3: pool[0:20]   — q11 + emb_ann_lsh (never driver-checked
+#                           before r3) + the TPC-H tail
+#   round 4: pool[20:40]  — remaining tail + relational/OLAP families
+#   round 5: pool[40:44] + pool[0:16], and so on.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
+ROTATION_ROUND = 3  # bump each round; drives the rotation cursor
 
-PRIORITY_ORDER: list[str] = [
+FIXED_CORE: list[str] = [
     # reference parity core (7)
     "latest_snapshot", "history_slice", "topk_other", "market_share",
     "distinct_symbols", "ingest_normalize", "prices_ohlc_5min",
@@ -68,7 +86,27 @@ PRIORITY_ORDER: list[str] = [
     "emb_cosine_neardup", "emb_label_centroids",
     # multimodal family (2)
     "media_decode", "media_frame_sample",
-    # relational / time-series / OLAP operator families (17)
+]
+
+# Queries registered for the FIRST time this round: they debut inside
+# the window (r2 verdict: new operators must not land outside the
+# correctness gate), then join ROTATION_POOL next round.
+NEW_THIS_ROUND: list[str] = ["display_snapshot"]
+
+ROTATION_POOL: list[str] = [
+    # --- never driver-checked before r3: first in cycle ---
+    "q11_important_stock", "emb_ann_lsh",
+    # --- TPC-H tail (r1-green, evicted from the r2 window) ---
+    "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
+    "q17_small_quantity", "q18_large_volume", "q19_disjunctive_revenue",
+    "q20_heavy_shippers", "q21_last_shipper", "q22_idle_balance",
+    # --- remaining time-series / window-shape queries ---
+    "top_orders_per_customer", "segment_order_stats",
+    "events_tumbling_5min", "prices_change_points",
+    # --- relational / OLAP operator families (in the r2 window) ---
     "events_sessionize", "events_asof_join", "events_range_join",
     "events_moving_stats", "events_daily_pivot", "events_unpivot",
     "prices_validity_intervals", "orders_rollup", "events_cube",
@@ -76,20 +114,36 @@ PRIORITY_ORDER: list[str] = [
     "events_json_extract", "daily_distinct_users",
     "daily_approx_distinct_users", "event_value_quantiles",
     "event_value_quantiles_approx",
-    # representative TPC-H compositions (3)
+    # --- representative TPC-H compositions (in the r2 window) ---
     "q1_pricing_summary", "q3_shipping_priority", "q12_delay_priority",
 ]
 
 
+def current_window() -> list[str]:
+    """The 50 query names the driver will verify this round, per the
+    rotation policy above."""
+    n_rotating = DRIVER_WINDOW - len(FIXED_CORE) - len(NEW_THIS_ROUND)
+    if n_rotating < 0:
+        raise RuntimeError("too many debuts for the window")
+    start = (ROTATION_ROUND - 3) * 20 % len(ROTATION_POOL)
+    wrapped = ROTATION_POOL[start:] + ROTATION_POOL[:start]
+    return FIXED_CORE + NEW_THIS_ROUND + wrapped[:n_rotating]
+
+
 def _apply_priority_order() -> None:
-    missing = [n for n in PRIORITY_ORDER if n not in SPARK_QUERIES]
+    window = current_window()
+    pool_names = set(FIXED_CORE) | set(NEW_THIS_ROUND) | set(ROTATION_POOL)
+    missing = [n for n in pool_names if n not in SPARK_QUERIES]
     if missing:
-        raise RuntimeError(f"PRIORITY_ORDER names not registered: {missing}")
-    if len(PRIORITY_ORDER) != DRIVER_WINDOW:
+        raise RuntimeError(f"rotation names not registered: {sorted(missing)}")
+    unlisted = [n for n in SPARK_QUERIES if n not in pool_names]
+    if unlisted:
         raise RuntimeError(
-            f"PRIORITY_ORDER has {len(PRIORITY_ORDER)} names, expected {DRIVER_WINDOW}"
+            f"registered queries missing from rotation policy: {unlisted}"
         )
-    ordered = {n: SPARK_QUERIES[n] for n in PRIORITY_ORDER}
+    if len(window) != DRIVER_WINDOW:
+        raise RuntimeError(f"window has {len(window)} names, expected {DRIVER_WINDOW}")
+    ordered = {n: SPARK_QUERIES[n] for n in window}
     ordered.update((n, f) for n, f in SPARK_QUERIES.items() if n not in ordered)
     SPARK_QUERIES.clear()
     SPARK_QUERIES.update(ordered)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+    display_snapshot,
     distinct_symbols,
     history_slice,
     latest_snapshot,
@@ -126,6 +127,37 @@ register(
     SELECT label, market_cap,
            round(market_cap / total * 100.0, 2) AS pct
     FROM segments CROSS JOIN tot
+    """,
+)
+
+
+# ---- P4+P10+P13: dashboard-table display projection ------------------------
+
+def q_display_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = latest_snapshot(prices_from_events(spark, sf_dir), order_by_cap=False)
+    return display_snapshot(snap)
+
+
+register(
+    "display_snapshot",
+    q_display_snapshot,
+    f"""
+    WITH {PRICES_CTE_SQL}, {_LATEST_CTE}
+    SELECT upper(symbol) AS symbol, name,
+           concat('$', coalesce(
+             CASE WHEN current_price <> 0 THEN
+               CAST(CAST(round(current_price, 4) AS DECIMAL(28,4)) AS VARCHAR)
+             END, 'N/A')) AS price_display,
+           concat('$', coalesce(
+             CASE WHEN market_cap <> 0 THEN
+               format('{{:,}}', CAST(round(market_cap, 0) AS BIGINT))
+             END, 'N/A')) AS market_cap_display,
+           concat('$', coalesce(
+             CASE WHEN total_volume <> 0 THEN
+               format('{{:,}}', CAST(round(total_volume, 0) AS BIGINT))
+             END, 'N/A')) AS volume_display,
+           timestamp
+    FROM latest
     """,
 )
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+    display_snapshot,
     distinct_symbols,
     latest_snapshot,
     market_share,
@@ -46,3 +47,17 @@ def test_market_share_sums_to_100(snapshot):
 def test_distinct_symbols_sorted(prices_fixture):
     out = [r["symbol"] for r in distinct_symbols(prices_fixture).collect()]
     assert out == ["btc", "doge", "eth", "stale", "zero"]
+
+
+def test_display_snapshot_formats_and_na(snapshot):
+    """P10+P13 (frontend/src/App.js:545-552): toFixed(4) price with no
+    grouping, toLocaleString-grouped caps, '$N/A' for null AND zero
+    (JS truthiness), uppercase symbol."""
+    out = {r["symbol"]: r for r in display_snapshot(snapshot).collect()}
+    btc = out["BTC"]
+    assert btc["price_display"] == "$111.0000"          # toFixed(4)
+    assert btc["market_cap_display"] == "$1,110"        # grouped
+    assert out["DOGE"]["market_cap_display"] == "$N/A"  # null -> N/A
+    assert out["ZERO"]["market_cap_display"] == "$N/A"  # 0 is falsy in JS
+    assert out["ZERO"]["price_display"] == "$2.2000"
+    assert set(out) == {"BTC", "ETH", "DOGE", "ZERO", "STALE"}
