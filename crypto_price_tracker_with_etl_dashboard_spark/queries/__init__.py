@@ -91,7 +91,7 @@ FIXED_CORE: list[str] = [
 # Queries registered for the FIRST time this round: they debut inside
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
-NEW_THIS_ROUND: list[str] = ["display_snapshot"]
+NEW_THIS_ROUND: list[str] = ["display_snapshot", "media_audio_decode"]
 
 ROTATION_POOL: list[str] = [
     # --- never driver-checked before r3: first in cycle ---

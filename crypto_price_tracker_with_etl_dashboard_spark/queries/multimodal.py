@@ -18,10 +18,12 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import register
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
     MEDIA_CTE_SQL,
+    decode_audio,
     decode_media,
     fake_decode,
     frame_sample_plan,
     media_from_documents,
+    synth_audio,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
@@ -61,6 +63,56 @@ register(
                 i -> ('0x' || substr(md5(content_text), 1 + 2*i, 2))::BIGINT))
                 AS BIGINT)                                     AS feat_byte_sum
     FROM media
+    """,
+)
+
+
+def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: synthesize deterministic WAV
+    blobs (8-bit mono PCM, stdlib ``wave``-encoded), decode them back
+    with the stdlib ``wav_decode`` kernel, and emit sample-rate /
+    duration / exact-integer RMS.  Because the sample formula is
+    closed-form, the oracle reproduces every value WITHOUT parsing
+    WAV — what the driver certifies is the real encode->decode
+    round-trip through Arrow-batched mapInPandas, including per-row
+    corrupt-blob degradation (ids % 97 == 0 are undecodable and must
+    come back as NULLs, not fail the task)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_audio(docs.select(F.col("doc_id").alias("media_id")))
+    return decode_audio(media).select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+register(
+    "media_audio_decode",
+    q_media_audio_decode,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1                       AS k,
+             (doc_id % 30 + 1) * 400                AS n,
+             doc_id % 97 = 0                        AS corrupt
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN NOT corrupt THEN 8000 END      AS sample_rate,
+           CASE WHEN NOT corrupt THEN 1 END         AS n_channels,
+           CASE WHEN NOT corrupt THEN CAST(n AS BIGINT) END AS n_samples,
+           CASE WHEN NOT corrupt THEN CAST(n * 1000 / 8000 AS BIGINT) END
+                                                    AS duration_ms,
+           CASE WHEN NOT corrupt THEN
+             round(sqrt(CAST(list_sum(list_transform(range(0, n),
+                     i -> CAST(((i * k) % 256 - 128) AS BIGINT)
+                          * (((i * k) % 256) - 128))) AS DOUBLE)
+                        / (n * 16384.0)), 6)
+           END                                      AS rms
+    FROM params
     """,
 )
 

@@ -122,9 +122,18 @@ _SQL_SHINGLES = (
 )
 
 
+# Stop-shingle skew cap ON by default: the certified path (and the
+# one a user copies) must be the 100 TB-safe variant — a boilerplate
+# shingle shared by m docs of a block otherwise emits C(m,2) posting
+# pairs from ONE join key (r2 verdict "What's wrong #4").  100 docs/
+# shingle bounds any single key at 4,950 pairs while leaving genuine
+# near-dup overlap (shared by a handful of docs) untouched.
+_NGRAM_MAX_DF = 100
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.1)
+    return D.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=_NGRAM_MAX_DF)
 
 
 register(
@@ -133,13 +142,32 @@ register(
     f"""
     WITH sh AS (
       SELECT doc_id, lang, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    posts AS (
+      SELECT lang, doc_id, unnest(s) AS shingle FROM sh
+    ),
+    capped AS (
+      SELECT lang, doc_id, shingle FROM (
+        SELECT lang, doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM posts
+      ) WHERE df <= {_NGRAM_MAX_DF}
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM capped a JOIN capped b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+    FROM counts
+    JOIN sized na ON na.doc_id = counts.doc_a
+    JOIN sized nb ON nb.doc_id = counts.doc_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
     """,
 )
 

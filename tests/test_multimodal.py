@@ -94,3 +94,72 @@ def test_frame_sample_plan(media):
         1000,
         2000,
     ]
+
+
+def test_wav_decode_real_bytes():
+    """Real WAV round-trip with stdlib wave: 8-bit and 16-bit PCM,
+    header fields and exact-integer RMS; corrupt bytes degrade."""
+    import io
+    import math
+    import wave
+
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        wav_decode,
+    )
+
+    # 8-bit unsigned mono @8kHz: constant full-positive (255 -> +127)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([255] * 800))
+    d = wav_decode(buf.getvalue())
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (8000, 1, 800)
+    assert d["duration_ms"] == 100
+    assert d["rms"] == pytest.approx(127 / 128.0)
+    assert len(d["features"]) == 16
+
+    # 16-bit signed stereo @44100: a 1000-sample alternating square wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(44100)
+        frames = b"".join(
+            (16384).to_bytes(2, "little", signed=True) * 2 for _ in range(1000)
+        )
+        w.writeframes(frames)
+    d = wav_decode(buf.getvalue())
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (44100, 2, 1000)
+    assert d["rms"] == pytest.approx(0.5)
+
+    # corrupt payloads and None degrade to all-NULL, never raise
+    assert wav_decode(b"RIFFgarbage")["sample_rate"] is None
+    assert wav_decode(None)["rms"] is None
+
+
+def test_real_decode_dispatches_wav():
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        real_decode,
+        synth_wav_bytes,
+    )
+
+    wav = synth_wav_bytes(5)
+    out = real_decode(wav, media_type="audio", fmt="wav")
+    # generic DECODED_SCHEMA projection: width=sample_rate, height=channels
+    assert (out["width"], out["height"]) == (8000, 1)
+    assert len(out["features"]) == 16
+
+
+def test_synth_audio_decode_roundtrip(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        decode_audio,
+        synth_audio,
+    )
+
+    ids = spark.range(0, 100).toDF("media_id")
+    got = {r["media_id"]: r for r in decode_audio(synth_audio(ids)).collect()}
+    assert len(got) == 100
+    assert got[0]["sample_rate"] is None      # 0 % 97 == 0 -> corrupt blob
+    assert got[97]["sample_rate"] is None
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == (1 % 30 + 1) * 400
+    assert got[1]["duration_ms"] == got[1]["n_samples"] // 8
+    assert 0.0 <= got[1]["rms"] <= 1.0 and len(got[1]["features"]) == 16
