@@ -43,3 +43,19 @@ def test_plan_summary_facts(spark):
         F.col("o_custkey") == F.col("c_custkey"),
     )
     assert plan_summary(j)["broadcast_joins"] == 1
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    """Adversarial high-diameter graph: a 1024-node path.  Pure
+    propagation needs 1023 rounds; with 3 adaptive plain rounds then
+    pointer jumping (covered distance doubles per round: 3, then
+    7/15/.../1023 after 8 jump rounds) it must finish within 12
+    (11 + one no-change round).  max_iterations=13 makes the O(log n)
+    bound a hard failure, not a benchmark observation."""
+    n = 1024
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = connected_components(edges, max_iterations=13).collect()
+    assert len(got) == n
+    assert all(r["component"] == 0 for r in got)
