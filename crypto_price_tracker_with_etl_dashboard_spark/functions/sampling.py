@@ -66,13 +66,24 @@ def hash_split(
     df: DataFrame,
     key: str,
     splits: dict[str, int] | None = None,
-    hasher=xxhash_bucket,
+    *,
+    hasher,
 ) -> DataFrame:
     """Tag each row with a split name by hashed-key percentile.
 
     ``splits`` maps name -> percentage; ranges are assigned in the
     given order (dict order is insertion order).  Default 80/10/10.
     Narrow map only — no shuffle, fully parallel at any scale.
+
+    ``hasher`` is REQUIRED and keyword-only, deliberately: the
+    module's leakage invariant is that a document never moves across
+    splits once materialized, and the hasher IS the assignment.  A
+    default that later changed (as r2's lcg->xxhash switch did)
+    would silently reassign every caller's persisted train/valid/
+    test membership.  Choose ``xxhash_bucket`` for new pipelines
+    (full 64-bit avalanche, any key type) or ``lcg_bucket`` for
+    SQL-portable assignments, and keep that choice for the life of
+    the dataset.
     """
     splits = splits or {"train": 80, "valid": 10, "test": 10}
     assert sum(splits.values()) == 100
@@ -91,7 +102,8 @@ def stratified_sample(
     stratum: str,
     key: str,
     fraction: float,
-    hasher=xxhash_bucket,
+    *,
+    hasher,
 ) -> DataFrame:
     """EXACT per-stratum fraction: ceil(fraction * |stratum|) rows,
     chosen deterministically by hashed-key order.

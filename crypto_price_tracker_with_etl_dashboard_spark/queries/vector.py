@@ -19,17 +19,12 @@ _K = 5
 _DIM = 64
 
 
-def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return S.brute_force_topk(emb, queries, k=_K)
-
-
-register(
-    "emb_cosine_topk",
-    q_emb_cosine_topk,
-    f"""
-    WITH q AS (
+# Brute-force top-k as a reusable CTE chain: the emb_cosine_topk
+# oracle selects from it directly, and emb_ann_recall derives its
+# expected pair count from it (instead of hardcoding N*K, which
+# breaks whenever ties/corpus size yield fewer than K neighbors).
+_BF_TOPK_CTES = f"""
+    q AS (
       SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
       WHERE vec_id < {_N_QUERIES}
     ),
@@ -45,14 +40,28 @@ register(
                6) AS cosine_sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_K}
     )
-    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
-      SELECT query_id, neighbor_id, cosine_sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
-      FROM scored
-    ) WHERE rnk <= {_K}
-    """,
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=_K)
+
+
+register(
+    "emb_cosine_topk",
+    q_emb_cosine_topk,
+    f"WITH {_BF_TOPK_CTES} SELECT query_id, neighbor_id, cosine_sim, rnk FROM bf_topk",
 )
 
 
@@ -90,10 +99,16 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "emb_ann_recall",
     q_emb_ann_recall,
+    # n_pairs is DERIVED from the data (count of exact top-k pairs),
+    # not hardcoded N*K: robust to scale factors / ties / filtered
+    # corpora where some query has fewer than K neighbors.  The
+    # asserted fact stays recall_pass = TRUE.
     f"""
+    WITH {_BF_TOPK_CTES}
     SELECT 'ann_recall_at_{_K}' AS metric,
-           CAST({_N_QUERIES * _K} AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
            TRUE AS recall_pass
+    FROM bf_topk
     """,
 )
 

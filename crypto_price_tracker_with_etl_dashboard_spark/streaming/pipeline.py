@@ -40,6 +40,23 @@ from crypto_price_tracker_with_etl_dashboard_spark.sources.ingest import validat
 from crypto_price_tracker_with_etl_dashboard_spark.operators.latest import latest_snapshot
 
 
+_CANCEL_CLASSES = (
+    "CancellationException", "InterruptedException", "InterruptedIOException",
+    "JobCancellationException", "TaskKilledException", "SparkJobCancelled",
+)
+# Matched against the TOP-LEVEL JVM exception's own message only —
+# NEVER the py4j-flattened stack trace, where a genuine data error
+# could incidentally contain a cancellation class name in a "Caused
+# by" frame and get mistaken for a shutdown (killing the stream,
+# contrary to T7 batch isolation).
+_CANCEL_MESSAGES = (
+    "cancelled because SparkContext was shut down",
+    "SparkContext has been shutdown",
+    "as part of cancellation of all jobs",
+    "Job cancelled",
+)
+
+
 def _is_cancellation(exc: Exception, spark: Optional[SparkSession] = None) -> bool:
     """True when the batch failed because the QUERY is stopping (job
     cancelled / context shut down), not because the data is bad.
@@ -48,40 +65,46 @@ def _is_cancellation(exc: Exception, spark: Optional[SparkSession] = None) -> bo
     restart (falsely-committed batch).  Only genuine data errors are
     isolated per the reference's T7 semantics.
 
-    Three signals, strongest first: (1) the SparkContext is already
-    stopped — any error during shutdown is a cancellation regardless
-    of its message; (2) a cancellation/interrupt exception CLASS
-    anywhere in the cause chain; (3) known cancellation substrings in
-    the message (py4j flattens the JVM stack into the message, so
-    this also catches wrapped JVM-side classes the chain walk can't
-    see)."""
+    Signals, strongest first: (1) the SparkContext is already stopped
+    (probe failures are treated as shutdown ONLY for gateway/
+    connection errors — any other probe exception falls through to
+    the structural checks); (2) a cancellation/interrupt exception
+    CLASS in the Python cause chain; (3) a cancellation CLASS in the
+    structured JVM cause chain, or a cancellation message on the
+    top-level JVM exception — both via the live exception object,
+    never substring-matching the flattened stack text."""
     if spark is not None:
         try:
             if spark.sparkContext._jsc.sc().isStopped():
                 return True
-        except Exception:
-            return True  # the gateway itself is gone: shutting down
-    cancel_classes = (
-        "CancellationException", "InterruptedException", "InterruptedIOException",
-        "StreamingQueryException", "SparkJobCancelled",
-    )
+        except Exception as probe_exc:
+            from py4j.protocol import Py4JError
+
+            if isinstance(probe_exc, (Py4JError, ConnectionError, OSError)):
+                return True  # the gateway itself is gone: shutting down
+            # probe unavailable for a non-connection reason: fall through
     seen, cur = set(), exc
     while cur is not None and id(cur) not in seen:
         seen.add(id(cur))
-        if type(cur).__name__ in cancel_classes:
+        if type(cur).__name__ in _CANCEL_CLASSES:
             return True
         cur = cur.__cause__ or cur.__context__
-    msg = str(exc)
-    return any(
-        s in msg
-        for s in (
-            "cancelled",
-            "Cancelled",
-            *cancel_classes,
-            "SparkContext was shut down",
-            "Task was denied",
-        )
-    )
+    je = getattr(exc, "java_exception", None)
+    if je is None:
+        return False
+    try:
+        msg = je.getMessage()
+        if msg and any(s in msg for s in _CANCEL_MESSAGES):
+            return True
+        hops = 0
+        while je is not None and hops < 20:
+            if je.getClass().getSimpleName() in _CANCEL_CLASSES:
+                return True
+            je = je.getCause()
+            hops += 1
+    except Exception:
+        return True  # JVM handle unusable mid-inspection: bridge going down
+    return False
 
 
 def snapshot_for_push(prices: DataFrame) -> DataFrame:
@@ -137,6 +160,22 @@ class _IncrementalSnapshot:
         return self.rows
 
 
+def wall_clock_batch_ts(batch_id: int) -> dt.datetime:
+    """Reference-parity batch timestamps: one wall-clock stamp per
+    micro-batch, exactly the reference's ingest-time semantics
+    (etl/crypto_etl.py:82 — ``datetime.now()`` once per poll).  Pass
+    as ``batch_ts_fn`` to :func:`run_ingest_stream` for a live
+    deployment where snapshot/history queries must reflect real
+    arrival time.  Trade-off vs the default deterministic clock: a
+    batch REPLAYED after checkpoint recovery re-stamps with a new
+    now(), so if the replay crosses a date boundary the rewrite lands
+    in a fresh dt partition and the original partial output survives
+    as duplicates — at-least-once across day boundaries instead of
+    exactly-once.  (See run_ingest_stream's docstring and README
+    "Streaming" for the full decision table.)"""
+    return dt.datetime.now()
+
+
 def run_ingest_stream(
     spark: SparkSession,
     raw_dir: str,
@@ -160,10 +199,13 @@ def run_ingest_stream(
     (epoch + batch_id x trigger interval), which keeps the sink
     exactly-once across restarts: the (dt, batch) overwrite partition
     a replayed batch writes is ALWAYS the same one it wrote before.
-    A wall-clock fn reproduces the reference's ingest-time stamps
-    (etl/crypto_etl.py:82) but a batch replayed across a day boundary
-    would then land in a fresh dt partition, leaving the original
-    partial output as duplicates — only exactly-once within a day.
+    Pass ``batch_ts_fn=wall_clock_batch_ts`` to reproduce the
+    reference's ingest-time stamps (etl/crypto_etl.py:82) for live
+    deployments — but a batch replayed across a day boundary then
+    lands in a fresh dt partition, leaving the original partial
+    output as duplicates: exactly-once only within a day.  The
+    deterministic default trades reference parity for the stronger
+    replay guarantee; choose per deployment.
     """
     raw_stream = (
         spark.readStream.schema(COINGECKO_RAW_SCHEMA)

@@ -16,6 +16,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     lcg_bucket,
     per_group_cap,
     stratified_sample,
+    xxhash_bucket,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 from tests.conftest import SF_SMALL
@@ -23,17 +24,17 @@ from tests.conftest import SF_SMALL
 
 def test_split_deterministic_under_repartitioning(spark):
     docs = load_table(spark, SF_SMALL, "documents")
-    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", hasher=xxhash_bucket).select("doc_id", "split").collect()}
     b = {
         r["doc_id"]: r["split"]
-        for r in hash_split(docs.repartition(13), "doc_id").select("doc_id", "split").collect()
+        for r in hash_split(docs.repartition(13), "doc_id", hasher=xxhash_bucket).select("doc_id", "split").collect()
     }
     assert a == b
 
 
 def test_split_covers_every_row_and_ratios(spark):
     docs = load_table(spark, SF_SMALL, "documents")
-    counts = {r["split"]: r["n"] for r in hash_split(docs, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()}
+    counts = {r["split"]: r["n"] for r in hash_split(docs, "doc_id", hasher=xxhash_bucket).groupBy("split").agg(F.count("*").alias("n")).collect()}
     total = docs.count()
     assert sum(counts.values()) == total  # no row unassigned
     assert set(counts) == {"train", "valid", "test"}
@@ -49,7 +50,7 @@ def test_stratified_sample_exact_per_stratum(spark):
     }
     got = {
         r["lang"]: r["n"]
-        for r in stratified_sample(docs, "lang", "doc_id", 0.1)
+        for r in stratified_sample(docs, "lang", "doc_id", 0.1, hasher=xxhash_bucket)
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -59,10 +60,10 @@ def test_stratified_sample_exact_per_stratum(spark):
 
 def test_stratified_sample_stable_membership(spark):
     docs = load_table(spark, SF_SMALL, "documents")
-    ids1 = {r["doc_id"] for r in stratified_sample(docs, "lang", "doc_id", 0.1).select("doc_id").collect()}
+    ids1 = {r["doc_id"] for r in stratified_sample(docs, "lang", "doc_id", 0.1, hasher=xxhash_bucket).select("doc_id").collect()}
     ids2 = {
         r["doc_id"]
-        for r in stratified_sample(docs.repartition(7), "lang", "doc_id", 0.1).select("doc_id").collect()
+        for r in stratified_sample(docs.repartition(7), "lang", "doc_id", 0.1, hasher=xxhash_bucket).select("doc_id").collect()
     }
     assert ids1 == ids2
 

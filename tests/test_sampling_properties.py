@@ -17,6 +17,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     pack_chunks,
     per_group_cap,
     stratified_sample,
+    xxhash_bucket,
 )
 
 # One spark fixture per module is session-scoped; hypothesis drives
@@ -90,11 +91,11 @@ def test_hash_split_partition_invariant_default_hasher(spark, keys, nparts):
     df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
     base = {
         r["doc_id"]: r["split"]
-        for r in hash_split(df, "doc_id").select("doc_id", "split").collect()
+        for r in hash_split(df, "doc_id", hasher=xxhash_bucket).select("doc_id", "split").collect()
     }
     reparted = {
         r["doc_id"]: r["split"]
-        for r in hash_split(df.repartition(nparts), "doc_id")
+        for r in hash_split(df.repartition(nparts), "doc_id", hasher=xxhash_bucket)
         .select("doc_id", "split")
         .collect()
     }
