@@ -82,6 +82,10 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_cosine_neardup",
     "media_decode",
+    # round-3 debuts
+    "q11_important_stock",
+    "display_snapshot",
+    "media_audio_decode",
 ]
 
 
