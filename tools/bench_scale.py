@@ -17,12 +17,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from crypto_price_tracker_with_etl_dashboard_spark.session import get_spark
 
-SMALL = "/root/testdata/sf0.1"
-BIG = "/root/repo/.scale/sf1"
+SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = os.path.join(REPO, ".scale", "sf1")
 
 # The 10 most expensive r2 bench queries + the dedup/decontamination
 # pair whose scale behavior (pair-join output, broadcast build side)

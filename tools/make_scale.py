@@ -32,16 +32,30 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.scale/sf1"
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
+)
 
 # key offsets: > max key in sf0.1 by a wide margin, per replica i the
 # key becomes key + i * OFFSET so replicas never collide.
 OFF = 10_000_000
 
+# Driver embeddings are 64-dim (TESTDATA.md); the replica cap below
+# keeps the cyclic roll a bijection across replicas.
+EMB_DIM = 64
+
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # The embedding decorrelation rolls by (i % dim); replicas > dim
+    # would alias replica i back onto replica 0's exact vectors and
+    # silently reintroduce the cosine-duplicate blowup the roll avoids.
+    if replicas > EMB_DIM:
+        raise SystemExit(
+            f"replicas={replicas} exceeds embedding dim {EMB_DIM}; "
+            "roll-based decorrelation would alias back to replica 0"
+        )
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -101,15 +115,21 @@ def main() -> None:
     )
     # documents: inject a per-replica salt token every 5 words so
     # replicas are not near-duplicates of each other (replica 0 is the
-    # original text verbatim).
+    # original text verbatim).  n_chars is recomputed from the salted
+    # text (the driver data satisfies n_chars == length(text) exactly,
+    # so this is lossless for replica 0 and correct for the others --
+    # passing n_chars through verbatim would skew every query that
+    # aggregates document volume).
     build(
         "documents",
-        "SELECT doc_id + {i} * " + str(OFF) + " AS doc_id,"
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        " SELECT doc_id + {i} * " + str(OFF) + " AS doc_id,"
         " CASE WHEN {i} = 0 THEN text ELSE"
         "   array_to_string(list_transform(string_split(text, ' '),"
         "     (w, j) -> CASE WHEN j % 5 = 0 THEN w || ' zsalt{i}q' ELSE w END), ' ')"
         " END AS text,"
-        " lang, source, n_chars FROM {src}",
+        " lang, source FROM {src})",
     )
     # embeddings: roll the vector left by i positions (norm-preserving
     # deterministic decorrelation across replicas).
