@@ -23,6 +23,8 @@ import hashlib
 import warnings
 from typing import Callable, Iterator, Optional
 
+import numpy as np
+
 try:  # optional codec dependency — absent in this container
     from PIL import Image as _PILImage
 
@@ -141,37 +143,46 @@ def wav_decode(content: bytes) -> dict:
     except Exception:
         return null
     if width == 1:  # unsigned 8-bit PCM, center 128
-        samples = [b - 128 for b in raw]
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
         full = 128.0
     elif width == 2:  # signed 16-bit little-endian PCM
-        import array
-
-        a = array.array("h")
-        a.frombytes(raw[: (len(raw) // 2) * 2])
-        samples = a.tolist()
+        samples = np.frombuffer(
+            raw[: (len(raw) // 2) * 2], dtype="<i2"
+        ).astype(np.int64)
         full = 32768.0
     else:
         return null
-    if not samples:
+    m = len(samples)
+    if m == 0:
         return {
             "sample_rate": rate, "n_channels": nch, "n_samples": 0,
             "duration_ms": 0, "rms": 0.0,
             "features": [0.0] * FEATURE_DIM,
         }
-    sq = sum(s * s for s in samples)  # exact integer arithmetic
-    rms = (sq / (len(samples) * full * full)) ** 0.5
+    # int64 squares stay exact (16-bit worst case: 2^30 per sample,
+    # ~2^44 summed over any realistic clip — far from overflow); the
+    # sums are converted back to Python ints so the final
+    # divide+sqrt is the identical pure-Python float expression the
+    # closed-form oracle reproduces bit-for-bit.
+    sq_prefix = np.concatenate(([0], np.cumsum(samples * samples)))
+    sq = int(sq_prefix[m])
+    rms = (sq / (m * full * full)) ** 0.5
     # energy envelope: RMS per FEATURE_DIM equal slices
     feats = []
-    per = max(1, len(samples) // FEATURE_DIM)
+    per = max(1, m // FEATURE_DIM)
     for i in range(FEATURE_DIM):
-        sl = samples[i * per: (i + 1) * per] or [0]
-        feats.append((sum(s * s for s in sl) / (len(sl) * full * full)) ** 0.5)
+        lo, hi = i * per, min((i + 1) * per, m)
+        if lo >= m:  # slice past the end -> silent
+            feats.append(0.0)
+        else:
+            ssq = int(sq_prefix[hi] - sq_prefix[lo])
+            feats.append((ssq / ((hi - lo) * full * full)) ** 0.5)
     return {
         "sample_rate": rate,
         "n_channels": nch,
         "n_samples": n,
         "duration_ms": n * 1000 // rate if rate else None,
-        "rms": rms,
+        "rms": float(rms),
         "features": feats,
     }
 
@@ -261,7 +272,9 @@ def synth_wav_bytes(media_id: int) -> Optional[bytes]:
         w.setnchannels(1)
         w.setsampwidth(1)
         w.setframerate(_WAV_RATE)
-        w.writeframes(bytes((i * k) % 256 for i in range(n)))
+        w.writeframes(
+            (np.arange(n, dtype=np.int64) * k % 256).astype(np.uint8).tobytes()
+        )
     return buf.getvalue()
 
 
