@@ -21,7 +21,12 @@ def lsh_buckets_udf(planes: np.ndarray, n_planes: int, n_tables: int):
     @pandas_udf("array<int>")
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes) > 0  # (n, tables*planes)
+        # The sign test runs on the 6dp-ROUNDED dot so any engine
+        # summing the products in a different order (numpy pairwise
+        # here, sequential fold in the DuckDB oracle) lands in the
+        # same bucket: order-dependent float error is ~1e-13, far
+        # below the rounding quantum.
+        bits = np.round(mat @ planes, 6) > 0  # (n, tables*planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(per_table.astype("int32")))
 

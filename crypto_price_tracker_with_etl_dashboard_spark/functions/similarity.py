@@ -275,7 +275,11 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Colu
     out = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * n_planes + p)])
-        out = out + F.when(_dot(vec, plane) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        # 6dp-rounded sign: keeps this fold-order bucket function
+        # bit-consistent with the GEMM UDF and the DuckDB oracle.
+        out = out + F.when(
+            F.round(_dot(vec, plane), 6) > 0, F.lit(2 ** p)
+        ).otherwise(F.lit(0))
     return out
 
 
@@ -288,9 +292,11 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
     math as ``lsh_bucket`` (identical md5-derived planes, float64),
     but a (batch x dim) @ (dim x planes) GEMM instead of
     n_tables*n_planes interpreted higher-order-function folds per
-    row — ~20x faster, and the hot path at corpus scale.  Sign ties
-    (dot exactly 0) could in principle differ from the fold order,
-    which only perturbs which approximate bucket a vector lands in.
+    row — ~20x faster, and the hot path at corpus scale.  The sign
+    test uses the 6dp-ROUNDED dot, so summation order (numpy
+    pairwise vs sequential fold) cannot flip a bucket bit — buckets
+    are engine-portable and the DuckDB oracle regenerates them
+    exactly.
     """
     import numpy as np
 

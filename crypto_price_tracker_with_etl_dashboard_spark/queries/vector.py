@@ -19,6 +19,19 @@ _K = 5
 _DIM = 64
 
 
+# Shared SQL fragment: double-precision cosine between two 64-dim
+# list columns with the same sequential fold order as the Spark side.
+def _sql_cosine(a: str, b: str) -> str:
+    return f"""round(
+      list_sum(list_transform(range(1, {_DIM} + 1),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))),
+      6)"""
+
+
 # Brute-force top-k as a reusable CTE chain: the emb_cosine_topk
 # oracle selects from it directly, and emb_ann_recall derives its
 # expected pair count from it (instead of hardcoding N*K, which
@@ -65,16 +78,87 @@ register(
 )
 
 
+# LSH knobs mirrored into the oracle below: any change here must
+# change both sides (the SQL is generated from these constants).
+_LSH_PLANES = 6
+_LSH_TABLES = 12
+
+
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return S.random_hyperplane_lsh_topk(emb, queries, dim=_DIM, k=_K)
+    return S.random_hyperplane_lsh_topk(
+        emb, queries, dim=_DIM, k=_K,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, probe_hamming=1,
+    )
 
 
-# Non-SQL-expressible (deterministic hyperplane family lives in
-# Python); the driver records a rows-only check.  ANN *quality* gets
-# its hard driver verdict through emb_ann_recall below.
-register("emb_ann_lsh", q_emb_ann_lsh, None)
+# The hyperplane family is closed-form md5 arithmetic
+# (functions/similarity.py:_hyperplane), so DuckDB regenerates the
+# planes bit-exactly with hex-substring arithmetic; the sign test on
+# both sides runs on the 6dp-rounded dot so summation order (numpy
+# GEMM vs SQL fold) cannot flip a bucket bit.  This makes the whole
+# approximate pipeline — bucketing, OR-amplified tables, Hamming-1
+# multi-probe, exact re-rank — a hard oracle row, not rows-only.
+_LSH_PROBE_OFFSETS = "[0, " + ", ".join(
+    str(1 << p) for p in range(_LSH_PLANES)
+) + "]"
+
+register(
+    "emb_ann_lsh",
+    q_emb_ann_lsh,
+    f"""
+    WITH plane AS (
+      SELECT p, d,
+             ('0x' || substr(md5(p || ':' || d), 1, 8))::BIGINT
+               / 4294967295.0 * 2.0 - 1.0 AS comp
+      FROM range(0, {_LSH_TABLES * _LSH_PLANES}) t1(p),
+           range(0, {_DIM}) t2(d)
+    ),
+    vec_elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.p, round(SUM(e.v * pl.comp), 6) AS dot
+      FROM vec_elems e JOIN plane pl ON e.d = pl.d
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_LSH_PLANES} AS table_idx,
+             SUM(CASE WHEN dot > 0 THEN 1 << (p % {_LSH_PLANES})
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, p // {_LSH_PLANES}
+    ),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.table_idx,
+             xor(b.bucket, o.off) AS bucket
+      FROM buckets b,
+           (SELECT unnest({_LSH_PROBE_OFFSETS}) AS off) o
+      WHERE b.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM buckets c
+      JOIN probes p ON c.table_idx = p.table_idx AND c.bucket = p.bucket
+      WHERE c.vec_id <> p.query_id
+    ),
+    lsh_scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine('q.embedding', 'e.embedding')} AS cosine_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings e ON e.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM lsh_scored
+    ) WHERE rnk <= {_K}
+    """,
+)
 
 
 def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,19 +195,6 @@ register(
     FROM bf_topk
     """,
 )
-
-
-# Shared SQL fragment: double-precision cosine between two 64-dim
-# list columns with the same sequential fold order as the Spark side.
-def _sql_cosine(a: str, b: str) -> str:
-    return f"""round(
-      list_sum(list_transform(range(1, {_DIM} + 1),
-        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
-           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
-       * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))),
-      6)"""
 
 
 _NEARDUP_THRESHOLD = 0.35
