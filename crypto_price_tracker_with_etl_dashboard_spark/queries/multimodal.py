@@ -19,11 +19,13 @@ from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
     MEDIA_CTE_SQL,
     decode_audio,
+    decode_images,
     decode_media,
     fake_decode,
     frame_sample_plan,
     media_from_documents,
     synth_audio,
+    synth_images,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
@@ -112,6 +114,55 @@ register(
                           * (((i * k) % 256) - 128))) AS DOUBLE)
                         / (n * 16384.0)), 6)
            END                                      AS rms
+    FROM params
+    """,
+)
+
+
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: synthesize deterministic 24-bit
+    BMP blobs (bottom-up rows, 4-byte stride), parse them back with
+    the stdlib ``bmp_decode`` kernel, and emit dimensions plus
+    exact-integer per-channel pixel sums.  The pixel formula is
+    closed-form, so the oracle reproduces every value WITHOUT parsing
+    BMP — what the driver certifies is real pixel extraction through
+    Arrow-batched mapInPandas (including stride/row-order handling:
+    get either wrong and every channel sum is wrong), with per-row
+    corrupt-blob degradation (ids % 97 == 0 must come back NULL, not
+    fail the task)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_images(docs.select(F.col("doc_id").alias("media_id")))
+    return decode_images(media)
+
+
+register(
+    "media_image_decode",
+    q_media_image_decode,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1            AS k,
+             doc_id % 13 + 4             AS w,
+             doc_id % 7 + 4              AS h,
+             doc_id % 97 = 0             AS corrupt
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN NOT corrupt THEN CAST(w AS INT) END      AS width,
+           CASE WHEN NOT corrupt THEN CAST(h AS INT) END      AS height,
+           CASE WHEN NOT corrupt THEN CAST(w * h AS BIGINT) END AS n_pixels,
+           CASE WHEN NOT corrupt THEN CAST(list_sum(list_transform(
+             range(0, w * h),
+             i -> (2 * (i % w) + 3 * (i // w) + 3 * k) % 256)) AS BIGINT)
+           END                                                AS sum_r,
+           CASE WHEN NOT corrupt THEN CAST(list_sum(list_transform(
+             range(0, w * h),
+             i -> (3 * (i % w) + (i // w) + 2 * k) % 256)) AS BIGINT)
+           END                                                AS sum_g,
+           CASE WHEN NOT corrupt THEN CAST(list_sum(list_transform(
+             range(0, w * h),
+             i -> ((i % w) + 2 * (i // w) + k) % 256)) AS BIGINT)
+           END                                                AS sum_b
     FROM params
     """,
 )

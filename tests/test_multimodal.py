@@ -163,3 +163,84 @@ def test_synth_audio_decode_roundtrip(spark):
     assert got[1]["n_samples"] == (1 % 30 + 1) * 400
     assert got[1]["duration_ms"] == got[1]["n_samples"] // 8
     assert 0.0 <= got[1]["rms"] <= 1.0 and len(got[1]["features"]) == 16
+
+
+def test_bmp_decode_real_bytes():
+    """Real BMP round-trip with the stdlib struct parser: bottom-up
+    row order, 4-byte stride, top-down (negative height) variant,
+    and per-row corrupt degradation.  Hand-built 2x2 image with a
+    known stride so a parser that ignores padding or row order gets
+    the wrong channel sums."""
+    import struct
+
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        bmp_decode,
+    )
+
+    # logical pixels, top-down:  (r,g,b)
+    #   row 0: (10, 20, 30)  (40, 50, 60)
+    #   row 1: (70, 80, 90)  (100, 110, 120)
+    # stored bottom-up as BGR with stride 8 (2*3 -> pad 2 bytes)
+    row1 = bytes([90, 80, 70, 120, 110, 100]) + b"\xAB\xCD"  # junk pad
+    row0 = bytes([30, 20, 10, 60, 50, 40]) + b"\xEF\x01"
+    data = row1 + row0  # bottom-up: last logical row first
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    d = bmp_decode(hdr + data)
+    assert (d["width"], d["height"], d["n_pixels"]) == (2, 2, 4)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (220, 260, 300)
+
+    # top-down variant (height < 0): rows arrive in logical order
+    hdr_td = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    d_td = bmp_decode(hdr_td + row0 + row1)
+    assert (d_td["sum_r"], d_td["sum_g"], d_td["sum_b"]) == (220, 260, 300)
+
+    # degradation: wrong magic, truncated pixels, unsupported bpp, None
+    assert bmp_decode(b"XXnothing")["width"] is None
+    assert bmp_decode(hdr + data[:-5])["width"] is None
+    bad_bpp = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0
+    )
+    assert bmp_decode(bad_bpp + data)["width"] is None
+    assert bmp_decode(None)["width"] is None
+
+
+def test_synth_bmp_decode_roundtrip_closed_form():
+    """synth -> decode round-trip matches the closed-form channel
+    sums the DuckDB oracle computes (the parity the driver certifies)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        bmp_decode,
+        synth_bmp_bytes,
+    )
+
+    for mid in (1, 5, 12, 96, 98, 255):
+        k = mid % 251 + 1
+        w = mid % 13 + 4
+        h = mid % 7 + 4
+        d = bmp_decode(synth_bmp_bytes(mid))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["sum_r"] == sum(
+            (2 * x + 3 * y + 3 * k) % 256 for x in range(w) for y in range(h)
+        )
+        assert d["sum_g"] == sum(
+            (3 * x + y + 2 * k) % 256 for x in range(w) for y in range(h)
+        )
+        assert d["sum_b"] == sum(
+            (x + 2 * y + k) % 256 for x in range(w) for y in range(h)
+        )
+    assert bmp_decode(synth_bmp_bytes(97))["width"] is None  # corrupt id
+
+
+def test_real_decode_dispatches_bmp():
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        real_decode,
+        synth_bmp_bytes,
+    )
+
+    out = real_decode(synth_bmp_bytes(5), media_type="image", fmt="bmp")
+    assert (out["width"], out["height"]) == (5 % 13 + 4, 5 % 7 + 4)
+    assert len(out["features"]) == 16
+    assert all(0.0 <= f <= 1.0 for f in out["features"])
