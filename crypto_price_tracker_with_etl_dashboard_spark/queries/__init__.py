@@ -58,15 +58,21 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 #                      tools/check_oracle.py (which checks ALL
 #                      queries, not just the window) every round.
 #
-# Rotation table (cursor = (ROTATION_ROUND - 3) * 20 % len(pool)):
-#   round 3: pool[0:20]   — q11 + emb_ann_lsh (never driver-checked
-#                           before r3) + the TPC-H tail
-#   round 4: pool[20:40]  — remaining tail + relational/OLAP families
-#   round 5: pool[40:44] + pool[0:16], and so on.
+# Rotation cursor: each round starts where the previous one STOPPED
+# (the r3 policy's "(round-3)*20" formula assumed 20 rotating slots,
+# but a round with d debuts consumes only 20-d — r3 had 2 debuts and
+# consumed pool[0:18], so a fixed-stride cursor would have skipped
+# pool[18:20] (q21, q22) for two rounds).  _ROTATION_STARTS records
+# the actual consumption history; append the next start each round.
+#   round 3: start 0,  consumed 18 (2 debuts) -> pool[0:18]
+#   round 4: start 18, 1 debut -> pool[18:37]
+#     (relational/OLAP families: sessionize, as-of/range join,
+#      pivot/unpivot, rollup/cube, set ops — all absent from r3)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 3  # bump each round; drives the rotation cursor
+ROTATION_ROUND = 4  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {3: 0, 4: 18}  # append: next round starts at 37 % len(pool)
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -91,7 +97,7 @@ FIXED_CORE: list[str] = [
 # Queries registered for the FIRST time this round: they debut inside
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
-NEW_THIS_ROUND: list[str] = ["display_snapshot", "media_audio_decode"]
+NEW_THIS_ROUND: list[str] = ["media_image_decode"]
 
 ROTATION_POOL: list[str] = [
     # --- never driver-checked before r3: first in cycle ---
@@ -116,6 +122,8 @@ ROTATION_POOL: list[str] = [
     "event_value_quantiles_approx",
     # --- representative TPC-H compositions (in the r2 window) ---
     "q1_pricing_summary", "q3_shipping_priority", "q12_delay_priority",
+    # --- r3 debuts, joined the pool in r4 ---
+    "display_snapshot", "media_audio_decode",
 ]
 
 
@@ -125,7 +133,7 @@ def current_window() -> list[str]:
     n_rotating = DRIVER_WINDOW - len(FIXED_CORE) - len(NEW_THIS_ROUND)
     if n_rotating < 0:
         raise RuntimeError("too many debuts for the window")
-    start = (ROTATION_ROUND - 3) * 20 % len(ROTATION_POOL)
+    start = _ROTATION_STARTS[ROTATION_ROUND] % len(ROTATION_POOL)
     wrapped = ROTATION_POOL[start:] + ROTATION_POOL[:start]
     return FIXED_CORE + NEW_THIS_ROUND + wrapped[:n_rotating]
 
