@@ -86,7 +86,36 @@ HEADLINE = [
     "q11_important_stock",
     "display_snapshot",
     "media_audio_decode",
+    # round-4 debuts
+    "media_image_decode",
 ]
+
+# Regression budget (BASELINE.md): a query is a breach when its
+# suite time exceeds 2x its first-recorded bench time.  Breaches are
+# automatically re-run in isolation AFTER the suite (same session,
+# min of 3) so host-noise inflation is separated from real
+# regressions in the same artifact that reports them.
+BUDGET_FACTOR = 2.0
+ISOLATION_RUNS = 3
+
+
+def _baseline_times() -> dict[str, float]:
+    """First-recorded bench time per query, from the committed
+    BENCH_r*.json artifacts (r1 is the declared regression baseline;
+    later files only supply debuts that r1 predates)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    base: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, sec in rec.get("queries", {}).items():
+            base.setdefault(name, float(sec))
+    return base
 
 
 def main() -> None:
@@ -123,6 +152,42 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+
+    # Calibration probe: a fixed JVM-side aggregation whose cost is
+    # engine-invariant across rounds, timed AFTER the suite.  Rounds
+    # run on a noisy shared host; dividing any suite time by
+    # calibration_sec normalizes out host-speed drift (r3 shipped
+    # ~1.6x uniformly-inflated numbers with no way to tell noise
+    # from regression — this field is that missing denominator).
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        cal = min(cal, time.time() - t0)
+
+    # Budget check + automatic isolation: any query over BUDGET_FACTOR
+    # x its first-recorded time is re-run (min of ISOLATION_RUNS) so
+    # the artifact itself says whether the breach survives isolation.
+    base = _baseline_times()
+    breaches: dict[str, dict] = {}
+    for name, sec in timings.items():
+        budget = base.get(name)
+        if budget is None or sec <= BUDGET_FACTOR * budget:
+            continue
+        iso = float("inf")
+        for _ in range(ISOLATION_RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            iso = min(iso, time.time() - t0)
+        breaches[name] = {
+            "suite_sec": sec,
+            "baseline_sec": budget,
+            "isolated_sec": round(iso, 3),
+            "verdict": (
+                "noise" if iso <= BUDGET_FACTOR * budget else "regression"
+            ),
+        }
+
     print(
         json.dumps(
             {
@@ -131,6 +196,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "calibration_sec": round(cal, 3),
+                "breaches": breaches,
             }
         )
     )
