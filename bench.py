@@ -88,6 +88,8 @@ HEADLINE = [
     "media_audio_decode",
     # round-4 debuts
     "media_image_decode",
+    "doc_pii_scrub",
+    "doc_repetition",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -137,3 +137,85 @@ def quality_features(text: Column | str) -> dict[str, Column]:
         "punct_ratio": (n_punct / n_char).cast("double"),
         "distinct_stopwords": n_stop.cast("bigint"),
     }
+
+
+# ---- PII scrubbing (C4-style) ----------------------------------------------
+# Patterns kept alternation-free and anchored with \b so Java regex
+# (Spark, leftmost-first) and RE2 (DuckDB, leftmost-longest) produce
+# identical matches — the two dialects only diverge on alternation /
+# backtracking constructs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails -> <EMAIL>, then IPv4s -> <IP>, then
+    NNN-NNN-NNNN phones -> <PHONE>.  Replacement ORDER is part of the
+    contract (emails contain dots and digits that the later patterns
+    could otherwise partially match); counts taken at each stage must
+    therefore run on the progressively-scrubbed text.  Pure Column
+    expressions — a zero-shuffle map stage at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts, each counted on the text AFTER the
+    preceding kinds were redacted (mirrors scrub_pii's order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE))
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+    return {"n_emails": n_emails, "n_ips": n_ips, "n_phones": n_phones}
+
+
+# ---- Repetition scoring (Gopher-style) -------------------------------------
+
+def word_array(text: Column | str) -> Column:
+    """Split on single spaces — the deterministic tokenization shared
+    with the SQL twin (documents are single-space joined)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def bigram_array(text: Column | str) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings, pure Column exprs
+    (sequence + transform over the word array; empty when the doc has
+    fewer than 2 words — Spark's sequence() would otherwise count
+    DOWN from 0 to a negative stop)."""
+    words = word_array(text)
+    n2 = F.size(words) - F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n2 - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return F.when(n2 > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Duplicate-fraction repetition signals (Gopher / MassiveText
+    quality rules): 1 - distinct/total for words and for adjacent
+    bigrams.  A heavily-repeated document scores high and gets
+    filtered before training.  Zero shuffle — array ops per row."""
+    words = word_array(text)
+    grams = bigram_array(text)
+    n_words = F.size(words)
+    n_grams = F.size(grams)
+    return {
+        "n_words": n_words.cast("bigint"),
+        "dup_word_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(words)) / n_words, 6
+        ),
+        "n_bigrams": n_grams.cast("bigint"),
+        "dup_bigram_frac": F.when(
+            n_grams > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6),
+        ),
+    }

@@ -540,3 +540,110 @@ register(
     ORDER BY t.doc_id
     """,
 )
+
+
+# ---- PII scrubbing (C4-style redaction) ------------------------------------
+# The synthetic corpus contains no natural PII, so the query injects
+# a deterministic closed-form payload per doc (email + IPv4 + phone,
+# skipped for doc_id % 5 == 0 to exercise zero-count rows) and then
+# scrubs it back out — certifying the regex redaction machinery with
+# non-trivial counts on BOTH engines.  Redaction order (email -> ip
+# -> phone) is part of the contract; see functions/text.py.
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    payload = F.concat(
+        F.lit(" contact user"), did, F.lit("@mail.example.com from 10."),
+        (did % 200).cast("string"), F.lit("."), (did % 250).cast("string"),
+        F.lit(".42 call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    aug = F.when(did % 5 == 0, F.col("text")).otherwise(F.concat("text", payload))
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    counts = T.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        *[c.cast("int").alias(n) for n, c in counts.items()],
+        F.length(T.scrub_pii("text")).cast("bigint").alias("scrubbed_len"),
+        F.length("text").cast("bigint").alias("orig_len"),
+    )
+
+
+_SQL_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_SQL_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+register(
+    "doc_pii_scrub",
+    q_doc_pii_scrub,
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text
+                  ELSE text || ' contact user' || doc_id
+                       || '@mail.example.com from 10.' || (doc_id % 200)
+                       || '.' || (doc_id % 250) || '.42 call 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS text
+      FROM documents
+    ),
+    stages AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{_SQL_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ),
+    stages2 AS (
+      SELECT *, regexp_replace(t1, '{_SQL_PII_IP}', '<IP>', 'g') AS t2 FROM stages
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SQL_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{_SQL_PII_IP}')) AS INT)     AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{_SQL_PII_PHONE}')) AS INT)  AS n_phones,
+           CAST(length(regexp_replace(t2, '{_SQL_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+             AS scrubbed_len,
+           CAST(length(text) AS BIGINT) AS orig_len
+    FROM stages2
+    """,
+)
+
+
+# ---- Repetition scoring (Gopher-style duplicate fractions) -----------------
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.repetition_features("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+register(
+    "doc_repetition",
+    q_doc_repetition,
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_TOKS} AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, words, len(words) AS n_words,
+             CASE WHEN len(words) >= 2 THEN
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1])
+             ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(1.0 - len(list_distinct(words)) / CAST(n_words AS DOUBLE), 6)
+             AS dup_word_frac,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(grams) > 0 THEN
+             round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+           END AS dup_bigram_frac
+    FROM g
+    """,
+)

@@ -90,3 +90,57 @@ def test_winnow_fingerprints_shared_for_common_substring(spark):
     assert by_id[1] & by_id[2]
     assert len(by_id[1] & by_id[3]) < len(by_id[1] & by_id[2])
     assert by_id[4] == set()
+
+
+def test_scrub_pii_and_counts(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk ip 192.168.0.1 tel 555-123-4567"),
+            (2, "no pii at all"),
+            (3, "two mails x@y.io z@w.ai and 999.999.999.999"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("s"),
+            *[c.alias(n) for n, c in pii_counts("text").items()],
+        ).collect()
+    }
+    assert out[1]["s"] == "mail <EMAIL> ip <IP> tel <PHONE>"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[2]["s"] == "no pii at all"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    # the naive IPv4 pattern intentionally matches out-of-range octets
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 1)
+
+
+def test_repetition_features(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct word of 4; bigram 'a a' x3
+            (2, "w x y z"),          # no repetition at all
+            (3, "solo"),             # single word: no bigrams -> NULL frac
+        ],
+        ["doc_id", "text"],
+    )
+    feats = repetition_features("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert out[1]["n_words"] == 4 and out[1]["dup_word_frac"] == 0.75
+    assert out[1]["n_bigrams"] == 3 and out[1]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_frac"] is None
