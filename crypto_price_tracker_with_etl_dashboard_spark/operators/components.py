@@ -64,6 +64,14 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .distinct()
     )
+    # Materialize the edge list ONCE: every round joins sym, and
+    # without this the whole upstream pipeline that PRODUCED the
+    # edges (e.g. MinHash signatures + band join) re-executes per
+    # round — sf1 telemetry showed that recomputation, not the CC
+    # rounds, dominating wall clock (20 s -> ~6 s for dup clusters).
+    # At 100 TB persisting |edges| rows is strictly cheaper than
+    # re-running the candidate-pair generator diameter-many times.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("n").distinct().withColumn("component", F.col("n"))
     labels = labels.localCheckpoint(eager=True)
 
