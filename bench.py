@@ -90,6 +90,7 @@ HEADLINE = [
     "media_image_decode",
     "doc_pii_scrub",
     "doc_repetition",
+    "emb_scalar_quantize",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its
@@ -115,7 +116,11 @@ def _baseline_times() -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        for name, sec in rec.get("queries", {}).items():
+        # The driver archives bench output wrapped in an envelope with
+        # the real record under "parsed"; a raw bench.py line has
+        # "queries" at top level.  Accept both.
+        queries = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
+        for name, sec in queries.items():
             base.setdefault(name, float(sec))
     return base
 
