@@ -414,3 +414,66 @@ def random_hyperplane_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
+
+
+def scalar_quantize_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension global [min, max] as one row of two
+    position-ordered arrays — the codebook for scalar (int8-style)
+    quantization.  One posexplode + tiny agg; output is O(dim),
+    always broadcast-sized."""
+    per_dim = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    stats: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar quantization audit: 8-bit code per dimension
+    (round((v-lo)/(hi-lo)*255), 0 for constant dims) against the
+    global per-dim codebook, emitting the exact integer code sum (a
+    checksum certifying every code) and the reconstruction MSE.  The
+    corpus is scanned once with the 1-row codebook broadcast — a
+    zero-shuffle map at any scale; all arithmetic is the sequential
+    double fold the DuckDB oracle reproduces bit-for-bit."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def at(arr: Column, i: Column) -> Column:
+        return F.element_at(arr, i + 1)
+
+    def code(i: Column) -> Column:
+        v = at(F.col(vec_col), i).cast("double")
+        lo, hi = at(F.col("los"), i), at(F.col("his"), i)
+        return F.when(hi == lo, F.lit(0.0)).otherwise(
+            F.round((v - lo) / (hi - lo) * 255, 0)
+        )
+
+    def sq_err(i: Column) -> Column:
+        v = at(F.col(vec_col), i).cast("double")
+        lo, hi = at(F.col("los"), i), at(F.col("his"), i)
+        diff = v - (lo + code(i) / 255.0 * (hi - lo))
+        return diff * diff
+
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return emb.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        fold(F.transform(idx, code)).cast("bigint").alias("code_sum"),
+        F.round(fold(F.transform(idx, sq_err)) / dim, 9).alias("mse"),
+    )

@@ -339,3 +339,49 @@ register(
     FROM per_dim GROUP BY label ORDER BY label
     """,
 )
+
+
+# ---- Scalar quantization audit ---------------------------------------------
+
+def q_emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of every embedding against the
+    global per-dim codebook: exact integer code checksum + double
+    reconstruction MSE per vector (see S.scalar_quantize)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = S.scalar_quantize_stats(emb)
+    return S.scalar_quantize(emb, stats, dim=_DIM)
+
+
+_SQ_CODE = (
+    "CASE WHEN his[i] = los[i] THEN 0.0"
+    " ELSE round((CAST(embedding[i] AS DOUBLE) - los[i])"
+    " / (his[i] - los[i]) * 255) END"
+)
+_SQ_DIFF = (
+    "(CAST(embedding[i] AS DOUBLE)"
+    f" - (los[i] + ({_SQ_CODE}) / 255.0 * (his[i] - los[i])))"
+)
+
+register(
+    "emb_scalar_quantize",
+    q_emb_scalar_quantize,
+    f"""
+    WITH per_dim AS (
+      SELECT pos, MIN(CAST(v AS DOUBLE)) AS lo, MAX(CAST(v AS DOUBLE)) AS hi
+      FROM (SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY pos
+    ),
+    stats AS (
+      SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+      FROM per_dim
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+                i -> {_SQ_CODE})) AS BIGINT)                   AS code_sum,
+           round(list_sum(list_transform(range(1, {_DIM} + 1),
+                i -> {_SQ_DIFF} * {_SQ_DIFF})) / {_DIM}, 9)   AS mse
+    FROM embeddings, stats
+    """,
+)

@@ -107,3 +107,32 @@ def test_lsh_scores_match_exact_for_shared_pairs(spark):
               for r in random_hyperplane_lsh_topk(emb, queries, dim=64, k=5).collect()}
     shared = set(exact) & set(approx)
     assert all(exact[p] == approx[p] for p in shared)
+
+
+def test_scalar_quantize_exact_roundtrip(spark):
+    """Codes and MSE against hand-computed values; a constant
+    dimension must code to 0 with zero error instead of dividing by
+    zero."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        scalar_quantize,
+        scalar_quantize_stats,
+    )
+
+    rows = [
+        (0, [0.0, 5.0, 1.0]),
+        (1, [1.0, 5.0, 3.0]),
+        (2, [2.0, 5.0, 2.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stats = scalar_quantize_stats(emb)
+    s = stats.collect()[0]
+    assert s["los"] == [0.0, 5.0, 1.0] and s["his"] == [2.0, 5.0, 3.0]
+    out = {r["vec_id"]: r for r in scalar_quantize(emb, stats, dim=3).collect()}
+    # vec 0: codes (0, 0, 0)   vec 1: (round(127.5)=128, 0, 255)
+    # vec 2: (255, 0, round(127.5)=128)
+    assert out[0]["code_sum"] == 0 and out[0]["mse"] == 0.0
+    assert out[1]["code_sum"] == 128 + 0 + 255
+    assert out[2]["code_sum"] == 255 + 0 + 128
+    # vec 1 dim 0 recon: 128/255*2 = 1.00392...; err^2/3 rounded to 9dp
+    exp = round((1.0 - 128 / 255.0 * 2.0) ** 2 / 3, 9)
+    assert out[1]["mse"] == exp
