@@ -137,3 +137,39 @@ def test_range_join_no_nested_loop(spark):
     plan = plan_of(SPARK_QUERIES["events_range_join"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_and_repetition_zero_shuffle(spark):
+    """PII scrub and repetition scoring are pure Column expressions:
+    the whole query must compile to a single map stage over the scan
+    — any Exchange means someone broke whole-stage fusion."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        pii_counts,
+        repetition_features,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    scrubbed = docs.select(
+        "doc_id",
+        F.length(scrub_pii("text")).alias("slen"),
+        *[c.alias(n) for n, c in pii_counts("text").items()],
+    )
+    assert "Exchange" not in plan_of(scrubbed)
+    rep = docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in repetition_features("text").items()],
+    )
+    assert "Exchange" not in plan_of(rep)
+
+
+def test_scalar_quantize_corpus_not_shuffled(spark):
+    """The quantize pass must broadcast the 1-row codebook and scan
+    the corpus once: no SortMergeJoin, no hash exchange of the corpus
+    (the only exchanges allowed live in the tiny stats subplan)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    stats = S.scalar_quantize_stats(emb)
+    plan = plan_of(S.scalar_quantize(emb, stats, dim=64))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook, no key
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
