@@ -103,13 +103,16 @@ ISOLATION_RUNS = 3
 
 
 def _baseline_times() -> dict[str, float]:
-    """First-recorded bench time per query, from the committed
-    BENCH_r*.json artifacts (r1 is the declared regression baseline;
-    later files only supply debuts that r1 predates)."""
+    """Budget baseline per query from the committed BENCH_r*.json
+    artifacts, per BASELINE.md's declared rule: the r1 time where one
+    exists (r1 is the named regression baseline), else — for queries
+    that debuted later — the BEST later-round time, so a debut
+    recorded in a noisy round doesn't keep a loose budget forever."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    base: dict[str, float] = {}
+    r1: dict[str, float] = {}
+    best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -120,9 +123,14 @@ def _baseline_times() -> dict[str, float]:
         # the real record under "parsed"; a raw bench.py line has
         # "queries" at top level.  Accept both.
         queries = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
+        first = not r1 and not best
         for name, sec in queries.items():
-            base.setdefault(name, float(sec))
-    return base
+            sec = float(sec)
+            if first:
+                r1[name] = sec
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    return {**best, **r1}
 
 
 def main() -> None:
