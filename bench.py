@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_repetition",
     "emb_scalar_quantize",
+    "doc_mixture_sample",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

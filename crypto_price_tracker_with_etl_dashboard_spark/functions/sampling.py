@@ -31,6 +31,8 @@ training-pipeline extensions.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -185,4 +187,72 @@ def pack_chunks(
             "end_chunk", F.expr(f"(_excl + {tokens_col} - 1) div {budget}")
         )
         .drop("_b", "_excl_in", "_off", "_excl")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    *,
+    hasher: Callable[..., Column],
+    default: float = 0.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: each source is repeated
+    ``weights[source]`` epochs (LLaMA/Pile-style mixture weights) —
+    ``floor(w)`` full copies of every row plus one extra copy for the
+    deterministic ``frac(w)`` hash-slice of the source.  Emits the
+    input columns plus ``copy_idx`` (0-based); weight-0 sources drop
+    out.  Reproducible under any partitioning (pure key arithmetic,
+    no RNG) and a zero-shuffle narrow map at any scale.
+
+    Fractions are quantized to 1e-4 IN PYTHON so both engines compare
+    the hash bucket against the same integer literal — no float
+    thresholds in the plan.  ``hasher`` is required (same contract as
+    ``hash_split``): ``lcg_bucket`` for oracle-checkable runs,
+    ``xxhash_bucket`` in production."""
+    n_full_col = F.lit(None).cast("int")
+    thr_col = F.lit(None).cast("int")
+    src = F.col(source_col)
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}")
+        n_full_col = F.when(src == s, int(w)).otherwise(n_full_col)
+        thr_col = F.when(src == s, round((w - int(w)) * 10_000)).otherwise(thr_col)
+    n_full_col = F.coalesce(n_full_col, F.lit(int(default)))
+    thr_col = F.coalesce(thr_col, F.lit(round((default - int(default)) * 10_000)))
+    n = n_full_col + (hasher(key, buckets=10_000) < thr_col).cast("int")
+    copies = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # explode_outer + IS NOT NULL: plain explode would infer a
+    # size>0 scan filter re-evaluating the sequence (see dedup.py).
+    return (
+        df.select("*", F.explode_outer(copies).alias("copy_idx"))
+        .filter(F.col("copy_idx").isNotNull())
+    )
+
+
+def sql_mixture_n_copies(
+    key_expr: str,
+    source_expr: str,
+    weights: dict[str, float],
+    default: float = 0.0,
+) -> str:
+    """Oracle twin of the ``mixture_sample`` copy count (same integer
+    thresholds, same hash)."""
+    full_cases = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {round((w - int(w)) * 10_000)}"
+        for s, w in weights.items()
+    )
+    return (
+        f"(CASE {source_expr} {full_cases} ELSE {int(default)} END"
+        f" + CASE WHEN {sql_lcg_bucket(key_expr, 10_000)}"
+        f" < CASE {source_expr} {thr_cases}"
+        f" ELSE {round((default - int(default)) * 10_000)} END"
+        f" THEN 1 ELSE 0 END)"
     )

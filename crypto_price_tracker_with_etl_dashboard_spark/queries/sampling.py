@@ -156,3 +156,65 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# ---- data-mixture sampling (epoch weights per source) ----------------------
+
+# LLaMA/Pile-style mixture: multi-epoch, exactly-once, fractional,
+# and defaulted sources all exercised.  Weights live here so the SQL
+# twin is generated from the same dict.
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+_MIX_DEFAULT = 0.25
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = mixture_sample(
+        docs, "doc_id", _MIX_WEIGHTS, default=_MIX_DEFAULT, hasher=lcg_bucket
+    )
+    # reduce to a per-source audit so the certified row set stays
+    # small while still pinning every copy (sum of copy_idx detects
+    # any miscounted epoch)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows_out"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("copy_idx").cast("bigint").alias("copy_idx_sum"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_mixture_n_copies,
+    )
+
+    n = sql_mixture_n_copies("doc_id", "source", _MIX_WEIGHTS, _MIX_DEFAULT)
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, source, n_chars, {n} AS n_copies FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id, source, n_chars,
+             unnest(range(0, n_copies)) AS copy_idx
+      FROM counted WHERE n_copies > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_rows_out,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(copy_idx) AS BIGINT) AS copy_idx_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM expanded GROUP BY source ORDER BY source
+    """
+
+
+register("doc_mixture_sample", q_doc_mixture_sample, _mixture_sql())

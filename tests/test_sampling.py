@@ -147,3 +147,45 @@ def test_pack_chunks_contiguous_coverage(spark):
         assert r["start_chunk"] == total // 512
         total += r["n_tokens"]
         assert r["end_chunk"] == (total - 1) // 512
+
+
+def test_mixture_sample_epoch_semantics(spark):
+    """floor(w) full copies + deterministic fractional slice; weight-0
+    sources drop; unknown sources take the default; copy_idx is dense
+    0..n-1 per kept row."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 80 else "z")) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "source"])
+    out = mixture_sample(
+        df, "k", {"a": 2.5, "b": 0.0}, default=1.0, hasher=lcg_bucket
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # b dropped entirely
+    assert "b" not in by_src
+    # z (default 1.0): exactly one copy per row, copy_idx 0
+    assert len(by_src["z"]) == 40 and all(r["copy_idx"] == 0 for r in by_src["z"])
+    # a: every key appears 2 or 3 times, fractional slice deterministic
+    from collections import Counter
+
+    counts = Counter(r["k"] for r in by_src["a"])
+    assert set(counts.keys()) == set(range(40))
+    assert all(c in (2, 3) for c in counts.values())
+    expected_extra = {k for k in range(40) if ((k * 1103515245 + 12345) % 2_147_483_648) % 10_000 < 5_000}
+    assert {k for k, c in counts.items() if c == 3} == expected_extra
+    # copy_idx dense per key
+    for k in range(40):
+        idxs = sorted(r["copy_idx"] for r in by_src["a"] if r["k"] == k)
+        assert idxs == list(range(len(idxs)))
+    # rerun is identical (pure key arithmetic, no RNG)
+    again = mixture_sample(
+        df.repartition(7), "k", {"a": 2.5, "b": 0.0}, default=1.0, hasher=lcg_bucket
+    ).collect()
+    assert sorted((r["k"], r["source"], r["copy_idx"]) for r in again) == sorted(
+        (r["k"], r["source"], r["copy_idx"]) for r in out
+    )
