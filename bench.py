@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_repetition",
     "emb_scalar_quantize",
     "doc_mixture_sample",
+    "emb_kmeans",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -477,3 +477,115 @@ def scalar_quantize(
         fold(F.transform(idx, code)).cast("bigint").alias("code_sum"),
         F.round(fold(F.transform(idx, sq_err)) / dim, 9).alias("mse"),
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd assignment step: nearest centroid by squared L2 (ties ->
+    lowest cid), as a ZERO-SHUFFLE map: the k centroids are packed
+    into one cid-ordered array row, broadcast, and each corpus row
+    folds over them keeping the running (best_d, best_cid) — no
+    explode, no per-vector window (a row_number argmin would shuffle
+    |corpus| x k scored rows, the wrong plan at 100 TB).  The
+    distance is the same sequential double fold the oracle's
+    list_sum computes, so assignment is bit-deterministic across
+    engines even though the oracle uses a rank formulation."""
+    packed = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("__cents")
+    )
+    vec = F.col(vec_col)
+
+    def step(acc: Column, s: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(
+                vec, s["c"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, s["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(-1).cast("bigint").alias("cid"),
+        ),
+        step,
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select(id_col, vec_col, best["cid"].alias("cid"))
+    )
+
+
+def kmeans_update(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Lloyd update step: decimal-exact per-dimension means per
+    cluster (one shuffle on (cid, pos), partial-aggregated map-side),
+    re-assembled into position-ordered centroid arrays.  Output is
+    O(k) rows — always broadcast-sized."""
+    per_dim = (
+        assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("v")
+            ).alias("mean_v")
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("c")
+    )
+
+
+def kmeans_iterate(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means via ``iters`` Lloyd rounds from deterministic seeds
+    (the k lowest-id vectors).  Returns per-cluster membership counts
+    and the round-6 norm of the last UPDATED centroid — the audit a
+    curation pipeline reads to pick k / detect collapse.  Every step
+    is engine-portable arithmetic (broadcast assignment fold +
+    decimal-exact means), so a SQL oracle can unroll the same rounds
+    and match bit-for-bit."""
+    cents = (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, cents, dim, id_col, vec_col)
+        cents = kmeans_update(assigned, vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        counts.join(cents, "cid")
+        .select("cid", "n_members", F.round(norm, 6).alias("centroid_norm"))
+        .orderBy("cid")
+    )

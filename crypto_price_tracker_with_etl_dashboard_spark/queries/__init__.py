@@ -65,14 +65,14 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 # pool[18:20] (q21, q22) for two rounds).  _ROTATION_STARTS records
 # the actual consumption history; append the next start each round.
 #   round 3: start 0,  consumed 18 (2 debuts) -> pool[0:18]
-#   round 4: start 18, 5 debuts -> pool[18:33]
+#   round 4: start 18, 6 debuts -> pool[18:32]
 #     (relational/OLAP families: sessionize, as-of/range join,
-#      pivot/unpivot, rollup/cube — all absent from r3)
+#      pivot/unpivot, rollup — all absent from r3)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
 ROTATION_ROUND = 4  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18}  # append: next round starts at 33 % len(pool)
+_ROTATION_STARTS = {3: 0, 4: 18}  # append: next round starts at 32 % len(pool)
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -99,7 +99,7 @@ FIXED_CORE: list[str] = [
 # correctness gate), then join ROTATION_POOL next round.
 NEW_THIS_ROUND: list[str] = [
     "media_image_decode", "doc_pii_scrub", "doc_repetition",
-    "emb_scalar_quantize", "doc_mixture_sample",
+    "emb_scalar_quantize", "doc_mixture_sample", "emb_kmeans",
 ]
 
 ROTATION_POOL: list[str] = [

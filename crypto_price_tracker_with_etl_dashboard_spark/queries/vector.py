@@ -385,3 +385,79 @@ register(
     FROM embeddings, stats
     """,
 )
+
+
+# ---- K-means (Lloyd) clustering audit --------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds over the embeddings from deterministic seeds
+    (k lowest vec_ids): per-cluster membership counts + final
+    centroid norms (see S.kmeans_iterate; assignment is a
+    zero-shuffle broadcast fold, update a decimal-exact mean)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_iterate(emb, k=_KM_K, dim=_DIM, iters=_KM_ITERS)
+
+
+def _km_sqdist(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM} + 1),"
+        f" i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i])"
+        f" * (CAST({vec}[i] AS DOUBLE) - {cent}[i])))"
+    )
+
+
+def _km_assign_sql(cents_cte: str, out: str) -> str:
+    """One Lloyd assignment round as SQL (rank formulation — same
+    results as the Spark fold because distances are bit-identical and
+    ties break on cid)."""
+    return f"""
+    {out} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_km_sqdist('e.embedding', 's.c')} ASC, s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN {cents_cte} s
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign_cte: str, out: str) -> str:
+    return f"""
+    {out}_dims AS (
+      SELECT a.cid, el.pos,
+             CAST(SUM(CAST(el.v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(el.v)
+               AS mean_v
+      FROM {assign_cte} a JOIN (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ) el ON a.vec_id = el.vec_id
+      GROUP BY a.cid, el.pos
+    ),
+    {out} AS (
+      SELECT cid, list(mean_v ORDER BY pos) AS c
+      FROM {out}_dims GROUP BY cid
+    )"""
+
+
+register(
+    "emb_kmeans",
+    q_emb_kmeans,
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),{_km_assign_sql('seeds', 'a1')},{_km_update_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},{_km_update_sql('a2', 'c2')}
+    SELECT a.cid, COUNT(*) AS n_members,
+           round(sqrt({'{}'.format('list_sum(list_transform(c2.c, x -> x * x))')}), 6)
+             AS centroid_norm
+    FROM a2 a JOIN c2 ON a.cid = c2.cid
+    GROUP BY a.cid, c2.c ORDER BY a.cid
+    """,
+)

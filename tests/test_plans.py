@@ -173,3 +173,19 @@ def test_scalar_quantize_corpus_not_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook, no key
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Lloyd assignment must be a broadcast fold over packed
+    centroids — no per-vector argmin window (that would shuffle
+    |corpus| x k scored rows), no sort-merge, no hash exchange of the
+    corpus."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    plan = plan_of(S.kmeans_assign(emb, cents, dim=64))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan

@@ -136,3 +136,40 @@ def test_scalar_quantize_exact_roundtrip(spark):
     # vec 1 dim 0 recon: 128/255*2 = 1.00392...; err^2/3 rounded to 9dp
     exp = round((1.0 - 128 / 255.0 * 2.0) ** 2 / 3, 9)
     assert out[1]["mse"] == exp
+
+
+def test_kmeans_iterate_semantics(spark):
+    """Two well-separated blobs with seeds inside each: one Lloyd
+    round must assign every point to its blob's seed and pull the
+    centroid to the blob mean; ties break to the lowest cid."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kmeans_assign,
+        kmeans_iterate,
+        kmeans_update,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+            (4, [11.0, 10.0]), (5, [10.0, 11.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["cid"]: r for r in kmeans_iterate(emb, k=2, dim=2, iters=1).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 3
+    # cluster 0 mean = (1/3, 1/3); cluster 1 mean = (31/3, 31/3)
+    import math
+    assert out[0]["centroid_norm"] == round(math.sqrt(2 * (1 / 3) ** 2), 6)
+    assert out[1]["centroid_norm"] == round(math.sqrt(2 * (31 / 3) ** 2), 6)
+
+    # tie-break: a point equidistant from both seeds goes to cid 0
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0])], ["cid", "c"]
+    )
+    tied = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert kmeans_assign(tied, cents, dim=2).collect()[0]["cid"] == 0
+
+    # update means are exact
+    assigned = spark.createDataFrame(
+        [(0, [1.0, 3.0], 7), (1, [2.0, 5.0], 7)], ["vec_id", "embedding", "cid"]
+    )
+    c = kmeans_update(assigned).collect()[0]
+    assert c["cid"] == 7 and c["c"] == [1.5, 4.0]
