@@ -125,13 +125,21 @@ def _baseline_times() -> dict[str, float]:
         # the real record under "parsed"; a raw bench.py line has
         # "queries" at top level.  Accept both.
         queries = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
-        first = not r1 and not best
+        # The named r1 baseline is pinned to BENCH_r01.json BY NAME —
+        # never inferred from glob order, so a missing/unreadable r1
+        # artifact cannot silently promote a later round to baseline.
+        if os.path.basename(path) == "BENCH_r01.json":
+            r1 = {name: float(sec) for name, sec in queries.items()}
         for name, sec in queries.items():
             sec = float(sec)
-            if first:
-                r1[name] = sec
             if name not in best or sec < best[name]:
                 best[name] = sec
+    if not r1:
+        print(
+            "WARNING: BENCH_r01.json missing or empty — per-query budgets "
+            "fall back to best-round times only",
+            file=sys.stderr,
+        )
     return {**best, **r1}
 
 

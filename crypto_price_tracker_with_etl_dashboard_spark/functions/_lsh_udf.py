@@ -25,7 +25,11 @@ def lsh_buckets_udf(planes: np.ndarray, n_planes: int, n_tables: int):
         # summing the products in a different order (numpy pairwise
         # here, sequential fold in the DuckDB oracle) lands in the
         # same bucket: order-dependent float error is ~1e-13, far
-        # below the rounding quantum.
+        # below the rounding quantum.  Residual caveat: a dot landing
+        # EXACTLY on a 0.5e-6 rounding boundary could still diverge
+        # (np.round is half-to-even, Spark F.round HALF_UP, DuckDB
+        # half-away-from-zero) — measure-zero for real-valued dots and
+        # never observed on the test corpora, but not impossible.
         bits = np.round(mat @ planes, 6) > 0  # (n, tables*planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(per_table.astype("int32")))

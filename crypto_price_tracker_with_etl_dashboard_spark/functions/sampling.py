@@ -215,6 +215,8 @@ def mixture_sample(
     n_full_col = F.lit(None).cast("int")
     thr_col = F.lit(None).cast("int")
     src = F.col(source_col)
+    if default < 0:
+        raise ValueError(f"negative default weight: {default}")
     for s, w in weights.items():
         if w < 0:
             raise ValueError(f"negative weight for {s!r}")
@@ -241,7 +243,13 @@ def sql_mixture_n_copies(
     default: float = 0.0,
 ) -> str:
     """Oracle twin of the ``mixture_sample`` copy count (same integer
-    thresholds, same hash)."""
+    thresholds, same hash — and the same weight validation, so both
+    sides reject what the other would reject)."""
+    if default < 0:
+        raise ValueError(f"negative default weight: {default}")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}")
     full_cases = " ".join(
         f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items()
     )

@@ -559,25 +559,64 @@ def kmeans_iterate(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float | None = None,
 ) -> DataFrame:
-    """K-means via ``iters`` Lloyd rounds from deterministic seeds
-    (the k lowest-id vectors).  Returns per-cluster membership counts
-    and the round-6 norm of the last UPDATED centroid — the audit a
-    curation pipeline reads to pick k / detect collapse.  Every step
-    is engine-portable arithmetic (broadcast assignment fold +
-    decimal-exact means), so a SQL oracle can unroll the same rounds
-    and match bit-for-bit."""
+    """K-means via ``iters`` Lloyd rounds from deterministic seeds —
+    the k LOWEST ids actually present (orderBy + limit, so sparse or
+    offset id spaces still yield exactly k seeds; an ``id < k``
+    filter would silently under-seed them).  Returns per-cluster
+    membership counts and the round-6 norm of the last UPDATED
+    centroid — the audit a curation pipeline reads to pick k / detect
+    collapse.  Every step is engine-portable arithmetic (broadcast
+    assignment fold + decimal-exact means), so a SQL oracle can
+    unroll the same rounds and match bit-for-bit.
+
+    Lineage discipline: the O(k)-row centroid frame is
+    ``localCheckpoint(eager=True)``-ed EVERY round — without it the
+    assign->update chain re-derives all prior rounds each iteration
+    (the exact lesson ``operators/components.py`` learned twice for
+    CC labels/edges), so plan depth and job time grow quadratically
+    in ``iters``.  Cost: one O(k)-row materialization per round —
+    free at any corpus scale.  Plan-depth boundedness at ``iters>=8``
+    is pinned in tests/test_plans.py.
+
+    ``tol``: optional convergence stop — iteration halts once the
+    max element-wise centroid shift is <= ``tol`` (an O(k)
+    driver-side check per round, the moral twin of CC's
+    changed-count stop).  Default None runs exactly ``iters`` rounds
+    — the shape the SQL oracle unrolls; only pass ``tol`` for
+    exploratory runs where oracle parity is not required."""
     cents = (
-        emb.filter(F.col(id_col) < k)
+        emb.orderBy(F.col(id_col).asc()).limit(k)
         .select(
             F.col(id_col).alias("cid"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("c"),
         )
+        .localCheckpoint(eager=True)
     )
     assigned = None
     for _ in range(iters):
         assigned = kmeans_assign(emb, cents, dim, id_col, vec_col)
-        cents = kmeans_update(assigned, vec_col)
+        new_cents = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
+        if tol is not None:
+            shift_col = F.aggregate(
+                F.zip_with(
+                    F.col("n.c"), F.col("o.c"), lambda a, b: F.abs(a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            shift = (
+                new_cents.alias("n")
+                .join(cents.alias("o"), "cid")
+                .agg(F.max(shift_col).alias("s"))
+                .collect()[0]["s"]
+            )
+            cents = new_cents
+            if shift is not None and shift <= tol:
+                break
+        else:
+            cents = new_cents
     norm = F.sqrt(
         F.aggregate(
             F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x

@@ -71,6 +71,14 @@ def connected_components(
     # rounds, dominating wall clock (20 s -> ~6 s for dup clusters).
     # At 100 TB persisting |edges| rows is strictly cheaper than
     # re-running the candidate-pair generator diameter-many times.
+    # Fault-tolerance tradeoff: localCheckpoint blocks are UNREPLICATED
+    # executor state — on a real cluster an executor loss mid-job makes
+    # the run unrecoverable (restart from the source), and |edges| rows
+    # stay pinned in executor storage for the run.  For long multi-hour
+    # CC jobs prefer a reliable checkpoint dir
+    # (sc.setCheckpointDir + .checkpoint()) or persist(DISK_ONLY);
+    # local[n] test runs and bounded dup-cluster graphs take the
+    # cheap path.
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("n").distinct().withColumn("component", F.col("n"))
     labels = labels.localCheckpoint(eager=True)

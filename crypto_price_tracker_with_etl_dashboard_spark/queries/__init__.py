@@ -68,11 +68,21 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 #   round 4: start 18, 6 debuts -> pool[18:32]
 #     (relational/OLAP families: sessionize, as-of/range join,
 #      pivot/unpivot, rollup — all absent from r3)
+#   round 5: the six r4 debuts joined the pool AT the cursor position
+#     (they were just driver-certified in r4, so they slot into the
+#     already-consumed region and re-certify after a full cycle);
+#     the cursor skips past them: start 32 + 6 = 38.  With 4 debuts
+#     the 16 rotating slots are pool[38:52] + pool[0:2] — exactly the
+#     r2-stale dozen (cube/semi/anti/set-ops/json/distinct/quantiles/
+#     q1/q3/q12), the r3 debuts (display_snapshot, media_audio_decode),
+#     q11_important_stock, and emb_ann_lsh — the ONE query whose full
+#     DuckDB oracle (landed r4, cdf09b1) has never had a driver row
+#     (r4 verdict ask #1: cap debuts at 4 so the wrap reaches it).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 4  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18}  # append: next round starts at 32 % len(pool)
+ROTATION_ROUND = 5  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38}  # append: next round starts at 4 % len(pool)
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -97,10 +107,7 @@ FIXED_CORE: list[str] = [
 # Queries registered for the FIRST time this round: they debut inside
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
-NEW_THIS_ROUND: list[str] = [
-    "media_image_decode", "doc_pii_scrub", "doc_repetition",
-    "emb_scalar_quantize", "doc_mixture_sample", "emb_kmeans",
-]
+NEW_THIS_ROUND: list[str] = []
 
 ROTATION_POOL: list[str] = [
     # --- never driver-checked before r3: first in cycle ---
@@ -118,7 +125,13 @@ ROTATION_POOL: list[str] = [
     # --- relational / OLAP operator families (in the r2 window) ---
     "events_sessionize", "events_asof_join", "events_range_join",
     "events_moving_stats", "events_daily_pivot", "events_unpivot",
-    "prices_validity_intervals", "orders_rollup", "events_cube",
+    "prices_validity_intervals", "orders_rollup",
+    # --- r4 debuts: joined the pool at the (r5) cursor position, so
+    #     they sit in the consumed region and recycle a full loop on ---
+    "media_image_decode", "doc_pii_scrub", "doc_repetition",
+    "emb_scalar_quantize", "doc_mixture_sample", "emb_kmeans",
+    # --- r5 cursor starts here (index 38) ---
+    "events_cube",
     "returned_orders_semi", "churned_customers_anti", "user_cohort_setops",
     "events_json_extract", "daily_distinct_users",
     "daily_approx_distinct_users", "event_value_quantiles",

@@ -5,9 +5,10 @@ aggregation (exact + sketch).
 The reference's operator set (SURVEY.md §2) has none of these — its
 workload needed only one join shape and flat aggregates — but they
 are core relational surface for any engine replacing it at warehouse
-scale.  Each query is oracle-checked except the approximate sketch,
-which is registered rows-only (its result is estimator-specific by
-design).
+scale.  Each query is oracle-checked — the approximate sketches
+(HLL distinct, approx percentile) via the hard-verdict pattern: the
+estimator's raw output is engine-specific, so the row emits the
+exact value plus a boolean accuracy verdict the oracle asserts.
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
 """Similarity-search operators over the ``embeddings`` table
-(array<float> column).  The brute-force top-k is oracle-checked
-against DuckDB computing the identical double-precision fold; the
-LSH-bucketed approximate variant has no SQL twin (checked rows-only
-by the driver, and recall-checked against brute force in tests).
+(array<float> column).  EVERY variant here is oracle-checked against
+DuckDB computing the identical double-precision fold — including the
+LSH-bucketed approximate top-k, whose md5-derived hyperplanes the
+oracle regenerates bit-exactly with hex-substring arithmetic (full
+SQL twin since r4; it is additionally recall-checked against brute
+force in tests and by the ``emb_ann_recall`` driver row).
 """
 
 from __future__ import annotations
@@ -449,9 +451,11 @@ register(
     q_emb_kmeans,
     f"""
     WITH seeds AS (
+      -- the k LOWEST ids actually present (mirrors kmeans_iterate's
+      -- orderBy+limit seeding; identical to vec_id < k on dense ids)
       SELECT vec_id AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-      FROM embeddings WHERE vec_id < {_KM_K}
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
     ),{_km_assign_sql('seeds', 'a1')},{_km_update_sql('a1', 'c1')},
     {_km_assign_sql('c1', 'a2')},{_km_update_sql('a2', 'c2')}
     SELECT a.cid, COUNT(*) AS n_members,

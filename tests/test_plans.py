@@ -189,3 +189,14 @@ def test_kmeans_assignment_is_map_only(spark):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_kmeans_iterate_plan_depth_bounded(spark):
+    """Per-round centroid checkpoints must truncate lineage: the
+    audit plan at iters=8 stays the size of the iters=2 plan instead
+    of re-deriving every prior Lloyd round (quadratic plan growth —
+    the CC-labels lesson, applied to centroids)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    p2 = len(plan_of(S.kmeans_iterate(emb, k=4, dim=64, iters=2)))
+    p8 = len(plan_of(S.kmeans_iterate(emb, k=4, dim=64, iters=8)))
+    assert p8 <= p2 * 1.2

@@ -173,3 +173,29 @@ def test_kmeans_iterate_semantics(spark):
     )
     c = kmeans_update(assigned).collect()[0]
     assert c["cid"] == 7 and c["c"] == [1.5, 4.0]
+
+
+def test_kmeans_sparse_ids_and_convergence(spark):
+    """Seeds are the k lowest ids PRESENT (orderBy+limit), so sparse
+    or offset id spaces still yield exactly k seeds; ``tol`` stops
+    iteration once the max centroid shift is within tolerance, giving
+    the same audit as the exactly-converged run."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kmeans_iterate,
+    )
+
+    rows = [(100, [0.0, 0.0]), (205, [10.0, 10.0]),
+            (310, [1.0, 0.0]), (415, [0.0, 1.0]),
+            (520, [11.0, 10.0]), (625, [10.0, 11.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["cid"]: r for r in kmeans_iterate(emb, k=2, dim=2, iters=2).collect()}
+    # seeded from the two lowest PRESENT ids — an `id < k` filter
+    # would have found zero seeds here
+    assert set(out) == {100, 205}
+    assert out[100]["n_members"] == 3 and out[205]["n_members"] == 3
+
+    # the blobs converge after one update, so a tol'd run capped at 10
+    # rounds stops early and matches the exact 2-round audit
+    exact = sorted(map(tuple, kmeans_iterate(emb, k=2, dim=2, iters=2).collect()))
+    tolled = sorted(map(tuple, kmeans_iterate(emb, k=2, dim=2, iters=10, tol=1e-9).collect()))
+    assert exact == tolled
