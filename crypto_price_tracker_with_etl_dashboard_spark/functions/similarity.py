@@ -479,6 +479,42 @@ def scalar_quantize(
     )
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 between a float-typed and a double-typed array —
+    the SAME sequential double fold everywhere (assignment, PQ
+    encode, ADC scoring, and the oracle's list_sum), so distances
+    are bit-reproducible across engines."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_codeword(sv: Column, book: Column) -> Column:
+    """Fold over a cid-ordered array<struct<cid,c>> codebook keeping
+    the running (best_d, best_cid): ties break to the lowest cid —
+    identical semantics to the oracle's (d ASC, cid ASC) rank."""
+    def step(acc: Column, s: Column) -> Column:
+        d = _sqdist(sv, s["c"])
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, s["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    return F.aggregate(
+        book,
+        F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(-1).cast("bigint").alias("cid"),
+        ),
+        step,
+    )
+
+
 def kmeans_assign(
     emb: DataFrame,
     cents: DataFrame,
@@ -498,31 +534,7 @@ def kmeans_assign(
     packed = cents.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("__cents")
     )
-    vec = F.col(vec_col)
-
-    def step(acc: Column, s: Column) -> Column:
-        d = F.aggregate(
-            F.zip_with(
-                vec, s["c"],
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        better = d < acc["d"]
-        return F.struct(
-            F.when(better, d).otherwise(acc["d"]).alias("d"),
-            F.when(better, s["cid"]).otherwise(acc["cid"]).alias("cid"),
-        )
-
-    best = F.aggregate(
-        F.col("__cents"),
-        F.struct(
-            F.lit(float("inf")).alias("d"),
-            F.lit(-1).cast("bigint").alias("cid"),
-        ),
-        step,
-    )
+    best = _nearest_codeword(F.col(vec_col), F.col("__cents"))
     return (
         emb.crossJoin(F.broadcast(packed))
         .select(id_col, vec_col, best["cid"].alias("cid"))
@@ -627,4 +639,217 @@ def kmeans_iterate(
         counts.join(cents, "cid")
         .select("cid", "n_members", F.round(norm, 6).alias("centroid_norm"))
         .orderBy("cid")
+    )
+
+
+# ---- Product quantization (PQ) ---------------------------------------------
+# The FAISS-style compression path composing the two r4 debuts: the
+# vector splits into m subspaces, each learns a k-codeword codebook
+# via the same Lloyd machinery as kmeans_iterate, and a vector is
+# stored as m small codes (log2(k) bits each) instead of dim floats.
+# ADC (asymmetric distance computation) then searches the compressed
+# corpus: the QUERY keeps full precision, corpus distances come from
+# per-subspace codeword distances — the memory/recall trade every
+# billion-vector ANN deployment makes (Jegou et al., TPAMI'11).
+
+
+def _subvec(vec: Column, s: int, dsub: int) -> Column:
+    """Subspace s's slice of the vector (1-based, length dsub)."""
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _pq_packed_books(cents: DataFrame) -> DataFrame:
+    """(sub, cid, c) codebooks -> ONE row holding a sub-ordered array
+    of cid-ordered codebooks — the broadcast payload for zero-shuffle
+    encode/ADC (m*k*dsub doubles — KBs for any sane PQ config)."""
+    per_sub = cents.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cw")
+    )
+    return per_sub.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cw"))).alias("__books")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train m per-subspace codebooks of k codewords each: ALL
+    subspaces iterate in ONE Lloyd loop — the corpus explodes to
+    (vec_id, sub, sv) rows (a narrow m-fold map, no shuffle) and each
+    round runs one broadcast assignment plus one (sub, cid, pos)
+    mean shuffle producing O(m*k) rows, so the JOB COUNT is
+    independent of m (training the subspaces one at a time would run
+    m times the rounds).  Seeds: subspace slices of the k lowest-id
+    vectors, cid = 0..k-1 in id order (the id-rank window runs on a
+    k-row frame — never the corpus).  Centroids are
+    localCheckpoint'ed per round (same lineage discipline as
+    kmeans_iterate).  Returns (sub, cid, c) — m*k broadcast-sized
+    rows."""
+    dsub = dim // m
+    seed_w = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        emb.orderBy(F.col(id_col).asc()).limit(k)
+        .withColumn("cid", (F.row_number().over(seed_w) - 1).cast("bigint"))
+    )
+    cents = (
+        seeds.select(
+            "cid",
+            F.posexplode(
+                F.array(*[
+                    F.transform(
+                        _subvec(F.col(vec_col), s, dsub),
+                        lambda x: x.cast("double"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("sub", "c"),
+        )
+        .select("sub", "cid", "c")
+        .localCheckpoint(eager=True)
+    )
+    subv = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[_subvec(F.col(vec_col), s, dsub) for s in range(m)])
+        ).alias("sub", "sv"),
+    )
+    for _ in range(iters):
+        packed = cents.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("__cents")
+        )
+        best = _nearest_codeword(F.col("sv"), F.col("__cents"))
+        assigned = subv.join(F.broadcast(packed), "sub").select(
+            id_col, "sub", "sv", best["cid"].alias("cid")
+        )
+        per_dim = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                    / F.count("v")
+                ).alias("mean_v")
+            )
+        )
+        cents = (
+            per_dim.groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                    lambda s: s["mean_v"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace the nearest codeword
+    (ties -> lowest cid) via the same broadcast fold as
+    kmeans_assign — the m*k codebooks pack into ONE broadcast row and
+    the corpus is scanned once with ZERO shuffle (pinned in
+    tests/test_plans.py).  Returns (vec_id, codes array<bigint>,
+    mse double): codes[s] is subspace s's codeword id, mse the exact
+    reconstruction error sum(d_s)/dim with the d_s added in subspace
+    order (the oracle adds them in the same order)."""
+    dsub = dim // m
+    books = _pq_packed_books(cents)
+    vec = F.col(vec_col)
+    staged = emb.crossJoin(F.broadcast(books)).select(
+        id_col,
+        vec_col,
+        *[
+            _nearest_codeword(
+                _subvec(vec, s, dsub),
+                F.element_at(F.col("__books"), s + 1)["cw"],
+            ).alias(f"_b{s}")
+            for s in range(m)
+        ],
+    )
+    mse = F.lit(0.0)
+    for s in range(m):
+        mse = mse + F.col(f"_b{s}")["d"]
+    return staged.select(
+        id_col,
+        F.array(*[F.col(f"_b{s}")["cid"] for s in range(m)]).alias("codes"),
+        (mse / dim).alias("mse"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC approximate top-k over the PQ-compressed corpus: the query
+    keeps its full vector, each corpus row contributes only its m
+    codes, and the approximate squared-L2 distance is the sum of the
+    query-subspace-to-codeword distances looked up by code.
+
+    Scale shape: the corpus is encoded in one zero-shuffle pass
+    (pq_encode) and then never touches its floats again — the scoring
+    stage streams (neighbor_id, codes) rows against a BROADCAST
+    (queries x codebooks) side, so the per-pair work is m codeword
+    lookups over dsub-length folds instead of a dim-length scan, and
+    the only exchange is the per-query top-k window.  At real scale
+    the per-(query, sub) distance table would be precomputed once
+    (m*k doubles per query); here the codeword fold IS that lookup,
+    kept inline so every arithmetic step matches the oracle's."""
+    dsub = dim // m
+    enc = pq_encode(corpus, cents, m, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    books = _pq_packed_books(cents)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    # codeword lookup BY CID (not array position): a codebook that
+    # lost a cluster during training has a sparse cid set, so
+    # positional element_at would grab the wrong codeword.
+    def sub_dist(s: int) -> Column:
+        book = F.element_at(F.col("__books"), s + 1)["cw"]
+        code = F.element_at(F.col("codes"), s + 1)
+        cw = F.element_at(
+            F.filter(book, lambda x: x["cid"] == code), 1
+        )["c"]
+        return _sqdist(_subvec(F.col("query_vec"), s, dsub), cw)
+
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + sub_dist(s)
+    scored = (
+        enc.crossJoin(F.broadcast(q.crossJoin(books)))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dist, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )

@@ -107,7 +107,9 @@ FIXED_CORE: list[str] = [
 # Queries registered for the FIRST time this round: they debut inside
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "emb_pq_quantize", "emb_pq_adc_topk",
+]
 
 ROTATION_POOL: list[str] = [
     # --- never driver-checked before r3: first in cycle ---

@@ -465,3 +465,192 @@ register(
     GROUP BY a.cid, c2.c ORDER BY a.cid
     """,
 )
+
+
+# ---- Product quantization: codebooks + encode audit + ADC search -----------
+# PQ composes the k-means machinery (per-subspace Lloyd codebooks)
+# with the quantization-audit pattern of emb_scalar_quantize: m=4
+# subspaces of 16 dims, k=8 codewords each -> 4 codes (3 bits/code)
+# per vector vs scalar quantization's 64 bytes — the FAISS IVFADC
+# compression layout.  Training is deterministic (id-rank seeds +
+# decimal-exact means), so the oracle unrolls the SAME Lloyd rounds
+# per subspace in SQL and matches bit-for-bit, exactly like
+# emb_kmeans.  Reference parity note: the reference has no vector
+# surface at all (SURVEY.md §2.9) — this family is part of the
+# training-data-pipeline extension the engine adds on top.
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DSUB = _DIM // _PQ_M
+
+# Session-scoped codebook cache (build/query split, same rationale as
+# _IVF_INDEX: train once per (session, table), reuse across the
+# quantize audit and the ADC search — values are deterministic, so
+# cached vs fresh codebooks are identical).
+_PQ_BOOKS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cents = _PQ_BOOKS.get(key)
+    if cents is None:
+        cents = S.pq_train(emb, m=_PQ_M, k=_PQ_K, dim=_DIM, iters=2)
+        _PQ_BOOKS[key] = cents
+    return cents
+
+
+def q_emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every embedding against the trained per-subspace
+    codebooks: positional base-k code checksum (uniquely identifies
+    the m codes) + reconstruction MSE (see S.pq_train/S.pq_encode —
+    training shuffles O(m*k) rows per round, encoding is a
+    zero-shuffle broadcast fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(emb, _pq_books(spark, sf_dir, emb), m=_PQ_M, dim=_DIM)
+    code_sum = F.lit(0).cast("bigint")
+    for s in range(_PQ_M):
+        code_sum = code_sum + F.element_at(F.col("codes"), s + 1) * (_PQ_K ** s)
+    # mse rounds at 6dp, NOT the 9dp emb_scalar_quantize uses: scalar
+    # quantization's codebook ([min,max] per dim) is bit-exact across
+    # engines, but PQ codewords are decimal-mean centroids, and the
+    # float->decimal(38,10) cast rounds differently per engine
+    # (~1e-10 per mean) — the same reason centroid_norm rounds at 6dp.
+    return enc.select(
+        "vec_id",
+        code_sum.cast("bigint").alias("code_sum"),
+        F.round(F.col("mse"), 6).alias("mse"),
+    )
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by asymmetric distance: full-precision
+    queries against the PQ-compressed corpus (see S.pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.pq_adc_topk(
+        emb, queries, _pq_books(spark, sf_dir, emb), m=_PQ_M, dim=_DIM, k=_K
+    )
+
+
+def _pq_sqdist_sql(vec_expr: str, s: int, cent: str) -> str:
+    """Squared L2 between subspace s of ``vec_expr`` and codeword
+    ``cent`` — the same sequential fold order as S._sqdist."""
+    off = s * _PQ_DSUB
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_DSUB} + 1),"
+        f" i -> (CAST({vec_expr}[{off} + i] AS DOUBLE) - {cent}[i])"
+        f" * (CAST({vec_expr}[{off} + i] AS DOUBLE) - {cent}[i])))"
+    )
+
+
+def _pq_assign_sql(s: int, cents_cte: str, out: str, keep_d: bool = False) -> str:
+    """One per-subspace Lloyd assignment as SQL (rank formulation —
+    bit-identical to the Spark fold: same distances, ties to lowest
+    cid)."""
+    cols = "vec_id, cid, d" if keep_d else "vec_id, cid"
+    return f"""
+    {out} AS (
+      SELECT {cols} FROM (
+        SELECT e.vec_id, s.cid,
+               {_pq_sqdist_sql('e.embedding', s, 's.c')} AS d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_pq_sqdist_sql('e.embedding', s, 's.c')} ASC, s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN {cents_cte} s
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_sql(s: int, assign_cte: str, out: str) -> str:
+    a, b = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+    return f"""
+    {out}_dims AS (
+      SELECT a.cid, el.pos,
+             CAST(SUM(CAST(el.v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(el.v)
+               AS mean_v
+      FROM {assign_cte} a JOIN (
+        SELECT vec_id, unnest(embedding[{a}:{b}]) AS v,
+               generate_subscripts(embedding[{a}:{b}], 1) AS pos
+        FROM embeddings
+      ) el ON a.vec_id = el.vec_id
+      GROUP BY a.cid, el.pos
+    ),
+    {out} AS (
+      SELECT cid, list(mean_v ORDER BY pos) AS c
+      FROM {out}_dims GROUP BY cid
+    )"""
+
+
+def _pq_train_ctes() -> str:
+    """The full PQ training + encode chain as a WITH-clause body:
+    per subspace s — id-rank seeds, two unrolled Lloyd rounds
+    (assign/update), and the final encode keeping (cid, d)."""
+    parts = [
+        f"""pq_seed_base AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    )"""
+    ]
+    for s in range(_PQ_M):
+        a, b = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        parts.append(f"""pq_seeds_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE)) AS c
+      FROM pq_seed_base
+    )""")
+        parts.append(_pq_assign_sql(s, f"pq_seeds_{s}", f"pqa1_{s}"))
+        parts.append(_pq_update_sql(s, f"pqa1_{s}", f"pqc1_{s}"))
+        parts.append(_pq_assign_sql(s, f"pqc1_{s}", f"pqa2_{s}"))
+        parts.append(_pq_update_sql(s, f"pqa2_{s}", f"pqc2_{s}"))
+        parts.append(_pq_assign_sql(s, f"pqc2_{s}", f"pqenc_{s}", keep_d=True))
+    return ",".join(parts)
+
+
+register(
+    "emb_pq_quantize",
+    q_emb_pq_quantize,
+    f"""
+    WITH {_pq_train_ctes()}
+    SELECT e0.vec_id,
+           CAST(e0.cid * {_PQ_K ** 0} + e1.cid * {_PQ_K ** 1}
+              + e2.cid * {_PQ_K ** 2} + e3.cid * {_PQ_K ** 3} AS BIGINT)
+             AS code_sum,
+           round((e0.d + e1.d + e2.d + e3.d) / {_DIM}, 6) AS mse
+    FROM pqenc_0 e0
+    JOIN pqenc_1 e1 ON e1.vec_id = e0.vec_id
+    JOIN pqenc_2 e2 ON e2.vec_id = e0.vec_id
+    JOIN pqenc_3 e3 ON e3.vec_id = e0.vec_id
+    """,
+)
+
+
+register(
+    "emb_pq_adc_topk",
+    q_emb_pq_adc_topk,
+    f"""
+    WITH {_pq_train_ctes()},
+    adc AS (
+      SELECT q.vec_id AS query_id, b0.vec_id AS neighbor_id,
+             round({_pq_sqdist_sql('q.embedding', 0, 'k0.c')}
+                 + {_pq_sqdist_sql('q.embedding', 1, 'k1.c')}
+                 + {_pq_sqdist_sql('q.embedding', 2, 'k2.c')}
+                 + {_pq_sqdist_sql('q.embedding', 3, 'k3.c')}, 6)
+               AS approx_dist
+      FROM embeddings q
+      CROSS JOIN pqenc_0 b0
+      JOIN pqc2_0 k0 ON k0.cid = b0.cid
+      JOIN pqenc_1 b1 ON b1.vec_id = b0.vec_id
+      JOIN pqc2_1 k1 ON k1.cid = b1.cid
+      JOIN pqenc_2 b2 ON b2.vec_id = b0.vec_id
+      JOIN pqc2_2 k2 ON k2.cid = b2.cid
+      JOIN pqenc_3 b3 ON b3.vec_id = b0.vec_id
+      JOIN pqc2_3 k3 ON k3.cid = b3.cid
+      WHERE q.vec_id < {_N_QUERIES} AND b0.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist ASC, neighbor_id ASC)
+               AS rnk
+      FROM adc
+    ) WHERE rnk <= {_K}
+    """,
+)

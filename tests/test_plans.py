@@ -200,3 +200,16 @@ def test_kmeans_iterate_plan_depth_bounded(spark):
     p2 = len(plan_of(S.kmeans_iterate(emb, k=4, dim=64, iters=2)))
     p8 = len(plan_of(S.kmeans_iterate(emb, k=4, dim=64, iters=8)))
     assert p8 <= p2 * 1.2
+
+
+def test_pq_encode_corpus_not_shuffled(spark):
+    """PQ encode must broadcast the packed codebooks and scan the
+    corpus once, zero-shuffle: no sort-merge, no hash exchange of the
+    corpus (the only exchanges allowed live in the O(m*k) codebook
+    packing subplan)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = S.pq_train(emb, m=4, k=4, dim=64, iters=1)
+    plan = plan_of(S.pq_encode(emb, cents, m=4, dim=64))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook payload
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan

@@ -199,3 +199,42 @@ def test_kmeans_sparse_ids_and_convergence(spark):
     exact = sorted(map(tuple, kmeans_iterate(emb, k=2, dim=2, iters=2).collect()))
     tolled = sorted(map(tuple, kmeans_iterate(emb, k=2, dim=2, iters=10, tol=1e-9).collect()))
     assert exact == tolled
+
+
+def test_pq_train_encode_adc_semantics(spark):
+    """Hand-checkable PQ: dim=4, m=2 subspaces, k=2 codewords.  Two
+    blobs per subspace -> codewords converge to the blob means in one
+    round; codes, reconstruction MSE, and ADC distances follow in
+    closed form."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [10.0, 10.0, 0.0, 0.0]),
+        (2, [0.2, 0.0, 10.0, 10.2]),
+        (3, [10.2, 10.0, 0.0, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = pq_train(emb, m=2, k=2, dim=4, iters=1)
+    books = {(r["sub"], r["cid"]): r["c"] for r in cents.collect()}
+    # sub 0: blob means (0.1, 0) and (10.1, 10); sub 1: (10, 10.1), (0, 0.1)
+    assert books[(0, 0)] == [0.1, 0.0] and books[(0, 1)] == [10.1, 10.0]
+    assert books[(1, 0)] == [10.0, 10.1] and books[(1, 1)] == [0.0, 0.1]
+
+    enc = {r["vec_id"]: r for r in pq_encode(emb, cents, m=2, dim=4).collect()}
+    assert enc[0]["codes"] == [0, 0] and enc[1]["codes"] == [1, 1]
+    assert enc[2]["codes"] == [0, 0] and enc[3]["codes"] == [1, 1]
+    # vec 0 reconstruction: err (0.1^2 + 0 + 0 + 0.1^2) / 4
+    assert abs(enc[0]["mse"] - 0.02 / 4) < 1e-12
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    top = pq_adc_topk(emb, queries, cents, m=2, dim=4, k=2).collect()
+    assert [(r["neighbor_id"], r["rnk"]) for r in top] == [(2, 1), (1, 2)]
+    # neighbor 2 shares vec 0's codes: dist = sum of per-sub recon errs
+    assert top[0]["approx_dist"] == 0.02
+    # neighbor 1: sub0 (0-10.1)^2+(0-10)^2 + sub1 (10-0)^2+(10-0.1)^2
+    assert top[1]["approx_dist"] == round(202.01 + 198.01, 6)
