@@ -219,3 +219,90 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
             F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6),
         ),
     }
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Okapi BM25 top-k for a fixed query-term set (Robertson et al.,
+    TREC-3): score(d) = sum_t idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: one tokenize pass feeds the doc-length table and the
+    (query-terms-only) tf table; df/N/avgdl collapse to 1-row
+    broadcasts; scoring is a broadcast join + fixed-order column
+    expression, and the global top-k is a distributed TakeOrdered
+    (orderBy+limit) — never a single-partition window over the
+    corpus.  The corpus shuffles once on the doc id.
+
+    Determinism: per-term contributions pivot into FIXED columns and
+    sum in query-term order (a groupBy-sum over term rows would
+    re-associate doubles non-deterministically); callers rank on the
+    6dp-rounded score so a last-ulp ln() divergence between engines
+    cannot reorder the top-k."""
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(docs, DataFrame)
+    terms = docs.select(
+        id_col, F.explode_outer(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    stats = dl.agg(F.sum("dl").alias("_sum_dl")).crossJoin(n_docs).select(
+        "n_docs",
+        (F.col("_sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    tf = (
+        terms.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df")).groupBy().agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("df"))).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    base = (
+        per_doc.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+
+    def contrib(i: int) -> Column:
+        tf_i = F.col(f"tf_{i}")
+        df_i = F.coalesce(F.col(f"df_{i}"), F.lit(0))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        denom = tf_i.cast("double") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return F.when(
+            tf_i.isNotNull(),
+            idf * tf_i.cast("double") * F.lit(k1 + 1) / denom,
+        ).otherwise(F.lit(0.0))
+
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        score = score + contrib(i)
+    scored = base.select(id_col, F.round(score, 6).alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        id_col, "score", "rnk"
+    )

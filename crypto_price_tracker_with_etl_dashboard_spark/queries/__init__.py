@@ -108,7 +108,8 @@ FIXED_CORE: list[str] = [
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
 NEW_THIS_ROUND: list[str] = [
-    "emb_pq_quantize", "emb_pq_adc_topk",
+    "emb_pq_quantize", "emb_pq_adc_topk", "doc_bm25_topk",
+    "events_retention_cohorts",
 ]
 
 ROTATION_POOL: list[str] = [

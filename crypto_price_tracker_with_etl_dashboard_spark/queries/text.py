@@ -647,3 +647,96 @@ register(
     FROM g
     """,
 )
+
+
+# ---- BM25 ranked retrieval -------------------------------------------------
+# Okapi BM25 (Robertson et al., TREC-3) for a fixed query-term set:
+# the keyword-search complement to the vector family — the retrieval
+# scorer every data-curation / RAG pipeline keeps next to its ANN
+# index.  Scale shape: one tokenize pass feeds both the per-doc
+# length table and the (query-terms-only) tf table, the df/N/avgdl
+# stats collapse to a 1-row broadcast, and scoring is a broadcast
+# join + fixed-order column expression — the corpus shuffles once on
+# doc_id (the tf groupBy), never on terms x docs.
+#
+# Determinism: per-term contributions pivot into FIXED columns and
+# sum in term order (a groupBy-sum over term rows would re-associate
+# doubles non-deterministically); both engines rank on the 6dp-ROUNDED
+# score so a last-ulp ln() divergence cannot reorder the top-k.
+
+_BM25_TERMS = ["dup", "vector", "hash"]  # rare + mid + common: idf spread
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+    )
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    df_i = f"COALESCE(df_{i}, 0)"
+    idf = f"ln(1.0 + (n_docs - {df_i} + 0.5) / ({df_i} + 0.5))"
+    denom = (
+        f"CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)"
+    )
+    return (
+        f"CASE WHEN tf_{i} IS NOT NULL THEN"
+        f" {idf} * CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1} / ({denom})"
+        f" ELSE 0.0 END"
+    )
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+register(
+    "doc_bm25_topk",
+    q_doc_bm25_topk,
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    toks AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_BM25_TERM_LIST}) GROUP BY 1, 2
+    ),
+    dfs AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+      )}
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    ),
+    per_doc AS (
+      SELECT doc_id, {", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+      )}
+      FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             round({" + ".join(
+               f"({_bm25_contrib_sql(i)})"
+               for i in range(len(_BM25_TERMS))
+             )}, 6) AS score
+      FROM per_doc p JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+    )
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+)

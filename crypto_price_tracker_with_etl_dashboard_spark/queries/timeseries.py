@@ -239,3 +239,56 @@ register(
     ORDER BY symbol, event_id
     """,
 )
+
+
+# ---- Cohort retention matrix ----------------------------------------------
+# The classic product-analytics rollup (and, for a training-data
+# pipeline, the user-activity drift audit): users cohorted by
+# first-seen ISO week, counted per week-offset since their cohort.
+# Scale shape: one shuffle on user_id for the per-user first-week
+# window (map-side partial-able via the distinct below), then one
+# (cohort, offset) aggregation whose output is O(weeks^2) rows —
+# tiny forever.  Both engines truncate weeks to the ISO Monday and
+# the offset division is exact (week deltas are multiples of 7 days),
+# so the row set is integer-deterministic — no float surface at all.
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    wc = uw.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        wc.select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    "events_retention_cohorts",
+    q_events_retention_cohorts,
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    wc AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM wc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

@@ -144,3 +144,28 @@ def test_repetition_features(spark):
     assert out[1]["n_bigrams"] == 3 and out[1]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
     assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_frac"] is None
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus against closed-form scores: only docs
+    containing a query term appear, ranked by the Okapi formula with
+    doc-length normalization."""
+    import math
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "dup cat"), (1, "cat cat cat"), (2, "dup dup cat")],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["dup"], k1=1.2, b=0.75, topk=10).collect()
+    # N=3, avgdl=8/3, df(dup)=2 -> idf = ln(1.6)
+    idf = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    avgdl = 8 / 3
+    s0 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+    s2 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    assert [(r["doc_id"], r["rnk"]) for r in out] == [(2, 1), (0, 2)]
+    assert out[0]["score"] == round(s2, 6)
+    assert out[1]["score"] == round(s0, 6)
