@@ -7,6 +7,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.streaming.sessionize import (
 )
 from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import ohlc_candles
 from crypto_price_tracker_with_etl_dashboard_spark.streaming.joins import (
+    dedup_documents_stream,
     dedup_stream,
     interval_join_streams,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "snapshot_for_push",
     "streaming_sessionize",
     "ohlc_candles",
+    "dedup_documents_stream",
     "dedup_stream",
     "interval_join_streams",
 ]

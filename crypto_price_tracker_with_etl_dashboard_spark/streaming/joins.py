@@ -62,3 +62,34 @@ def interval_join_streams(
         & (r[right_ts] <= l[left_ts])
     )
     return l.join(r, cond, "inner").drop(r[on])
+
+
+def dedup_documents_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch ``exact_dedup``
+    (functions/dedup.py): a training pipeline ingesting documents
+    CONTINUOUSLY dedups on the same 128-bit normalized-content
+    fingerprint the batch path groups on, emitting each distinct
+    content's FIRST arrival and dropping re-arrivals whose event time
+    falls within the watermark.
+
+    Equivalence contract (pinned in tests/test_streaming.py): when
+    arrivals are id-ordered, the emitted rows are exactly the batch
+    ``exact_dedup`` keepers over the same data.  State is bounded —
+    seen fingerprints older than the watermark are evicted, so memory
+    is O(arrival rate x watermark) regardless of corpus size, and the
+    fingerprint (16 bytes) is the ONLY per-row state kept, never the
+    document text."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        fingerprint,
+    )
+
+    return (
+        stream.withColumn("fp", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

@@ -403,3 +403,69 @@ def test_push_socket_example_broadcasts_snapshot(spark, tmp_path):
         client.close()
     finally:
         server.close()
+
+
+def test_streaming_document_dedup_matches_batch(spark, tmp_path):
+    """The streaming content-fingerprint dedup must emit exactly the
+    batch exact_dedup keepers over the same data (arrivals id-ordered,
+    so first-arrival == min-id): the bridge a continuously-ingesting
+    training pipeline needs between the batch dedup surface and its
+    stream."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        exact_dedup,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming import (
+        dedup_documents_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ingest_ts", TimestampType()),
+        ]
+    )
+    pdir = str(tmp_path / "doc_stream")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [(0, "alpha beta", t0), (1, "gamma delta", t0)]
+    # doc 2 normalizes to doc 0's content (case + whitespace runs);
+    # doc 3 is genuinely new
+    batch2 = [
+        (2, "Alpha   BETA", t0 + dt.timedelta(minutes=1)),
+        (3, "epsilon", t0 + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        dedup_documents_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(pdir)
+        q.processAllAvailable()
+        streamed = spark.sql(
+            "SELECT doc_id, fp FROM doc_dedup_stream"
+        ).collect()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    batch_kept = {
+        (r["kept_doc_id"], r["fp"]) for r in exact_dedup(all_docs).collect()
+    }
+    assert {(r["doc_id"], r["fp"]) for r in streamed} == batch_kept
+    assert len(streamed) == 3  # 0, 1, 3 — doc 2's re-arrival dropped
