@@ -607,8 +607,14 @@ def kmeans_iterate(
         .localCheckpoint(eager=True)
     )
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = kmeans_assign(emb, cents, dim, id_col, vec_col)
+        if it == iters - 1 and tol is None:
+            # the LAST round's assignment feeds both the update and
+            # the membership counts — materialize it once instead of
+            # running the (compute-bound) broadcast fold twice.  Only
+            # on the fixed-iters path: with tol any round may be last.
+            assigned = assigned.localCheckpoint(eager=True)
         new_cents = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
         if tol is not None:
             shift_col = F.aggregate(
