@@ -814,12 +814,14 @@ def pq_adc_topk(
     Scale shape: the corpus is encoded in one zero-shuffle pass
     (pq_encode) and then never touches its floats again — the scoring
     stage streams (neighbor_id, codes) rows against a BROADCAST
-    (queries x codebooks) side, so the per-pair work is m codeword
-    lookups over dsub-length folds instead of a dim-length scan, and
-    the only exchange is the per-query top-k window.  At real scale
-    the per-(query, sub) distance table would be precomputed once
-    (m*k doubles per query); here the codeword fold IS that lookup,
-    kept inline so every arithmetic step matches the oracle's."""
+    (queries x codebooks) side.  The per-(query, subspace, codeword)
+    distance table (the classic ADC LUT — m*k doubles per query) is
+    PRECOMPUTED on the broadcast side, so the per-pair work is m
+    O(k) cid lookups and m-1 adds — no per-pair dsub-length fold —
+    and the only exchange is the per-query top-k window.  The LUT
+    entries are the SAME sequential _sqdist folds the oracle
+    computes, just evaluated once per query instead of once per
+    pair, so results are bit-identical to the inline formulation."""
     dsub = dim // m
     enc = pq_encode(corpus, cents, m, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
@@ -828,22 +830,43 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
+    # ADC lookup tables: per subspace, the (cid, d) distances from
+    # this query's sub-vector to every codeword — evaluated on the
+    # |queries|-row broadcast side.
+    def lut(s: int) -> Column:
+        book = F.element_at(F.col("__books"), s + 1)["cw"]
+        return F.transform(
+            book,
+            lambda x: F.struct(
+                x["cid"].alias("cid"),
+                _sqdist(_subvec(F.col("query_vec"), s, dsub), x["c"]).alias("d"),
+            ),
+        )
+
+    q_lut = q.crossJoin(books).select(
+        "query_id", *[lut(s).alias(f"_lut{s}") for s in range(m)]
+    )
+
     # codeword lookup BY CID (not array position): a codebook that
     # lost a cluster during training has a sparse cid set, so
-    # positional element_at would grab the wrong codeword.
+    # positional element_at would grab the wrong codeword.  The
+    # lookup is an additive fold (exactly one LUT entry matches the
+    # code, the rest contribute +0.0 — exact in IEEE for finite d),
+    # not filter+element_at: the fold allocates nothing per pair.
     def sub_dist(s: int) -> Column:
-        book = F.element_at(F.col("__books"), s + 1)["cw"]
         code = F.element_at(F.col("codes"), s + 1)
-        cw = F.element_at(
-            F.filter(book, lambda x: x["cid"] == code), 1
-        )["c"]
-        return _sqdist(_subvec(F.col("query_vec"), s, dsub), cw)
+        return F.aggregate(
+            F.col(f"_lut{s}"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.when(x["cid"] == code, x["d"]).otherwise(F.lit(0.0)),
+        )
 
     dist = F.lit(0.0)
     for s in range(m):
         dist = dist + sub_dist(s)
     scored = (
-        enc.crossJoin(F.broadcast(q.crossJoin(books)))
+        enc.crossJoin(F.broadcast(q_lut))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
