@@ -1,0 +1,44 @@
+"""Vectorized k-means assignment UDF factory.
+
+Kept in its own module WITHOUT ``from __future__ import annotations``
+(like _lsh_udf): pandas_udf infers its eval type from the *resolved*
+type hints, and the future-import would turn them into unresolvable
+strings.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+def kmeans_assign_udf(cents: np.ndarray, cids: np.ndarray):
+    """One Arrow-batched pandas UDF assigning every vector to its
+    nearest centroid (squared L2) as a single numpy GEMM per batch:
+    argmin_c ||x||^2 - 2 x.C^T + ||c||^2, with the ||x||^2 term
+    dropped (constant per row).  ``cents`` is (k, dim) float64 in
+    ASCENDING cid order, ``cids`` the matching (k,) int64 ids —
+    np.argmin returns the FIRST minimum, so exact distance ties break
+    to the lowest cid, the same rule as the interpreted fold.
+
+    This is the production batch path for the compute-bound
+    assignment fold (BASELINE.md "Debut rows": emb_kmeans and the PQ
+    family are fold-arithmetic-bound, not shuffle-bound).  It is NOT
+    the oracle-certified path: the GEMM sums products in a different
+    order than the sequential fold, so a pair of centroids whose
+    distances differ by less than ~1e-13 relative could flip — the
+    equivalence test in tests/test_similarity.py shows zero flips on
+    the real embedding table, but certified queries keep the fold.
+    """
+    c64 = np.ascontiguousarray(cents, dtype=np.float64)
+    c_sq = (c64 * c64).sum(axis=1)  # (k,)
+    ids = np.asarray(cids, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        # (n, k): -2 x.C^T + ||c||^2 — monotone in the true sq dist
+        scores = c_sq - 2.0 * (mat @ c64.T)
+        return pd.Series(ids[np.argmin(scores, axis=1)])
+
+    return assign

@@ -297,3 +297,29 @@ def test_pq_quality_audit_on_real_embeddings(spark):
     assert mses[0] > mses[1] > mses[2], mses
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.1, f"recall {recall}"
+
+
+def test_kmeans_assign_batch_matches_fold(spark):
+    """The GEMM batch assignment (production path) must agree with
+    the oracle-certified interpreted fold on every vector of the real
+    embedding table — near-tie flips are theoretically possible but
+    must not occur on actual data — and must honor the lowest-cid
+    tie rule on an exact tie."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kmeans_assign,
+        kmeans_assign_batch,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # trained (non-degenerate) centroids: 2 Lloyd rounds, k=8 over the
+    # full vector (pq_train with m=1 IS plain k-means on id-rank seeds)
+    cents = pq_train(emb, m=1, k=8, dim=64, iters=2).select("cid", "c")
+    fold = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, cents, dim=64).collect()}
+    gemm = {r["vec_id"]: r["cid"] for r in kmeans_assign_batch(emb, cents).collect()}
+    assert fold == gemm
+
+    # exact tie -> lowest cid, same as the fold
+    cents2 = spark.createDataFrame([(0, [0.0, 0.0]), (1, [2.0, 0.0])], ["cid", "c"])
+    tied = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert kmeans_assign_batch(tied, cents2).collect()[0]["cid"] == 0
