@@ -763,21 +763,25 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ-encode every vector: per subspace the nearest codeword
     (ties -> lowest cid) via the same broadcast fold as
     kmeans_assign — the m*k codebooks pack into ONE broadcast row and
     the corpus is scanned once with ZERO shuffle (pinned in
-    tests/test_plans.py).  Returns (vec_id, codes array<bigint>,
-    mse double): codes[s] is subspace s's codeword id, mse the exact
-    reconstruction error sum(d_s)/dim with the d_s added in subspace
-    order (the oracle adds them in the same order)."""
+    tests/test_plans.py).  Returns (vec_id, *keep_cols, codes
+    array<bigint>, mse double): codes[s] is subspace s's codeword id,
+    mse the exact reconstruction error sum(d_s)/dim with the d_s
+    added in subspace order (the oracle adds them in the same
+    order).  ``keep_cols`` carries extra columns (e.g. the IVF list
+    label) through the encode unchanged."""
     dsub = dim // m
     books = _pq_packed_books(cents)
     vec = F.col(vec_col)
     staged = emb.crossJoin(F.broadcast(books)).select(
         id_col,
         vec_col,
+        *keep_cols,
         *[
             _nearest_codeword(
                 _subvec(vec, s, dsub),
@@ -791,6 +795,7 @@ def pq_encode(
         mse = mse + F.col(f"_b{s}")["d"]
     return staged.select(
         id_col,
+        *keep_cols,
         F.array(*[F.col(f"_b{s}")["cid"] for s in range(m)]).alias("codes"),
         (mse / dim).alias("mse"),
     )
@@ -826,13 +831,30 @@ def pq_adc_topk(
     enc = pq_encode(corpus, cents, m, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    books = _pq_packed_books(cents)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    # ADC lookup tables: per subspace, the (cid, d) distances from
-    # this query's sub-vector to every codeword — evaluated on the
-    # |queries|-row broadcast side.
+    q_lut = _adc_luts(q, _pq_packed_books(cents), m, dsub).drop("query_vec")
+    scored = (
+        enc.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_adc_dist(m), 6).alias("approx_dist"),
+        )
+    )
+    return _topk_by_dist(scored, k)
+
+
+def _adc_luts(q: DataFrame, books: DataFrame, m: int, dsub: int) -> DataFrame:
+    """ADC lookup tables: per subspace, the (cid, d) distances from
+    each query's sub-vector to every codeword — evaluated once on the
+    |queries|-row broadcast side (the classic m*k-doubles-per-query
+    ADC table), using the SAME sequential _sqdist fold the oracle
+    computes so downstream sums are bit-identical to the inline
+    formulation."""
+
     def lut(s: int) -> Column:
         book = F.element_at(F.col("__books"), s + 1)["cw"]
         return F.transform(
@@ -843,16 +865,19 @@ def pq_adc_topk(
             ),
         )
 
-    q_lut = q.crossJoin(books).select(
-        "query_id", *[lut(s).alias(f"_lut{s}") for s in range(m)]
-    )
+    return q.crossJoin(books).select(
+        "*", *[lut(s).alias(f"_lut{s}") for s in range(m)]
+    ).drop("__books")
 
-    # codeword lookup BY CID (not array position): a codebook that
-    # lost a cluster during training has a sparse cid set, so
-    # positional element_at would grab the wrong codeword.  The
-    # lookup is an additive fold (exactly one LUT entry matches the
-    # code, the rest contribute +0.0 — exact in IEEE for finite d),
-    # not filter+element_at: the fold allocates nothing per pair.
+
+def _adc_dist(m: int) -> Column:
+    """Approximate squared L2 from the m LUTs and a ``codes`` column.
+    Codeword lookup is BY CID (not array position — a codebook that
+    lost a cluster has a sparse cid set) via an additive fold:
+    exactly one LUT entry matches the code, the rest contribute +0.0
+    (exact in IEEE for finite d), and the fold allocates nothing per
+    pair."""
+
     def sub_dist(s: int) -> Column:
         code = F.element_at(F.col("codes"), s + 1)
         return F.aggregate(
@@ -865,15 +890,10 @@ def pq_adc_topk(
     dist = F.lit(0.0)
     for s in range(m):
         dist = dist + sub_dist(s)
-    scored = (
-        enc.crossJoin(F.broadcast(q_lut))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dist, 6).alias("approx_dist"),
-        )
-    )
+    return dist
+
+
+def _topk_by_dist(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -882,6 +902,75 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+def ivf_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pq_cents: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al., TPAMI'11 — the FAISS billion-scale
+    layout): the coarse IVF quantizer (per-label centroids) restricts
+    each query to its ``nprobe`` nearest inverted lists BY SQUARED L2
+    (the ADC metric, unlike ivf_topk's cosine probe), and ADC then
+    scores only those lists' PQ codes.
+
+    Scale shape: corpus floats are touched exactly once (the
+    zero-shuffle pq_encode, label carried through); scoring joins the
+    (label-partitionable) code table against a BROADCAST
+    (probes x LUTs) side, so per query only nprobe/|labels| of the
+    corpus is scored and each scored pair costs m O(k) lookups.
+    Versus pq_adc_topk this trades recall (list pruning) for a
+    1/|labels|*nprobe scoring-volume cut — the standard
+    billion-vector operating point."""
+    dsub = dim // m
+    cents_ivf = (
+        centroids
+        if centroids is not None
+        else label_centroids(corpus, id_col, vec_col, label_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_d").asc(), F.col(label_col).asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents_ivf))
+        .select(
+            "query_id",
+            "query_vec",
+            F.col(label_col),
+            _sqdist(F.col("query_vec"), F.col("centroid")).alias("cent_d"),
+        )
+        .withColumn("probe_rnk", F.row_number().over(probe_w))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("query_id", "query_vec", label_col)
+    )
+    probe_luts = _adc_luts(probes, _pq_packed_books(pq_cents), m, dsub).drop(
+        "query_vec"
+    )
+    enc = pq_encode(
+        corpus, pq_cents, m, dim, id_col, vec_col, keep_cols=(label_col,)
+    ).select(F.col(id_col).alias("neighbor_id"), label_col, "codes")
+    scored = (
+        enc.join(F.broadcast(probe_luts), label_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_adc_dist(m), 6).alias("approx_dist"),
+        )
+    )
+    return _topk_by_dist(scored, k)
 
 
 def kmeans_assign_batch(

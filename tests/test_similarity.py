@@ -323,3 +323,52 @@ def test_kmeans_assign_batch_matches_fold(spark):
     cents2 = spark.createDataFrame([(0, [0.0, 0.0]), (1, [2.0, 0.0])], ["cid", "c"])
     tied = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
     assert kmeans_assign_batch(tied, cents2).collect()[0]["cid"] == 0
+
+
+def test_ivf_adc_composition(spark):
+    """IVFADC contracts: probing ALL lists makes it exactly
+    pq_adc_topk (pruning is the only difference), and with pruning
+    every returned neighbor belongs to one of the query's nprobe
+    nearest-by-L2 label centroids."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        ivf_adc_topk,
+        label_centroids,
+        pq_adc_topk,
+        pq_train,
+        _sqdist,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = pq_train(emb, m=4, k=8, dim=64, iters=2)
+    n_labels = emb.select("label").distinct().count()
+
+    full = sorted(
+        map(tuple, pq_adc_topk(emb, queries, cents, m=4, dim=64, k=5).collect())
+    )
+    all_probe = sorted(
+        map(
+            tuple,
+            ivf_adc_topk(
+                emb, queries, cents, m=4, dim=64, k=5, nprobe=n_labels
+            ).collect(),
+        )
+    )
+    assert full == all_probe
+
+    pruned = ivf_adc_topk(emb, queries, cents, m=4, dim=64, k=5, nprobe=2)
+    got = pruned.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3, 4}
+    # every neighbor's label must be one of its query's 2 nearest lists
+    civf = label_centroids(emb)
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    d = _sqdist(F.col("qv"), F.col("centroid"))
+    ranked = q.crossJoin(civf).select("qid", "label", d.alias("d")).collect()
+    import collections
+    by_q = collections.defaultdict(list)
+    for r in ranked:
+        by_q[r["qid"]].append((r["d"], r["label"]))
+    allowed = {qid: {l for _, l in sorted(v)[:2]} for qid, v in by_q.items()}
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert labels[r["neighbor_id"]] in allowed[r["query_id"]]
