@@ -82,7 +82,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 
 DRIVER_WINDOW = 50
 ROTATION_ROUND = 5  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38}  # append: next round starts at 4 % len(pool)
+# r5 consumed pool[38:52] + wrap pool[0:2], so the next unconsumed
+# index is 2; after inserting the four r5 debuts at the cursor
+# (the same move r4's debuts made), r6 starts at 2 + 4 = 6.
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38}  # append: _ROTATION_STARTS[6] = 6
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
