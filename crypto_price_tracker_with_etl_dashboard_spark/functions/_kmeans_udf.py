@@ -36,6 +36,10 @@ def kmeans_assign_udf(cents: np.ndarray, cids: np.ndarray):
 
     @pandas_udf("bigint")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            # a zero-row Arrow batch would build a 1-D shape-(0,)
+            # array and make the matmul raise (r5 advice)
+            return pd.Series([], dtype="int64")
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         # (n, k): -2 x.C^T + ||c||^2 — monotone in the true sq dist
         scores = c_sq - 2.0 * (mat @ c64.T)

@@ -20,6 +20,11 @@ def lsh_buckets_udf(planes: np.ndarray, n_planes: int, n_tables: int):
 
     @pandas_udf("array<int>")
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            # a zero-row Arrow batch would build a 1-D shape-(0,)
+            # array and make the matmul raise (same guard as
+            # _kmeans_udf.kmeans_assign_udf)
+            return pd.Series([], dtype="object")
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         # The sign test runs on the 6dp-ROUNDED dot so any engine
         # summing the products in a different order (numpy pairwise

@@ -617,20 +617,34 @@ def kmeans_iterate(
             assigned = assigned.localCheckpoint(eager=True)
         new_cents = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
         if tol is not None:
-            shift_col = F.aggregate(
-                F.zip_with(
-                    F.col("n.c"), F.col("o.c"), lambda a, b: F.abs(a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: F.greatest(acc, x),
+            # FULL OUTER join on cid (r5 advice): a cluster that lost
+            # every member is absent from new_cents, and an inner join
+            # would silently drop it from the shift metric — declaring
+            # convergence despite cluster death.  A cid present on
+            # only one side counts as an INFINITE shift, so iteration
+            # keeps going (and the death stays visible in the final
+            # membership counts).
+            shift_col = F.when(
+                F.col("n.c").isNull() | F.col("o.c").isNull(),
+                F.lit(float("inf")),
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("n.c"), F.col("o.c"), lambda a, b: F.abs(a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
             )
             shift = (
                 new_cents.alias("n")
-                .join(cents.alias("o"), "cid")
+                .join(cents.alias("o"), "cid", "full_outer")
                 .agg(F.max(shift_col).alias("s"))
                 .collect()[0]["s"]
             )
             cents = new_cents
+            # shift is None only when BOTH sides are empty (k=0 —
+            # impossible for a seeded run): treat as not-converged.
             if shift is not None and shift <= tol:
                 break
         else:
@@ -873,22 +887,26 @@ def _adc_luts(q: DataFrame, books: DataFrame, m: int, dsub: int) -> DataFrame:
 def _adc_dist(m: int) -> Column:
     """Approximate squared L2 from the m LUTs and a ``codes`` column.
     Codeword lookup is BY CID (not array position — a codebook that
-    lost a cluster has a sparse cid set) via an additive fold:
-    exactly one LUT entry matches the code, the rest contribute +0.0
-    (exact in IEEE for finite d), and the fold allocates nothing per
-    pair."""
+    lost a cluster has a sparse cid set) via filter + element_at: the
+    single matching LUT entry contributes its d.  A code that matches
+    NO LUT entry (codes encoded against a different/stale codebook
+    than the LUTs were built from) yields NULL — the whole distance
+    goes NULL and the mismatch SURFACES in the output instead of
+    silently understating distances (r5 advice; the previous additive
+    fold contributed +0.0 for a missing cid).  Healthy runs never hit
+    the NULL path, and the matched-entry sum is the identical
+    d0+d1+...+d(m-1) the fold produced, so certified results are
+    unchanged."""
 
     def sub_dist(s: int) -> Column:
         code = F.element_at(F.col("codes"), s + 1)
-        return F.aggregate(
-            F.col(f"_lut{s}"),
-            F.lit(0.0),
-            lambda acc, x: acc
-            + F.when(x["cid"] == code, x["d"]).otherwise(F.lit(0.0)),
-        )
+        hit = F.filter(F.col(f"_lut{s}"), lambda x: x["cid"] == code)
+        # try_element_at: an empty hit array is the stale-codebook
+        # case and must become NULL, not an ANSI index error
+        return F.try_element_at(hit, F.lit(1))["d"]
 
-    dist = F.lit(0.0)
-    for s in range(m):
+    dist = sub_dist(0)
+    for s in range(1, m):
         dist = dist + sub_dist(s)
     return dist
 

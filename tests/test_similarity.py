@@ -372,3 +372,68 @@ def test_ivf_adc_composition(spark):
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     for r in got:
         assert labels[r["neighbor_id"]] in allowed[r["query_id"]]
+
+
+def test_kmeans_tol_cluster_death_not_converged(spark, monkeypatch):
+    """A cluster that loses every member must count as an INFINITE
+    centroid shift on the tol path (full outer join on cid — r5
+    advice): with two identical seeds cluster 1 dies in round 1, and
+    an inner-join shift metric would silently drop it and declare
+    convergence under any tol.  The fixed path must keep iterating."""
+    import crypto_price_tracker_with_etl_dashboard_spark.functions.similarity as S
+
+    calls: list[int] = []
+    real_assign = S.kmeans_assign
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real_assign(*a, **kw)
+
+    monkeypatch.setattr(S, "kmeans_assign", counting)
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.kmeans_iterate(emb, k=2, dim=2, iters=3, tol=1e9).collect()
+    # round 1 kills cluster 1 -> inf shift -> NO early stop (the old
+    # inner join would have stopped here with 1 call); round 2 has the
+    # surviving cluster stable on both sides -> genuine convergence
+    assert len(calls) == 2
+    assert {r["cid"] for r in out} == {0}
+    assert out[0]["n_members"] == 4
+
+
+def test_adc_dist_missing_code_surfaces_null(spark):
+    """A code matching no LUT entry (stale/mismatched codebook) must
+    yield a NULL distance, not silently contribute 0.0 (r5 advice)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        _adc_dist,
+    )
+
+    lut = (
+        "array(struct(CAST(0 AS BIGINT) AS cid, CAST(1.5 AS DOUBLE) AS d),"
+        " struct(CAST(2 AS BIGINT) AS cid, CAST(9.0 AS DOUBLE) AS d))"
+    )
+    ok = spark.sql(f"SELECT {lut} AS _lut0, array(CAST(2 AS BIGINT)) AS codes")
+    assert ok.select(_adc_dist(1).alias("d")).collect()[0]["d"] == 9.0
+    stale = spark.sql(f"SELECT {lut} AS _lut0, array(CAST(7 AS BIGINT)) AS codes")
+    assert stale.select(_adc_dist(1).alias("d")).collect()[0]["d"] is None
+
+
+def test_gemm_udfs_handle_zero_row_batch():
+    """Arrow can hand a pandas UDF a zero-row batch; the GEMM kernels
+    must return an empty series instead of raising on a shape-(0,)
+    matmul (r5 advice)."""
+    import numpy as np
+    import pandas as pd
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._kmeans_udf import (
+        kmeans_assign_udf,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._lsh_udf import (
+        lsh_buckets_udf,
+    )
+
+    assign = kmeans_assign_udf(np.zeros((2, 4)), np.array([0, 1]))
+    out = assign.func(pd.Series([], dtype="object"))
+    assert len(out) == 0 and out.dtype == "int64"
+    buckets = lsh_buckets_udf(np.zeros((4, 6)), 3, 2)
+    assert len(buckets.func(pd.Series([], dtype="object"))) == 0
