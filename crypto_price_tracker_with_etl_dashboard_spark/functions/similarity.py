@@ -967,7 +967,13 @@ def ivf_adc_topk(
             "query_id",
             "query_vec",
             F.col(label_col),
-            _sqdist(F.col("query_vec"), F.col("centroid")).alias("cent_d"),
+            # 6dp-rounded probe distance (same engine-portability move
+            # as ivf_topk's rounded cosine probe): the centroids are
+            # decimal-mean values whose float->decimal cast can differ
+            # ~1e-10 per element across engines, so ranking on the
+            # rounded distance keeps the probed-list set — and hence
+            # the certified result — identical on any engine.
+            F.round(_sqdist(F.col("query_vec"), F.col("centroid")), 6).alias("cent_d"),
         )
         .withColumn("probe_rnk", F.row_number().over(probe_w))
         .filter(F.col("probe_rnk") <= nprobe)

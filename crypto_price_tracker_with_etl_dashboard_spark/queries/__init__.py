@@ -81,11 +81,15 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 5  # bump each round; indexes _ROTATION_STARTS
+ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # r5 consumed pool[38:52] + wrap pool[0:2], so the next unconsumed
-# index is 2; after inserting the four r5 debuts at the cursor
-# (the same move r4's debuts made), r6 starts at 2 + 4 = 6.
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38}  # append: _ROTATION_STARTS[6] = 6
+# index is 2; the four r5 debuts joined the pool AT that cursor (the
+# same move r4's debuts made), so r6 starts at 2 + 4 = 6.  With 4 r6
+# debuts the 16 rotating slots are pool[6:22] — exactly the 16
+# r3-stale TPC-H rows (q2, q4-q10, q13-q20), the r5 verdict's ask #2.
+# r7: insert the four r6 debuts at the cursor (index 22, i.e. before
+# q21_last_shipper) and set _ROTATION_STARTS[7] = 26.
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -111,13 +115,16 @@ FIXED_CORE: list[str] = [
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
 NEW_THIS_ROUND: list[str] = [
-    "emb_pq_quantize", "emb_pq_adc_topk", "doc_bm25_topk",
-    "events_retention_cohorts",
+    "emb_ivfadc_topk",
 ]
 
 ROTATION_POOL: list[str] = [
     # --- never driver-checked before r3: first in cycle ---
     "q11_important_stock", "emb_ann_lsh",
+    # --- r5 debuts: joined the pool at the (r6) cursor position, so
+    #     they sit in the consumed region and recycle a full loop on ---
+    "emb_pq_quantize", "emb_pq_adc_topk", "doc_bm25_topk",
+    "events_retention_cohorts",
     # --- TPC-H tail (r1-green, evicted from the r2 window) ---
     "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",

@@ -622,6 +622,100 @@ register(
 )
 
 
+# IVFADC: the nprobe < |labels| operating point is what this row
+# certifies — the coarse probe restricting ADC scoring to the probed
+# inverted lists (probing all lists would degenerate to emb_pq_adc_topk
+# and certify nothing new).  The oracle composes the two existing
+# certified patterns: the unrolled-kmeans PQ training CTEs and the
+# decimal-mean IVF centroid CTEs, probed by 6dp-rounded squared L2
+# (ties -> label ASC) exactly as S.ivf_adc_topk ranks them.
+_IVFADC_NPROBE = 2  # of 10 labels: 80% of each query's corpus pruned
+
+
+def q_emb_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search (Jegou et al., TPAMI'11): coarse per-label probe
+    x ADC over PQ codes — the composition a billion-vector deployment
+    actually runs (see S.ivf_adc_topk for the scale shape: corpus
+    floats touched once, scoring joins codes against broadcast
+    probe-LUTs, only nprobe/|labels| of the corpus scored)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_adc_topk(
+        emb,
+        queries,
+        _pq_books(spark, sf_dir, emb),
+        m=_PQ_M,
+        dim=_DIM,
+        k=_K,
+        nprobe=_IVFADC_NPROBE,
+        centroids=_ivf_index(spark, sf_dir, emb),
+    )
+
+
+register(
+    "emb_ivfadc_topk",
+    q_emb_ivfadc_topk,
+    f"""
+    WITH {_pq_train_ctes()},
+    ivf_dims AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS mean_v
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    ivf_cents AS (
+      SELECT label, list(mean_v ORDER BY pos) AS centroid
+      FROM ivf_dims GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    probed AS (
+      SELECT query_id, query_vec, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round({_km_sqdist('query_vec', 'centroid')}, 6) ASC,
+                        label ASC
+             ) AS probe_rnk
+      FROM q CROSS JOIN ivf_cents
+    ),
+    probes AS (
+      SELECT query_id, query_vec, label FROM probed
+      WHERE probe_rnk <= {_IVFADC_NPROBE}
+    ),
+    ivfadc AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             round({_pq_sqdist_sql('p.query_vec', 0, 'k0.c')}
+                 + {_pq_sqdist_sql('p.query_vec', 1, 'k1.c')}
+                 + {_pq_sqdist_sql('p.query_vec', 2, 'k2.c')}
+                 + {_pq_sqdist_sql('p.query_vec', 3, 'k3.c')}, 6)
+               AS approx_dist
+      FROM probes p
+      JOIN embeddings e ON e.label = p.label
+      JOIN pqenc_0 b0 ON b0.vec_id = e.vec_id
+      JOIN pqc2_0 k0 ON k0.cid = b0.cid
+      JOIN pqenc_1 b1 ON b1.vec_id = e.vec_id
+      JOIN pqc2_1 k1 ON k1.cid = b1.cid
+      JOIN pqenc_2 b2 ON b2.vec_id = e.vec_id
+      JOIN pqc2_2 k2 ON k2.cid = b2.cid
+      JOIN pqenc_3 b3 ON b3.vec_id = e.vec_id
+      JOIN pqc2_3 k3 ON k3.cid = b3.cid
+      WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist ASC, neighbor_id ASC)
+               AS rnk
+      FROM ivfadc
+    ) WHERE rnk <= {_K}
+    """,
+)
+
+
 register(
     "emb_pq_adc_topk",
     q_emb_pq_adc_topk,

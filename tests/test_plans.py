@@ -213,3 +213,20 @@ def test_pq_encode_corpus_not_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook payload
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_ivfadc_scores_only_probed_lists(spark):
+    """IVFADC's scoring stage must be a broadcast EQUI-join of the
+    code table against the probe-LUT side on the list label — the
+    probed-list restriction is structural (only matching labels are
+    scored), never a cross/nested-loop over all lists — and the
+    corpus must not shuffle (the only BroadcastNestedLoopJoins are
+    the 1-row codebook/centroid payload broadcasts)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.pq_train(emb, m=4, k=4, dim=64, iters=1)
+    plan = plan_of(S.ivf_adc_topk(emb, queries, cents, m=4, dim=64, k=3, nprobe=2))
+    assert "BroadcastHashJoin [label" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
