@@ -46,3 +46,35 @@ def kmeans_assign_udf(cents: np.ndarray, cids: np.ndarray):
         return pd.Series(ids[np.argmin(scores, axis=1)])
 
     return assign
+
+
+def pq_codes_udf(books, cidss, dsub: int):
+    """One Arrow-batched pandas UDF PQ-encoding every vector: per
+    subspace s, one numpy GEMM over the batch's subspace slice against
+    codebook ``books[s]`` ((k_s, dsub) float64, ASCENDING-cid order,
+    ids in ``cidss[s]``), argmin with the same drop-||x||^2 monotone
+    score and first-min (= lowest-cid) tie rule as
+    :func:`kmeans_assign_udf`.  Returns the m codes per row as
+    array<bigint> — the production batch twin of
+    ``similarity.pq_encode``'s interpreted fold (same caveats: a
+    sub-1e-13-relative near-tie could flip vs the sequential fold;
+    the emb_gemm_audit driver row counts such flips and asserts 0 on
+    the real corpus)."""
+    m = len(books)
+    bks = [np.ascontiguousarray(b, dtype=np.float64) for b in books]
+    sqs = [(b * b).sum(axis=1) for b in bks]
+    idss = [np.asarray(c, dtype=np.int64) for c in cidss]
+
+    @pandas_udf("array<bigint>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(mat), m), dtype=np.int64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            scores = sqs[s] - 2.0 * (sub @ bks[s].T)
+            out[:, s] = idss[s][np.argmin(scores, axis=1)]
+        return pd.Series(list(out))
+
+    return codes

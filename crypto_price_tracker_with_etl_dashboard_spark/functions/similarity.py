@@ -1002,6 +1002,7 @@ def kmeans_assign_batch(
     cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Production GEMM twin of :func:`kmeans_assign`: the O(k)
     centroid rows (broadcast-sized by construction) are collected and
@@ -1026,4 +1027,44 @@ def kmeans_assign_batch(
     c = np.array([r["c"] for r in rows], dtype=np.float64)
     ids = np.array([r["cid"] for r in rows], dtype=np.int64)
     udf = kmeans_assign_udf(c, ids)
-    return emb.select(id_col, vec_col, udf(F.col(vec_col)).alias("cid"))
+    return emb.select(id_col, vec_col, *keep_cols, udf(F.col(vec_col)).alias("cid"))
+
+
+def pq_encode_batch(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Production GEMM twin of :func:`pq_encode`: the O(m*k) codebook
+    rows are collected and baked into one Arrow-batched pandas UDF
+    that encodes each batch with m numpy GEMMs (one per subspace) —
+    same zero-shuffle scan shape as the fold path, ~20x less per-row
+    arithmetic (the fold is the documented compute bottleneck of the
+    PQ family at scale, BASELINE.md).  NOT the oracle-certified path:
+    ties and sub-1e-13 near-ties follow the GEMM score order; the
+    ``emb_gemm_audit`` driver row counts fold-vs-GEMM code mismatches
+    on the real corpus and asserts zero.  Returns (id, codes) only —
+    reconstruction MSE stays on the certified fold path."""
+    import numpy as np
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._kmeans_udf import (
+        pq_codes_udf,
+    )
+
+    dsub = dim // m
+    by_sub: dict[int, list] = {}
+    for r in cents.collect():
+        by_sub.setdefault(r["sub"], []).append(r)
+    if sorted(by_sub) != list(range(m)):
+        raise ValueError(f"codebooks cover subs {sorted(by_sub)}, expected 0..{m-1}")
+    books, cidss = [], []
+    for s in range(m):
+        rows = sorted(by_sub[s], key=lambda r: r["cid"])
+        books.append(np.array([r["c"] for r in rows], dtype=np.float64))
+        cidss.append(np.array([r["cid"] for r in rows], dtype=np.int64))
+    udf = pq_codes_udf(books, cidss, dsub)
+    return emb.select(id_col, *keep_cols, udf(F.col(vec_col)).alias("codes"))

@@ -115,7 +115,7 @@ FIXED_CORE: list[str] = [
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
 NEW_THIS_ROUND: list[str] = [
-    "emb_ivfadc_topk",
+    "emb_ivfadc_topk", "emb_gemm_audit",
 ]
 
 ROTATION_POOL: list[str] = [

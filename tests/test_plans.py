@@ -230,3 +230,14 @@ def test_ivfadc_scores_only_probed_lists(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_gemm_audit_is_zero_join_map(spark):
+    """The fold-vs-GEMM audit computes both paths in ONE map pipeline
+    per family (keep_cols threading, not a corpus self-join): no
+    sort-merge join, no hash exchange of the corpus on vec_id."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["emb_gemm_audit"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan

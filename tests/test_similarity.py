@@ -437,3 +437,29 @@ def test_gemm_udfs_handle_zero_row_batch():
     assert len(out) == 0 and out.dtype == "int64"
     buckets = lsh_buckets_udf(np.zeros((4, 6)), 3, 2)
     assert len(buckets.func(pd.Series([], dtype="object"))) == 0
+
+
+def test_pq_encode_batch_matches_fold(spark):
+    """The GEMM batch PQ encoder (production path) must produce the
+    identical codes as the oracle-certified interpreted fold on every
+    vector of the real embedding table, and must honor the lowest-cid
+    tie rule on an exact subspace tie."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        pq_encode,
+        pq_encode_batch,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = pq_train(emb, m=4, k=8, dim=64, iters=2)
+    fold = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cents, m=4, dim=64).collect()}
+    gemm = {r["vec_id"]: r["codes"] for r in pq_encode_batch(emb, cents, m=4, dim=64).collect()}
+    assert fold == gemm
+
+    # exact per-subspace tie -> lowest cid, same as the fold
+    cents2 = spark.createDataFrame(
+        [(0, 0, [0.0]), (0, 1, [2.0]), (1, 0, [5.0]), (1, 1, [3.0])],
+        ["sub", "cid", "c"],
+    )
+    tied = spark.createDataFrame([(9, [1.0, 4.0])], ["vec_id", "embedding"])
+    assert pq_encode_batch(tied, cents2, m=2, dim=2).collect()[0]["codes"] == [0, 0]
