@@ -18,7 +18,31 @@ the test corpus.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _orphaned_location(spark: SparkSession, table: str) -> str | None:
+    """Local filesystem path a managed ``table`` would occupy, or None
+    when the warehouse isn't local.  Needed because the default
+    in-memory catalog forgets tables at session end while their
+    warehouse directories persist — the next session's CREATE then
+    fails with LOCATION_ALREADY_EXISTS unless the orphan is removed."""
+    if "." in table:
+        db, name = table.rsplit(".", 1)
+    else:
+        db, name = spark.catalog.currentDatabase(), table
+    try:
+        loc = spark.catalog.getDatabase(db).locationUri
+    except Exception:
+        return None
+    p = urlparse(loc)
+    if p.scheme not in ("", "file"):
+        return None
+    return os.path.join(p.path or loc, name.lower())
 
 
 def write_bucketed(
@@ -31,6 +55,11 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as a parquet table hash-bucketed (and per-bucket
     sorted, for sort-merge-ready reads) on ``bucket_col``."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        path = _orphaned_location(spark, table)
+        if path and os.path.exists(path):
+            shutil.rmtree(path)  # stale dir from a previous session's catalog
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

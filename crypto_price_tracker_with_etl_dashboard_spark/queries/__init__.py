@@ -33,6 +33,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import sampling  # no
 from crypto_price_tracker_with_etl_dashboard_spark.queries import text  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import vector  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import joins  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the driver's
@@ -115,7 +116,8 @@ FIXED_CORE: list[str] = [
 # the window (r2 verdict: new operators must not land outside the
 # correctness gate), then join ROTATION_POOL next round.
 NEW_THIS_ROUND: list[str] = [
-    "emb_ivfadc_topk", "emb_gemm_audit",
+    "emb_ivfadc_topk", "emb_gemm_audit", "events_salted_join",
+    "orders_bucketed_join",
 ]
 
 ROTATION_POOL: list[str] = [

@@ -241,3 +241,31 @@ def test_gemm_audit_is_zero_join_map(spark):
     plan = plan_of(SPARK_QUERIES["emb_gemm_audit"](spark, SF_SMALL))
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_salted_join_query_salts_the_shuffle(spark):
+    """events_salted_join must actually execute the salted shape: a
+    shuffled equi-join whose partitioning key includes __salt (the
+    hot event_type keys spread over n_salts partitions), not a
+    broadcast that would bypass the salt machinery."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_salted_join"](spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan
+    assert "__salt" in plan
+    # the fact-side exchange hashes on (event_type, __salt)
+    import re
+    assert re.search(r"hashpartitioning\(event_type#\d+L?, __salt", plan)
+
+
+def test_bucketed_join_query_zero_exchange_join(spark):
+    """orders_bucketed_join's join must read co-located buckets with
+    ZERO Exchange (the shuffle was paid at write time); the only
+    hash exchange in the whole query is the final tiny per-status
+    rollup."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["orders_bucketed_join"](spark, SF_SMALL))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
+    assert "hashpartitioning(o_orderkey" not in plan
