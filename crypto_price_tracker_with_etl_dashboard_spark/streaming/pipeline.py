@@ -133,6 +133,11 @@ class _IncrementalSnapshot:
 
     def __init__(self) -> None:
         self.rows: Optional[list] = None
+        # full-table reads performed (observability + test pin): must
+        # stay at 1 for the lifetime of a stream run — the one-time
+        # cold-start/restart seed.  Anything higher means the warm
+        # path regressed to the unbounded per-trigger history scan.
+        self.full_reads: int = 0
 
     @staticmethod
     def _cap_order(rows: list) -> list:
@@ -149,6 +154,7 @@ class _IncrementalSnapshot:
         if self.rows is None:
             # cold start / restart: one full read seeds state (the
             # just-written batch is already in the table)
+            self.full_reads += 1
             self.rows = snapshot_for_push(spark.read.parquet(table_path)).collect()
             return self.rows
         by_symbol = {r["symbol"]: r for r in self.rows}
@@ -184,11 +190,14 @@ def run_ingest_stream(
     push_fn: Optional[Callable[[list], None]] = None,
     trigger_seconds: Optional[int] = None,
     batch_ts_fn: Optional[Callable[[int], dt.datetime]] = None,
+    snapshot_state: Optional[_IncrementalSnapshot] = None,
 ) -> StreamingQuery:
     """Start the ETL stream: watch ``raw_dir`` for new raw batch
     files, validate/normalize each micro-batch with a batch-constant
     timestamp, append to the partitioned prices table, then push the
-    incrementally-maintained latest snapshot.
+    incrementally-maintained latest snapshot (``snapshot_state``
+    injects the state holder — tests use it to pin the full-read
+    count; the default builds a fresh one per run).
 
     A malformed batch must not kill the pipeline (reference behavior
     T7: rollback the batch, keep looping) — the foreachBatch body
@@ -217,7 +226,7 @@ def run_ingest_stream(
     step = trigger_seconds or 300
     if batch_ts_fn is None:
         batch_ts_fn = lambda batch_id: epoch + dt.timedelta(seconds=step * batch_id)  # noqa: E731
-    snapshot = _IncrementalSnapshot()
+    snapshot = snapshot_state if snapshot_state is not None else _IncrementalSnapshot()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
