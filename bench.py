@@ -98,6 +98,11 @@ HEADLINE = [
     "emb_pq_adc_topk",
     "doc_bm25_topk",
     "events_retention_cohorts",
+    # round-6 debuts
+    "emb_ivfadc_topk",
+    "emb_gemm_audit",
+    "events_salted_join",
+    "orders_bucketed_join",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its
@@ -130,6 +135,31 @@ REANCHORED: dict[str, tuple[float, int]] = {
 }
 
 
+def _queries_from_tail(tail: str) -> dict[str, float]:
+    """Recover the per-query timings from a driver envelope that kept
+    only the tail of bench stdout: find the LAST '"queries": {'
+    marker and parse its balanced-brace object.  Returns {} when the
+    object is absent or itself truncated."""
+    marker = '"queries": {'
+    i = tail.rfind(marker)
+    if i < 0:
+        return {}
+    start = i + len(marker) - 1
+    depth = 0
+    for j in range(start, len(tail)):
+        if tail[j] == "{":
+            depth += 1
+        elif tail[j] == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    obj = json.loads(tail[start : j + 1])
+                    return {k: float(v) for k, v in obj.items()}
+                except (ValueError, TypeError):
+                    return {}
+    return {}
+
+
 def _baseline_times(here: str | None = None) -> dict[str, float]:
     """Budget baseline per query from the committed BENCH_r*.json
     artifacts, per BASELINE.md's declared rule: the r1 time where one
@@ -152,8 +182,15 @@ def _baseline_times(here: str | None = None) -> dict[str, float]:
             continue
         # The driver archives bench output wrapped in an envelope with
         # the real record under "parsed"; a raw bench.py line has
-        # "queries" at top level.  Accept both.
-        queries = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
+        # "queries" at top level.  Accept both — and tolerate the r5
+        # envelope variant where "parsed" is null and the record
+        # survives only inside the "tail" stdout capture (extract the
+        # complete queries object by brace matching; the tail keeps
+        # the END of stdout, so the queries dict — printed last — is
+        # intact even when the line head is truncated).
+        queries = rec.get("queries") or (rec.get("parsed") or {}).get("queries")
+        if not queries:
+            queries = _queries_from_tail(rec.get("tail") or "")
         # The named r1 baseline is pinned to BENCH_r01.json BY NAME —
         # never inferred from glob order, so a missing/unreadable r1
         # artifact cannot silently promote a later round to baseline.
