@@ -103,6 +103,14 @@ HEADLINE = [
     "emb_gemm_audit",
     "events_salted_join",
     "orders_bucketed_join",
+    # round-6 built, round-7 driver debuts (registered outside the r6
+    # window; benched from r6 so their budgets anchor early)
+    "prices_vwap_hourly",
+    "prices_rsi",
+    "prices_max_drawdown",
+    "events_funnel",
+    "emb_semdedup",
+    "emb_knn_classify",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -1068,3 +1068,116 @@ def pq_encode_batch(
         cidss.append(np.array([r["cid"] for r in rows], dtype=np.int64))
     udf = pq_codes_udf(books, cidss, dsub)
     return emb.select(id_col, *keep_cols, udf(F.col(vec_col)).alias("codes"))
+
+
+def semdedup(
+    emb: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic
+    deduplication: assign every vector to its nearest centroid (the
+    same zero-shuffle broadcast fold as :func:`kmeans_assign`), then
+    within each cluster drop every vector that has a LOWER-id
+    neighbor with cosine >= ``threshold`` — the keep-lowest-id
+    representative rule, the deterministic stand-in for the paper's
+    keep-one-per-epsilon-ball.
+
+    Scale shape: clustering is what makes this tractable — the
+    quadratic candidate stage is bounded per cluster (pairs ~
+    n^2/k for balanced clusters), so k is chosen proportional to
+    corpus size (the paper uses k ~ sqrt(n*avg_cluster)); the pair
+    stage is ONE equi-join on cid (never all-pairs), and norms are
+    precomputed per row so each pair folds a single dot product.
+    Output is O(k) rows: per-cluster member/dropped/kept counts.
+    """
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    assigned = kmeans_assign(emb, cents, dim, id_col, vec_col)
+    side = (
+        fan_out(assigned)
+        .withColumn("nrm", _norm(F.col(vec_col)))
+        .cache()
+    )
+    a, b = side.alias("a"), side.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(
+                _pair_cosine(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("b.cid").alias("cid"), F.col(f"b.{id_col}").alias("did"))
+        .distinct()
+    )
+    members = side.groupBy("cid").agg(F.count("*").alias("n_members"))
+    drops = dropped.groupBy("cid").agg(F.count("*").alias("n_dropped"))
+    return (
+        members.join(drops, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification by majority label vote among the k nearest
+    labeled corpus rows (cosine; exact ties on the vote count break
+    to the LOWEST label).  The held-out queries keep their vectors;
+    the corpus provides (vector, label).
+
+    Scale shape: the expensive stage is the existing
+    :func:`brute_force_topk` scan (corpus read once, query set
+    broadcast); the label join then BROADCASTS the |queries|*k result
+    against the corpus's (id, label) projection, and the vote count +
+    argmax are O(|queries|*k) rows — nothing quadratic past the
+    scoring stage.  Swap in :func:`random_hyperplane_lsh_topk` or
+    :func:`ivf_topk` for the neighbor stage at billion-vector scale
+    (same output contract)."""
+    topk = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    nb_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col)
+    )
+    votes = (
+        nb_labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+        .orderBy("query_id")
+    )

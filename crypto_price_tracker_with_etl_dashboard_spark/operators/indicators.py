@@ -1,0 +1,220 @@
+"""Financial indicators over a (key, ts, price[, volume]) tick table.
+
+The reference renders a raw price history chart (frontend/src/App.js
+PriceChart) and stops there; any real consumer of the prices table
+computes indicators on top.  These are the three standard ones a
+dashboard adds first — VWAP, RSI, max drawdown — each expressed as
+one shuffle on the series key.
+
+Determinism discipline (operators/exact.py): every order-sensitive
+double SUM goes through fixed-point BIGINT accumulation, so results
+are bit-identical across engines, partition counts, and AQE
+decisions.  Comparisons (running max, drawdown max) are
+order-independent already.  All published formulas — nothing here is
+engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+
+
+def vwap(
+    prices: DataFrame,
+    key: str,
+    ts_col: str,
+    price: str,
+    volume: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Volume-weighted average price per (key, time bucket):
+    sum(p*v)/sum(v) over rows with positive volume.  Both sums
+    accumulate in exact fixed-point, so the per-bucket VWAP is one
+    double division of two engine-portable values.  ONE shuffle on
+    (key, bucket) with map-side partials; output is O(keys*buckets).
+    """
+    pv_fixed = F.round(F.col(price) * F.col(volume) * SCALE).cast("bigint")
+    v_fixed = F.round(F.col(volume) * SCALE).cast("bigint")
+    return (
+        prices.filter(F.col(volume) > 0)
+        .groupBy(F.col(key), F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum(pv_fixed).alias("__pv"),
+            F.sum(v_fixed).alias("__v"),
+        )
+        .select(
+            key,
+            "bucket",
+            "n_ticks",
+            F.round(F.col("__pv").cast("double") / F.col("__v"), 6).alias("vwap"),
+        )
+    )
+
+
+def sql_vwap(
+    table: str, key: str, ts_col: str, price: str, volume: str,
+    bucket: str = "hour",
+) -> str:
+    """DuckDB mirror of :func:`vwap` (same fixed-point sums)."""
+    return f"""
+    SELECT {key}, date_trunc('{bucket}', {ts_col}) AS bucket,
+           COUNT(*) AS n_ticks,
+           round(CAST(SUM(CAST(round({price} * {volume} * {SCALE}) AS BIGINT)) AS DOUBLE)
+                 / SUM(CAST(round({volume} * {SCALE}) AS BIGINT)), 6) AS vwap
+    FROM {table} WHERE {volume} > 0
+    GROUP BY 1, 2
+    """
+
+
+def rsi(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+    period: int = 14,
+) -> DataFrame:
+    """Cutler's RSI (simple-moving-average variant — the recursive
+    Wilder smoothing is deliberately avoided: an infinite-memory
+    recurrence cannot be windowed and is not SQL-expressible):
+
+        RSI = 100 - 100 / (1 + avgGain_period / avgLoss_period)
+
+    over the last ``period`` price deltas per key.  Gains/losses
+    accumulate in fixed-point inside the rows-frame window, so the
+    frame sum is exact regardless of the engine's frame-evaluation
+    order (DuckDB uses segment trees, Spark a running buffer — with
+    plain doubles the two sum in different orders).  Zero-loss frames
+    hit the standard conventions: all-gain -> 100, flat -> 50.
+
+    ONE shuffle on the key; both the delta lag and the frame sums
+    evaluate in a single per-key sort.  Emits only rows with a full
+    ``period`` deltas behind them.
+    """
+    order_cols = [F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    delta = F.col(price) - F.lag(price).over(w)
+    with_delta = prices.withColumn("__delta", delta).filter(
+        F.col("__delta").isNotNull()
+    )
+    wd = Window.partitionBy(key).orderBy(*order_cols)
+    frame = wd.rowsBetween(-(period - 1), Window.currentRow)
+    gain_fixed = F.round(F.greatest(F.col("__delta"), F.lit(0.0)) * SCALE).cast(
+        "bigint"
+    )
+    loss_fixed = F.round(F.greatest(-F.col("__delta"), F.lit(0.0)) * SCALE).cast(
+        "bigint"
+    )
+    g = F.sum(gain_fixed).over(frame)
+    l = F.sum(loss_fixed).over(frame)
+    n = F.row_number().over(wd)
+    avg_gain = g.cast("double") / SCALE / period
+    avg_loss = l.cast("double") / SCALE / period
+    rsi_col = (
+        F.when((g == 0) & (l == 0), F.lit(50.0))
+        .when(l == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    )
+    return (
+        with_delta.select(
+            key,
+            *order_by,
+            F.col(price).alias(price),
+            n.alias("__rn"),
+            F.round(rsi_col, 6).alias("rsi"),
+        )
+        .filter(F.col("__rn") >= period)
+        .drop("__rn")
+    )
+
+
+def sql_rsi(
+    table: str, key: str, order_by: list[str], price: str, period: int = 14,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`rsi` (same fixed-point frame sums and
+    zero-loss conventions).  ``extra_ctes`` (ending in a comma) lets
+    the caller prepend source CTEs — SQL allows only one WITH."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH {extra_ctes} d AS (
+      SELECT {key}, {ob}, {price},
+             {price} - lag({price}) OVER (PARTITION BY {key} ORDER BY {ob})
+               AS __delta
+      FROM {table}
+    ),
+    f AS (
+      SELECT {key}, {ob}, {price},
+             SUM(CAST(round(greatest(__delta, 0.0) * {SCALE}) AS BIGINT))
+               OVER wf AS g,
+             SUM(CAST(round(greatest(-__delta, 0.0) * {SCALE}) AS BIGINT))
+               OVER wf AS l,
+             row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS __rn
+      FROM d WHERE __delta IS NOT NULL
+      WINDOW wf AS (PARTITION BY {key} ORDER BY {ob}
+                    ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT {key}, {ob}, {price},
+           round(CASE WHEN g = 0 AND l = 0 THEN 50.0
+                      WHEN l = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 /
+                        (1.0 + (CAST(g AS DOUBLE) / {SCALE} / {period})
+                             / (CAST(l AS DOUBLE) / {SCALE} / {period}))
+                 END, 6) AS rsi
+    FROM f WHERE __rn >= {period}
+    """
+
+
+def max_drawdown(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+) -> DataFrame:
+    """Maximum peak-to-trough drawdown per key: the largest
+    (runningMax - price) / runningMax over the ordered series.
+    Running max and final max are pure comparisons (order-free), and
+    the per-row ratio is the same one double expression on both
+    engines — no summation anywhere, so no fixed-point needed.  ONE
+    shuffle on the key; O(keys) output."""
+    order_cols = [F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run_max = F.max(price).over(w)
+    dd = (run_max - F.col(price)) / run_max
+    return (
+        prices.filter(F.col(price) > 0)
+        .select(key, dd.alias("__dd"))
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.round(F.max("__dd"), 6).alias("max_drawdown"),
+        )
+        .orderBy(key)
+    )
+
+
+def sql_max_drawdown(
+    table: str, key: str, order_by: list[str], price: str,
+    where: str = "TRUE",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`max_drawdown`.  ``extra_ctes`` (ending
+    in a comma) prepends source CTEs — SQL allows only one WITH."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH {extra_ctes} pos AS (SELECT * FROM {table} WHERE {where} AND {price} > 0),
+    r AS (
+      SELECT {key},
+             (MAX({price}) OVER w - {price}) / MAX({price}) OVER w AS __dd
+      FROM pos
+      WINDOW w AS (PARTITION BY {key} ORDER BY {ob}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT {key}, COUNT(*) AS n_ticks, round(MAX(__dd), 6) AS max_drawdown
+    FROM r GROUP BY {key} ORDER BY {key}
+    """

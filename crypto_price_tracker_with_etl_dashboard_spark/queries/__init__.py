@@ -34,6 +34,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import text  # noqa: 
 from crypto_price_tracker_with_etl_dashboard_spark.queries import vector  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import joins  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import finance  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the driver's
@@ -155,6 +156,18 @@ ROTATION_POOL: list[str] = [
     "q1_pricing_summary", "q3_shipping_priority", "q12_delay_priority",
     # --- r3 debuts, joined the pool in r4 ---
     "display_snapshot", "media_audio_decode",
+    # --- r6-built, r7 DEBUT CANDIDATES: registered OUTSIDE the r6
+    #     window (its rotation arithmetic is fully committed to the
+    #     r3-stale TPC-H block) but APPENDED here so check_oracle.py
+    #     and bench.py exercise them this round.  r7 must MOVE these
+    #     six into NEW_THIS_ROUND (debut-in-window rule) and then
+    #     re-insert them into the pool in r8 — see the r7 cursor note
+    #     above (_ROTATION_STARTS).  Financial indicators + funnel +
+    #     SemDeDup + kNN-classify: queries/finance.py,
+    #     timeseries.py::q_events_funnel, vector.py::q_emb_semdedup /
+    #     q_emb_knn_classify. ---
+    "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown",
+    "events_funnel", "emb_semdedup", "emb_knn_classify",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Financial-indicator queries over the reference's prices table
+(derived from events, sources/tables.py::prices_from_events).
+
+The reference's frontend charts the raw price history
+(frontend/src/App.js PriceChart) and computes nothing on top; these
+are the indicators a price-tracker consumer layers on first — VWAP,
+RSI, max drawdown (operators/indicators.py).  Each is one shuffle on
+the symbol key with fixed-point-deterministic arithmetic, so every
+row is oracle-checkable bit-for-bit.
+
+Registered r6 OUTSIDE the 50-query driver window (the r6 window's
+rotation arithmetic is fully committed to re-certifying the r3-stale
+TPC-H block); certified this round by tools/check_oracle.py and
+scheduled to debut in the r7 driver window (queries/__init__.py
+NEW_THIS_ROUND note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+    max_drawdown,
+    rsi,
+    sql_max_drawdown,
+    sql_rsi,
+    sql_vwap,
+    vwap,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import (
+    PRICES_CTE_SQL,
+    prices_from_events,
+)
+
+_RSI_PERIOD = 14
+
+
+def q_prices_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly VWAP per symbol: sum(price*volume)/sum(volume) in exact
+    fixed-point over the positive-volume ticks."""
+    prices = prices_from_events(spark, sf_dir)
+    return vwap(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", volume="total_volume",
+    )
+
+
+register(
+    "prices_vwap_hourly",
+    q_prices_vwap_hourly,
+    f"""
+    WITH {PRICES_CTE_SQL}
+    {sql_vwap('prices', 'symbol', 'timestamp', 'current_price', 'total_volume')}
+    """,
+)
+
+
+def q_prices_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI-14 (Cutler's SMA variant) per symbol tick series,
+    tie-broken on event_id; emitted once a full 14-delta window
+    exists.  Gains/losses accumulate in fixed-point inside the rows
+    frame, so the value is identical regardless of the engine's
+    frame-evaluation order."""
+    prices = prices_from_events(spark, sf_dir)
+    return rsi(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", period=_RSI_PERIOD,
+    )
+
+
+register(
+    "prices_rsi",
+    q_prices_rsi,
+    sql_rsi(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        _RSI_PERIOD, extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum peak-to-trough drawdown per symbol over its ordered
+    tick history — comparisons and one per-row ratio only, no
+    summation, so bit-portable without fixed-point."""
+    prices = prices_from_events(spark, sf_dir)
+    return max_drawdown(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price",
+    )
+
+
+register(
+    "prices_max_drawdown",
+    q_prices_max_drawdown,
+    sql_max_drawdown(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)

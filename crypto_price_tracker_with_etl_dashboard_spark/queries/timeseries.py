@@ -292,3 +292,34 @@ register(
     FROM wc GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- Ordered conversion funnel ---------------------------------------------
+# The product-analytics staple the reference's dashboard family
+# implies but never ships: signup -> view -> click -> purchase, each
+# stage strictly after the previous AND within a 24h conversion
+# window (operators/funnel.py — one user_id shuffle, all stage
+# windows in a single per-user sort, O(stages) output).  Registered
+# r6 outside the driver window (rotation arithmetic committed to the
+# TPC-H tail); check_oracle-certified this round, r7 debut candidate.
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+_FUNNEL_WINDOW_H = 24
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, _FUNNEL_STAGES, within_hours=_FUNNEL_WINDOW_H)
+
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.funnel import (  # noqa: E402
+    funnel_sql,
+)
+
+register(
+    "events_funnel",
+    q_events_funnel,
+    funnel_sql(_FUNNEL_STAGES, within_hours=_FUNNEL_WINDOW_H),
+)

@@ -827,3 +827,115 @@ register(
     FROM embeddings
     """,
 )
+
+
+# ---- SemDeDup: cluster-bucketed semantic deduplication ----------------------
+# (Abbas et al. 2023, arXiv:2303.09540 — the embedding-space dedup a
+# training-data pipeline runs after exact/MinHash dedup.)  Clusters
+# come from ONE Lloyd assignment against the k-lowest-id seeds (the
+# certified emb_kmeans 'a1' pattern, so the oracle reuses
+# _km_assign_sql verbatim); within each cluster, any vector whose
+# cosine to a LOWER-id member clears the threshold is dropped.
+# Registered r6 outside the driver window (rotation arithmetic
+# committed to the TPC-H tail); check_oracle-certified this round,
+# r7 debut candidate.
+
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    return S.semdedup(emb, seeds, dim=_DIM, threshold=_SEMDEDUP_THRESHOLD)
+
+
+register(
+    "emb_semdedup",
+    q_emb_semdedup,
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ),{_km_assign_sql('seeds', 'a1')},
+    sides AS (
+      SELECT a.vec_id, a.cid, e.embedding
+      FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT b.cid, b.vec_id
+      FROM sides a JOIN sides b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_THRESHOLD}
+    ),
+    members AS (SELECT cid, COUNT(*) AS n_members FROM sides GROUP BY cid),
+    drops AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
+    SELECT m.cid, m.n_members,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(m.n_members - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM members m LEFT JOIN drops d ON d.cid = m.cid
+    ORDER BY m.cid
+    """,
+)
+
+
+# ---- kNN classification by neighbor label vote ------------------------------
+# Holds out every 10th vector as the unlabeled query set; predicts
+# its label as the majority vote of its k=5 nearest labeled
+# neighbors (exact cosine, vote ties -> lowest label).  The neighbor
+# stage is the certified brute_force_topk scan shape; swap in
+# LSH/IVF for billion-vector corpora (same output contract).
+# Registered r6 outside the driver window; r7 debut candidate.
+
+def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return S.knn_classify(corpus, queries, k=_K)
+
+
+register(
+    "emb_knn_classify",
+    q_emb_knn_classify,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id % 10 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             {_sql_cosine('q.query_vec', 'e.embedding')} AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id % 10 <> 0
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, label FROM (
+        SELECT query_id, neighbor_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC)
+                 AS rnk
+        FROM scored
+      ) WHERE rnk <= {_K}
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+      SELECT query_id, label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    ORDER BY query_id
+    """,
+)

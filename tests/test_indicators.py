@@ -1,0 +1,188 @@
+"""Financial indicators (operators/indicators.py) and the ordered
+conversion funnel (operators/funnel.py): hand-built fixtures with
+known closed-form answers, plus plan pins for the one-shuffle shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.funnel import funnel
+from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+    max_drawdown,
+    rsi,
+    vwap,
+)
+
+
+def ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+# ---- VWAP -------------------------------------------------------------------
+
+def test_vwap_weighted_mean_per_hour(spark):
+    rows = [
+        # symbol, price, volume, ts — hour 0: vwap = (10*1 + 20*3)/4
+        ("a", 10.0, 1.0, ts(0, 5)),
+        ("a", 20.0, 3.0, ts(0, 30)),
+        # hour 1: single tick -> vwap = price
+        ("a", 50.0, 2.0, ts(1, 0)),
+        # zero/negative volume rows are excluded
+        ("a", 999.0, 0.0, ts(0, 10)),
+        ("b", 7.0, -1.0, ts(0, 10)),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "price", "vol", "t"])
+    out = {
+        (r["symbol"], r["bucket"].hour): (r["vwap"], r["n_ticks"])
+        for r in vwap(df, "symbol", "t", "price", "vol").collect()
+    }
+    assert out == {("a", 0): (17.5, 2), ("a", 1): (50.0, 1)}
+
+
+# ---- RSI --------------------------------------------------------------------
+
+def _series(spark, prices: list[float]):
+    rows = [("a", p, ts(0, i), i) for i, p in enumerate(prices)]
+    return spark.createDataFrame(rows, ["symbol", "price", "t", "event_id"])
+
+
+def test_rsi_all_gains_is_100(spark):
+    df = _series(spark, [float(i) for i in range(1, 17)])  # 15 rising deltas
+    out = rsi(df, "symbol", ["t", "event_id"], "price", period=14).collect()
+    assert len(out) == 2  # deltas 14 and 15 have full windows
+    assert all(r["rsi"] == 100.0 for r in out)
+
+
+def test_rsi_flat_is_50(spark):
+    df = _series(spark, [5.0] * 16)
+    out = rsi(df, "symbol", ["t", "event_id"], "price", period=14).collect()
+    assert len(out) == 2
+    assert all(r["rsi"] == 50.0 for r in out)
+
+
+def test_rsi_balanced_alternation_is_50(spark):
+    # +1/-1 alternating: equal gain and loss mass in any 14-window
+    df = _series(spark, [10.0 + (i % 2) for i in range(16)])
+    out = rsi(df, "symbol", ["t", "event_id"], "price", period=14).collect()
+    assert all(r["rsi"] == 50.0 for r in out)
+
+
+def test_rsi_known_value(spark):
+    # 14 deltas: ten +1 gains, four -1 losses -> RS = 10/4, RSI = 100*10/14
+    deltas = [1.0] * 10 + [-1.0] * 4
+    prices, p = [100.0], 100.0
+    for d in deltas:
+        p += d
+        prices.append(p)
+    df = _series(spark, prices)
+    out = rsi(df, "symbol", ["t", "event_id"], "price", period=14).collect()
+    assert len(out) == 1
+    assert out[0]["rsi"] == pytest.approx(100.0 * 10.0 / 14.0, abs=1e-6)
+
+
+def test_rsi_emits_only_full_windows(spark):
+    df = _series(spark, [1.0, 2.0, 3.0])
+    assert rsi(df, "symbol", ["t", "event_id"], "price", period=14).count() == 0
+
+
+# ---- Max drawdown -----------------------------------------------------------
+
+def test_max_drawdown_peak_to_trough(spark):
+    # peak 100 then trough 60 -> dd 0.4; later peak 120 trough 90 -> 0.25
+    df = _series(spark, [50.0, 100.0, 80.0, 60.0, 120.0, 90.0])
+    out = max_drawdown(df, "symbol", ["t", "event_id"], "price").collect()
+    assert len(out) == 1
+    assert out[0]["max_drawdown"] == 0.4
+    assert out[0]["n_ticks"] == 6
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    df = _series(spark, [1.0, 2.0, 3.0])
+    out = max_drawdown(df, "symbol", ["t", "event_id"], "price").collect()
+    assert out[0]["max_drawdown"] == 0.0
+
+
+# ---- Funnel -----------------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1 completes in order
+        (1, "signup", ts(0)), (1, "view", ts(1)), (1, "click", ts(2)),
+        # u2 views BEFORE signup -> stalls at signup unless a later view
+        (2, "view", ts(0)), (2, "signup", ts(1)), (2, "click", ts(2)),
+        # u3 never signs up
+        (3, "view", ts(0)), (3, "click", ts(1)),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel(_events(spark, rows), ["signup", "view", "click"]).collect()
+    }
+    assert out == {"signup": 2, "view": 1, "click": 1}
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    rows = [(1, "signup", ts(0)), (1, "view", ts(0))]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel(_events(spark, rows), ["signup", "view"]).collect()
+    }
+    assert out == {"signup": 1, "view": 0}
+
+
+def test_funnel_conversion_window(spark):
+    rows = [
+        (1, "signup", ts(0)), (1, "view", ts(1)),          # inside 2h
+        (2, "signup", ts(0)), (2, "view", ts(5)),          # outside 2h
+        # u3: first view outside, but window binds to the FIRST signup
+        (3, "signup", ts(0)), (3, "view", ts(3)), (3, "signup", ts(2)),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel(
+            _events(spark, rows), ["signup", "view"], within_hours=2
+        ).collect()
+    }
+    assert out == {"signup": 3, "view": 1}
+
+
+def test_funnel_uses_first_qualifying_chain(spark):
+    # stage time = FIRST qualifying ts: u1's later extra signup must
+    # not reopen the window
+    rows = [
+        (1, "signup", ts(0)), (1, "signup", ts(4)), (1, "view", ts(5)),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel(
+            _events(spark, rows), ["signup", "view"], within_hours=2
+        ).collect()
+    }
+    assert out == {"signup": 1, "view": 0}
+
+
+# ---- Plan pins --------------------------------------------------------------
+
+def test_funnel_single_shuffle(spark):
+    from tests.test_plans import plan_of
+
+    rows = [(1, "signup", ts(0)), (1, "view", ts(1))]
+    plan = plan_of(funnel(_events(spark, rows), ["signup", "view", "click"]))
+    # all stage windows share one user-partitioned exchange; the only
+    # other exchanges are the O(stages) aggregate/sort tails
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_rsi_single_shuffle(spark):
+    from tests.test_plans import plan_of
+
+    df = _series(spark, [1.0, 2.0, 3.0])
+    plan = plan_of(rsi(df, "symbol", ["t", "event_id"], "price"))
+    assert plan.count("Exchange hashpartitioning") == 1

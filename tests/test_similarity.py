@@ -463,3 +463,87 @@ def test_pq_encode_batch_matches_fold(spark):
     )
     tied = spark.createDataFrame([(9, [1.0, 4.0])], ["vec_id", "embedding"])
     assert pq_encode_batch(tied, cents2, m=2, dim=2).collect()[0]["codes"] == [0, 0]
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        semdedup,
+    )
+
+    # two obvious clusters on the x/y axes; ids 0,1,2 are near-dups of
+    # each other in cluster 0 -> keep 0, drop 1 and 2; cluster 1 has
+    # one near-dup pair (10, 11) -> drop 11; 12 is dissimilar enough
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),
+        (2, [0.998, 0.02]),
+        (10, [0.0, 1.0]),
+        (11, [0.01, 0.999]),
+        (12, [0.7, 0.72]),  # assigned to y-cluster, low cosine to 10/11
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cid", "c"]
+    )
+    out = {
+        r["cid"]: (r["n_members"], r["n_dropped"], r["n_kept"])
+        for r in semdedup(emb, cents, dim=2, threshold=0.99).collect()
+    }
+    assert out == {0: (3, 2, 1), 1: (3, 1, 2)}
+
+
+def test_semdedup_no_cross_cluster_pairs(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        semdedup,
+    )
+
+    # 45-degree twins land in DIFFERENT clusters (tie -> lowest cid
+    # for the first, the second nudged to cluster 1): cosine between
+    # them is ~1 but they must NOT dedup across the cluster boundary
+    rows = [(0, [1.0, 1.0]), (1, [0.99, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.9999]), (1, [0.99, 1.0])], ["cid", "c"]
+    )
+    out = {r["cid"]: r["n_dropped"] for r in
+           semdedup(emb, cents, dim=2, threshold=0.5).collect()}
+    assert out == {0: 0, 1: 0}
+
+
+def test_knn_classify_majority_and_tie_rule(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        knn_classify,
+    )
+
+    # query near the x-axis: 3 label-7 neighbors closer than 2
+    # label-3 ones -> majority 7.  k=5 exactly covers them.
+    corpus_rows = [
+        (1, [1.0, 0.0], 7),
+        (2, [0.99, 0.01], 7),
+        (3, [0.98, 0.02], 7),
+        (4, [0.7, 0.7], 3),
+        (5, [0.6, 0.8], 3),
+        (6, [0.0, 1.0], 9),  # far — outside top-5? no: 6 rows, k=5 keeps it out only if farther
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding", "label"])
+    queries = spark.createDataFrame([(100, [1.0, 0.05])], ["vec_id", "embedding"])
+    out = knn_classify(corpus, queries, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["predicted_label"] == 7 and out[0]["n_votes"] == 3
+
+    # vote tie (two label-7 and two label-3 symmetric around the
+    # 45-degree query) -> tie on votes breaks to the LOWEST label
+    import math
+
+    def ang(deg, vid, label):
+        r = math.radians(deg)
+        return (vid, [math.cos(r), math.sin(r)], label)
+
+    sym = spark.createDataFrame(
+        [ang(10, 1, 7), ang(20, 2, 7), ang(70, 3, 3), ang(80, 4, 3)],
+        ["vec_id", "embedding", "label"],
+    )
+    queries2 = spark.createDataFrame([(101, [1.0, 1.0])], ["vec_id", "embedding"])
+    out2 = knn_classify(sym, queries2, k=4).collect()[0]
+    assert out2["n_votes"] == 2
+    assert out2["predicted_label"] == 3  # tie on votes -> lowest label
