@@ -887,18 +887,25 @@ register(
 
 
 # ---- kNN classification by neighbor label vote ------------------------------
-# Holds out every 10th vector as the unlabeled query set; predicts
-# its label as the majority vote of its k=5 nearest labeled
-# neighbors (exact cosine, vote ties -> lowest label).  The neighbor
-# stage is the certified brute_force_topk scan shape; swap in
-# LSH/IVF for billion-vector corpora (same output contract).
-# Registered r6 outside the driver window; r7 debut candidate.
+# Holds out a FIXED batch of unlabeled queries (every 10th vec_id
+# below 500 — fixed-size at any SF, like emb_cosine_topk's query
+# set); predicts each label as the majority vote of its k=5 nearest
+# labeled neighbors (exact cosine, vote ties -> lowest label).  The
+# query set must NOT be a corpus fraction: scoring is
+# O(|corpus| x |queries|), so a %-of-corpus query set scales
+# quadratically (measured x15.8 on 10x data before this cap; x3.0
+# after, the corpus-linear fold cost — BASELINE.md r6 debut rows).  Corpus-fraction inference
+# goes through the LSH/IVF neighbor stages instead (same output
+# contract).  Registered r6 outside the driver window; r7 debut
+# candidate.
+
+_KNN_QUERY_CAP = 500
+
 
 def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
-    return S.knn_classify(corpus, queries, k=_K)
+    is_query = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < _KNN_QUERY_CAP)
+    return S.knn_classify(emb.filter(~is_query), emb.filter(is_query), k=_K)
 
 
 register(
@@ -907,13 +914,13 @@ register(
     f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
-      WHERE vec_id % 10 = 0
+      WHERE vec_id % 10 = 0 AND vec_id < {_KNN_QUERY_CAP}
     ),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
              {_sql_cosine('q.query_vec', 'e.embedding')} AS cosine_sim
       FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id % 10 <> 0
+      WHERE NOT (e.vec_id % 10 = 0 AND e.vec_id < {_KNN_QUERY_CAP})
     ),
     topk AS (
       SELECT query_id, neighbor_id, label FROM (

@@ -269,3 +269,33 @@ def test_bucketed_join_query_zero_exchange_join(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
     assert "hashpartitioning(o_orderkey" not in plan
+
+
+def test_semdedup_assignment_map_only_pairs_bucketed(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.orderBy(F.col("vec_id").asc()).limit(4).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    plan = plan_of(S.semdedup(emb, cents, dim=64, threshold=0.3))
+    # the pair stage must be a cid EQUI-join (hash or sort-merge on
+    # the cid key, cosine + id inequality as residuals) — never an
+    # unkeyed product over the corpus.  The only nested-loop node
+    # allowed is kmeans_assign's designed 1-row centroid broadcast
+    # (IdentityBroadcastMode).
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [cid" in plan or "SortMergeJoin [cid" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+
+
+def test_knn_classify_corpus_not_shuffled(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    plan = plan_of(S.knn_classify(corpus, queries, k=3))
+    # scoring broadcasts the query set; the only hash exchanges are
+    # the queries x k window/vote tails (never corpus-sized)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
