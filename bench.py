@@ -243,9 +243,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # Arrow/Python-worker fleet warm-up (mapInPandas queries would
     # otherwise absorb one-time worker startup, ~7s on 32 cores).
+    # CHAINED double stage: a pipeline of two mapInPandas operators
+    # (media_audio_decode's synth->decode shape) runs TWO Python
+    # runners per task, so it needs a second fleet of 32 workers a
+    # single-stage warm-up never spawns — without this the audio
+    # query's first runs absorb ~1-2.5s of worker forking and the
+    # min-of-2 suite number measures fleet spawn, not the query
+    # (BASELINE.md round-6 note).
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
-    ).count()
+    ).mapInPandas(lambda it: it, "id long").count()
     for t in ["lineitem", "events", "documents", "embeddings"]:
         from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
