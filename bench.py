@@ -111,6 +111,11 @@ HEADLINE = [
     "events_funnel",
     "emb_semdedup",
     "emb_knn_classify",
+    "events_value_outliers",
+    "events_profile",
+    "events_top_paths",
+    "events_markov",
+    "doc_bigram_topk",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -35,6 +35,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import vector  # noqa
 from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import joins  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import finance  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import behavior  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the driver's
@@ -168,6 +169,13 @@ ROTATION_POOL: list[str] = [
     #     q_emb_knn_classify. ---
     "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown",
     "events_funnel", "emb_semdedup", "emb_knn_classify",
+    # --- r6-built batch 2, same r7-debut-candidate status: behavior
+    #     analytics (queries/behavior.py — z-score outliers with exact
+    #     distributed variance, Deequ-style one-pass column profile,
+    #     top user journey paths, Markov transitions) and corpus
+    #     bigram counts (queries/text.py::q_doc_bigram_topk). ---
+    "events_value_outliers", "events_profile", "events_top_paths",
+    "events_markov", "doc_bigram_topk",
 ]
 
 

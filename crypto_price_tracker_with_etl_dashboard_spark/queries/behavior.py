@@ -1,0 +1,218 @@
+"""User-behavior / data-quality analytics over the events stream:
+z-score outliers (the first certified use of exact distributed
+variance), a Deequ-style one-pass column profile, top user journey
+paths, and the event-type Markov transition matrix.
+
+All are single-key-shuffle plans; every float expression is the
+IDENTICAL tree on both engines (means/variances derive from
+fixed-point BIGINT sums, then a fixed chain of double ops), so rows
+hash-match bit-for-bit.
+
+Registered r6 OUTSIDE the 50-query driver window (its rotation is
+committed to the TPC-H re-certification); check_oracle-certified
+this round and scheduled to debut in the r7 driver window
+(queries/__init__.py NEW_THIS_ROUND note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+from crypto_price_tracker_with_etl_dashboard_spark.operators.profile import (
+    profile,
+    sql_profile,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+
+# ---- Z-score outliers (exact distributed variance) -------------------------
+# Group stats from fixed-point sums: sum(v) and sum(round(v*v*SCALE))
+# are exact BIGINTs (order/partitioning-invariant), and mean /
+# E[x^2] / sample variance / z then follow one fixed chain of double
+# ops both engines evaluate identically.  The stats table is
+# O(groups) rows — broadcast back to the fact scan, so the plan is
+# one agg shuffle + a broadcast join, never a window over the corpus.
+
+_Z_THRESHOLD = 1.5  # |z| cut; uniform-ish value data tops out ~1.73
+
+
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.round(v * SCALE).cast("bigint")).alias("s"),
+        F.sum(F.round(v * v * SCALE).cast("bigint")).alias("sq"),
+    )
+    mean = (F.col("s").cast("double") / SCALE) / F.col("n")
+    ex2 = (F.col("sq").cast("double") / SCALE) / F.col("n")
+    var = (ex2 - mean * mean) * F.col("n") / (F.col("n") - 1)
+    enriched = stats.select(
+        "event_type", mean.alias("__mean"), F.sqrt(var).alias("__sd")
+    )
+    z = F.round((v - F.col("__mean")) / F.col("__sd"), 6)
+    return (
+        ev.join(F.broadcast(enriched), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= _Z_THRESHOLD)
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_value_outliers",
+    q_events_value_outliers,
+    f"""
+    WITH stats AS (
+      SELECT event_type, COUNT(value) AS n,
+             SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS s,
+             SUM(CAST(round(value * value * {SCALE}) AS BIGINT)) AS sq
+      FROM events GROUP BY event_type
+    ),
+    enriched AS (
+      SELECT event_type,
+             (CAST(s AS DOUBLE) / {SCALE}) / n AS m,
+             sqrt(((CAST(sq AS DOUBLE) / {SCALE}) / n
+                   - ((CAST(s AS DOUBLE) / {SCALE}) / n)
+                     * ((CAST(s AS DOUBLE) / {SCALE}) / n)) * n / (n - 1))
+               AS sd
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - t.m) / t.sd, 6) AS z
+    FROM events e JOIN enriched t USING (event_type)
+    WHERE abs(round((e.value - t.m) / t.sd, 6)) >= {_Z_THRESHOLD}
+    ORDER BY e.event_id
+    """,
+)
+
+
+# ---- One-pass column profile ------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts", "props"]
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return profile(ev, _PROFILE_COLS)
+
+
+register(
+    "events_profile",
+    q_events_profile,
+    sql_profile("events", _PROFILE_COLS),
+)
+
+
+# ---- Top user journey paths -------------------------------------------------
+# Each user's first 5 events (ts, event_id order) joined into a
+# 'a>b>c' path string; the 10 most common paths (ties -> path ASC).
+# One user-key shuffle; the path table is O(users) rows and the
+# top-k is a tiny aggregate.
+
+_PATH_LEN = 5
+_PATH_TOPK = 10
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    first_n = ev.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _PATH_LEN
+    )
+    paths = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(_PATH_TOPK)
+    )
+
+
+register(
+    "events_top_paths",
+    q_events_top_paths,
+    f"""
+    WITH f AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM f WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT {_PATH_TOPK}
+    """,
+)
+
+
+# ---- Markov transition matrix ----------------------------------------------
+# P(next event type | current) per user-ordered stream: one user-key
+# window for the lead, one (src, dst) aggregate, probabilities as a
+# single double division of exact counts.  Output is O(|types|^2).
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("__dst", F.lead("event_type").over(w))
+        .filter(F.col("__dst").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("__dst").alias("dst"))
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+    totals = counts.groupBy("src").agg(F.sum("n_transitions").alias("__total"))
+    return (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("__total"), 6
+            ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+register(
+    "events_markov",
+    q_events_markov,
+    """
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS dst
+      FROM events
+    ),
+    counts AS (
+      SELECT src, dst, COUNT(*) AS n_transitions
+      FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    totals AS (SELECT src, SUM(n_transitions) AS total FROM counts GROUP BY src)
+    SELECT c.src, c.dst, c.n_transitions,
+           round(CAST(c.n_transitions AS DOUBLE) / t.total, 6) AS prob
+    FROM counts c JOIN totals t USING (src)
+    ORDER BY c.src, c.dst
+    """,
+)

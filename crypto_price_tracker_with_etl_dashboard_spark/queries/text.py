@@ -740,3 +740,62 @@ register(
     ) WHERE rnk <= {_BM25_TOPK}
     """,
 )
+
+
+# ---- Corpus bigram counts (LM vocabulary / merge statistics) ----------------
+# The n-gram frequency pass a tokenizer-training or LM-data pipeline
+# runs over the corpus: adjacent-token pairs, global counts, top-20
+# (ties -> bigram ASC).  One shuffle on the bigram key with map-side
+# partials; the top-k is orderBy+limit (TakeOrdered — no global
+# single-partition window).  Registered r6 outside the driver window;
+# check_oracle-certified this round, r7 debut candidate.
+
+_BIGRAM_TOPK = 20
+
+
+def q_doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(_BIGRAM_TOPK)
+    )
+
+
+register(
+    "doc_bigram_topk",
+    q_doc_bigram_topk,
+    f"""
+    WITH toked AS (
+      SELECT {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= 2
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM toked
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT {_BIGRAM_TOPK}
+    """,
+)

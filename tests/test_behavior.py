@@ -1,0 +1,138 @@
+"""Behavior-analytics queries (queries/behavior.py) and the profile
+operator (operators/profile.py): semantics checked against
+independent pandas recomputations on the sf0.001 tables, plus
+hand-built edge cases for the profile operator.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators.profile import profile
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    rows = [
+        (1, "a", 2.0),
+        (2, "a", None),
+        (3, None, 8.5),
+        (3, "b", 8.5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    out = {r["column"]: r for r in profile(df, ["k", "s", "v"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "3")
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert (out["v"]["min_value"], out["v"]["max_value"]) == ("2.0", "8.5")
+
+
+def test_profile_single_job_no_per_column_scan(spark):
+    from tests.test_plans import plan_of
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(profile(docs, ["doc_id", "lang", "source"]))
+    # multi-distinct runs through ONE Expand pass — the scan appears
+    # exactly once, not once per column
+    assert plan.count("FileScan parquet") == 1
+
+
+def _events_pdf(spark) -> pd.DataFrame:
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    return ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+
+
+def test_markov_matches_pandas(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_markov,
+    )
+
+    pdf = _events_pdf(spark)
+    pdf["dst"] = pdf.groupby("user_id")["event_type"].shift(-1)
+    pairs = pdf.dropna(subset=["dst"])
+    expected = (
+        pairs.groupby(["event_type", "dst"]).size().rename("n").reset_index()
+    )
+    got = q_events_markov(spark, SF_SMALL).toPandas()
+    merged = got.merge(
+        expected, left_on=["src", "dst"], right_on=["event_type", "dst"]
+    )
+    assert len(merged) == len(got) == len(expected)
+    assert (merged["n_transitions"] == merged["n"]).all()
+    # probabilities sum to ~1 per source row
+    sums = got.groupby("src")["prob"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_top_paths_matches_pandas(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_top_paths,
+    )
+
+    pdf = _events_pdf(spark)
+    pdf["rn"] = pdf.groupby("user_id").cumcount() + 1
+    paths = (
+        pdf[pdf["rn"] <= 5]
+        .groupby("user_id")["event_type"]
+        .agg(lambda s: ">".join(s))
+        .rename("path")
+        .reset_index()
+    )
+    expected = paths.groupby("path").size().rename("n_users").reset_index()
+    expected = expected.sort_values(
+        ["n_users", "path"], ascending=[False, True]
+    ).head(10)
+    got = q_events_top_paths(spark, SF_SMALL).toPandas()
+    assert list(got["path"]) == list(expected["path"])
+    assert list(got["n_users"]) == list(expected["n_users"])
+
+
+def test_zscore_outliers_match_pandas(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_value_outliers,
+    )
+
+    pdf = _events_pdf(spark)
+    got = q_events_value_outliers(spark, SF_SMALL).toPandas()
+    for et, g in pdf.groupby("event_type"):
+        m, sd = g["value"].mean(), g["value"].std(ddof=1)
+        exp_ids = set(g.loc[abs((g["value"] - m) / sd).round(6) >= 1.5, "event_id"])
+        got_ids = set(got.loc[got["event_type"] == et, "event_id"])
+        assert got_ids == exp_ids, et
+    # z values match the pandas computation to fixed-point tolerance
+    merged = got.merge(pdf, on=["event_id", "event_type"])
+    stats = pdf.groupby("event_type")["value"].agg(["mean", "std"])
+    for _, r in merged.iterrows():
+        m, sd = stats.loc[r["event_type"], "mean"], stats.loc[r["event_type"], "std"]
+        assert r["z"] == pytest.approx((r["value_x"] - m) / sd, abs=1e-4)
+
+
+def test_bigram_topk_matches_pandas(spark):
+    from collections import Counter
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        q_doc_bigram_topk,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("text").toPandas()
+    counts: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split(" ")
+        counts.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["bigram"], r["n"]) for r in q_doc_bigram_topk(spark, SF_SMALL).collect()
+    ]
+    assert got == expected
