@@ -87,11 +87,23 @@ DRIVER_WINDOW = 50
 ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # r5 consumed pool[38:52] + wrap pool[0:2], so the next unconsumed
 # index is 2; the four r5 debuts joined the pool AT that cursor (the
-# same move r4's debuts made), so r6 starts at 2 + 4 = 6.  With 4 r6
-# debuts the 16 rotating slots are pool[6:22] — exactly the 16
-# r3-stale TPC-H rows (q2, q4-q10, q13-q20), the r5 verdict's ask #2.
-# r7: insert the four r6 debuts at the cursor (index 22, i.e. before
-# q21_last_shipper) and set _ROTATION_STARTS[7] = 26.
+# same move r4's debuts made), so r6 starts at 2 + 4 = 6.
+# FIXED_CORE was slimmed 30 -> 26 mid-r6 (four always-green
+# zero-shuffle text/sampling queries — doc_token_bpe, doc_fingerprint,
+# doc_winnow, doc_hash_split, all r5-certified — moved into the pool's
+# r5-certified region), so with 4 r6 debuts the rotation takes TWENTY
+# slots: pool[6:26] = the 16 r3-stale TPC-H rows (q2, q4-q10,
+# q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
+# top_orders_per_customer, segment_order_stats (r4-certified) — the
+# slimming lets r6 clear four extra stale rows.
+# r7 PLAN (11 debut candidates are queued at the pool tail, all
+# check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
+# r6 debuts at the cursor (index 26, before events_tumbling_5min) and
+# set _ROTATION_STARTS[7] = 30.  Move the 11 candidates from the pool
+# tail into NEW_THIS_ROUND; rotation slots = 50 - 26 - 11 = 13, which
+# covers pool[30:43] — the entire 12-query r4-certified block
+# (events_tumbling_5min .. emb_kmeans, post-insertion indices) plus
+# one — so even a full 11-debut round leaves nothing older than r5.
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [
@@ -101,11 +113,14 @@ FIXED_CORE: list[str] = [
     # deduplication family (6)
     "doc_exact_dedup", "doc_minhash_lsh", "doc_ngram_jaccard", "doc_simhash",
     "doc_dup_clusters", "doc_decontaminate",
-    # text-analysis family (6)
-    "doc_quality", "doc_langid", "doc_token_bpe", "doc_fingerprint",
-    "doc_winnow", "doc_top_terms",
-    # sampling / packing family (4)
-    "doc_hash_split", "doc_stratified_sample", "doc_pack_chunks",
+    # text-analysis family (3; doc_token_bpe / doc_fingerprint /
+    # doc_winnow rotated into the pool r6 — always-green zero-shuffle
+    # column expressions whose operator families stay covered here by
+    # doc_quality / doc_langid / doc_top_terms)
+    "doc_quality", "doc_langid", "doc_top_terms",
+    # sampling / packing family (3; doc_hash_split rotated r6, same
+    # rationale — stratified/pack/cap keep the family certified)
+    "doc_stratified_sample", "doc_pack_chunks",
     "events_per_user_cap",
     # similarity-search family (5)
     "emb_cosine_topk", "emb_ann_recall", "emb_ivf_topk",
@@ -147,7 +162,12 @@ ROTATION_POOL: list[str] = [
     #     they sit in the consumed region and recycle a full loop on ---
     "media_image_decode", "doc_pii_scrub", "doc_repetition",
     "emb_scalar_quantize", "doc_mixture_sample", "emb_kmeans",
-    # --- r5 cursor starts here (index 38) ---
+    # --- slimmed out of FIXED_CORE mid-r6 (r5-certified there every
+    #     round through r5; always-green zero-shuffle column
+    #     expressions) — placed at the head of the r5-certified
+    #     region so rotation re-reaches them in staleness order ---
+    "doc_token_bpe", "doc_fingerprint", "doc_winnow", "doc_hash_split",
+    # --- r5 cursor started here (index 38 pre-slimming) ---
     "events_cube",
     "returned_orders_semi", "churned_customers_anti", "user_cohort_setops",
     "events_json_extract", "daily_distinct_users",
