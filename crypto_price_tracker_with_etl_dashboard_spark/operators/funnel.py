@@ -47,6 +47,8 @@ def funnel(
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    if within_hours is not None and within_hours <= 0:
+        raise ValueError(f"within_hours must be positive, got {within_hours}")
     w = Window.partitionBy(user_col)
     df = events.select(user_col, type_col, ts_col)
     prev: F.Column | None = None

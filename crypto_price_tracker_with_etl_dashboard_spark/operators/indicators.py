@@ -94,6 +94,8 @@ def rsi(
     evaluate in a single per-key sort.  Emits only rows with a full
     ``period`` deltas behind them.
     """
+    if period < 1:
+        raise ValueError(f"rsi period must be >= 1, got {period}")
     order_cols = [F.col(c).asc() for c in order_by]
     w = Window.partitionBy(key).orderBy(*order_cols)
     delta = F.col(price) - F.lag(price).over(w)

@@ -26,6 +26,8 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     (timestamps in ISO form via Spark's default cast)."""
     if not cols:
         raise ValueError("profile needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in profile list: {cols}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

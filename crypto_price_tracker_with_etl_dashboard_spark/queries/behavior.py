@@ -50,9 +50,13 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = (F.col("s").cast("double") / SCALE) / F.col("n")
     ex2 = (F.col("sq").cast("double") / SCALE) / F.col("n")
     var = (ex2 - mean * mean) * F.col("n") / (F.col("n") - 1)
-    enriched = stats.select(
+    # n >= 2 guards the (n-1) sample-variance divisor; sd > 0 guards
+    # the z divisor for a constant-valued group (both filters mirror
+    # the oracle exactly, so degenerate groups drop identically on
+    # both engines instead of diverging through inf/NULL semantics)
+    enriched = stats.filter(F.col("n") >= 2).select(
         "event_type", mean.alias("__mean"), F.sqrt(var).alias("__sd")
-    )
+    ).filter(F.col("__sd") > 0)
     z = F.round((v - F.col("__mean")) / F.col("__sd"), 6)
     return (
         ev.join(F.broadcast(enriched), "event_type")
@@ -73,13 +77,15 @@ register(
       FROM events GROUP BY event_type
     ),
     enriched AS (
-      SELECT event_type,
-             (CAST(s AS DOUBLE) / {SCALE}) / n AS m,
-             sqrt(((CAST(sq AS DOUBLE) / {SCALE}) / n
-                   - ((CAST(s AS DOUBLE) / {SCALE}) / n)
-                     * ((CAST(s AS DOUBLE) / {SCALE}) / n)) * n / (n - 1))
-               AS sd
-      FROM stats
+      SELECT event_type, m, sd FROM (
+        SELECT event_type,
+               (CAST(s AS DOUBLE) / {SCALE}) / n AS m,
+               sqrt(((CAST(sq AS DOUBLE) / {SCALE}) / n
+                     - ((CAST(s AS DOUBLE) / {SCALE}) / n)
+                       * ((CAST(s AS DOUBLE) / {SCALE}) / n)) * n / (n - 1))
+                 AS sd
+        FROM stats WHERE n >= 2
+      ) WHERE sd > 0
     )
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - t.m) / t.sd, 6) AS z
