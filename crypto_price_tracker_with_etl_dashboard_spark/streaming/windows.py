@@ -59,3 +59,44 @@ def ohlc_candles(
             "open", "high", "low", "close", "volume", "n_ticks",
         )
     )
+
+
+def vwap_windows(
+    prices: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/indicators.py::vwap``: per-symbol
+    volume-weighted average price on tumbling event-time windows.
+    Works on a stream (watermarked, append-once state bounded by
+    symbols x open windows) and, unchanged, on a batch DataFrame —
+    the batch form is value-identical to the certified
+    ``prices_vwap_hourly`` query because both accumulate the SAME
+    fixed-point BIGINT partials (the sums are exact integers, so
+    incremental micro-batch accumulation and one-shot batch
+    aggregation cannot differ by even an ulp; pinned in
+    tests/test_streaming.py)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+
+    df = prices.filter(F.col("total_volume") > 0)
+    if prices.isStreaming:
+        df = df.withWatermark("timestamp", watermark)
+    pv = F.round(F.col("current_price") * F.col("total_volume") * SCALE).cast(
+        "bigint"
+    )
+    v = F.round(F.col("total_volume") * SCALE).cast("bigint")
+    return (
+        df.groupBy("symbol", F.window("timestamp", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum(pv).alias("__pv"),
+            F.sum(v).alias("__v"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_ticks",
+            F.round(F.col("__pv").cast("double") / F.col("__v"), 6).alias("vwap"),
+        )
+    )

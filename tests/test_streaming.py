@@ -504,3 +504,60 @@ def test_multi_batch_run_reads_table_exactly_once(spark, tmp_path):
     ]
     got = [(r["symbol"], r["current_price"]) for r in pushes[-1]]
     assert got == expect
+
+
+def test_streaming_vwap_matches_batch_query(spark, tmp_path):
+    """vwap_windows on a stream (append mode, incremental state)
+    must produce the EXACT rows the batch form produces on the same
+    data — the fixed-point partials are integers, so micro-batch
+    accumulation vs one-shot aggregation cannot differ by an ulp."""
+    import datetime as dt
+
+    from crypto_price_tracker_with_etl_dashboard_spark.schema import PRICES_SCHEMA
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import (
+        vwap_windows,
+    )
+
+    pdir = str(tmp_path / "prices_vwap")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        ("btc", "Bitcoin", 100.0, 1e9, 1.0, t0),
+        ("btc", "Bitcoin", 120.0, 1e9, 3.0, t0 + dt.timedelta(minutes=10)),
+        ("eth", "Ethereum", 10.0, 1e9, 2.0, t0 + dt.timedelta(minutes=20)),
+        ("eth", "Ethereum", 0.0, 1e9, 0.0, t0),  # zero volume -> excluded
+    ]
+    spark.createDataFrame(batch1, PRICES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    stream = spark.readStream.schema(PRICES_SCHEMA).parquet(pdir)
+    q = (
+        vwap_windows(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vwap_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = [("btc", "Bitcoin", 1.0, 1e9, 1.0, t0 + dt.timedelta(hours=3))]
+        spark.createDataFrame(late, PRICES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pdir)
+        q.processAllAvailable()
+        got = {
+            (r["symbol"], r["window_start"]): (r["vwap"], r["n_ticks"])
+            for r in spark.sql("SELECT * FROM vwap_test").collect()
+        }
+        # closed first-hour windows for both symbols
+        assert got[("btc", t0)] == ((100.0 * 1 + 120.0 * 3) / 4.0, 2)
+        assert got[("eth", t0)] == (10.0, 1)
+        # batch form on the same rows yields the identical windows
+        batch_df = spark.createDataFrame(batch1 + late, PRICES_SCHEMA)
+        batch = {
+            (r["symbol"], r["window_start"]): (r["vwap"], r["n_ticks"])
+            for r in vwap_windows(batch_df).collect()
+        }
+        for k, v in got.items():
+            assert batch[k] == v
+    finally:
+        q.stop()
