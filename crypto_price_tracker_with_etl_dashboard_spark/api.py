@@ -137,3 +137,44 @@ class PriceTracker:
         """Per-symbol tumbling OHLC candles over the price history."""
         tiebreak = "event_id" if "event_id" in self.prices.columns else None
         return ohlc_candles(self.prices, window=window, tiebreak_col=tiebreak)
+
+    def _order_cols(self) -> list[str]:
+        return (
+            ["timestamp", "event_id"]
+            if "event_id" in self.prices.columns
+            else ["timestamp"]
+        )
+
+    def vwap(self, bucket: str = "hour") -> DataFrame:
+        """Per-symbol volume-weighted average price per time bucket
+        (exact fixed-point sums — operators/indicators.py)."""
+        from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+            vwap,
+        )
+
+        return vwap(
+            self.prices, key="symbol", ts_col="timestamp",
+            price="current_price", volume="total_volume", bucket=bucket,
+        )
+
+    def rsi(self, period: int = 14) -> DataFrame:
+        """Cutler RSI per symbol over the ordered tick series."""
+        from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+            rsi,
+        )
+
+        return rsi(
+            self.prices, key="symbol", order_by=self._order_cols(),
+            price="current_price", period=period,
+        )
+
+    def max_drawdown(self) -> DataFrame:
+        """Maximum peak-to-trough drawdown per symbol."""
+        from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+            max_drawdown,
+        )
+
+        return max_drawdown(
+            self.prices, key="symbol", order_by=self._order_cols(),
+            price="current_price",
+        )

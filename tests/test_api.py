@@ -59,3 +59,17 @@ def test_price_tracker_end_to_end(spark, tmp_path):
     candles = app.ohlc("5 minutes").filter("symbol = 'btc'").collect()
     assert len(candles) == 2
     assert sorted(c["open"] for c in candles) == [100.0, 110.0]
+
+
+def test_api_indicator_extensions(spark, prices_fixture):
+    from crypto_price_tracker_with_etl_dashboard_spark.api import PriceTracker
+
+    app = PriceTracker(spark, prices_fixture)
+    vw = app.vwap().collect()
+    assert vw and all(r["vwap"] is not None for r in vw)
+    dd = {r["symbol"]: r["max_drawdown"] for r in app.max_drawdown().collect()}
+    assert set(dd) <= set(r["symbol"] for r in prices_fixture.collect())
+    assert all(0.0 <= v < 1.0 for v in dd.values())
+    # fixture series are short; a small period still exercises the path
+    rs = app.rsi(period=2).collect()
+    assert all(0.0 <= r["rsi"] <= 100.0 for r in rs)
