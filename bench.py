@@ -266,10 +266,24 @@ def main() -> None:
     # host show random 10-20x spikes from outside interference (a
     # query that normally takes 2s occasionally reads 50s with no plan
     # change); the min of two runs measures steady-state throughput.
+    # ADAPTIVE third pass: when the min-of-2 still reads >1.2x the
+    # query's committed baseline, one more run disambiguates noise
+    # from regression BEFORE the number is recorded — the r5 artifact
+    # shipped a ~21% noise-inflated suite that took a round of
+    # fresh-session evidence to clear (BASELINE.md); an extra run on
+    # only-the-noisy queries is far cheaper than that.  Real
+    # regressions still surface: a plan/code slowdown reproduces on
+    # the third run and then trips the 2x breach isolation below.
+    base = _baseline_times()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        budget = base.get(name)
+        if budget is not None and best > 1.2 * budget:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -291,7 +305,7 @@ def main() -> None:
     # Budget check + automatic isolation: any query over BUDGET_FACTOR
     # x its first-recorded time is re-run (min of ISOLATION_RUNS) so
     # the artifact itself says whether the breach survives isolation.
-    base = _baseline_times()
+    # (`base` computed before the measurement loop.)
     breaches: dict[str, dict] = {}
     for name, sec in timings.items():
         budget = base.get(name)
