@@ -35,6 +35,11 @@ def vwap(
     accumulate in exact fixed-point, so the per-bucket VWAP is one
     double division of two engine-portable values.  ONE shuffle on
     (key, bucket) with map-side partials; output is O(keys*buckets).
+
+    Precision note: quantizing at 1e-4 units makes the per-term error
+    RELATIVE to the volume magnitude (up to 0.5/(v*1e4)); for feeds
+    whose volumes can be << 1, raise ``operators/exact.py::SCALE`` —
+    here the reference's volumes are O(1e4+) so the error is < 1e-8.
     """
     pv_fixed = F.round(F.col(price) * F.col(volume) * SCALE).cast("bigint")
     v_fixed = F.round(F.col(volume) * SCALE).cast("bigint")

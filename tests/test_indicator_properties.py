@@ -70,16 +70,25 @@ def test_max_drawdown_in_unit_interval_and_matches_reference(spark, prices):
         max_size=30,
     )
 )
-def test_vwap_between_min_and_max_price(spark, ticks):
+def test_vwap_matches_fixed_point_reference(spark, ticks):
+    import math
+
     rows = [
         ("s", float(p), float(v), dt.datetime(2024, 1, 1, 0, i % 60))
         for i, (p, v) in enumerate(ticks)
     ]
     df = spark.createDataFrame(rows, ["symbol", "price", "vol", "t"])
     out = vwap(df, "symbol", "t", "price", "vol").collect()
-    lo, hi = min(p for p, _ in ticks), max(p for p, _ in ticks)
-    # fixed-point quantization is 1e-4 absolute per term
-    assert all(lo - 1e-3 <= r["vwap"] <= hi + 1e-3 for r in out)
+    assert len(out) == 1
+    # sequential reference with the SAME fixed-point quantization
+    # (HALF_UP, 1e-4 units).  NB the quantization error is relative to
+    # the VOLUME magnitude (0.5/(v*1e4) per term), so a plain
+    # min<=vwap<=max range check is wrong for tiny volumes.
+    hu = lambda x: math.floor(x * 10_000 + 0.5)  # noqa: E731
+    num = sum(hu(p * v) for p, v in ticks)
+    den = sum(hu(v) for _, v in ticks)
+    assert out[0]["vwap"] == round(num / den, 6)
+    assert out[0]["n_ticks"] == len(ticks)
 
 
 @settings(max_examples=EXAMPLES, deadline=None)
