@@ -153,11 +153,15 @@ def _queries_from_tail(tail: str) -> dict[str, float]:
     only the tail of bench stdout: find the LAST '"queries": {'
     marker and parse its balanced-brace object.  Returns {} when the
     object is absent or itself truncated."""
-    marker = '"queries": {'
-    i = tail.rfind(marker)
-    if i < 0:
+    import re
+
+    # Tolerate any serializer spacing ('"queries": {' and the compact
+    # '"queries":{' both match) — a driver that re-serializes the
+    # envelope compactly must not silently drop a round's budgets.
+    matches = list(re.finditer(r'"queries"\s*:\s*\{', tail))
+    if not matches:
         return {}
-    start = i + len(marker) - 1
+    start = matches[-1].end() - 1
     depth = 0
     for j in range(start, len(tail)):
         if tail[j] == "{":

@@ -1070,6 +1070,13 @@ def pq_encode_batch(
     return emb.select(id_col, *keep_cols, udf(F.col(vec_col)).alias("codes"))
 
 
+# Last cached assigned-corpus DataFrame per Spark application, so a
+# repeated semdedup() call can evict its predecessor (see in-function
+# comment).  Keyed by applicationId, not id(session): id() values are
+# reused after GC.
+_SEMDEDUP_CACHE: dict[str, DataFrame] = {}
+
+
 def semdedup(
     emb: DataFrame,
     cents: DataFrame,
@@ -1102,6 +1109,16 @@ def semdedup(
         .withColumn("nrm", _norm(F.col(vec_col)))
         .cache()
     )
+    # The cache serves BOTH consumers of `side` (pair join + member
+    # counts) inside one action, so it cannot be unpersisted before
+    # return — but repeated calls (bench runs the query 2-3x) must
+    # not stack full-corpus copies in executor memory.  Evict the
+    # previous invocation's cache on re-entry: residency is bounded
+    # at one assigned-corpus copy per session.
+    prev = _SEMDEDUP_CACHE.get(emb.sparkSession.sparkContext.applicationId)
+    if prev is not None:
+        prev.unpersist()
+    _SEMDEDUP_CACHE[emb.sparkSession.sparkContext.applicationId] = side
     a, b = side.alias("a"), side.alias("b")
     dropped = (
         a.join(

@@ -7,8 +7,8 @@ dashboard adds first — VWAP, RSI, max drawdown — each expressed as
 one shuffle on the series key.
 
 Determinism discipline (operators/exact.py): every order-sensitive
-double SUM goes through fixed-point BIGINT accumulation, so results
-are bit-identical across engines, partition counts, and AQE
+double SUM goes through fixed-point DECIMAL(38,0) accumulation, so
+results are bit-identical across engines, partition counts, and AQE
 decisions.  Comparisons (running max, drawdown max) are
 order-independent already.  All published formulas — nothing here is
 engine-specific.
@@ -41,8 +41,8 @@ def vwap(
     whose volumes can be << 1, raise ``operators/exact.py::SCALE`` —
     here the reference's volumes are O(1e4+) so the error is < 1e-8.
     """
-    pv_fixed = F.round(F.col(price) * F.col(volume) * SCALE).cast("bigint")
-    v_fixed = F.round(F.col(volume) * SCALE).cast("bigint")
+    pv_fixed = F.round(F.col(price) * F.col(volume) * SCALE).cast("decimal(38,0)")
+    v_fixed = F.round(F.col(volume) * SCALE).cast("decimal(38,0)")
     return (
         prices.filter(F.col(volume) > 0)
         .groupBy(F.col(key), F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
@@ -68,8 +68,8 @@ def sql_vwap(
     return f"""
     SELECT {key}, date_trunc('{bucket}', {ts_col}) AS bucket,
            COUNT(*) AS n_ticks,
-           round(CAST(SUM(CAST(round({price} * {volume} * {SCALE}) AS BIGINT)) AS DOUBLE)
-                 / SUM(CAST(round({volume} * {SCALE}) AS BIGINT)), 6) AS vwap
+           round(CAST(SUM(CAST(round({price} * {volume} * {SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(round({volume} * {SCALE}) AS DECIMAL(38,0))) AS DOUBLE), 6) AS vwap
     FROM {table} WHERE {volume} > 0
     GROUP BY 1, 2
     """
@@ -110,10 +110,10 @@ def rsi(
     wd = Window.partitionBy(key).orderBy(*order_cols)
     frame = wd.rowsBetween(-(period - 1), Window.currentRow)
     gain_fixed = F.round(F.greatest(F.col("__delta"), F.lit(0.0)) * SCALE).cast(
-        "bigint"
+        "decimal(38,0)"
     )
     loss_fixed = F.round(F.greatest(-F.col("__delta"), F.lit(0.0)) * SCALE).cast(
-        "bigint"
+        "decimal(38,0)"
     )
     g = F.sum(gain_fixed).over(frame)
     l = F.sum(loss_fixed).over(frame)
@@ -155,9 +155,9 @@ def sql_rsi(
     ),
     f AS (
       SELECT {key}, {ob}, {price},
-             SUM(CAST(round(greatest(__delta, 0.0) * {SCALE}) AS BIGINT))
+             SUM(CAST(round(greatest(__delta, 0.0) * {SCALE}) AS DECIMAL(38,0)))
                OVER wf AS g,
-             SUM(CAST(round(greatest(-__delta, 0.0) * {SCALE}) AS BIGINT))
+             SUM(CAST(round(greatest(-__delta, 0.0) * {SCALE}) AS DECIMAL(38,0)))
                OVER wf AS l,
              row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS __rn
       FROM d WHERE __delta IS NOT NULL

@@ -99,11 +99,16 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # r7 PLAN (11 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
-# set _ROTATION_STARTS[7] = 30.  Move the 11 candidates from the pool
-# tail into NEW_THIS_ROUND; rotation slots = 50 - 26 - 11 = 13, which
-# covers pool[30:43] — the entire 12-query r4-certified block
-# (events_tumbling_5min .. emb_kmeans, post-insertion indices) plus
-# one — so even a full 11-debut round leaves nothing older than r5.
+# set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
+# (events_tumbling_5min .. emb_kmeans) is SIXTEEN queries — pool
+# indices 26..41 today, 30..45 after the insertion — so a full
+# 11-debut round (13 rotating slots) would strand emb_scalar_quantize
+# / doc_mixture_sample / emb_kmeans at r4 staleness.  Therefore r7
+# debuts only the FIRST EIGHT candidates (prices_vwap_hourly ..
+# events_profile): rotation slots = 50 - 26 - 8 = 16 = pool[30:46],
+# exactly the stale block, leaving nothing older than r5.  The last
+# three candidates (events_top_paths, events_markov, doc_bigram_topk)
+# stay at the pool tail and debut in r8 via NEW_THIS_ROUND.
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [

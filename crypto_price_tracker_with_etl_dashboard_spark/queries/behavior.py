@@ -109,7 +109,7 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_profile",
     q_events_profile,
-    sql_profile("events", _PROFILE_COLS),
+    sql_profile("events", _PROFILE_COLS, float_cols={"value"}),
 )
 
 

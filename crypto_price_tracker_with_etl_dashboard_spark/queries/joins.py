@@ -90,12 +90,15 @@ register(
 # bucket key is exchange-free — so the tables are written once per
 # (session, sf_dir) and every query call after that only reads
 # (build/query split, same rationale as vector.py's _IVF_INDEX).
-_BUCKETED: dict[tuple[int, str], tuple[str, str]] = {}
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
 _N_BUCKETS = 8  # test-scale stand-in; at 100 TB pick ~|table|/128MB
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    key = (id(spark), sf_dir)
+    # Keyed by applicationId, not id(session): id() values are reused
+    # once the old session is garbage-collected, and a false hit here
+    # would return table names a fresh catalog has never written.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED:
         tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
         ot, lt = f"bjoin_orders_{tag}", f"bjoin_lineitem_{tag}"

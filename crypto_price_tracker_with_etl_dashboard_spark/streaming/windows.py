@@ -72,7 +72,7 @@ def vwap_windows(
     symbols x open windows) and, unchanged, on a batch DataFrame —
     the batch form is value-identical to the certified
     ``prices_vwap_hourly`` query because both accumulate the SAME
-    fixed-point BIGINT partials (the sums are exact integers, so
+    fixed-point DECIMAL(38,0) partials (the sums are exact integers, so
     incremental micro-batch accumulation and one-shot batch
     aggregation cannot differ by even an ulp; pinned in
     tests/test_streaming.py)."""
@@ -82,9 +82,9 @@ def vwap_windows(
     if prices.isStreaming:
         df = df.withWatermark("timestamp", watermark)
     pv = F.round(F.col("current_price") * F.col("total_volume") * SCALE).cast(
-        "bigint"
+        "decimal(38,0)"
     )
-    v = F.round(F.col("total_volume") * SCALE).cast("bigint")
+    v = F.round(F.col("total_volume") * SCALE).cast("decimal(38,0)")
     return (
         df.groupBy("symbol", F.window("timestamp", window).alias("w"))
         .agg(

@@ -32,7 +32,9 @@ def test_profile_counts_nulls_distinct_minmax(spark):
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
     assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
-    assert (out["v"]["min_value"], out["v"]["max_value"]) == ("2.0", "8.5")
+    # floats render through DECIMAL(38,6): fixed 6-fraction-digit form,
+    # identical on Spark and DuckDB at any magnitude (no sci-notation)
+    assert (out["v"]["min_value"], out["v"]["max_value"]) == ("2.000000", "8.500000")
 
 
 def test_profile_single_job_no_per_column_scan(spark):
