@@ -238,6 +238,12 @@ def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
     )
 
 
+# Last cached banded-signature DataFrame per Spark application (see
+# the eviction comment inside minhash_lsh_pairs).  Keyed by
+# applicationId — id(session) values are reused after GC.
+_BANDED_CACHE: dict[str, DataFrame] = {}
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -260,6 +266,17 @@ def minhash_lsh_pairs(
     """
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
+    # Band arithmetic must divide evenly: bands > num_hashes gives
+    # rows = 0 and every band key degenerates to md5('') — the SAME
+    # constant for all docs, turning the bucketed join into the full
+    # O(n^2) cross product LSH exists to avoid; a non-dividing bands
+    # count would silently ignore the trailing hash functions.
+    if bands <= 0 or num_hashes <= 0:
+        raise ValueError(f"need positive num_hashes/bands, got {num_hashes}/{bands}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(text_col).alias("toks")
@@ -304,7 +321,17 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_key")
     # Materialize once instead of re-deriving on both join sides.
+    # Like similarity.py's semdedup cache: the two join sides consume
+    # it inside one action, so it cannot be unpersisted here — but
+    # repeated calls in one session (bench min-of-2, parameter
+    # sweeps) must not stack corpus-sized signature tables, so the
+    # previous invocation's cache is evicted on re-entry.
     banded = banded.cache()
+    app_id = df.sparkSession.sparkContext.applicationId
+    prev = _BANDED_CACHE.get(app_id)
+    if prev is not None:
+        prev.unpersist()
+    _BANDED_CACHE[app_id] = banded
     a = banded.alias("a")
     b = banded.alias("b")
     # estimated Jaccard = fraction of agreeing signature positions

@@ -43,16 +43,30 @@ LCG_A = 1103515245
 LCG_C = 12345
 LCG_M = 2_147_483_648
 
+# stratified_sample internals: rank on the full hash state (not the
+# 100-bucket split grid) and quantize fractions at 1e-6 so the keep
+# cutoff is exact integer arithmetic on both engines.
+SAMPLE_HASH_WIDTH = LCG_M
+SAMPLE_FRACTION_QUANTUM = 1_000_000
+
 
 def lcg_bucket(key: Column | str, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key."""
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    ``pmod`` (not ``%``) against the LCG modulus: SQL ``%`` keeps the
+    dividend's sign, so a negative key would yield a NEGATIVE bucket
+    — below every split threshold, silently routing all negative-key
+    rows into the first split / the extra mixture copy.  pmod makes
+    the range [0, buckets) for the full BIGINT key domain."""
     k = F.col(key) if isinstance(key, str) else key
-    return ((k.cast("bigint") * LCG_A + LCG_C) % LCG_M) % buckets
+    return F.pmod(k.cast("bigint") * LCG_A + LCG_C, F.lit(LCG_M)) % buckets
 
 
 def sql_lcg_bucket(expr: str, buckets: int = 100) -> str:
-    """The identical bucket arithmetic in ANSI SQL (oracle twin)."""
-    return f"((CAST(({expr}) AS BIGINT) * {LCG_A} + {LCG_C}) % {LCG_M}) % {buckets}"
+    """The identical bucket arithmetic in ANSI SQL (oracle twin;
+    ``(x % m + m) % m`` is the portable pmod spelling)."""
+    x = f"(CAST(({expr}) AS BIGINT) * {LCG_A} + {LCG_C})"
+    return f"((({x} % {LCG_M}) + {LCG_M}) % {LCG_M}) % {buckets}"
 
 
 def xxhash_bucket(key: Column | str, buckets: int = 100) -> Column:
@@ -88,7 +102,15 @@ def hash_split(
     the dataset.
     """
     splits = splits or {"train": 80, "valid": 10, "test": 10}
-    assert sum(splits.values()) == 100
+    # Hard ValueErrors, not assert: assert is stripped under
+    # ``python -O``, and a 90%-sum split would silently NULL-tag 10%
+    # of the corpus.  Percentages must be integers — the assignment
+    # grid has exactly 100 buckets, so a fractional pct (99.5/0.5)
+    # can never receive its share and the small split starves.
+    if any(not isinstance(p, int) or p <= 0 for p in splits.values()):
+        raise ValueError(f"split percentages must be positive ints: {splits}")
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
     bucket = hasher(key, 100)
     expr = None
     lo = 0
@@ -114,13 +136,35 @@ def stratified_sample(
     seeded per-partition, so resampling moves with partitioning),
     this is reproducible under any cluster layout: one shuffle on
     the stratum key, rank by (hash, key), keep the head.
+
+    Two exactness details:
+
+    * the rank orders by the FULL-WIDTH hash (``hasher(key,
+      SAMPLE_HASH_WIDTH)``), not the default 100-bucket grid — with
+      only 100 hash values the tiebreak falls to raw key order and
+      the boundary bucket is taken in lowest-id-first order, a
+      systematically id-biased sample at small fractions;
+    * the cutoff is integer arithmetic on a 1e-6-quantized fraction,
+      not ``F.ceil`` of a float product — ``100 * 0.07`` is
+      7.000000000000001 in binary floating point, so the float ceil
+      keeps 8 rows where the documented ``ceil(fraction*n)`` = 7.
     """
-    w = Window.partitionBy(stratum).orderBy(hasher(key), F.col(key))
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    fq = round(fraction * SAMPLE_FRACTION_QUANTUM)
+    if fq == 0:
+        raise ValueError(
+            f"fraction {fraction} is below the 1e-6 quantization floor"
+        )
+    w = Window.partitionBy(stratum).orderBy(
+        hasher(key, SAMPLE_HASH_WIDTH), F.col(key)
+    )
     wc = Window.partitionBy(stratum)
+    q = SAMPLE_FRACTION_QUANTUM
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
+        .filter(F.col("_rn") <= F.expr(f"(_n * {fq} + {q - 1}) div {q}"))
         .drop("_rn", "_n")
     )
 
@@ -166,7 +210,16 @@ def pack_chunks(
     parallel, bucket totals (corpus/bucket_size rows — tiny)
     prefix-sum and broadcast back as offsets.  One shuffle on the
     bucket id, never a single-partition window over the corpus.
+
+    A 0-token document sitting exactly on a window boundary would
+    get ``end_chunk = start_chunk - 1`` from the raw formula; its
+    span is clamped to the empty-at-start convention
+    ``[start_chunk, start_chunk]``.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be positive, got {bucket_size}")
     b = F.floor(F.col(order_col) / bucket_size).cast("bigint")
     dfb = df.withColumn("_b", b)
     w_in = Window.partitionBy("_b").orderBy(order_col)
@@ -184,7 +237,11 @@ def pack_chunks(
     return (
         out.withColumn("start_chunk", F.expr(f"_excl div {budget}"))
         .withColumn(
-            "end_chunk", F.expr(f"(_excl + {tokens_col} - 1) div {budget}")
+            "end_chunk",
+            F.greatest(
+                F.col("start_chunk"),
+                F.expr(f"(_excl + {tokens_col} - 1) div {budget}"),
+            ),
         )
         .drop("_b", "_excl_in", "_off", "_excl")
     )
@@ -250,11 +307,18 @@ def sql_mixture_n_copies(
     for s, w in weights.items():
         if w < 0:
             raise ValueError(f"negative weight for {s!r}")
+
+    def q(s: str) -> str:
+        # SQL string-literal escape: a source name containing a quote
+        # ("o'reilly") must not break — or inject into — the oracle
+        # text; the Spark twin compares via F.lit and needs none.
+        return s.replace("'", "''")
+
     full_cases = " ".join(
-        f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items()
+        f"WHEN '{q(s)}' THEN {int(w)}" for s, w in weights.items()
     )
     thr_cases = " ".join(
-        f"WHEN '{s}' THEN {round((w - int(w)) * 10_000)}"
+        f"WHEN '{q(s)}' THEN {round((w - int(w)) * 10_000)}"
         for s, w in weights.items()
     )
     return (

@@ -249,6 +249,14 @@ def bm25_topk(
     from pyspark.sql import DataFrame, Window
 
     assert isinstance(docs, DataFrame)
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        # A duplicated term would build two identical tf pivot columns
+        # and add its contribution twice (this implementation omits
+        # the query-term-frequency weight; de-dup upstream if qtf
+        # weighting is wanted).
+        raise ValueError(f"duplicate query terms: {query_terms}")
     terms = docs.select(
         id_col, F.explode_outer(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")

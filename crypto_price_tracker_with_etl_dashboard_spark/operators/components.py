@@ -135,4 +135,17 @@ def connected_components(
             round_stats.append((it, changed, round(_time.time() - _t0, 3)))
         if changed == 0:
             break
+    else:
+        # Exhausting the round budget without a changed==0 round means
+        # the labels are PARTIAL — one true component reported as
+        # several.  Silently returning them would let a dedup pipeline
+        # keep multiple "canonical" docs per duplicate cluster, so
+        # fail loudly; the caller can raise max_iterations (with
+        # jumping on, rounds needed is O(log diameter), so 25 covers
+        # any graph with diameter < ~2^24).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations or enable shortcut jumping"
+        )
     return labels.select(F.col("n").alias("node"), "component")

@@ -69,17 +69,21 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "doc_stratified_sample",
     q_doc_stratified_sample,
+    # rank on the FULL-WIDTH hash and cut at exact integer
+    # arithmetic on the 1e-6-quantized fraction — the operator's
+    # contract (functions/sampling.py::stratified_sample)
     f"""
     SELECT doc_id, lang
     FROM (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (
-               PARTITION BY lang ORDER BY {sql_lcg_bucket('doc_id')}, doc_id
+               PARTITION BY lang
+               ORDER BY {sql_lcg_bucket('doc_id', 2_147_483_648)}, doc_id
              ) AS rn,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents
     )
-    WHERE rn <= CEIL(n * 0.1)
+    WHERE rn <= (n * 100000 + 999999) // 1000000
     ORDER BY doc_id
     """,
 )

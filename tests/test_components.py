@@ -59,3 +59,18 @@ def test_path_graph_converges_in_log_rounds(spark):
     got = connected_components(edges, max_iterations=13).collect()
     assert len(got) == n
     assert all(r["component"] == 0 for r in got)
+
+
+def test_unconverged_raises_instead_of_partial_labels(spark):
+    """Exhausting max_iterations must fail loudly — partial labels
+    split one true component into several and a dedup caller would
+    keep multiple 'canonical' docs per cluster."""
+    import pytest
+
+    # a path 0-1-2-...-9 with jumping disabled needs ~9 propagation
+    # rounds; 3 rounds cannot converge it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3, shortcut=False)

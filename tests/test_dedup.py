@@ -135,3 +135,20 @@ def test_contamination_self_and_disjoint(spark):
     )
     none = contamination_report(some, alien)
     assert none.filter(SF.col("shared") > 0).count() == 0
+
+
+def test_minhash_rejects_degenerate_banding(docs):
+    """bands > num_hashes would make every band key md5('') — one
+    global bucket, i.e. the full O(n^2) cross product."""
+    import pytest
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="positive"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=0)

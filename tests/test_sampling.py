@@ -189,3 +189,90 @@ def test_mixture_sample_epoch_semantics(spark):
     assert sorted((r["k"], r["source"], r["copy_idx"]) for r in again) == sorted(
         (r["k"], r["source"], r["copy_idx"]) for r in out
     )
+
+
+def test_lcg_bucket_nonnegative_for_negative_keys(spark):
+    """SQL % keeps the dividend sign — pmod (not %) against the LCG
+    modulus is what keeps negative keys from landing in bucket < 0
+    (which would route every negative-key row into the first split)."""
+    import duckdb
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    keys = [-2, -1, -1_000_000_007, 0, 1, 2**32]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", lcg_bucket("k", 100).alias("b")).collect()
+    }
+    assert all(0 <= b <= 99 for b in got.values()), got
+    # the SQL twin stays in lockstep on the same keys
+    for k in keys:
+        (b,) = duckdb.sql(f"SELECT {sql_lcg_bucket(str(k))}").fetchone()
+        assert b == got[k], (k, b, got[k])
+
+
+def test_hash_split_rejects_bad_percentages(spark):
+    import pytest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(docs, "doc_id", {"train": 80, "valid": 10}, hasher=lcg_bucket)
+    with pytest.raises(ValueError, match="positive ints"):
+        hash_split(
+            docs, "doc_id", {"a": 99.5, "b": 0.5}, hasher=lcg_bucket
+        )
+
+
+def test_stratified_sample_no_float_ceil_overshoot(spark):
+    """100 * 0.07 is 7.000000000000001 in doubles; a float-ceil keep
+    rule returns 8 rows — the integer-quantized cutoff keeps exactly
+    ceil(0.07 * 100) = 7."""
+    df = spark.createDataFrame([(i, "x") for i in range(100)], ["k", "s"])
+    out = stratified_sample(df, stratum="s", key="k", fraction=0.07, hasher=lcg_bucket)
+    assert out.count() == 7
+
+
+def test_pack_chunks_zero_token_row_keeps_valid_span(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        pack_chunks,
+    )
+
+    # row 1 has 0 tokens and sits exactly on the chunk boundary
+    # (_excl = 4 = budget) — the raw end formula would give
+    # end_chunk = 0 < start_chunk = 1
+    df = spark.createDataFrame([(0, 4), (1, 0), (2, 3)], ["k", "t"])
+    spans = {
+        r["k"]: (r["start_chunk"], r["end_chunk"])
+        for r in pack_chunks(df, "k", "t", budget=4, bucket_size=10).collect()
+    }
+    assert spans[1] == (1, 1)
+    assert all(s <= e for s, e in spans.values()), spans
+
+
+def test_pack_chunks_rejects_degenerate_parameters(spark):
+    import pytest
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        pack_chunks,
+    )
+
+    df = spark.createDataFrame([(0, 4)], ["k", "t"])
+    with pytest.raises(ValueError, match="budget"):
+        pack_chunks(df, "k", "t", budget=0)
+    with pytest.raises(ValueError, match="bucket_size"):
+        pack_chunks(df, "k", "t", budget=4, bucket_size=0)
+
+
+def test_mixture_sql_escapes_quoted_source_names(spark):
+    import duckdb
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_mixture_n_copies,
+    )
+
+    sql = sql_mixture_n_copies("7", "'o''reilly'", {"o'reilly": 1.5})
+    (n,) = duckdb.sql(f"SELECT {sql}").fetchone()
+    assert n in (1, 2)  # parses and evaluates; 1 or 2 copies by hash slice

@@ -27,6 +27,8 @@ EXAMPLES = 10
 
 
 def lcg(key: int, buckets: int = 100) -> int:
+    # Python % is already a positive mod for positive modulus — the
+    # same pmod semantics the Spark/SQL twins now use.
     return ((key * LCG_A + LCG_C) % LCG_M) % buckets
 
 
@@ -68,9 +70,16 @@ def test_stratified_sample_matches_reference(spark, rows, frac):
         ).collect()
     )
     want = []
+    fq = round(frac * 1_000_000)
     for s in {"a", "b", "c"}:
-        members = sorted((k for k, g in rows if g == s), key=lambda k: (lcg(k), k))
-        want.extend(members[: math.ceil(len(members) * frac)])
+        # rank on the FULL-WIDTH hash state; cut at the integer-exact
+        # quantized ceil — the operator's documented contract
+        members = sorted(
+            (k for k, g in rows if g == s),
+            key=lambda k: (lcg(k, LCG_M), k),
+        )
+        n_keep = (len(members) * fq + 999_999) // 1_000_000
+        want.extend(members[:n_keep])
     assert got == sorted(want)
 
 

@@ -169,3 +169,17 @@ def test_bm25_topk_hand_computed(spark):
     assert [(r["doc_id"], r["rnk"]) for r in out] == [(2, 1), (0, 2)]
     assert out[0]["score"] == round(s2, 6)
     assert out[1]["score"] == round(s0, 6)
+
+
+def test_bm25_rejects_empty_and_duplicate_terms(spark):
+    import pytest
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import bm25_topk
+    from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_topk(docs, ["hash", "hash"])
