@@ -227,11 +227,14 @@ _NPROBE = 2
 # build/query split a real IVF deployment has (see S.ivf_build).
 # Values are identical with or without the cache (centroids are
 # deterministic decimal-exact means), so oracle results are unchanged.
-_IVF_INDEX: dict[tuple[int, str], DataFrame] = {}
+_IVF_INDEX: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(session): id() values are reused after
+    # GC, and a false hit would hand back a DataFrame whose lineage
+    # references a stopped SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cents = _IVF_INDEX.get(key)
     if cents is None:
         cents = S.ivf_build(emb)
@@ -459,7 +462,7 @@ register(
     ),{_km_assign_sql('seeds', 'a1')},{_km_update_sql('a1', 'c1')},
     {_km_assign_sql('c1', 'a2')},{_km_update_sql('a2', 'c2')}
     SELECT a.cid, COUNT(*) AS n_members,
-           round(sqrt({'{}'.format('list_sum(list_transform(c2.c, x -> x * x))')}), 6)
+           round(sqrt(list_sum(list_transform(c2.c, x -> x * x))), 6)
              AS centroid_norm
     FROM a2 a JOIN c2 ON a.cid = c2.cid
     GROUP BY a.cid, c2.c ORDER BY a.cid
@@ -487,11 +490,14 @@ _PQ_DSUB = _DIM // _PQ_M
 # _IVF_INDEX: train once per (session, table), reuse across the
 # quantize audit and the ADC search — values are deterministic, so
 # cached vs fresh codebooks are identical).
-_PQ_BOOKS: dict[tuple[int, str], DataFrame] = {}
+_PQ_BOOKS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pq_books(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(session): id() values are reused after
+    # GC, and a false hit would hand back a DataFrame whose lineage
+    # references a stopped SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cents = _PQ_BOOKS.get(key)
     if cents is None:
         cents = S.pq_train(emb, m=_PQ_M, k=_PQ_K, dim=_DIM, iters=2)

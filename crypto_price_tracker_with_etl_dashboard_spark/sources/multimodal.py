@@ -366,13 +366,30 @@ def decode_media(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas.  One Arrow batch in,
     one out; the binary column is dropped after decoding so only
-    small typed outputs continue through the plan."""
+    small typed outputs continue through the plan.
+
+    The default decoder is :func:`real_decode`, which dispatches on
+    the row's ``media_type``/``format`` columns when the input table
+    carries them (WAV -> stdlib wav_decode, BMP -> stdlib bmp_decode,
+    other images -> Pillow/fake fallback).  Without this plumbing the
+    dispatcher's typed branches are unreachable and real WAV/BMP
+    bytes would silently fall through to the wrong decoder.  A custom
+    ``decode_fn`` keeps the plain 1-arg ``bytes -> dict`` contract."""
     if decode_fn is None:
-        decode_fn = real_decode
+        dispatch = real_decode
+    else:
+        def dispatch(content, media_type=None, fmt=None):  # noqa: ARG001
+            return decode_fn(content)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_fn(c) for c in pdf["content"]]
+            n = len(pdf)
+            mts = pdf["media_type"] if "media_type" in pdf.columns else [None] * n
+            fmts = pdf["format"] if "format" in pdf.columns else [None] * n
+            decoded = [
+                dispatch(c, mt, f)
+                for c, mt, f in zip(pdf["content"], mts, fmts)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

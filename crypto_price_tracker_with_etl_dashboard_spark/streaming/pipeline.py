@@ -75,13 +75,23 @@ def _is_cancellation(exc: Exception, spark: Optional[SparkSession] = None) -> bo
     never substring-matching the flattened stack text."""
     if spark is not None:
         try:
+            # A Python-side spark.stop() sets sparkContext._jsc to
+            # None BEFORE the JVM context reports stopped, so the
+            # probe below would raise AttributeError (None._jsc.sc())
+            # — which is a STOP signal, not a probe failure.  Check
+            # it explicitly; without this the strongest signal is
+            # dead code for same-process stops.
+            if spark.sparkContext._jsc is None:
+                return True
             if spark.sparkContext._jsc.sc().isStopped():
                 return True
         except Exception as probe_exc:
             from py4j.protocol import Py4JError
 
-            if isinstance(probe_exc, (Py4JError, ConnectionError, OSError)):
-                return True  # the gateway itself is gone: shutting down
+            if isinstance(
+                probe_exc, (Py4JError, ConnectionError, OSError, AttributeError)
+            ):
+                return True  # the gateway/context itself is gone: shutting down
             # probe unavailable for a non-connection reason: fall through
     seen, cur = set(), exc
     while cur is not None and id(cur) not in seen:
@@ -271,9 +281,12 @@ def streaming_snapshot_query(
     query_name: str = "latest_snapshot_stream",
 ) -> StreamingQuery:
     """Pure-streaming alternative for the snapshot: stateful
-    max_by aggregation in update mode over the prices stream —
-    the J1 greatest-per-group as incremental state rather than a
-    re-query.  Memory sink for tests; swap format for delivery."""
+    max_by aggregation in COMPLETE output mode over the prices
+    stream — the J1 greatest-per-group as incremental state, with
+    the full ≤|symbols|-row snapshot re-emitted per trigger (the
+    reference's T3 full-snapshot re-emit semantic; update mode would
+    emit only changed symbols).  Memory sink for tests; swap format
+    for delivery."""
     agg = prices_stream.groupBy("symbol").agg(
         F.max_by(
             F.struct("name", "current_price", "market_cap", "total_volume", "timestamp"),

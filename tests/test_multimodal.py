@@ -244,3 +244,24 @@ def test_real_decode_dispatches_bmp():
     assert (out["width"], out["height"]) == (5 % 13 + 4, 5 % 7 + 4)
     assert len(out["features"]) == 16
     assert all(0.0 <= f <= 1.0 for f in out["features"])
+
+
+def test_decode_media_default_dispatch_reaches_wav(spark):
+    """decode_media's default path must hand media_type/format to
+    real_decode — without that plumbing the WAV branch is unreachable
+    and real audio bytes silently fall through to the image/fake
+    decoder."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        synth_wav_bytes,
+        wav_decode,
+    )
+
+    wav = synth_wav_bytes(7)
+    rows = [(7, wav, "audio", "wav", None, None, None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = decode_media(df).collect()[0]
+    ref = wav_decode(wav)
+    # generic projection: width <- sample_rate, height <- n_channels
+    assert got["width"] == ref["sample_rate"] == 8000
+    assert got["height"] == ref["n_channels"] == 1
+    assert got["features"] == pytest.approx(ref["features"])

@@ -77,3 +77,44 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert joined.count() == orders.join(li, "o_orderkey").count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_salted_join_rejects_build_preserving_outer(spark):
+    """Replicated build rows would each null-pad once: a right/full
+    outer join through the salt construction duplicates unmatched
+    build rows n_salts times, so those join types are refused."""
+    import pytest
+
+    ev = load_table(spark, SF_SMALL, "events").limit(10)
+    dim = ev.select("event_type").distinct()
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="skewed-side-preserving"):
+            salted_join(ev, dim, "event_type", how=how)
+
+
+def test_salted_agg_spreads_identical_rows(spark):
+    """The classic skew shape — one hot key of IDENTICAL rows.  A
+    whole-row-hash salt would put them all in one sub-group (one
+    reducer, no mitigation); the row-position salt must use >1."""
+    df = spark.createDataFrame([("hot", 1.0)] * 2000, ["k", "v"]).repartition(8)
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.skew import _salt
+
+    n_sub = (
+        df.select("k", _salt(16).alias("s")).groupBy("k", "s").count().count()
+    )
+    assert n_sub > 1
+    # and the merged result is still exact
+    out = salted_agg(df, ["k"], [("v", "sum", "total"), ("v", "count", "n")])
+    r = out.collect()[0]
+    assert (r["total"], r["n"]) == (2000.0, 2000)
+
+
+def test_salted_ops_tolerate_map_columns(spark):
+    """F.hash rejects MapType: salting must not hash unrelated
+    columns, or any table carrying a map column crashes."""
+    df = spark.createDataFrame(
+        [("a", 1.0, {"m": "x"}), ("a", 2.0, {"m": "y"})],
+        "k string, v double, meta map<string,string>",
+    )
+    out = salted_agg(df, ["k"], [("v", "sum", "total")]).collect()
+    assert out[0]["total"] == 3.0

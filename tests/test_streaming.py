@@ -561,3 +561,18 @@ def test_streaming_vwap_matches_batch_query(spark, tmp_path):
             assert batch[k] == v
     finally:
         q.stop()
+
+
+def test_is_cancellation_detects_python_side_stop():
+    """After spark.stop() from Python, sparkContext._jsc is None —
+    the isStopped() probe must read that as shutdown, not fall
+    through to the structural checks (which a plain post-stop Python
+    error would not satisfy)."""
+    from types import SimpleNamespace
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.pipeline import (
+        _is_cancellation,
+    )
+
+    fake = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
+    assert _is_cancellation(RuntimeError("boom"), fake) is True
