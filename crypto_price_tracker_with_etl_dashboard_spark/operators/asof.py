@@ -47,11 +47,28 @@ def asof_join(
     ``ts`` <= the left ``ts`` for the same ``on`` key (nulls when no
     such row), plus that matched timestamp as ``right_ts_alias``.
     """
+    overlap = set([right_ts_alias, *right_value_cols, "__r", "__tag"]) & set(
+        left.columns
+    )
+    if overlap:
+        # unionByName would silently fold left values into the right
+        # fill columns — each left row would "as-of" to itself.
+        raise ValueError(
+            f"left columns collide with as-of output columns: {sorted(overlap)}"
+        )
+    # The matched right row travels as ONE struct, so the running
+    # last() picks it atomically.  Per-column last(ignorenulls=True)
+    # — the original formulation — mixed FIELDS from different right
+    # rows whenever a right value column held NULL (right_ts from the
+    # newest quote, the price from an older one: a row that never
+    # existed).  DuckDB/pandas ASOF return the latest row verbatim,
+    # NULL fields included.
     r = right.select(
         on,
         ts,
-        F.col(ts).alias(right_ts_alias),
-        *right_value_cols,
+        F.struct(
+            F.col(ts).alias(right_ts_alias), *right_value_cols
+        ).alias("__r"),
         F.lit(0).alias("__tag"),
     )
     l = left.withColumn("__tag", F.lit(1))
@@ -65,11 +82,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in [right_ts_alias, *right_value_cols]
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
     )
     keep = [c for c in left.columns]
     return (
@@ -77,7 +90,7 @@ def asof_join(
         .select(
             *keep,
             *[
-                F.col(f"__asof_{c}").alias(c)
+                F.col(f"__asof.{c}").alias(c)
                 for c in [right_ts_alias, *right_value_cols]
             ],
         )

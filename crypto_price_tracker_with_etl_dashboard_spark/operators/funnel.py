@@ -102,7 +102,10 @@ def funnel_sql(
     the oracle registry."""
     cols, src = [], table
     for i, stage in enumerate(stages):
-        cond = f"event_type = '{stage}'"
+        # SQL string-literal escape: a stage name containing a quote
+        # must not break (or inject into) the oracle text
+        lit = stage.replace("'", "''")
+        cond = f"event_type = '{lit}'"
         if i > 0:
             cond += f" AND ts > __t{i - 1}"
             if within_hours is not None:

@@ -58,13 +58,24 @@ def bucketed_range_join(
             f"how={how!r} unsupported: bucket replication of the interval side "
             "breaks right/full-outer row preservation (use 'inner' or 'left')"
         )
+    if bucket_seconds <= 0:
+        # non-ANSI Spark would turn the divide-by-zero into NULL
+        # buckets and a silently EMPTY join
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     ts_bucket = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
     start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("bigint")
     # end-exclusive: an interval ending exactly on a bucket boundary
-    # does not cover that bucket
-    end_b = (
-        (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
-    ).cast("bigint")
+    # does not cover that bucket.  The last covered SECOND must be
+    # computed at microsecond precision — unix_timestamp() truncates
+    # sub-second ends, so `unix_timestamp(end) - 1` on an interval
+    # ending at 10:00:00.500 would stop the replication one bucket
+    # short and the join would silently miss events in (10:00:00,
+    # 10:00:00.500).  (unix_micros - 1) div 1e6 is exact int64
+    # arithmetic: integer-second ends exclude their boundary second,
+    # fractional ends include it.
+    end_b = F.expr(
+        f"((unix_micros({end_col}) - 1) div 1000000) div {bucket_seconds}"
+    )
 
     l = left.withColumn("__bkt", ts_bucket)
     # explode_outer (not explode): a plain explode of the computed

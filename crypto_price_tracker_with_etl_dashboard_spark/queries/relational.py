@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import davg, dsum, sql_davg, sql_dsum
 from crypto_price_tracker_with_etl_dashboard_spark.queries import register
+from crypto_price_tracker_with_etl_dashboard_spark.queries.tpch import (
+    SQL_REVENUE,
+    _revenue,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
 
@@ -25,7 +29,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _revenue()
     charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -51,8 +55,8 @@ register(
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_dsum(SQL_REVENUE)} AS sum_disc_price,
+           {sql_dsum(SQL_REVENUE + ' * (1 + l_tax)')} AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount')} AS avg_disc,
@@ -75,7 +79,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _revenue()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -91,7 +95,7 @@ register(
     q3_shipping_priority,
     f"""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+           {sql_dsum(SQL_REVENUE)} AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -117,7 +121,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _revenue()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -135,7 +139,7 @@ register(
     "q5_local_supplier",
     q5_local_supplier,
     f"""
-    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    SELECT n_name, {sql_dsum(SQL_REVENUE)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -363,7 +367,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -389,8 +393,8 @@ register(
            promo_revenue, total_revenue
     FROM (
       SELECT
-        {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
-        {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE 0.0 END")} AS promo_revenue,
+        {sql_dsum(SQL_REVENUE)} AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'

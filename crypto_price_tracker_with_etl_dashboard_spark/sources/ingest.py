@@ -16,7 +16,7 @@ from typing import Iterable, Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crypto_price_tracker_with_etl_dashboard_spark.schema import COINGECKO_RAW_SCHEMA, PRICES_COLUMNS
+from crypto_price_tracker_with_etl_dashboard_spark.schema import COINGECKO_RAW_SCHEMA
 
 
 def coingecko_rows_to_df(spark: SparkSession, rows: Iterable[Mapping]) -> DataFrame:
