@@ -79,7 +79,10 @@ class PriceTracker:
             coingecko_rows_to_df(self.spark, rows), ts
         ).cache()
         n = clean.count()
-        append_prices(clean, self._table)
+        # batch id = epoch seconds of the batch timestamp: keeps the
+        # (dt, batch) layout identical to the streaming sink (see
+        # append_prices) and gives repeated polls distinct partitions.
+        append_prices(clean, self._table, batch_id=int(ts.timestamp()))
         clean.unpersist()
         return n
 
@@ -101,11 +104,15 @@ class PriceTracker:
 
     # ---- read path (API tier) --------------------------------------------
 
-    def latest(self) -> DataFrame:
+    def latest(self, order_by_cap: bool = True) -> DataFrame:
         """GET /api/crypto: one row per symbol at its max timestamp,
-        ordered by market cap desc (NULLS FIRST, matching PG)."""
-        tiebreak = "event_id" if "event_id" in self.prices.columns else None
-        return latest_snapshot(self.prices, tiebreaker=tiebreak, order_by_cap=True)
+        ordered by market cap desc (NULLS FIRST, matching PG).  The
+        dashboard rollups pass ``order_by_cap=False``: their own
+        aggregations destroy row order, so the global sort exchange
+        would be paid and thrown away."""
+        prices = self.prices
+        tiebreak = "event_id" if "event_id" in prices.columns else None
+        return latest_snapshot(prices, tiebreaker=tiebreak, order_by_cap=order_by_cap)
 
     def history(
         self,
@@ -121,11 +128,11 @@ class PriceTracker:
 
     def top_symbols(self, k: int = 7) -> DataFrame:
         """Top-K by market cap + synthetic 'Other' rollup row."""
-        return topk_with_other(self.latest(), k)
+        return topk_with_other(self.latest(order_by_cap=False), k)
 
     def market_distribution(self, k: int = 7) -> DataFrame:
         """Percentage-of-total doughnut segments (2 dp)."""
-        return market_share(self.latest(), k)
+        return market_share(self.latest(order_by_cap=False), k)
 
     def symbols(self) -> DataFrame:
         """Distinct symbols, lexicographic — the dropdown list."""
@@ -135,13 +142,17 @@ class PriceTracker:
 
     def ohlc(self, window: str = "5 minutes") -> DataFrame:
         """Per-symbol tumbling OHLC candles over the price history."""
-        tiebreak = "event_id" if "event_id" in self.prices.columns else None
-        return ohlc_candles(self.prices, window=window, tiebreak_col=tiebreak)
+        # bind once: each `self.prices` deref on a path-backed table
+        # re-runs driver-side file listing + schema resolution
+        prices = self.prices
+        tiebreak = "event_id" if "event_id" in prices.columns else None
+        return ohlc_candles(prices, window=window, tiebreak_col=tiebreak)
 
-    def _order_cols(self) -> list[str]:
+    @staticmethod
+    def _order_cols(prices: DataFrame) -> list[str]:
         return (
             ["timestamp", "event_id"]
-            if "event_id" in self.prices.columns
+            if "event_id" in prices.columns
             else ["timestamp"]
         )
 
@@ -163,8 +174,9 @@ class PriceTracker:
             rsi,
         )
 
+        prices = self.prices
         return rsi(
-            self.prices, key="symbol", order_by=self._order_cols(),
+            prices, key="symbol", order_by=self._order_cols(prices),
             price="current_price", period=period,
         )
 
@@ -174,7 +186,8 @@ class PriceTracker:
             max_drawdown,
         )
 
+        prices = self.prices
         return max_drawdown(
-            self.prices, key="symbol", order_by=self._order_cols(),
+            prices, key="symbol", order_by=self._order_cols(prices),
             price="current_price",
         )

@@ -45,6 +45,11 @@ def _orphaned_location(spark: SparkSession, table: str) -> str | None:
     return os.path.join(p.path or loc, name.lower())
 
 
+# Marker dropped into every directory this module writes; orphan
+# cleanup only ever deletes directories carrying it.
+_MARKER = "_spark_graft_bucketed"
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -54,16 +59,29 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a parquet table hash-bucketed (and per-bucket
-    sorted, for sort-merge-ready reads) on ``bucket_col``."""
+    sorted, for sort-merge-ready reads) on ``bucket_col``.
+
+    Orphan cleanup (a previous session's in-memory catalog forgot
+    the table but its warehouse directory persists) removes ONLY
+    directories carrying this module's marker file: an unmarked
+    directory at the location was never written here — deleting it
+    would destroy someone else's data, so the write is left to fail
+    loudly with LOCATION_ALREADY_EXISTS instead."""
     spark = df.sparkSession
     if mode == "overwrite" and not spark.catalog.tableExists(table):
         path = _orphaned_location(spark, table)
         if path and os.path.exists(path):
-            shutil.rmtree(path)  # stale dir from a previous session's catalog
+            if os.path.exists(os.path.join(path, _MARKER)):
+                shutil.rmtree(path)  # our own stale dir from a dead session
+            # else: not ours — let saveAsTable raise on the collision
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+    path = _orphaned_location(spark, table)
+    if path and os.path.isdir(path):
+        with open(os.path.join(path, _MARKER), "w") as f:
+            f.write("written by operators/bucketing.py; safe to clean up\n")
 
 
 def bucketed_join(

@@ -47,16 +47,29 @@ def topk_with_other(snapshot: DataFrame, k: int = 7) -> DataFrame:
 
 def market_share(snapshot: DataFrame, k: int = 7) -> DataFrame:
     """Percentage-of-total per segment of the top-K+Other breakdown
-    (frontend/src/App.js:463-471): value / sum(values) * 100, 2 dp."""
+    (frontend/src/App.js:463-471): value / sum(values) * 100, 2 dp.
+
+    The total comes from a window sum over the segments themselves —
+    a crossJoin against a separately-aggregated total would execute
+    the whole snapshot + rank pipeline TWICE per action (Spark does
+    not dedupe common subplans without caching).  The partitionless
+    window is safe here: segments is <= k+1 rows.  The sum runs in
+    the same fixed-point integers dsum uses, so the value is
+    bit-identical to the oracle's dsum total."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+
     segments = topk_with_other(snapshot, k)
-    total = segments.agg(dsum("market_cap", "total")).select("total")
-    return (
-        segments.crossJoin(F.broadcast(total))
-        .select(
-            "label",
-            "market_cap",
-            F.round(F.col("market_cap") / F.col("total") * 100.0, 2).alias("pct"),
-        )
+    w = Window.partitionBy()
+    total = (
+        F.sum(F.round(F.col("market_cap") * SCALE).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        / SCALE
+    )
+    return segments.select(
+        "label",
+        "market_cap",
+        F.round(F.col("market_cap") / total * 100.0, 2).alias("pct"),
     )
 
 
@@ -83,17 +96,23 @@ def _fixed4_display(c: str) -> F.Column:
 
 
 def _grouped_display(c: str) -> F.Column:
-    # toLocaleString(): thousands-grouped integer rendering
-    # (frontend/src/App.js:550-551).  The explicit round() before
+    # toLocaleString() (frontend/src/App.js:550-551): thousands
+    # grouping with UP TO THREE fraction digits and trailing zeros
+    # trimmed (ECMA-402 defaults: maximumFractionDigits 3, rounding
+    # halfExpand) — NOT integer rendering: 56789.4 renders
+    # '56,789.4', not '56,789'.  The explicit round() before
     # format_number pins HALF_UP ties (format_number alone rounds
-    # HALF_EVEN, which diverges from the reference's JS semantics and
-    # the oracle at exact .5 boundaries).
+    # HALF_EVEN, diverging from JS halfExpand at exact boundaries);
+    # the two regex passes trim fraction zeros then a bare dot, and
+    # cannot touch the integer part (the first requires a literal
+    # '.' before the zeros).
+    grouped = F.format_number(F.round(F.col(c), 3), 3)
+    trimmed = F.regexp_replace(
+        F.regexp_replace(grouped, r"(\.\d*?)0+$", r"$1"), r"\.$", ""
+    )
     return F.concat(
         F.lit("$"),
-        F.coalesce(
-            F.when(F.col(c) != 0, F.format_number(F.round(F.col(c), 0), 0)),
-            F.lit("N/A"),
-        ),
+        F.coalesce(F.when(F.col(c) != 0, trimmed), F.lit("N/A")),
     )
 
 

@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_bound(d: str | dt.date | dt.datetime, name: str) -> dt.date | dt.datetime:
+    """ISO date or datetime, parsed eagerly so a bad bound raises
+    instead of silently matching nothing."""
+    if isinstance(d, (dt.date, dt.datetime)):
+        return d
+    s = str(d)
+    for parse in (dt.date.fromisoformat, dt.datetime.fromisoformat):
+        try:
+            return parse(s)
+        except ValueError:
+            continue
+    raise ValueError(
+        f"{name} must be an ISO date (YYYY-MM-DD) or datetime, got {d!r}"
+    )
+
+
 def history_slice(
     prices: DataFrame,
     symbol: str,
@@ -27,13 +43,27 @@ def history_slice(
     end+1day] ORDER BY timestamp`` with the reference's exact bound
     semantics: start is inclusive midnight, end is exclusive midnight
     of the FOLLOWING day (so rows at end_date 23:59:59.999 are kept).
-    Symbol lookup is lowercased like api/server.js:102."""
+    Symbol lookup is lowercased like api/server.js:102.
+
+    Bounds are validated DRIVER-SIDE: under non-ANSI mode a malformed
+    date string would cast to NULL, the bound predicate would
+    evaluate NULL on every row, and the API would return a
+    plausible-looking EMPTY history with no error (the reference's
+    PG query raises on an invalid date)."""
     out = prices.filter(F.col("symbol") == F.lower(F.lit(symbol)))
     if start_date is not None:
-        out = out.filter(F.col("timestamp") >= F.lit(str(start_date)).cast("timestamp"))
+        start = _parse_bound(start_date, "start_date")
+        if not isinstance(start, dt.datetime):
+            start = dt.datetime.combine(start, dt.time.min)
+        out = out.filter(F.col("timestamp") >= F.lit(start))
     if end_date is not None:
-        next_day = F.date_add(F.lit(str(end_date)).cast("date"), 1).cast("timestamp")
-        out = out.filter(F.col("timestamp") < next_day)
+        end = _parse_bound(end_date, "end_date")
+        next_day = dt.datetime.combine(
+            (end.date() if isinstance(end, dt.datetime) else end)
+            + dt.timedelta(days=1),
+            dt.time.min,
+        )
+        out = out.filter(F.col("timestamp") < F.lit(next_day))
     return out.select(
         "symbol", "name", "current_price", "market_cap", "total_volume", "timestamp"
     ).orderBy(F.col("timestamp").asc())

@@ -133,6 +133,25 @@ register(
 
 # ---- P4+P10+P13: dashboard-table display projection ------------------------
 
+def _sql_grouped(col: str) -> str:
+    """DuckDB twin of operators/dashboard.py::_grouped_display —
+    toLocaleString() semantics: thousands grouping, up to 3 fraction
+    digits, trailing zeros trimmed.  DuckDB's fmtlib format() cannot
+    thousands-group floats, so the value is split at fixed-point:
+    round to the 3dp grid FIRST (same HALF_UP as the Spark side),
+    re-scale to an exact milli integer, group the integer part and
+    lpad the fraction."""
+    m = f"CAST(round(round({col}, 3) * 1000) AS BIGINT)"
+    grouped = (
+        f"format('{{:,}}', {m} // 1000) || '.' || "
+        f"lpad(CAST({m} % 1000 AS VARCHAR), 3, '0')"
+    )
+    return (
+        f"regexp_replace(regexp_replace({grouped},"
+        f" '(\\.\\d*?)0+$', '\\1'), '\\.$', '')"
+    )
+
+
 def q_display_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = latest_snapshot(prices_from_events(spark, sf_dir), order_by_cap=False)
     return display_snapshot(snap)
@@ -149,12 +168,10 @@ register(
                CAST(CAST(round(current_price, 4) AS DECIMAL(28,4)) AS VARCHAR)
              END, 'N/A')) AS price_display,
            concat('$', coalesce(
-             CASE WHEN market_cap <> 0 THEN
-               format('{{:,}}', CAST(round(market_cap, 0) AS BIGINT))
+             CASE WHEN market_cap <> 0 THEN {_sql_grouped('market_cap')}
              END, 'N/A')) AS market_cap_display,
            concat('$', coalesce(
-             CASE WHEN total_volume <> 0 THEN
-               format('{{:,}}', CAST(round(total_volume, 0) AS BIGINT))
+             CASE WHEN total_volume <> 0 THEN {_sql_grouped('total_volume')}
              END, 'N/A')) AS volume_display,
            timestamp
     FROM latest

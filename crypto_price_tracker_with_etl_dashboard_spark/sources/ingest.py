@@ -57,16 +57,27 @@ def validate_and_normalize(raw: DataFrame, batch_ts: dt.datetime) -> DataFrame:
     )
 
 
-def append_prices(batch: DataFrame, table_path: str) -> None:
+def append_prices(batch: DataFrame, table_path: str, batch_id: int = 0) -> None:
     """S3 table sink: atomic batch append (one txn in the reference,
     etl/crypto_etl.py:108-123; one write job here).  Partitioned by
     ingest date so history queries prune partitions at scale — a
     100 TB prices table is only ever scanned by (symbol, day) slices.
+
+    Layout matches the streaming sink (streaming/pipeline.py:
+    partition (dt, batch), event_id column): the two facade write
+    paths MUST agree — mixed dt-only and dt/batch directories make
+    Spark's partition discovery fail outright, and a table without
+    event_id loses the keep-last tiebreak (P5 stamps one
+    batch-constant timestamp, so same-symbol duplicates within a
+    poll tie on timestamp alone and the winner goes
+    partition-order-nondeterministic).
     """
     (
         batch.withColumn("dt", F.to_date("timestamp"))
+        .withColumn("batch", F.lit(batch_id))
+        .withColumn("event_id", F.monotonically_increasing_id())
         .write.mode("append")
-        .partitionBy("dt")
+        .partitionBy("dt", "batch")
         .parquet(table_path)
     )
 

@@ -37,8 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB applies when it maps parquet ns to its
     microsecond TIMESTAMP, so both engines see identical values."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Scope the legacy conf to THIS read: the schema is captured
+        # when spark.read resolves, so restoring immediately after
+        # does not affect the returned DataFrame's execution
+        # (verified) — but leaving it set session-wide would silently
+        # retype TIMESTAMP(NANOS) columns to bigint in every later
+        # unrelated parquet read.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df

@@ -347,15 +347,21 @@ def run_feed_stream(
                 # Idempotent per-tick sink (see run_ingest_stream):
                 # replaying a tick overwrites its own partition, so
                 # at-least-once replay yields exactly-once contents.
+                # Unified table layout: ALL write paths (this feed
+                # loop, run_ingest_stream, and the facade's batch
+                # append) partition by (dt, batch) — the tick number
+                # IS this path's batch id.  Divergent partition
+                # schemes under one table root make Spark's partition
+                # discovery fail outright.
                 out = (
                     clean.withColumn("dt", F.to_date("timestamp"))
-                    .withColumn("tick", F.lit(int(tick)))
+                    .withColumn("batch", F.lit(int(tick)))
                     .withColumn("event_id", F.monotonically_increasing_id())
                 )
                 (
                     out.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("dt", "tick")
+                    .partitionBy("dt", "batch")
                     .parquet(table_path)
                 )
                 if push_fn is not None:

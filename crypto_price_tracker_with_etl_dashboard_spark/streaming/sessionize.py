@@ -11,6 +11,17 @@ the open session in timestamp order; an event more than
 session is emitted downstream) and opens a new one.  A processing-time
 timeout flushes sessions for users that stop sending events.
 
+Out-of-order limits: an event within ``gap_seconds`` of the open
+interval on EITHER side merges (extending ``session_start``
+backwards when needed); an event more than a gap EARLIER than the
+open session's start is emitted immediately as a closed singleton
+session.  That matches the batch twin whenever disorder stays within
+one gap; events arriving even later that would bridge the singleton
+to other events cannot revise the already-emitted row — single-
+interval state trades that tail case for O(1) state per user.  Use
+the batch operator (queries/relational.py::events_sessionize) for
+exact sessionization of at-rest data.
+
 Scale shape: state is hash-partitioned by user_id in the state store
 — O(active users) entries of 3 longs each; each micro-batch shuffles
 only its own rows.  Arrow batches in/out, pandas per group.
@@ -72,10 +83,14 @@ def make_sessionize_fn(gap_seconds: int = 1800, timeout_ms: int | None = None):
             state.remove()
             yield _emit(user_id, [(s, e, n)])
             return
+        # pd.notna: a NULL ts becomes NaT, whose .timestamp() raises
+        # and would kill the whole streaming query over one malformed
+        # row — drop it, like the batch twin's gap-isNull tolerance.
         ts = sorted(
             int(t.timestamp())
             for pdf in pdfs
             for t in pd.to_datetime(pdf["ts"])
+            if pd.notna(t)
         )
         open_s = state.get if state.exists else None
         closed: list = []
@@ -85,8 +100,22 @@ def make_sessionize_fn(gap_seconds: int = 1800, timeout_ms: int | None = None):
             elif t - open_s[1] > gap_seconds:
                 closed.append(open_s)
                 open_s = (t, t, 1)
+            elif open_s[0] - t > gap_seconds:
+                # late cross-batch event BEFORE the open session by
+                # more than the gap: a separate, earlier session —
+                # folding it in (the old behavior) merged sessions the
+                # batch twin splits and never moved session_start.
+                # With single-interval state it is emitted immediately
+                # as a singleton (see the state-model note in the
+                # module docstring).
+                closed.append((t, t, 1))
             else:
-                open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+                # within the gap of the open interval on either side:
+                # extend start backwards too, so a late event just
+                # before the session keeps session_start truthful
+                open_s = (
+                    min(open_s[0], t), max(open_s[1], t), open_s[2] + 1
+                )
         if open_s is not None:
             state.update(open_s)
             if timeout_ms is not None:

@@ -61,3 +61,41 @@ def test_display_snapshot_formats_and_na(snapshot):
     assert out["ZERO"]["market_cap_display"] == "$N/A"  # 0 is falsy in JS
     assert out["ZERO"]["price_display"] == "$2.2000"
     assert set(out) == {"BTC", "ETH", "DOGE", "ZERO", "STALE"}
+
+
+def test_grouped_display_fraction_parity(spark):
+    """toLocaleString() keeps up to 3 fraction digits (ECMA-402
+    maximumFractionDigits default) — 56789.4 renders '$56,789.4', not
+    the truncated '$56,789'; integers stay bare; the DuckDB twin
+    produces identical strings."""
+    import duckdb
+
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.dashboard import (
+        _grouped_display,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.reference import (
+        _sql_grouped,
+    )
+
+    vals = [56789.4, 1000.0, 0.125, 0.1256, 1234567.89, 12.3456]
+    df = spark.createDataFrame([(v,) for v in vals], ["market_cap"])
+    got = [r[0] for r in df.select(_grouped_display("market_cap")).collect()]
+    want = ["$56,789.4", "$1,000", "$0.125", "$0.126", "$1,234,567.89", "$12.346"]
+    assert got == want
+    for v, g in zip(vals, got):
+        (d,) = duckdb.sql(f"SELECT concat('$', {_sql_grouped(str(v))})").fetchone()
+        assert d == g, (v, d, g)
+
+
+def test_market_share_no_extra_denominator_scan(spark, snapshot):
+    """The ratio-of-total denominator is a window sum over the
+    segments, NOT a crossJoin against a separately re-derived total —
+    the old formulation executed the whole snapshot pipeline twice
+    more.  topk_with_other's own union (top-K branch + Other branch)
+    legitimately reads the snapshot twice; the denominator must add
+    ZERO further scans."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(market_share(snapshot, k=2))
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans <= 2, plan

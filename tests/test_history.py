@@ -31,3 +31,14 @@ def test_chronological_order(prices_fixture):
     out = history_slice(prices_fixture, "btc", None, None).collect()
     stamps = [r["timestamp"] for r in out]
     assert stamps == sorted(stamps)
+
+
+def test_history_rejects_malformed_dates(prices_fixture):
+    """A malformed bound must raise, not cast to NULL and silently
+    return an empty history (non-ANSI cast semantics)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="start_date"):
+        history_slice(prices_fixture, "btc", start_date="05/01/2024")
+    with pytest.raises(ValueError, match="end_date"):
+        history_slice(prices_fixture, "btc", end_date="not-a-date")

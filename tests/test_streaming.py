@@ -576,3 +576,69 @@ def test_is_cancellation_detects_python_side_stop():
 
     fake = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
     assert _is_cancellation(RuntimeError("boom"), fake) is True
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the sessionize
+    kernel without a running stream."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_sessionize_kernel_splits_late_earlier_session():
+    """A late cross-batch event more than a gap BEFORE the open
+    session must become its own closed session (the batch twin splits
+    it) — not silently fold into the open session."""
+    import pandas as pd
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.sessionize import (
+        make_sessionize_fn,
+    )
+
+    fn = make_sessionize_fn(gap_seconds=300)
+    state = _FakeState((1000, 1000, 1))
+    out = list(
+        fn((7,), iter([pd.DataFrame({"ts": [pd.Timestamp(500, unit="s")]})]), state)
+    )
+    assert state.get == (1000, 1000, 1)  # open session untouched
+    assert len(out) == 1
+    (row,) = out[0].to_dict("records")
+    assert (
+        row["session_start"], row["session_end"], row["n_events"]
+    ) == (pd.Timestamp(500, unit="s"), pd.Timestamp(500, unit="s"), 1)
+
+
+def test_sessionize_kernel_extends_start_backwards_and_drops_nat():
+    import pandas as pd
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.sessionize import (
+        make_sessionize_fn,
+    )
+
+    fn = make_sessionize_fn(gap_seconds=300)
+    state = _FakeState((1000, 1000, 1))
+    # 800 is within the gap BEFORE the open start: merge, extending
+    # session_start backwards; the NULL ts must be dropped, not crash
+    batch = pd.DataFrame({"ts": [pd.Timestamp(800, unit="s"), pd.NaT]})
+    out = list(fn((7,), iter([batch]), state))
+    assert out == []
+    assert state.get == (800, 1000, 2)
