@@ -225,3 +225,117 @@ def sql_max_drawdown(
     SELECT {key}, COUNT(*) AS n_ticks, round(MAX(__dd), 6) AS max_drawdown
     FROM r GROUP BY {key} ORDER BY {key}
     """
+
+
+def ema_macd(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+    fast: int = 12,
+    slow: int = 26,
+) -> DataFrame:
+    """EMA(fast), EMA(slow) and the MACD line per key over the
+    ordered tick series — the recursive indicator RSI's docstring
+    scopes out of window functions, expressed as a per-key sequential
+    fold instead (``applyInPandas``: state lives inside one Arrow
+    group, never in a window frame).
+
+    Exactness discipline: the classic recurrence
+    ``ema_t = a*x_t + (1-a)*ema_{t-1}`` with ``a = 2/(n+1)`` is
+    rewritten over fixed-point units (operators/exact.py SCALE) as a
+    PURE INTEGER recursion
+
+        eu_t = (2*xu_t + (n-1)*eu_{t-1} + (n+1)//2) // (n+1)
+
+    (round-half-up at every step, numerator provably nonnegative), so
+    an engine re-deriving it — DuckDB via WITH RECURSIVE, this fold
+    via Python arbitrary-precision ints — produces bit-identical
+    BIGINT states with no accumulated float drift.  The only double
+    ops are the final ``eu / SCALE`` divisions, identical on both.
+
+    Scale shape: ONE shuffle on the key; the per-key fold is O(ticks)
+    and inherently sequential (each term depends on the previous —
+    that is the operator's semantics, not an implementation choice);
+    keys process in parallel.  Output is O(rows): (key, rn, ema_fast,
+    ema_slow, macd = ema_fast - ema_slow).
+
+    Rows with NULL price are dropped (they have no position in the
+    recurrence); ``rn`` is the 1-based tick index in ``order_by``
+    order so the result is self-describing without the raw table.
+    """
+    if not (1 <= fast < slow):
+        raise ValueError(f"need 1 <= fast < slow, got {fast}, {slow}")
+    import pandas as pd
+
+    out_schema = (
+        f"{key} string, rn long, ema_fast double, ema_slow double, macd double"
+    )
+
+    ord_names = [f"__o{i}" for i in range(len(order_by))]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_names, kind="mergesort")
+        xs = [int(v) for v in pdf["__xu"]]
+        ef = es = None
+        rows = []
+        for i, xu in enumerate(xs):
+            if ef is None:
+                ef, es = xu, xu
+            else:
+                ef = (2 * xu + (fast - 1) * ef + (fast + 1) // 2) // (fast + 1)
+                es = (2 * xu + (slow - 1) * es + (slow + 1) // 2) // (slow + 1)
+            rows.append((i + 1, ef, es))
+        k = pdf[key].iloc[0] if len(pdf) else None
+        return pd.DataFrame(
+            {
+                key: [k] * len(rows),
+                "rn": [r[0] for r in rows],
+                "ema_fast": [r[1] / SCALE for r in rows],
+                "ema_slow": [r[2] / SCALE for r in rows],
+                "macd": [(r[1] - r[2]) / SCALE for r in rows],
+            }
+        )
+
+    ordered = (
+        prices.filter(F.col(price).isNotNull())
+        .select(
+            F.col(key).cast("string").alias(key),
+            F.round(F.col(price) * SCALE).cast("bigint").alias("__xu"),
+            *[F.col(c).alias(n) for c, n in zip(order_by, ord_names)],
+        )
+    )
+    return ordered.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def sql_ema_macd(
+    table: str, key: str, order_by: list[str], price: str,
+    fast: int = 12, slow: int = 26,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`ema_macd`: the same integer recursion
+    via WITH RECURSIVE (one frontier row per key per step), joined to
+    the rn-indexed tick table.  ``extra_ctes`` (ending in a comma)
+    prepends source CTEs — SQL allows only one WITH."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH RECURSIVE {extra_ctes} seq AS (
+      SELECT CAST({key} AS VARCHAR) AS {key},
+             CAST(round({price} * {SCALE}) AS BIGINT) AS xu,
+             row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS rn
+      FROM {table} WHERE {price} IS NOT NULL
+    ),
+    ema AS (
+      SELECT {key}, rn, xu AS ef, xu AS es FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.{key}, s.rn,
+             (2*s.xu + {fast - 1}*e.ef + {(fast + 1) // 2}) // {fast + 1},
+             (2*s.xu + {slow - 1}*e.es + {(slow + 1) // 2}) // {slow + 1}
+      FROM seq s JOIN ema e ON s.{key} = e.{key} AND s.rn = e.rn + 1
+    )
+    SELECT {key}, rn,
+           CAST(ef AS DOUBLE) / {SCALE} AS ema_fast,
+           CAST(es AS DOUBLE) / {SCALE} AS ema_slow,
+           CAST(ef - es AS DOUBLE) / {SCALE} AS macd
+    FROM ema
+    """

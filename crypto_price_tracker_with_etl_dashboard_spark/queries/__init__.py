@@ -96,19 +96,21 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (11 debut candidates are queued at the pool tail, all
+# r7 PLAN (17 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
 # (events_tumbling_5min .. emb_kmeans) is SIXTEEN queries — pool
-# indices 26..41 today, 30..45 after the insertion — so a full
-# 11-debut round (13 rotating slots) would strand emb_scalar_quantize
-# / doc_mixture_sample / emb_kmeans at r4 staleness.  Therefore r7
-# debuts only the FIRST EIGHT candidates (prices_vwap_hourly ..
-# events_profile): rotation slots = 50 - 26 - 8 = 16 = pool[30:46],
-# exactly the stale block, leaving nothing older than r5.  The last
-# three candidates (events_top_paths, events_markov, doc_bigram_topk)
-# stay at the pool tail and debut in r8 via NEW_THIS_ROUND.
+# indices 26..41 today, 30..45 after the insertion — so r7 debuts
+# exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
+# rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
+# block, leaving nothing older than r5.  The remaining NINE
+# candidates (events_top_paths, events_markov, doc_bigram_topk, and
+# the batch-3 six: prices_ema_macd, doc_simhash_neardup,
+# events_grouping_sets, events_histogram, events_heavy_hitters,
+# emb_dim_stats) stay at the pool tail and debut in r8 via
+# NEW_THIS_ROUND (9 debuts -> 15 rotating slots, which r8 should
+# point at whatever block is then oldest).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [
@@ -201,6 +203,15 @@ ROTATION_POOL: list[str] = [
     #     bigram counts (queries/text.py::q_doc_bigram_topk). ---
     "events_value_outliers", "events_profile", "events_top_paths",
     "events_markov", "doc_bigram_topk",
+    # --- r6-built batch 3, same debut-candidate status (r8 per the
+    #     cursor note): the recursive-EMA/MACD sequential fold (the
+    #     first certified applyInPandas stateful recursion —
+    #     operators/indicators.py::ema_macd), SimHash banded-Hamming
+    #     near-dup join, GROUPING SETS, fixed-width histogram,
+    #     count-min-sketch heavy hitters (functions/sketch.py), and
+    #     per-dimension embedding feature stats. ---
+    "prices_ema_macd", "doc_simhash_neardup", "events_grouping_sets",
+    "events_histogram", "events_heavy_hitters", "emb_dim_stats",
 ]
 
 

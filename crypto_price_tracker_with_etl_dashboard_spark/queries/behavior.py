@@ -222,3 +222,72 @@ register(
     ORDER BY c.src, c.dst
     """,
 )
+
+
+# ---- Count-min-sketch heavy hitters ----------------------------------------
+# The sketch path (functions/sketch.py) next to its ground truth: the
+# top-20 user_ids by SKETCH-estimated frequency, each row carrying
+# the exact count and the overcount (est - true >= 0 always, by the
+# CMS guarantee).  At 100 TB the exact side of this query is the
+# expensive one — the certified artifact is that the constant-size
+# sketch's estimates are exactly reproducible and ordered.
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 20
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (
+        est.join(true, "user_id")
+        .select(
+            "user_id",
+            F.col("est").alias("est_count"),
+            "true_count",
+            (F.col("est") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOPK)
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        sql_bucket,
+    )
+
+    cell_structs = ", ".join(
+        f"{{'j': {j}, 'bucket': {sql_bucket('user_id', j, _CMS_WIDTH)}}}"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM (
+        SELECT unnest([{cell_structs}], recursive := true) FROM events
+      ) GROUP BY j, bucket
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT user_id, unnest([{cell_structs}], recursive := true) FROM keys
+    ),
+    est AS (
+      SELECT user_id, MIN(cnt) AS est
+      FROM probes JOIN cells USING (j, bucket) GROUP BY user_id
+    ),
+    truth AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id)
+    SELECT user_id, est AS est_count, true_count, est - true_count AS overcount
+    FROM est JOIN truth USING (user_id)
+    ORDER BY est_count DESC, user_id ASC
+    LIMIT {_CMS_TOPK}
+    """
+
+
+register("events_heavy_hitters", q_events_heavy_hitters, _heavy_hitters_sql())

@@ -20,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+    ema_macd,
     max_drawdown,
     rsi,
+    sql_ema_macd,
     sql_max_drawdown,
     sql_rsi,
     sql_vwap,
@@ -96,5 +98,27 @@ register(
     sql_max_drawdown(
         'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
         extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA-12 / EMA-26 / MACD per symbol tick series — the recursive
+    (infinite-memory) smoothing RSI's SMA variant avoids, certified
+    here via an exact integer recursion both engines re-derive
+    bit-for-bit (operators/indicators.py::ema_macd)."""
+    prices = prices_from_events(spark, sf_dir)
+    return ema_macd(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", fast=12, slow=26,
+    )
+
+
+register(
+    "prices_ema_macd",
+    q_prices_ema_macd,
+    sql_ema_macd(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        fast=12, slow=26, extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )

@@ -355,3 +355,120 @@ register(
     ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST, g_type, g_dow
     """,
 )
+
+
+# ---- GROUPING SETS: asymmetric subtotal combinations -----------------------
+# The one grouping-set shape CUBE and ROLLUP cannot express: an
+# explicit list of unrelated set combinations — here per
+# (event_type, month) cells plus an independent day-of-week margin
+# plus the grand total.  Same single-pass expansion as CUBE (Spark
+# replicates rows map-side per set before ONE hash shuffle).
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.month("ts").alias("mon"),
+        F.dayofweek("ts").alias("dow"),
+        "value",
+    )
+    return (
+        events.groupingSets(
+            [["event_type", "mon"], ["dow"], []],
+            "event_type", "mon", "dow",
+        )
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("mon").cast("int").alias("g_mon"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("mon").asc_nulls_first(),
+            F.col("dow").asc_nulls_first(),
+        )
+    )
+
+
+register(
+    "events_grouping_sets",
+    q_events_grouping_sets,
+    f"""
+    SELECT event_type, mon, dow,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(mon) AS INTEGER) AS g_mon,
+           CAST(GROUPING(dow) AS INTEGER) AS g_dow,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM (SELECT event_type, month(ts) AS mon, dayofweek(ts) + 1 AS dow, value
+          FROM events)
+    GROUP BY GROUPING SETS ((event_type, mon), (dow), ())
+    ORDER BY event_type ASC NULLS FIRST, mon ASC NULLS FIRST,
+             dow ASC NULLS FIRST
+    """,
+)
+
+
+# ---- Fixed-width histogram -------------------------------------------------
+# Two-pass equi-width histogram over the value column: pass 1 is a
+# 1-row global MIN/MAX aggregate (exact doubles — comparisons only),
+# broadcast back onto the fact scan; pass 2 buckets each row with
+# floor((v - lo) / width) and hash-aggregates onto n_buckets groups
+# (map-side partials make the shuffle ~n_buckets rows per task).
+# Every bucket expression is the same double-op chain on both
+# engines, so bucket assignment — including rows exactly on a
+# boundary — is bit-identical.
+
+_HIST_BUCKETS = 16
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / _HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("__lo")) / width),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "__lo", "__hi")
+        .groupBy("bucket", "__lo", "__hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("__lo") + F.col("bucket") * ((F.col("__hi") - F.col("__lo")) / _HIST_BUCKETS)).alias("lo"),
+            (F.col("__lo") + (F.col("bucket") + 1) * ((F.col("__hi") - F.col("__lo")) / _HIST_BUCKETS)).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    "events_histogram",
+    q_events_histogram,
+    f"""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    bucketed AS (
+      SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {_HIST_BUCKETS})),
+                        {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+             b.lo AS blo, b.hi AS bhi
+      FROM events e CROSS JOIN bounds b
+      WHERE e.value IS NOT NULL
+    )
+    SELECT bucket,
+           blo + bucket * ((bhi - blo) / {_HIST_BUCKETS}) AS lo,
+           blo + (bucket + 1) * ((bhi - blo) / {_HIST_BUCKETS}) AS hi,
+           COUNT(*) AS n
+    FROM bucketed
+    GROUP BY bucket, blo, bhi
+    ORDER BY bucket
+    """,
+)

@@ -355,6 +355,67 @@ def _simhash_sql() -> str:
 register("doc_simhash", q_doc_simhash, _simhash_sql())
 
 
+# ---- SimHash banded-Hamming near-dup join ----------------------------------
+# The signature table is cached once per session (both join sides
+# consume it inside one action — same discipline as
+# functions/dedup.py::minhash_lsh_pairs's banded cache).
+
+# 2 bands x 16 bits, hamming <= 1: the Manku banding bound
+# (max_hamming < n_bands) at the operating point a 32-BIT signature
+# supports — each bit carries 2x the weight of the usual 64-bit
+# setting, and hamming<=3 on 32 bits admits ~25x more (mostly
+# sketch-noise) pairs than <=1 while the wider 16-bit band keys make
+# candidate buckets far more selective.
+_SH_BANDS, _SH_BAND_BITS, _SH_MAX_HAMMING = 2, 16, 1
+_SH_CACHE: dict[str, DataFrame] = {}
+
+
+def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = docs.select("doc_id", D.token_hashes("text").alias("hs")).select(
+        "doc_id", D.simhash32_from_hashes(F.col("hs")).alias("simhash")
+    ).cache()
+    app_id = spark.sparkContext.applicationId
+    prev = _SH_CACHE.get(app_id)
+    if prev is not None:
+        prev.unpersist()
+    _SH_CACHE[app_id] = sigs
+    pairs = D.simhash_hamming_pairs(
+        sigs, id_col="doc_id", sim_col="simhash",
+        n_bands=_SH_BANDS, band_bits=_SH_BAND_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    mask = (1 << _SH_BAND_BITS) - 1
+    band_structs = ", ".join(
+        f"{{'band_idx': {b}, 'band_key': (sh >> {b * _SH_BAND_BITS}) & {mask}}}"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({_simhash_sql().replace('AS simhash', 'AS sh')}),
+    banded AS (
+      SELECT doc_id, sh, unnest([{band_structs}], recursive := true)
+      FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_SH_MAX_HAMMING}
+    """
+
+
+register("doc_simhash_neardup", q_doc_simhash_neardup, _simhash_neardup_sql())
+
+
 # ---- TF-IDF-style distinctive terms per document ---------------------------
 # Score = tf * (N+1)/(df+1): the idf is kept as a raw ratio (no ln)
 # because Java's Math.log and libm's log differ in the last ulp —

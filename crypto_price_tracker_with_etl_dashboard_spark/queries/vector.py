@@ -952,3 +952,68 @@ register(
     ORDER BY query_id
     """,
 )
+
+
+# ---- Per-dimension feature statistics ---------------------------------------
+# The normalization-stats pass every embedding pipeline runs before
+# training (feature scaling / whitening diagnostics): n, mean,
+# sample variance, min, max per vector dimension.  Plan: ONE narrow
+# posexplode (row -> d cells, no data movement) into ONE hash
+# aggregate on the d dimension keys — map-side partials reduce each
+# task to d rows, so the shuffle is O(d * tasks) regardless of corpus
+# size.  Mean/variance derive from decimal-exact sums (the
+# emb_label_centroids discipline) then one fixed double-op chain, so
+# rows hash-match the oracle bit-for-bit; min/max are comparisons
+# (order-free) widened to double.
+
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count("v").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,10)")).alias("__s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,10)")).alias("__sq"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n")
+    ex2 = F.col("__sq").cast("double") / F.col("n")
+    var = (ex2 - mean * mean) * F.col("n") / (F.col("n") - 1)
+    return stats.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(var, 6).alias("var_v"),
+        "min_v",
+        "max_v",
+    ).orderBy("dim")
+
+
+register(
+    "emb_dim_stats",
+    q_emb_dim_stats,
+    """
+    WITH cells AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, COUNT(v) AS n,
+             SUM(CAST(v AS DECIMAL(38,10))) AS s,
+             SUM(CAST(v * v AS DECIMAL(38,10))) AS sq,
+             MIN(v) AS min_v, MAX(v) AS max_v
+      FROM cells GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_v,
+           round((CAST(sq AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 * n / (n - 1), 6) AS var_v,
+           min_v, max_v
+    FROM stats ORDER BY dim
+    """,
+)

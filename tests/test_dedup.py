@@ -152,3 +152,41 @@ def test_minhash_rejects_degenerate_banding(docs):
         minhash_lsh_pairs(docs, num_hashes=16, bands=5)
     with pytest.raises(ValueError, match="positive"):
         minhash_lsh_pairs(docs, num_hashes=16, bands=0)
+
+
+# ---- SimHash banded-Hamming near-dup ---------------------------------------
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """Signatures within the hamming budget are ALWAYS found (the
+    banding is recall-complete for max_hamming < n_bands), and pairs
+    beyond it never appear."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b1111_0000_1010_0101_0000_1111_0101_1010),
+            (2, 0b1111_0000_1010_0101_0000_1111_0101_1011),  # hamming 1 vs #1
+            (3, 0b1111_0000_1010_0101_0000_1111_0101_1010),  # hamming 0 vs #1
+            (4, 0b0000_1111_0101_1010_1111_0000_1010_0101),  # far from all
+        ],
+        ["doc_id", "simhash"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            sigs, n_bands=2, band_bits=16, max_hamming=1
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_simhash_hamming_pairs_rejects_unsound_banding(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sigs = spark.createDataFrame([(1, 7)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="recall-complete"):
+        simhash_hamming_pairs(sigs, n_bands=2, band_bits=16, max_hamming=2)

@@ -186,3 +186,67 @@ def test_rsi_single_shuffle(spark):
     df = _series(spark, [1.0, 2.0, 3.0])
     plan = plan_of(rsi(df, "symbol", ["t", "event_id"], "price"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---- EMA / MACD -------------------------------------------------------------
+
+def test_ema_macd_closed_form(spark):
+    """fast=2 (a=2/3), slow=4 (a=2/5) over [10, 20]: seeds are the
+    first price; step 2 is the integer round-half-up recursion."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ema_macd,
+    )
+
+    df = _series(spark, [10.0, 20.0])
+    out = {
+        r["rn"]: (r["ema_fast"], r["ema_slow"], r["macd"])
+        for r in ema_macd(
+            df, "symbol", ["t", "event_id"], "price", fast=2, slow=4
+        ).collect()
+    }
+    assert out[1] == (10.0, 10.0, 0.0)
+    # ef = (2*200000 + 1*100000 + 1) // 3 = 166667; es = 700002 // 5 = 140000
+    assert out[2] == (16.6667, 14.0, 2.6667)
+
+
+def test_ema_macd_tracks_float_recurrence_and_is_partition_invariant(spark):
+    """The integer recursion approximates the classic float EMA to
+    within SCALE quantization (< 1e-3 after dozens of steps), and the
+    result is identical under different input partitioning — the
+    whole point of the integer formulation."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ema_macd,
+    )
+
+    prices = [100.0 + ((i * 37) % 50) / 3.0 for i in range(60)]
+    df = _series(spark, prices)
+    out = ema_macd(df, "symbol", ["t", "event_id"], "price", fast=12, slow=26)
+    got = {r["rn"]: (r["ema_fast"], r["ema_slow"]) for r in out.collect()}
+
+    ef = es = prices[0]
+    af, as_ = 2 / 13, 2 / 27
+    for i, p in enumerate(prices):
+        if i:
+            ef = af * p + (1 - af) * ef
+            es = as_ * p + (1 - as_) * es
+        assert abs(got[i + 1][0] - ef) < 1e-3, (i, got[i + 1][0], ef)
+        assert abs(got[i + 1][1] - es) < 1e-3
+
+    got_rep = {
+        r["rn"]: (r["ema_fast"], r["ema_slow"])
+        for r in ema_macd(
+            df.repartition(7), "symbol", ["t", "event_id"], "price",
+            fast=12, slow=26,
+        ).collect()
+    }
+    assert got == got_rep
+
+
+def test_ema_macd_rejects_bad_periods(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ema_macd,
+    )
+
+    df = _series(spark, [1.0])
+    with pytest.raises(ValueError, match="fast < slow"):
+        ema_macd(df, "symbol", ["t"], "price", fast=26, slow=12)
