@@ -238,8 +238,7 @@ def ema_macd(
     """EMA(fast), EMA(slow) and the MACD line per key over the
     ordered tick series — the recursive indicator RSI's docstring
     scopes out of window functions, expressed as a per-key sequential
-    fold instead (``applyInPandas``: state lives inside one Arrow
-    group, never in a window frame).
+    fold instead.
 
     Exactness discipline: the classic recurrence
     ``ema_t = a*x_t + (1-a)*ema_{t-1}`` with ``a = 2/(n+1)`` is
@@ -254,11 +253,20 @@ def ema_macd(
     BIGINT states with no accumulated float drift.  The only double
     ops are the final ``eu / SCALE`` divisions, identical on both.
 
-    Scale shape: ONE shuffle on the key; the per-key fold is O(ticks)
-    and inherently sequential (each term depends on the previous —
-    that is the operator's semantics, not an implementation choice);
-    keys process in parallel.  Output is O(rows): (key, rn, ema_fast,
-    ema_slow, macd = ema_fast - ema_slow).
+    Execution shape: ONE shuffle (repartition on the key) + an
+    in-partition sort on (key, order_by), then ``mapInPandas``
+    streams each partition's key-contiguous rows through the
+    recursion, carrying a tiny per-key state dict across Arrow
+    batches.  This deliberately avoids ``groupBy().applyInPandas``:
+    that path flushes one Arrow batch AND one Python call PER GROUP
+    (~1-2 ms each — measured 1.7-2.8s of pure per-group overhead on
+    1,500 single-symbol groups at sf0.1, identity function), while
+    the mapInPandas stream pays per-10k-row-batch overhead instead
+    (3.7s -> 0.9s).  The per-key fold is inherently sequential (each
+    term depends on the previous — operator semantics, not an
+    implementation choice); keys process in parallel across
+    partitions.  Output is O(rows): (key, rn, ema_fast, ema_slow,
+    macd = ema_fast - ema_slow).
 
     Rows with NULL price are dropped (they have no position in the
     recurrence); ``rn`` is the 1-based tick index in ``order_by``
@@ -266,36 +274,59 @@ def ema_macd(
     """
     if not (1 <= fast < slow):
         raise ValueError(f"need 1 <= fast < slow, got {fast}, {slow}")
+    import numpy as np
     import pandas as pd
 
     out_schema = (
         f"{key} string, rn long, ema_fast double, ema_slow double, macd double"
     )
-
     ord_names = [f"__o{i}" for i in range(len(order_by))]
+    hf, hs = (fast + 1) // 2, (slow + 1) // 2
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ord_names, kind="mergesort")
-        xs = [int(v) for v in pdf["__xu"]]
-        ef = es = None
-        rows = []
-        for i, xu in enumerate(xs):
-            if ef is None:
-                ef, es = xu, xu
-            else:
-                ef = (2 * xu + (fast - 1) * ef + (fast + 1) // 2) // (fast + 1)
-                es = (2 * xu + (slow - 1) * es + (slow + 1) // 2) // (slow + 1)
-            rows.append((i + 1, ef, es))
-        k = pdf[key].iloc[0] if len(pdf) else None
-        return pd.DataFrame(
-            {
-                key: [k] * len(rows),
-                "rn": [r[0] for r in rows],
-                "ema_fast": [r[1] / SCALE for r in rows],
-                "ema_slow": [r[2] / SCALE for r in rows],
-                "macd": [(r[1] - r[2]) / SCALE for r in rows],
-            }
-        )
+    def run(batches):
+        # key -> (ef, es, rn): carries a key's recursion across the
+        # Arrow-batch boundary that may split it (keys are contiguous
+        # within the sorted partition, so at most one key per batch
+        # continues; the dict handles it without assuming which).
+        state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ks = pdf[key].to_numpy()
+            xs = pdf["__xu"].to_numpy().tolist()
+            ef_arr = np.empty(n, dtype=np.int64)
+            es_arr = np.empty(n, dtype=np.int64)
+            rn_arr = np.empty(n, dtype=np.int64)
+            cur = None
+            ef = es = rn = 0
+            for i in range(n):
+                k = ks[i]
+                if k != cur:
+                    if cur is not None:
+                        state[cur] = (ef, es, rn)
+                    cur = k
+                    ef, es, rn = state.get(k, (0, 0, 0))
+                xu = int(xs[i])
+                if rn == 0:
+                    ef = es = xu
+                else:
+                    ef = (2 * xu + (fast - 1) * ef + hf) // (fast + 1)
+                    es = (2 * xu + (slow - 1) * es + hs) // (slow + 1)
+                rn += 1
+                ef_arr[i] = ef
+                es_arr[i] = es
+                rn_arr[i] = rn
+            state[cur] = (ef, es, rn)
+            yield pd.DataFrame(
+                {
+                    key: ks,
+                    "rn": rn_arr,
+                    "ema_fast": ef_arr / SCALE,
+                    "ema_slow": es_arr / SCALE,
+                    "macd": (ef_arr - es_arr) / SCALE,
+                }
+            )
 
     ordered = (
         prices.filter(F.col(price).isNotNull())
@@ -304,8 +335,10 @@ def ema_macd(
             F.round(F.col(price) * SCALE).cast("bigint").alias("__xu"),
             *[F.col(c).alias(n) for c, n in zip(order_by, ord_names)],
         )
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, *ord_names)
     )
-    return ordered.groupBy(key).applyInPandas(fold, schema=out_schema)
+    return ordered.mapInPandas(run, schema=out_schema)
 
 
 def sql_ema_macd(
