@@ -116,6 +116,14 @@ HEADLINE = [
     "events_top_paths",
     "events_markov",
     "doc_bigram_topk",
+    # round-6 built batch 3, round-8 driver debuts (budgets anchor
+    # from their first benched round, same as every debut cohort)
+    "prices_ema_macd",
+    "doc_simhash_neardup",
+    "events_grouping_sets",
+    "events_histogram",
+    "events_heavy_hitters",
+    "emb_dim_stats",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -205,7 +205,7 @@ ROTATION_POOL: list[str] = [
     "events_markov", "doc_bigram_topk",
     # --- r6-built batch 3, same debut-candidate status (r8 per the
     #     cursor note): the recursive-EMA/MACD sequential fold (the
-    #     first certified applyInPandas stateful recursion —
+    #     first certified Arrow-streamed stateful recursion —
     #     operators/indicators.py::ema_macd), SimHash banded-Hamming
     #     near-dup join, GROUPING SETS, fixed-width histogram,
     #     count-min-sketch heavy hitters (functions/sketch.py), and

@@ -299,3 +299,16 @@ def test_knn_classify_corpus_not_shuffled(spark):
     # the queries x k window/vote tails (never corpus-sized)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ema_macd_one_exchange_then_stream(spark):
+    """EMA/MACD's plan is exactly ONE hash exchange on the key, an
+    in-partition sort, and a single MapInPandas stream — never the
+    per-group applyInPandas shape (FlatMapGroupsInPandas), whose
+    per-group Arrow flush costs ~2s on 1,500 groups at sf0.1."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["prices_ema_macd"](spark, SF_SMALL))
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -642,3 +642,85 @@ def test_sessionize_kernel_extends_start_backwards_and_drops_nat():
     out = list(fn((7,), iter([batch]), state))
     assert out == []
     assert state.get == (800, 1000, 2)
+
+
+def test_streaming_ema_matches_batch_operator(spark, tmp_path):
+    """The streaming EMA twin emits EXACTLY the batch operator's rows
+    after any prefix of in-order micro-batches — same integer
+    recursion, same fixed-point values, bit for bit."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ema_macd,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.indicators import (
+        streaming_ema_macd,
+    )
+
+    schema = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("timestamp", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("current_price", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def tick(sym, minute, eid, price):
+        return (sym, t0 + dt.timedelta(minutes=minute), eid, price)
+
+    batch1 = [
+        tick("btc", 0, 1, 100.0),
+        tick("btc", 1, 2, 101.5),
+        tick("eth", 0, 3, 10.0),
+        # within-batch disorder is fine: sorted by ts before folding
+        tick("eth", 2, 5, 10.4),
+        tick("eth", 1, 4, 10.2),
+    ]
+    batch2 = [
+        tick("btc", 2, 6, 99.25),
+        tick("eth", 3, 7, 10.6),
+        tick("btc", 3, 8, 103.0),
+    ]
+
+    pdir = str(tmp_path / "prices_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        streaming_ema_macd(stream, fast=2, slow=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ema_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        streamed = {
+            (r["symbol"], r["rn"]): (r["ema_fast"], r["ema_slow"], r["macd"])
+            for r in spark.sql("SELECT * FROM ema_stream_test").collect()
+        }
+    finally:
+        q.stop()
+
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    batch = {
+        (r["symbol"], r["rn"]): (r["ema_fast"], r["ema_slow"], r["macd"])
+        for r in ema_macd(
+            all_rows, "symbol", ["timestamp", "event_id"], "current_price",
+            fast=2, slow=4,
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 8
