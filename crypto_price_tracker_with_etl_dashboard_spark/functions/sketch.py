@@ -97,10 +97,15 @@ def cms_estimate(
             )
         ).alias("cell"),
     ).select(key, "cell.j", "cell.bucket")
+    # LEFT join + coalesce-to-0: a (j, bucket) cell NO row ever
+    # incremented is absent from the counter table, and its true
+    # counter value is 0 — an inner join would silently drop that
+    # probe and take the min over the remaining (non-zero) cells,
+    # overestimating a never-inserted key instead of answering 0.
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 
@@ -118,3 +123,31 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def streaming_cms(stream: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Streaming count-min sketch: because the sketch IS a group-by
+    count over (j, bucket) cells, Structured Streaming maintains it
+    natively as an update-mode aggregation — no custom state
+    operator needed, and the running sketch equals ``cms_build`` over
+    everything ingested so far (linearity; asserted in
+    test_streaming).  State is bounded by depth*width rows FOREVER —
+    the rare streaming aggregation that needs no watermark to stay
+    bounded.  Probe the latest snapshot with :func:`cms_estimate`."""
+    if depth > 4:
+        raise ValueError(f"md5 slicing supports depth <= 4, got {depth}")
+    hashed = stream.select(F.md5(F.col(key).cast("string")).alias("__h"))
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col("__h"), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))

@@ -429,9 +429,13 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("__lo"), F.max("value").alias("__hi")
     )
     width = (F.col("__hi") - F.col("__lo")) / _HIST_BUCKETS
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("__lo")) / width),
-        F.lit(_HIST_BUCKETS - 1),
+    # constant column guard: width 0 makes (v-lo)/width NaN, whose
+    # floor/least semantics DIVERGE between engines — pin bucket 0
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("__lo")) / width),
+            F.lit(_HIST_BUCKETS - 1),
+        )
     ).cast("bigint")
     return (
         events.filter(F.col("value").isNotNull())
@@ -457,8 +461,9 @@ register(
       SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
     ),
     bucketed AS (
-      SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {_HIST_BUCKETS})),
-                        {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+      SELECT CAST(CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(floor((e.value - b.lo) / ((b.hi - b.lo) / {_HIST_BUCKETS})),
+                             {_HIST_BUCKETS - 1}) END AS BIGINT) AS bucket,
              b.lo AS blo, b.hi AS bhi
       FROM events e CROSS JOIN bounds b
       WHERE e.value IS NOT NULL

@@ -119,3 +119,26 @@ def test_cms_merge_equals_whole_input_sketch(spark, keyed):
         for r in cms_build(keyed, "k", depth=4, width=32).collect()
     }
     assert merged == whole
+
+
+def test_histogram_constant_column_single_bucket(spark):
+    """width == 0 (constant column) pins every row to bucket 0
+    instead of diverging through NaN floor/least semantics."""
+    import crypto_price_tracker_with_etl_dashboard_spark.queries.olap as olap
+
+    ev = spark.createDataFrame([(5.0,)] * 9, ["value"])
+    bounds = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / olap._HIST_BUCKETS
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("__lo")) / width),
+            F.lit(olap._HIST_BUCKETS - 1),
+        )
+    ).cast("bigint")
+    out = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .count()
+        .collect()
+    )
+    assert [(r["bucket"], r["count"]) for r in out] == [(0, 9)]

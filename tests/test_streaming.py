@@ -724,3 +724,64 @@ def test_streaming_ema_matches_batch_operator(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == 8
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The streaming CMS is a plain update-mode aggregation whose
+    state is bounded by depth*width cells with NO watermark; after
+    two micro-batches the snapshot equals cms_build over everything
+    ingested (sketch linearity)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        cms_build,
+        streaming_cms,
+    )
+
+    pdir = str(tmp_path / "keys_stream")
+    b1 = [(i % 5,) for i in range(40)]
+    b2 = [(99,)] * 17
+    spark.createDataFrame(b1, "k bigint").coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema("k bigint").parquet(pdir)
+    q = (
+        streaming_cms(stream, "k", depth=4, width=16)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "k bigint").coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        streamed = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM cms_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    whole = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.createDataFrame(b1 + b2, "k bigint"), "k", depth=4, width=16
+        ).collect()
+    }
+    assert streamed == whole
+    assert len(streamed) <= 4 * 16
+
+
+def test_cms_estimate_zero_for_unseen_key_with_empty_cell(spark):
+    """A key that hashes to ANY never-incremented cell must estimate
+    0 — the left-join/coalesce path; an inner join would silently
+    overestimate from the key's other (collided) cells."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    base = spark.createDataFrame([(1,), (2,)], "k bigint")
+    sketch = cms_build(base, "k", depth=4, width=256)
+    # width 256 >> 2 keys: an unseen key almost surely hits an empty
+    # cell in at least one row; scan a few to make the test robust
+    probes = spark.createDataFrame([(x,) for x in range(100, 110)], "k bigint")
+    est = cms_estimate(sketch, probes, "k", depth=4, width=256)
+    assert est.filter("est = 0").count() >= 1
+    assert est.filter("est < 0").count() == 0
