@@ -124,6 +124,7 @@ HEADLINE = [
     "events_histogram",
     "events_heavy_hitters",
     "emb_dim_stats",
+    "trade_pagerank",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

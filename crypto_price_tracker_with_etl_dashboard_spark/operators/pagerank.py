@@ -1,0 +1,190 @@
+"""Weighted PageRank over an edge DataFrame — the second iterative
+graph operator next to connected components (operators/components.py),
+covering the "rank nodes by link structure" need (influence ranking,
+crawl prioritization, entity importance for training-data curation).
+
+Exactness discipline (the ema_macd/kmeans pattern): the classic
+float update
+
+    pr'(v) = (1-d)/N + d * sum_{u->v} pr(u) * w(u,v) / W(u)
+
+with d = 0.85 is rewritten over fixed-point units (UNIT = 1e9) as a
+PURE INTEGER recursion — per-edge contribution
+``(pr_u * w + W//2) // W`` (round-half-up, all terms nonnegative),
+damped update ``base + (17*S + 10) // 20`` (0.85 = 17/20, 0.15 =
+3/20 folded into ``base``) — so a DuckDB oracle that unrolls the
+same iterations in SQL reproduces every rank bit-for-bit, and the
+result is independent of partitioning/AQE decisions.
+
+Scale shape per iteration: the O(nodes) rank table is BROADCAST
+onto the cached edge list — the (large) edge side is shuffled ZERO
+times after its one build; each round costs one map-side join plus
+one hash aggregate on dst with map-side partials (O(nodes x tasks)
+exchange).  Correct while ranks fit executor memory (|nodes| <<
+|edges|, the usual link-graph shape); for node counts beyond
+broadcast, drop the two hints and pre-bucket edges and ranks on the
+key — the round becomes a co-located join, still no edge shuffle.
+Rank lineage is truncated each round with localCheckpoint (the
+connected-components lesson — an unpersisted iteration chain
+re-derives the whole prefix per round).  The driver holds exactly
+one scalar: |nodes|.
+
+Dangling nodes (no out-edges) simply leak their damped mass — the
+standard simplification; both engines drop it identically, so ranks
+still match exactly while summing to slightly less than 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**9
+
+# Session-scoped cache of the previous invocation's materialized
+# tables (edges, nodes, enriched edges).  The returned rank
+# DataFrame is LAZY — unpersisting before the caller's action would
+# force a full recompute of the (join-heavy) edge build per action —
+# so caches stay alive until the next pagerank() call evicts them
+# (the minhash_lsh_pairs banded-cache discipline).
+_PR_CACHE: dict[str, list] = {}
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 6,
+    unit: int = UNIT,
+) -> DataFrame:
+    """(node, pagerank) after ``iters`` damped (d=0.85) iterations
+    from a uniform start.  ``edges`` rows are (src, dst, weight>0);
+    parallel edges should be pre-aggregated."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # Cache the caller's edge expression FIRST: nodes, outw, and the
+    # enriched edge table all derive from it, and without the cache
+    # the (possibly join-heavy) edge build re-executes for each —
+    # measured 10.5s -> ~2s on the sf0.1 trade graph, where the
+    # lineitem-orders join dominated and the 6 iterations cost 0.3s.
+    edges = edges.cache()
+    app_id = edges.sparkSession.sparkContext.applicationId
+    for prev in _PR_CACHE.pop(app_id, []):
+        prev.unpersist()
+    # materialize the cache with ONE cheap action BEFORE the node
+    # distinct: nodes unions src+dst over edges, and running that as
+    # the first action computes the not-yet-materialized edge
+    # subtree once per union branch (measured 8.4s vs 1.5s warm on
+    # the sf0.1 trade graph)
+    edges.count()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    # out-weights live on the BROADCAST side, not on an enriched
+    # edge copy: joining W onto the edge list materialized a second
+    # edge-sized cache (~2s at sf0.1) the rank broadcast makes
+    # redundant — per round the O(nodes) (rank, W) table is joined
+    # map-side onto the one cached edge list.
+    outw = (
+        edges.groupBy(src)
+        .agg(F.sum(weight).cast("bigint").alias("__ow"))
+        .select(F.col(src).alias("__onode"), "__ow")
+        .cache()
+    )
+    base = (3 * unit + 10 * n) // (20 * n)
+    init = (unit + n // 2) // n
+    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        # rank columns renamed per round: ranks shares lineage with
+        # edges, and duplicate attribute names across a
+        # self-referencing join trip AMBIGUOUS_REFERENCE
+        r = ranks.join(
+            outw, F.col("node") == F.col("__onode")
+        ).select(
+            F.col("node").alias("__rnode"),
+            F.col("pr").alias("__rpr"),
+            "__ow",
+        )
+        # broadcast the O(nodes) (rank, out-weight) table: the
+        # (100 TB-side) edge list is never shuffled after its one
+        # build — each round is a map-side join + one
+        # O(nodes x tasks) partial aggregate
+        contrib = edges.join(
+            F.broadcast(r), F.col(src) == F.col("__rnode")
+        ).select(
+            F.col(dst).alias("node"),
+            (
+                (F.col("__rpr") * F.col(weight).cast("bigint"))
+                + F.expr("__ow div 2")
+            ).alias("__num"),
+            F.col("__ow"),
+        ).select(
+            "node", F.expr("__num div __ow").alias("__c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("__c").alias("__S"))
+        ranks = nodes.join(F.broadcast(s), "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
+            ).alias("pr"),
+        )
+        # truncate the iteration lineage (components.py lesson);
+        # lazy checkpoint materializes with the next action
+        ranks = ranks.localCheckpoint(eager=False)
+    out = nodes.join(ranks, "node").select(
+        "node", (F.col("pr").cast("double") / unit).alias("pagerank")
+    )
+    _PR_CACHE[app_id] = [edges, nodes, outw]
+    return out
+
+
+def sql_pagerank(
+    edges_cte: str,
+    iters: int = 6,
+    unit: int = UNIT,
+) -> str:
+    """DuckDB mirror: the same integer recursion UNROLLED as one CTE
+    per iteration (the emb_kmeans oracle pattern — aggregates are not
+    allowed in a recursive CTE term, so fixed iteration counts unroll
+    instead).  ``edges_cte`` must be a complete CTE body named
+    ``edges`` yielding (src, dst, w)."""
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cur = f"r{k}"
+        its.append(f"""
+    {cur} AS (
+      SELECT n.node,
+             ((3 * CAST({unit} AS BIGINT) + 10 * nn.n) // (20 * nn.n))
+             + (17 * COALESCE(s.S, 0) + 10) // 20 AS pr
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, SUM((r.pr * e.w + o.W // 2) // o.W) AS S
+        FROM edges e JOIN {prev} r ON e.src = r.node
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )""")
+        prev = cur
+    return f"""
+    WITH {edges_cte},
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, (CAST({unit} AS BIGINT) + nn.n // 2) // nn.n AS pr
+      FROM nodes CROSS JOIN nn
+    ),{','.join(its)}
+    SELECT node, CAST(pr AS DOUBLE) / {unit} AS pagerank
+    FROM {prev}
+    """

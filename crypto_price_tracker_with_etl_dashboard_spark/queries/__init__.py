@@ -36,6 +36,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import multimodal  # 
 from crypto_price_tracker_with_etl_dashboard_spark.queries import joins  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import finance  # noqa: E402,F401
 from crypto_price_tracker_with_etl_dashboard_spark.queries import behavior  # noqa: E402,F401
+from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the driver's
@@ -96,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (17 debut candidates are queued at the pool tail, all
+# r7 PLAN (18 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -104,13 +105,14 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining NINE
+# block, leaving nothing older than r5.  The remaining TEN
 # candidates (events_top_paths, events_markov, doc_bigram_topk, and
-# the batch-3 six: prices_ema_macd, doc_simhash_neardup,
+# the batch-3 seven: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
-# emb_dim_stats) stay at the pool tail and debut in r8 via
-# NEW_THIS_ROUND (9 debuts -> 15 rotating slots, which r8 should
-# point at whatever block is then oldest).
+# emb_dim_stats, trade_pagerank) stay at the pool tail and debut
+# across r8/r9 via NEW_THIS_ROUND (a 10-debut r8 leaves 14 rotating
+# slots — point them at whatever block is then oldest, or split the
+# cohort across two rounds if the stale block is bigger).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [
@@ -212,6 +214,9 @@ ROTATION_POOL: list[str] = [
     #     per-dimension embedding feature stats. ---
     "prices_ema_macd", "doc_simhash_neardup", "events_grouping_sets",
     "events_histogram", "events_heavy_hitters", "emb_dim_stats",
+    # --- fixed-point PageRank over the supplier<->customer trade
+    #     graph (operators/pagerank.py, unrolled-CTE oracle) ---
+    "trade_pagerank",
 ]
 
 
