@@ -191,3 +191,17 @@ class PriceTracker:
             prices, key="symbol", order_by=self._order_cols(prices),
             price="current_price",
         )
+
+    def ema_macd(self, fast: int = 12, slow: int = 26) -> DataFrame:
+        """Recursive EMA(fast)/EMA(slow) + MACD per symbol — exact
+        integer recursion, one mapInPandas pass
+        (operators/indicators.py::ema_macd)."""
+        from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+            ema_macd,
+        )
+
+        prices = self.prices
+        return ema_macd(
+            prices, key="symbol", order_by=self._order_cols(prices),
+            price="current_price", fast=fast, slow=slow,
+        )

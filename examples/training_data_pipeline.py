@@ -1,0 +1,134 @@
+"""End-to-end LLM training-data curation pipeline — a worked
+composition of the engine's document operators, in the order a real
+corpus run applies them:
+
+  1. quality + language screen   (functions/text.py, zero-shuffle)
+  2. PII scrub                   (functions/text.py, zero-shuffle)
+  3. exact dedup, keep lowest id (functions/dedup.py, 1 shuffle)
+  4. near-dup clustering         (MinHash-LSH pairs -> connected
+                                  components -> keep cluster min)
+  5. benchmark decontamination   (broadcast eval shingles)
+  6. deterministic train/valid/test split (no RNG, repartition-proof)
+  7. sequence packing            (distributed prefix sum)
+
+Run:  python examples/training_data_pipeline.py [sf_dir]
+(default /root/testdata/sf0.001; prints per-stage survivor counts
+and the packed-chunk summary).
+
+Every stage is a lazy DataFrame transformation — the whole pipeline
+is ONE Catalyst plan per action, and each stage's scale shape is
+documented in SCALE.md's shuffle inventory.  The same composition
+certified piecewise by the driver-oracle rows (doc_quality,
+doc_exact_dedup, doc_minhash_lsh, doc_dup_clusters,
+doc_decontaminate, doc_hash_split, doc_pack_chunks).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
+from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+    hash_split,
+    pack_chunks,
+    xxhash_bucket,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
+    connected_components,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.session import get_spark
+from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+
+def curate(spark, sf_dir: str, *, min_tokens: int = 5, lang: str = "en",
+           max_contamination: float = 0.5, chunk_budget: int = 256):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = {"input": docs.count()}
+
+    # 1. quality + language screen (all zero-shuffle column exprs)
+    feats = T.quality_features("text")
+    screened = (
+        docs.withColumn("n_tokens", feats["n_tokens"])
+        .withColumn("lang_guess", T.lang_guess("text"))
+        .filter(
+            (F.col("n_tokens") >= min_tokens) & (F.col("lang_guess") == lang)
+        )
+    )
+    stats["after_quality_lang"] = screened.count()
+
+    # 2. PII scrub (in place; counts are available via pii_counts)
+    screened = screened.withColumn("text", T.scrub_pii("text"))
+
+    # 3. exact dedup: keep the lowest doc_id per identical content
+    keep_exact = D.exact_dedup(screened).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    exact_kept = screened.join(keep_exact, "doc_id")
+    stats["after_exact_dedup"] = exact_kept.count()
+
+    # 4. near-dup clustering: LSH candidate pairs -> connected
+    #    components -> drop every doc that is not its cluster's min
+    pairs = D.minhash_lsh_pairs(exact_kept).filter(F.col("est_jaccard") >= 0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
+    stats["after_near_dedup"] = neardup_kept.count()
+
+    # 5. decontamination against a held-out eval slice (here: every
+    #    50th doc id stands in for the benchmark corpus — swap in
+    #    the real eval set in production)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    report = D.contamination_report(neardup_kept, eval_df)
+    dirty = report.filter(F.col("contamination") > max_contamination).select(
+        "doc_id"
+    )
+    clean = neardup_kept.join(dirty, "doc_id", "left_anti").join(
+        eval_df.select("doc_id"), "doc_id", "left_anti"  # never train on eval
+    )
+    stats["after_decontaminate"] = clean.count()
+
+    # 6. deterministic split — the hasher choice is pinned for the
+    #    life of the dataset (hash_split docstring)
+    split = hash_split(clean, "doc_id", hasher=xxhash_bucket)
+    stats["split_sizes"] = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 7. pack the train split into fixed-budget chunks
+    train = split.filter(F.col("split") == "train")
+    packed = pack_chunks(
+        train.select("doc_id", "n_tokens"),
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        budget=chunk_budget,
+    )
+    # pack_chunks emits each doc's (start_chunk, end_chunk) range;
+    # the number of packed chunks is the highest end + 1
+    stats["train_chunks"] = packed.agg(
+        (F.max("end_chunk") + 1).alias("n")
+    ).first()["n"]
+    return split, packed, stats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    _split, _packed, stats = curate(spark, sf_dir)
+    for k, v in stats.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,11 @@ def test_api_indicator_extensions(spark, prices_fixture):
     # fixture series are short; a small period still exercises the path
     rs = app.rsi(period=2).collect()
     assert all(0.0 <= r["rsi"] <= 100.0 for r in rs)
+    em = app.ema_macd(fast=2, slow=4).collect()
+    # macd is (ef-es)/SCALE in exact integers; ema_fast - ema_slow
+    # re-subtracts two already-divided doubles, so compare to float tol
+    assert em and all(
+        abs(r["macd"] - (r["ema_fast"] - r["ema_slow"])) < 1e-9 for r in em
+    )
+    # rn == 1 rows seed both EMAs at the first price -> macd 0
+    assert all(r["macd"] == 0.0 for r in em if r["rn"] == 1)
