@@ -151,3 +151,36 @@ def streaming_cms(stream: DataFrame, key: str, depth: int = 4, width: int = 256)
         ).alias("cell")
     ).select("cell.j", "cell.bucket")
     return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    value: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming fixed-width histogram with CALLER-SUPPLIED bounds:
+    the batch histogram's first pass (global min/max) cannot exist on
+    an unbounded stream, so the bounds are part of the operator
+    contract here — values outside [lo, hi) clamp into the edge
+    buckets, and the bucket expression is otherwise identical to the
+    certified ``events_histogram``.  Like :func:`streaming_cms`, the
+    running state is a plain update-mode aggregation bounded by
+    n_buckets rows forever — no watermark needed."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got {lo}, {hi}")
+    width = (hi - lo) / n_buckets
+    bucket = F.greatest(
+        F.least(
+            F.floor((F.col(value) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        stream.filter(F.col(value).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

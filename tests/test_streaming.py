@@ -785,3 +785,41 @@ def test_cms_estimate_zero_for_unseen_key_with_empty_cell(spark):
     est = cms_estimate(sketch, probes, "k", depth=4, width=256)
     assert est.filter("est = 0").count() >= 1
     assert est.filter("est < 0").count() == 0
+
+
+def test_streaming_histogram_bounded_state_and_clamping(spark, tmp_path):
+    """Fixed-bounds streaming histogram: state stays <= n_buckets
+    rows, out-of-range values clamp into the edge buckets, and after
+    two micro-batches the snapshot equals a batch aggregation over
+    everything ingested."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        streaming_histogram,
+    )
+
+    pdir = str(tmp_path / "vals_stream")
+    b1 = [(float(v),) for v in range(10)]          # 0..9
+    b2 = [(-5.0,), (99.0,), (5.0,)]                # clamps + one in-range
+    spark.createDataFrame(b1, "v double").coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema("v double").parquet(pdir)
+    q = (
+        streaming_histogram(stream, "v", lo=0.0, hi=10.0, n_buckets=5)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "v double").coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        hist = {
+            r["bucket"]: r["n"]
+            for r in spark.sql("SELECT * FROM hist_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    # 13 values over 5 buckets of width 2: -5 clamps to bucket 0,
+    # 99 clamps to bucket 4, 5.0 joins bucket 2
+    assert sum(hist.values()) == 13
+    assert len(hist) <= 5
+    assert hist == {0: 3, 1: 2, 2: 3, 3: 2, 4: 3}
