@@ -125,6 +125,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "emb_dim_stats",
     "trade_pagerank",
+    "prices_trend",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

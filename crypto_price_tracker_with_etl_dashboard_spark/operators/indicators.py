@@ -372,3 +372,116 @@ def sql_ema_macd(
            CAST(ef - es AS DOUBLE) / {SCALE} AS macd
     FROM ema
     """
+
+
+def ols_trend(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares price trend: slope, intercept
+    and R^2 of price against the 1-based tick index — the "is this
+    series drifting, and how tightly" summary a dashboard fits over
+    each symbol's history.
+
+    Closed-form OLS needs only five sums (n, Sx, Sy, Sxx, Sxy; Syy
+    for R^2).  x is the dense tick index (integers by construction)
+    and y the price in fixed-point units, so every sum accumulates
+    EXACTLY in DECIMAL(38,0) — order/partitioning-invariant — and
+    slope/intercept/R^2 follow as one fixed chain of double ops both
+    engines evaluate identically.  ONE shuffle: the row_number window
+    and the aggregate share the same key partitioning.  O(keys)
+    output.  Keys with < 2 ticks or a degenerate variance (all x or
+    all y equal) are dropped — the slope is undefined and both
+    engines must drop them identically rather than diverge through
+    0/0."""
+    order_cols = [F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    d = prices.filter(F.col(price).isNotNull()).select(
+        F.col(key),
+        F.row_number().over(w).alias("__x"),
+        F.round(F.col(price) * SCALE).cast("bigint").alias("__yu"),
+    )
+    dec = "decimal(38,0)"
+    agg = d.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__yu").cast(dec)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__x") * F.col("__yu")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__yu") * F.col("__yu")).cast(dec)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double") / SCALE
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double") / SCALE
+    syy = F.col("__syy").cast("double") / (SCALE * SCALE)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    return (
+        agg.filter((F.col("n") >= 2))
+        .select(
+            key,
+            "n",
+            var_x.alias("__vx"),
+            var_y.alias("__vy"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .filter((F.col("__vx") > 0) & (F.col("__vy") > 0))
+        .drop("__vx", "__vy")
+        .orderBy(key)
+    )
+
+
+def sql_ols_trend(
+    table: str, key: str, order_by: list[str], price: str,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`ols_trend` (same exact sums, same
+    double chain).  ``extra_ctes`` (ending in a comma) prepends
+    source CTEs."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH {extra_ctes} d AS (
+      SELECT {key},
+             row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS x,
+             CAST(round({price} * {SCALE}) AS BIGINT) AS yu
+      FROM {table} WHERE {price} IS NOT NULL
+    ),
+    agg AS (
+      SELECT {key}, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(yu AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(x * yu AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(yu * yu AS DECIMAL(38,0))) AS syy
+      FROM d GROUP BY {key}
+    ),
+    t AS (
+      SELECT {key}, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) / {SCALE} AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) / {SCALE} AS sxyd,
+             CAST(syy AS DOUBLE) / ({SCALE} * {SCALE}) AS syyd
+      FROM agg WHERE n >= 2
+    )
+    SELECT {key}, n,
+           round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+           round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+                 / nd, 6) AS intercept,
+           round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+    FROM t
+    WHERE (nd * sxxd - sxd * sxd) > 0 AND (nd * syyd - syd * syd) > 0
+    ORDER BY {key}
+    """

@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (18 debut candidates are queued at the pool tail, all
+# r7 PLAN (19 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,14 +105,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining TEN
+# block, leaving nothing older than r5.  The remaining ELEVEN
 # candidates (events_top_paths, events_markov, doc_bigram_topk, and
-# the batch-3 seven: prices_ema_macd, doc_simhash_neardup,
+# the batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
-# emb_dim_stats, trade_pagerank) stay at the pool tail and debut
-# across r8/r9 via NEW_THIS_ROUND (a 10-debut r8 leaves 14 rotating
-# slots — point them at whatever block is then oldest, or split the
-# cohort across two rounds if the stale block is bigger).
+# emb_dim_stats, trade_pagerank, prices_trend) stay at the pool tail
+# and debut across r8/r9 via NEW_THIS_ROUND — split the cohort so
+# each round's rotation still reaches its oldest stale block.
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [
@@ -217,6 +216,8 @@ ROTATION_POOL: list[str] = [
     # --- fixed-point PageRank over the supplier<->customer trade
     #     graph (operators/pagerank.py, unrolled-CTE oracle) ---
     "trade_pagerank",
+    # --- per-series OLS trend from exact fixed-point sums ---
+    "prices_trend",
 ]
 
 

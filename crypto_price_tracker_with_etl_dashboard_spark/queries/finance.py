@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     ema_macd,
     max_drawdown,
+    ols_trend,
     rsi,
     sql_ema_macd,
     sql_max_drawdown,
+    sql_ols_trend,
     sql_rsi,
     sql_vwap,
     vwap,
@@ -120,5 +122,26 @@ register(
     sql_ema_macd(
         'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
         fast=12, slow=26, extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS price trend (slope/intercept/R^2 against the
+    tick index) from exact fixed-point sums
+    (operators/indicators.py::ols_trend)."""
+    prices = prices_from_events(spark, sf_dir)
+    return ols_trend(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price",
+    )
+
+
+register(
+    "prices_trend",
+    q_prices_trend,
+    sql_ols_trend(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )

@@ -250,3 +250,37 @@ def test_ema_macd_rejects_bad_periods(spark):
     df = _series(spark, [1.0])
     with pytest.raises(ValueError, match="fast < slow"):
         ema_macd(df, "symbol", ["t"], "price", fast=26, slow=12)
+
+
+# ---- OLS trend --------------------------------------------------------------
+
+def test_ols_trend_recovers_exact_line(spark):
+    """A perfectly linear series recovers its slope/intercept with
+    R^2 = 1; a constant series is dropped (degenerate variance)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ols_trend,
+    )
+
+    rows = [("lin", 10.0 + 2.5 * i, ts(0, i), i) for i in range(10)]
+    rows += [("flat", 7.0, ts(0, i), 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["symbol", "price", "t", "event_id"])
+    out = {
+        r["symbol"]: r
+        for r in ols_trend(df, "symbol", ["t", "event_id"], "price").collect()
+    }
+    assert set(out) == {"lin"}  # flat: var_y == 0, dropped
+    lin = out["lin"]
+    # y = 10 + 2.5*i with x = i+1  ->  y = 7.5 + 2.5*x
+    assert (lin["slope"], lin["intercept"], lin["r2"]) == (2.5, 7.5, 1.0)
+
+
+def test_ols_trend_partition_invariant(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        ols_trend,
+    )
+
+    rows = [("a", 5.0 + ((i * 13) % 7) / 3.0, ts(0, i), i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["symbol", "price", "t", "event_id"])
+    one = sorted(map(tuple, ols_trend(df, "symbol", ["t", "event_id"], "price").collect()))
+    two = sorted(map(tuple, ols_trend(df.repartition(9), "symbol", ["t", "event_id"], "price").collect()))
+    assert one == two
