@@ -99,7 +99,7 @@ def pagerank(
     base = (3 * unit + 10 * n) // (20 * n)
     init = (unit + n // 2) // n
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("pr"))
-    for _ in range(iters):
+    for it in range(iters):
         # rank columns renamed per round: ranks shares lineage with
         # edges, and duplicate attribute names across a
         # self-referencing join trip AMBIGUOUS_REFERENCE
@@ -135,9 +135,15 @@ def pagerank(
             ).alias("pr"),
         )
         # truncate the iteration lineage (components.py lesson);
-        # lazy checkpoint materializes with the next action
-        ranks = ranks.localCheckpoint(eager=False)
-    out = nodes.join(ranks, "node").select(
+        # lazy checkpoint materializes with the next action.  The
+        # LAST round keeps its lineage: one checkpoint less, and the
+        # returned plan shows the real round shape (broadcast join +
+        # partial agg) for the plan pin instead of a bare RDD scan.
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    # ranks is already total over nodes (each round left-joins the
+    # full node table), so no final re-join is needed
+    out = ranks.select(
         "node", (F.col("pr").cast("double") / unit).alias("pagerank")
     )
     _PR_CACHE[app_id] = [edges, nodes, outw]
