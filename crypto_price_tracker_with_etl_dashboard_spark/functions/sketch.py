@@ -47,16 +47,13 @@ def sql_bucket(key_expr: str, j: int, width: int) -> str:
     )
 
 
-def cms_build(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
-    """The (j, bucket, cnt) counter table: one pass over ``df``, each
-    row exploded into its ``depth`` (row, column) cells, then ONE
-    hash aggregate onto at most depth*width groups (map-side partials
-    collapse each task's contribution to <= depth*width rows before
-    the exchange — the shuffle is constant-size in the input)."""
+def _cells(df: DataFrame, key: str, depth: int, width: int) -> DataFrame:
+    """(j, bucket) cell stream: one md5 per row, exploded into the
+    depth (row, column) coordinates it increments."""
     if depth > 4:
         raise ValueError(f"md5 slicing supports depth <= 4, got {depth}")
     hashed = df.select(F.md5(F.col(key).cast("string")).alias("__h"))
-    cells = hashed.select(
+    return hashed.select(
         F.explode(
             F.array(
                 *[
@@ -69,7 +66,17 @@ def cms_build(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> Data
             )
         ).alias("cell")
     ).select("cell.j", "cell.bucket")
-    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_build(df: DataFrame, key: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """The (j, bucket, cnt) counter table: one pass over ``df``, each
+    row exploded into its ``depth`` (row, column) cells, then ONE
+    hash aggregate onto at most depth*width groups (map-side partials
+    collapse each task's contribution to <= depth*width rows before
+    the exchange — the shuffle is constant-size in the input)."""
+    return _cells(df, key, depth, width).groupBy("j", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -134,23 +141,9 @@ def streaming_cms(stream: DataFrame, key: str, depth: int = 4, width: int = 256)
     test_streaming).  State is bounded by depth*width rows FOREVER —
     the rare streaming aggregation that needs no watermark to stay
     bounded.  Probe the latest snapshot with :func:`cms_estimate`."""
-    if depth > 4:
-        raise ValueError(f"md5 slicing supports depth <= 4, got {depth}")
-    hashed = stream.select(F.md5(F.col(key).cast("string")).alias("__h"))
-    cells = hashed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _bucket(F.col("__h"), j, width).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.j", "cell.bucket")
-    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    return _cells(stream, key, depth, width).groupBy("j", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
 
 
 def streaming_histogram(

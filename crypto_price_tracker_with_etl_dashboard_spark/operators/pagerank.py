@@ -158,8 +158,9 @@ def sql_pagerank(
     """DuckDB mirror: the same integer recursion UNROLLED as one CTE
     per iteration (the emb_kmeans oracle pattern — aggregates are not
     allowed in a recursive CTE term, so fixed iteration counts unroll
-    instead).  ``edges_cte`` must be a complete CTE body named
-    ``edges`` yielding (src, dst, w)."""
+    instead).  ``edges_cte`` is one or more comma-joined CTE bodies
+    whose final product is a CTE named ``edges`` yielding
+    (src, dst, w)."""
     its = []
     prev = "r0"
     for k in range(1, iters + 1):
