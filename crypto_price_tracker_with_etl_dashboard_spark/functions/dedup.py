@@ -527,3 +527,119 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    q: int = 3,
+    max_dist: int = 4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Fuzzy (edit-distance) key join: pairs of rows whose keys share
+    at least one character q-gram AND sit within ``max_dist``
+    Levenshtein distance — the entity-resolution primitive (near-
+    identical titles/names with typos) that exact joins and
+    token-level Jaccard both miss.
+
+    Shape: a q-gram inverted index turns the O(n^2) all-pairs edit-
+    distance problem into an equi-join on grams (candidates track
+    gram co-occurrence, not |corpus|^2), and the O(len^2) Levenshtein
+    DP runs only on candidate pairs — both JVM-side, no UDFs.  Keys
+    ride along with the postings (a few dozen bytes per row), so the
+    confirm step needs NO corpus re-join: the pair distinct and the
+    distance filter happen in one shuffle.  ``max_doc_freq`` is the
+    stop-gram cap (same skew discipline as ngram_jaccard_pairs):
+    a gram shared by m keys emits C(m, 2) candidate rows, so one
+    boilerplate gram would otherwise dominate the join.
+
+    Candidate semantics (mirrored exactly by the SQL twin): a pair
+    within ``max_dist`` that shares NO q-gram (or only capped ones)
+    is not emitted.  Keys shorter than q contribute themselves as
+    their single gram, so short identical-ish keys still pair.
+    """
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from pyspark.sql import Window
+
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    keys = fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__key"))
+        .filter(F.col("__key").isNotNull())
+    )
+    # gram start positions 1..max(len-q+1, 1): a key shorter than q
+    # yields [1] and substr returns the whole short key
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__key") - (q - 1), F.lit(1)))
+    posts = (
+        keys.select(
+            "__id", "__key", F.explode_outer(idx).alias("__i")
+        )
+        .filter(F.col("__i").isNotNull())
+        .select(
+            "__id", "__key",
+            F.col("__key").substr(F.col("__i"), F.lit(q)).alias("__g"),
+        )
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        posts = (
+            posts.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("__g"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    a = posts.select(
+        F.col("__g"), F.col("__id").alias("id_a"), F.col("__key").alias("__ka")
+    )
+    b = posts.select(
+        F.col("__g"), F.col("__id").alias("id_b"), F.col("__key").alias("__kb")
+    )
+    cand = (
+        a.join(b, ["__g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ka", "__kb")
+        .distinct()
+    )
+    dist = F.levenshtein("__ka", "__kb")
+    return (
+        cand.filter(dist <= max_dist)
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+    )
+
+
+def sql_fuzzy_key_pairs(
+    keys_cte: str, q: int = 3, max_dist: int = 4, max_doc_freq: int | None = None
+) -> str:
+    """DuckDB twin of fuzzy_key_pairs: ``keys_cte`` must define a CTE
+    named ``keys`` with columns ``(__id, __key)``, nulls filtered."""
+    freq_sql = (
+        f"""grams AS (
+      SELECT g.* FROM grams0 g
+      JOIN (SELECT __g FROM grams0 GROUP BY __g
+            HAVING COUNT(*) <= {max_doc_freq}) f ON f.__g = g.__g
+    ),"""
+        if max_doc_freq is not None
+        else "grams AS (SELECT * FROM grams0),"
+    )
+    return f"""
+    WITH {keys_cte},
+    grams0 AS (
+      SELECT DISTINCT __id, __key, substr(__key, CAST(u AS INT), {q}) AS __g
+      FROM (SELECT __id, __key,
+                   unnest(range(1, greatest(len(__key) - {q - 1}, 1) + 1)) AS u
+            FROM keys)
+    ),
+    {freq_sql}
+    cand AS (
+      SELECT DISTINCT a.__id AS id_a, b.__id AS id_b,
+             a.__key AS ka, b.__key AS kb
+      FROM grams a JOIN grams b ON a.__g = b.__g AND a.__id < b.__id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+    FROM cand WHERE levenshtein(ka, kb) <= {max_dist}
+    """

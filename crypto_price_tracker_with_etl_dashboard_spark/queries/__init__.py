@@ -218,6 +218,12 @@ ROTATION_POOL: list[str] = [
     "trade_pagerank",
     # --- per-series OLS trend from exact fixed-point sums ---
     "prices_trend",
+    # --- r6-built batch 4, same debut-candidate status: degree-
+    #     oriented triangle counting + clustering coefficients over
+    #     the user co-occurrence graph (operators/triangles.py), and
+    #     the q-gram + Levenshtein fuzzy key join
+    #     (functions/dedup.py::fuzzy_key_pairs) ---
+    "events_triangles", "doc_fuzzy_join",
 ]
 
 

@@ -22,6 +22,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     pagerank,
     sql_pagerank,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.triangles import (
+    sql_triangle_counts,
+    triangle_counts,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.queries import register
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
@@ -94,4 +98,92 @@ register(
     q_trade_pagerank,
     sql_pagerank(_EDGES_CTE, iters=_PR_ITERS)
     + " ORDER BY pagerank DESC, node ASC",
+)
+
+
+# ---- Triangle counting / clustering coefficients ---------------------------
+# The graph: users co-occurring in the same (props.k, hour) activity
+# cell — the natural sparse interaction graph the events stream
+# induces (the TPC-H co-supply projection is a COMPLETE graph at
+# every SF — uniform random assignment connects every supplier pair —
+# so it certifies nothing and its wedge stage is Θ(n³)).  Cell
+# granularity keeps |edges| output-bound: ~650 edges at sf0.01,
+# ~67k at sf0.1.
+#
+# _MAX_CELL_USERS is the 100 TB guard: a pathological cell with h
+# users emits C(h, 2) pairs, so one hot cell (a bot spike on one k
+# value in one hour) can dominate the whole edge build; cells above
+# the cap are dropped on BOTH engines (standard projection-capping,
+# same discipline as the ngram stop-shingle cap in functions/dedup.py).
+
+_MAX_CELL_USERS = 256
+# Celebrity-node guard (triangle_counts max_degree): at the certified
+# SFs the max observed degree is 136, so results are unchanged; on a
+# pathologically densified graph (sf1's fixed 1500-user population at
+# 10x event rate drives the co-occurrence graph toward complete) the
+# cap keeps the wedge stage bounded at n*C(cap,2) instead of Theta(n^3).
+_MAX_NODE_DEGREE = 512
+
+
+def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # ONE shuffle builds the per-cell sorted user sets (collect_set
+    # dedups per-user repeats within a cell); pair expansion is then
+    # MAP-SIDE array arithmetic — the naive formulation (distinct +
+    # per-cell count + semi-join cap + equi-self-join) pays four
+    # shuffles over the cell stream for the identical edge list.
+    per_cell = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.date_trunc("hour", F.col("ts")).alias("cell"),
+            "user_id",
+        )
+        .groupBy("k", "cell")
+        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
+        .filter(F.size("us") <= _MAX_CELL_USERS)
+    )
+    # all i<j pairs of the sorted set: u < v holds by construction
+    pairs = F.expr(
+        "flatten(transform(us, (x, i) ->"
+        " transform(slice(us, i + 2, size(us) - i - 1),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    # explode_outer: plain explode invites InferFiltersFromGenerate to
+    # re-evaluate the pair expression a second time as a size() guard
+    edges = (
+        per_cell.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges, max_degree=_MAX_NODE_DEGREE).orderBy(
+        F.col("triangles").desc(), F.col("node").asc()
+    )
+
+
+_TRI_EDGES_CTE = f"""cells AS (
+      SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             date_trunc('hour', ts) AS cell, user_id
+      FROM events
+    ),
+    small AS (
+      SELECT k, cell FROM cells GROUP BY k, cell
+      HAVING COUNT(*) <= {_MAX_CELL_USERS}
+    ),
+    capped AS (
+      SELECT c.k, c.cell, c.user_id FROM cells c
+      JOIN small s ON s.k = c.k AND s.cell = c.cell
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM capped a
+      JOIN capped b ON a.k = b.k AND a.cell = b.cell
+                   AND a.user_id < b.user_id
+    )"""
+
+register(
+    "events_triangles",
+    q_events_triangles,
+    sql_triangle_counts(_TRI_EDGES_CTE, max_degree=_MAX_NODE_DEGREE)
+    + " ORDER BY triangles DESC, node ASC",
 )
