@@ -1198,3 +1198,181 @@ def knn_classify(
         )
         .orderBy("query_id")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query row, the k
+    most-similar corpus rows with a DIFFERENT label — the pairs a
+    contrastive/metric-learning objective learns the most from
+    (high-similarity negatives), and the standard companion to
+    kNN-classify for curating training batches.
+
+    Same plan shape as ``brute_force_topk`` (the right plan whenever
+    the query set is broadcast-sized): queries broadcast, the corpus
+    scanned ONCE and never shuffled; the label-inequality predicate
+    rides the same map stage as the cosine fold, so negatives cost
+    nothing extra.  Ties broken by neighbor id ascending.
+    """
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlbl"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("__clbl"),
+            F.col(vec_col).alias("vec"),
+        )
+    ).select("neighbor_id", "__clbl", "vec", _norm(F.col("vec")).alias("cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__clbl") != F.col("__qlbl"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__clbl").alias("neighbor_label"),
+            F.round(
+                _pair_cosine(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rnk")
+    )
+
+
+def rp_signs(j: int, d: int) -> int:
+    """Deterministic +/-1 for output dim j, input dim d — the md5
+    parity family (portable: the DuckDB oracle regenerates the same
+    signs with hex-substring arithmetic, like the LSH hyperplanes)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def rp_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+    scale: int = 10_000,
+    impl: str = "hof",
+) -> DataFrame:
+    """Random projection (sign/Achlioptas sparse variant, density 1):
+    project ``dim``-d embeddings to ``out_dim`` dims with a
+    deterministic +/-1 matrix.  The Johnson-Lindenstrauss workhorse
+    for cheap dimensionality reduction ahead of clustering / ANN
+    candidate generation.
+
+    Exactness: elements are fixed-point BIGINTs (round(x*scale)), so
+    each output dim is an INTEGER linear combination — associative,
+    commutative, partitioning-invariant, and bit-identical on the
+    DuckDB oracle regardless of summation order (a double fold would
+    depend on element order).  Both impls produce IDENTICAL values
+    (asserted in tests/test_similarity.py).
+
+    Plan: pure map — zero shuffles, no UDFs — in either impl; the
+    knob is WHERE the per-row cost sits:
+
+    - ``impl="hof"`` (default): transform + zip_with/aggregate.
+      Small expression tree (analyzes in ~10 ms) but the lambdas
+      evaluate interpreted (~0.5 us/element, ~dim*out_dim*2 evals
+      per row) — right for interactive / moderate corpora.
+    - ``impl="codegen"``: explicit element_at chains, fully inside
+      whole-stage codegen (~100x less per-row CPU), at the price of
+      a dim*out_dim-node expression tree Catalyst spends ~2-3 s
+      analyzing ONCE per query.  At 100 TB the one-time planning
+      cost is noise and this is the right impl.
+    """
+    if out_dim < 1 or dim < 1:
+        raise ValueError(f"need dim >= 1 and out_dim >= 1, got {dim}, {out_dim}")
+    if impl == "codegen":
+        xs = [
+            F.round(F.element_at(F.col(vec_col), d + 1).cast("double") * scale, 0)
+            .cast("bigint")
+            .alias(f"__x{d}")
+            for d in range(dim)
+        ]
+        base = df.select(F.col(id_col), *xs)
+        outs = []
+        for j in range(out_dim):
+            acc = None
+            for d in range(dim):
+                term = F.col(f"__x{d}")
+                signed = term if rp_signs(j, d) > 0 else -term
+                acc = signed if acc is None else acc + signed
+            outs.append(acc.alias(f"rp{j}"))
+        return base.select(F.col(id_col), *outs)
+    if impl != "hof":
+        raise ValueError(f"impl must be 'hof' or 'codegen', got {impl!r}")
+    xu = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("bigint")
+    )
+    outs = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(rp_signs(j, d)) for d in range(dim)])
+        prod = F.zip_with(F.col("__xu"), signs, lambda x, s: x * s)
+        outs.append(
+            F.aggregate(prod, F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+                f"rp{j}"
+            )
+        )
+    return df.select(F.col(id_col), xu.alias("__xu")).select(F.col(id_col), *outs)
+
+
+def sql_rp_project(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of rp_project: regenerates the sign matrix from
+    the same md5 parity and sums the same fixed-point integers."""
+    # CAST: DuckDB SUM over BIGINT returns HUGEINT, which pandas
+    # widens to float64 and the dtype gate rejects
+    rp_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN j = {j} THEN v END) AS BIGINT) AS rp{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH sgn AS (
+      SELECT CAST(j AS INT) AS j, CAST(d AS INT) AS d,
+             CASE WHEN ('0x' || substr(md5('rp:' || j || ':' || d), 1, 1))::INT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(0, {out_dim}) t1(j), range(0, {dim}) t2(d)
+    ),
+    elems AS (
+      SELECT {id_col}, generate_subscripts({vec_col}, 1) - 1 AS d,
+             CAST(ROUND(CAST(unnest({vec_col}) AS DOUBLE) * {scale}) AS BIGINT)
+               AS xu
+      FROM {table}
+    ),
+    sums AS (
+      SELECT e.{id_col}, s.j, SUM(s.s * e.xu) AS v
+      FROM elems e JOIN sgn s ON e.d = s.d
+      GROUP BY e.{id_col}, s.j
+    )
+    SELECT {id_col}, {rp_cols} FROM sums GROUP BY {id_col}
+    """

@@ -223,7 +223,8 @@ ROTATION_POOL: list[str] = [
     #     the user co-occurrence graph (operators/triangles.py), and
     #     the q-gram + Levenshtein fuzzy key join
     #     (functions/dedup.py::fuzzy_key_pairs) ---
-    "events_triangles", "doc_fuzzy_join",
+    "events_triangles", "doc_fuzzy_join", "emb_hard_negatives",
+    "emb_rp_project",
 ]
 
 

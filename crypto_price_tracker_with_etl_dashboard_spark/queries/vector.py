@@ -1017,3 +1017,58 @@ register(
     FROM stats ORDER BY dim
     """,
 )
+
+
+# ---- Contrastive hard-negative mining --------------------------------------
+# Top-k most-similar DIFFERENT-label neighbors per query — the
+# metric-learning batch-curation primitive.  Same broadcast-queries /
+# corpus-scanned-once plan as emb_cosine_topk; the label predicate
+# rides the map stage free.
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.hard_negative_topk(emb, queries, k=_K)
+
+
+register(
+    "emb_hard_negatives",
+    q_emb_hard_negatives,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlbl, embedding AS query_vec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_sql_cosine('q.query_vec', 'e.embedding')} AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.qlbl
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rnk FROM (
+      SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_K}
+    """,
+)
+
+
+# ---- Random projection (JL dimensionality reduction) -----------------------
+# 64 -> 8 dims with a deterministic md5-parity +/-1 matrix; outputs
+# are fixed-point integer combinations (order-invariant, bit-exact on
+# the oracle).  Zero shuffles — two codegen projections.
+
+
+def q_emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.rp_project(emb, dim=_DIM, out_dim=8)
+
+
+register(
+    "emb_rp_project",
+    q_emb_rp_project,
+    S.sql_rp_project(dim=_DIM, out_dim=8),
+)

@@ -547,3 +547,43 @@ def test_knn_classify_majority_and_tie_rule(spark):
     out2 = knn_classify(sym, queries2, k=4).collect()[0]
     assert out2["n_votes"] == 2
     assert out2["predicted_label"] == 3  # tie on votes -> lowest label
+
+
+def test_rp_project_impls_identical_and_signed(spark):
+    """The hof and codegen impls produce bit-identical fixed-point
+    projections; a one-hot input recovers the sign column itself."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        rp_project,
+        rp_signs,
+    )
+
+    rows = [
+        (1, [0.5] * 8),
+        (2, [(-1) ** d * 0.125 * d for d in range(8)]),
+        (3, [1.0] + [0.0] * 7),  # one-hot: rp_j = sign(j, 0) * scale
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {
+        r["vec_id"]: tuple(r[f"rp{j}"] for j in range(4))
+        for r in rp_project(df, dim=8, out_dim=4, impl="hof").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r[f"rp{j}"] for j in range(4))
+        for r in rp_project(df, dim=8, out_dim=4, impl="codegen").collect()
+    }
+    assert a == b
+    assert a[3] == tuple(rp_signs(j, 0) * 10_000 for j in range(4))
+
+
+def test_rp_project_rejects_bad_args(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        rp_project,
+    )
+
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        rp_project(df, dim=0, out_dim=4)
+    with _pytest.raises(ValueError, match="impl"):
+        rp_project(df, dim=1, out_dim=1, impl="gpu")
