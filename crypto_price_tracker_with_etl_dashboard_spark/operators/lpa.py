@@ -1,0 +1,120 @@
+"""Synchronous label propagation (LPA, Raghavan et al. 2007) —
+community detection, the third iterative graph operator beside
+connected components (operators/components.py) and PageRank
+(operators/pagerank.py).  Training-data uses: grouping near-duplicate
+clusters into communities, user cohort discovery, spam-ring
+detection.
+
+Determinism discipline: the textbook algorithm breaks label-count
+ties randomly and converges asynchronously; here every node starts
+with its own id, updates SYNCHRONOUSLY for a FIXED number of rounds,
+and ties break to the SMALLEST label — a pure integer recursion a
+DuckDB oracle unrolls bit-for-bit (the pagerank/emb_kmeans pattern).
+Synchronous LPA can oscillate on bipartite-ish structure; a fixed
+round count makes even an oscillating run reproducible, which is
+what certification needs (run-to-run stability notes in the paper
+apply to ASYNC variants that trade determinism for convergence).
+
+Scale shape per round (the pagerank envelope): the O(nodes) label
+table BROADCASTS onto the cached mirrored edge list — the 100 TB
+edge side shuffles ZERO times after its one build; each round costs
+one map-side join + a (node, lbl) hash aggregate with map-side
+partials + an argmax agg on node.  The argmax is max(struct(count,
+-label)) — an aggregate, NOT a row_number window, so partial
+aggregation applies and no global sort sneaks in.  Label lineage is
+truncated per round with localCheckpoint (the components.py lesson).
+For node counts beyond broadcast, swap the hint for bucketed
+co-located joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LPA_CACHE: dict[str, list] = {}
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 3,
+) -> DataFrame:
+    """(node, community) after ``iters`` synchronous min-tie rounds.
+
+    ``edges`` holds each undirected edge once as (u, v), u < v, no
+    self-loops (the triangle_counts input contract); both directions
+    are mirrored internally.  Labels are node ids; a node's next
+    label is the most frequent label among its neighbors (tie ->
+    smallest label).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
+    app_id = edges.sparkSession.sparkContext.applicationId
+    for prev in _LPA_CACHE.pop(app_id, []):
+        prev.unpersist()
+    e.count()  # materialize before the mirror fan-out
+    nbr = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).cache()
+    nbr.count()
+    labels = nbr.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for it in range(iters):
+        l = labels.select(F.col("node").alias("__ln"), F.col("lbl").alias("__ll"))
+        votes = (
+            nbr.join(F.broadcast(l), F.col("a") == F.col("__ln"))
+            .groupBy(F.col("b").alias("node"), F.col("__ll").alias("lbl"))
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("lbl")).alias("__nl"))
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.__nl")).alias("lbl"))
+        )
+        if it < iters - 1:
+            labels = labels.localCheckpoint(eager=False)
+    out = labels.select("node", F.col("lbl").alias("community"))
+    _LPA_CACHE[app_id] = [e, nbr]
+    return out
+
+
+def sql_label_propagation(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin, iterations unrolled (aggregates are not allowed
+    in recursive CTE terms).  ``edges_cte`` must end in a CTE named
+    ``edges`` with (u, v)."""
+    its = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        cur = f"l{k}"
+        its.append(f"""
+    {cur} AS (
+      SELECT node, CAST(-(MAX(ROW(c, -lbl))[2]) AS BIGINT) AS lbl FROM (
+        SELECT n.b AS node, r.lbl AS lbl, COUNT(*) AS c
+        FROM nbr n JOIN {prev} r ON n.a = r.node
+        GROUP BY n.b, r.lbl
+      ) GROUP BY node
+    )""")
+        prev = cur
+    return f"""
+    WITH {edges_cte},
+    nbr AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL
+      SELECT v AS a, u AS b FROM edges
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM nbr),{','.join(its)}
+    SELECT node, lbl AS community FROM {prev}
+    """

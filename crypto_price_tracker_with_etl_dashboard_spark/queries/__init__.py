@@ -224,7 +224,7 @@ ROTATION_POOL: list[str] = [
     #     the q-gram + Levenshtein fuzzy key join
     #     (functions/dedup.py::fuzzy_key_pairs) ---
     "events_triangles", "doc_fuzzy_join", "emb_hard_negatives",
-    "emb_rp_project",
+    "emb_rp_project", "events_communities",
 ]
 
 

@@ -22,6 +22,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     pagerank,
     sql_pagerank,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
+    label_propagation,
+    sql_label_propagation,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.triangles import (
     sql_triangle_counts,
     triangle_counts,
@@ -125,13 +129,15 @@ _MAX_CELL_USERS = 256
 _MAX_NODE_DEGREE = 512
 
 
-def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User co-occurrence edge list, each undirected edge once
+    (u < v).  ONE shuffle builds the per-cell sorted user sets
+    (collect_set dedups per-user repeats within a cell); pair
+    expansion is then MAP-SIDE array arithmetic — the naive
+    formulation (distinct + per-cell count + semi-join cap +
+    equi-self-join) pays four shuffles over the cell stream for the
+    identical edge list."""
     ev = load_table(spark, sf_dir, "events")
-    # ONE shuffle builds the per-cell sorted user sets (collect_set
-    # dedups per-user repeats within a cell); pair expansion is then
-    # MAP-SIDE array arithmetic — the naive formulation (distinct +
-    # per-cell count + semi-join cap + equi-self-join) pays four
-    # shuffles over the cell stream for the identical edge list.
     per_cell = (
         ev.select(
             F.get_json_object("props", "$.k").cast("bigint").alias("k"),
@@ -150,15 +156,18 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explode_outer: plain explode invites InferFiltersFromGenerate to
     # re-evaluate the pair expression a second time as a size() guard
-    edges = (
+    return (
         per_cell.select(F.explode_outer(pairs).alias("p"))
         .filter(F.col("p").isNotNull())
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
-    return triangle_counts(edges, max_degree=_MAX_NODE_DEGREE).orderBy(
-        F.col("triangles").desc(), F.col("node").asc()
-    )
+
+
+def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(
+        _cooccur_edges(spark, sf_dir), max_degree=_MAX_NODE_DEGREE
+    ).orderBy(F.col("triangles").desc(), F.col("node").asc())
 
 
 _TRI_EDGES_CTE = f"""cells AS (
@@ -186,4 +195,25 @@ register(
     q_events_triangles,
     sql_triangle_counts(_TRI_EDGES_CTE, max_degree=_MAX_NODE_DEGREE)
     + " ORDER BY triangles DESC, node ASC",
+)
+
+
+# ---- Label-propagation communities -----------------------------------------
+# Synchronous min-tie LPA over the same co-occurrence graph — a pure
+# integer recursion, so the oracle unrolls the identical rounds.
+
+_LPA_ITERS = 3
+
+
+def q_events_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(
+        _cooccur_edges(spark, sf_dir), iters=_LPA_ITERS
+    ).orderBy("community", "node")
+
+
+register(
+    "events_communities",
+    q_events_communities,
+    sql_label_propagation(_TRI_EDGES_CTE, iters=_LPA_ITERS)
+    + " ORDER BY community, node",
 )
