@@ -186,3 +186,59 @@ register(
     FROM media WHERE media_type = 'video'
     """,
 )
+
+
+def q_media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average) hash per image, computed by REALLY
+    decoding the BMP blobs — the image near-duplicate primitive.
+    Every integer step (grayscale, 4x4 block means, global mean,
+    strict-above bits) is floor arithmetic, so the oracle reproduces
+    each 16-bit hash from the synthesis closed form without BMP
+    parsing; corrupt blobs (ids % 97 == 0) degrade to NULL per row."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        ahash_images,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_images(docs.select(F.col("doc_id").alias("media_id")))
+    return ahash_images(media)
+
+
+register(
+    "media_image_ahash",
+    q_media_image_ahash,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1            AS k,
+             doc_id % 13 + 4             AS w,
+             doc_id % 7 + 4              AS h,
+             doc_id % 97 = 0             AS corrupt
+      FROM documents
+    ),
+    pix AS (
+      SELECT media_id,
+             ((u % w) * 4) // w AS bx,
+             ((u // w) * 4) // h AS by,
+             (  ((2 * (u % w) + 3 * (u // w) + 3 * k) % 256)
+              + ((3 * (u % w) + (u // w) + 2 * k) % 256)
+              + (((u % w) + 2 * (u // w) + k) % 256)) // 3 AS gray
+      FROM (SELECT media_id, k, w, h, unnest(range(0, w * h)) AS u
+            FROM params WHERE NOT corrupt)
+    ),
+    blocks AS (
+      SELECT media_id, by * 4 + bx AS b, SUM(gray) // COUNT(*) AS avg
+      FROM pix GROUP BY media_id, by * 4 + bx
+    ),
+    means AS (SELECT media_id, SUM(avg) // 16 AS mean FROM blocks GROUP BY media_id),
+    hashes AS (
+      SELECT b.media_id,
+             CAST(SUM(CASE WHEN b.avg > m.mean THEN 1 << b.b ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM blocks b JOIN means m USING (media_id)
+      GROUP BY b.media_id
+    )
+    SELECT p.media_id, h.ahash
+    FROM params p LEFT JOIN hashes h USING (media_id)
+    """,
+)

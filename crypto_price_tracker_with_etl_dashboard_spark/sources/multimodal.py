@@ -549,3 +549,81 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .withColumn("offset_ms", F.col("frame_idx") * every_ms)
     )
+
+
+# ---- Perceptual hashing (average hash) -------------------------------------
+
+def bmp_ahash16(content: Optional[bytes]) -> Optional[int]:
+    """16-bit average hash (aHash) from a REAL BMP decode — the
+    image near-duplicate primitive: re-encodes, slight brightness
+    shifts, and metadata changes keep the hash stable while distinct
+    images differ in many bits.
+
+    Pipeline (4x4 grid — the classic 8x8 needs >=8px sides, and the
+    synthetic corpus goes down to 4x4): integer grayscale
+    (r+g+b)//3, block index (x*4)//w x (y*4)//h, per-block mean
+    (sum//count), global mean of the 16 block means (sum//16), bit b
+    set when block b's mean is STRICTLY above the global mean.
+    Every step is integer floor arithmetic, so a DuckDB oracle
+    reproduces the hash from the synthesis closed form without
+    parsing BMP (the media_image_decode pattern).  Undecodable
+    payloads return None.
+    """
+    import struct
+
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack_from("<I", content, 10)
+    hdrsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+    if hdrsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, habs = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(content) < offset + stride * habs:
+        return None
+    px = (
+        np.frombuffer(content, dtype=np.uint8, count=stride * habs, offset=offset)
+        .reshape(habs, stride)[:, : w * 3]
+        .reshape(habs, w, 3)
+    )
+    if not top_down:
+        px = px[::-1]
+    gray = px.astype(np.int64).sum(axis=2) // 3  # (h, w); channel order moot
+    bx = (np.arange(w, dtype=np.int64) * 4) // w
+    by = (np.arange(habs, dtype=np.int64) * 4) // habs
+    idx = (by[:, None] * 4 + bx[None, :]).ravel()
+    sums = np.zeros(16, dtype=np.int64)
+    counts = np.zeros(16, dtype=np.int64)
+    np.add.at(sums, idx, gray.ravel())
+    np.add.at(counts, idx, 1)
+    avg = sums // counts  # w, h >= 4 => every block nonempty
+    mean = avg.sum() // 16
+    bits = (avg > mean).astype(np.int64)
+    return int((bits << np.arange(16, dtype=np.int64)).sum())
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def ahash_images(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) via Arrow-batched mapInPandas; binary
+    dropped after hashing (narrow map), corrupt rows degrade to
+    NULL per row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(
+                        [bmp_ahash16(c) for c in pdf["content"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, AHASH_SCHEMA)

@@ -265,3 +265,92 @@ def test_decode_media_default_dispatch_reaches_wav(spark):
     assert got["width"] == ref["sample_rate"] == 8000
     assert got["height"] == ref["n_channels"] == 1
     assert got["features"] == pytest.approx(ref["features"])
+
+
+def _flat_bmp(w, h, rgb, override=None):
+    """Hand-built 24-bit BMP: constant (r,g,b) everywhere except the
+    optional ``override`` dict {(x, y): (r, g, b)} — top-down
+    logical coordinates, stored bottom-up with 4-byte stride."""
+    import struct
+
+    r, g, b = rgb
+    px = {}
+    if override:
+        px.update(override)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in reversed(range(h)):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            rr, gg, bb = px.get((x, y), (r, g, b))
+            row += bytes([bb, gg, rr])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    return hdr + data
+
+
+def test_bmp_ahash_known_pattern_and_invariance():
+    """aHash bit semantics on a hand-built image: only the bright
+    block's bit is set; a uniform brightness shift leaves the hash
+    unchanged (the perceptual-hash property); tiny noise in one
+    pixel doesn't flip it; corrupt bytes degrade to None."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        bmp_ahash16,
+    )
+
+    # 8x8, dark everywhere except the top-left 2x2 block (block 0)
+    bright = {(x, y): (250, 250, 250) for x in range(2) for y in range(2)}
+    base = bmp_ahash16(_flat_bmp(8, 8, (10, 10, 10), bright))
+    assert base == 1  # only bit 0 (by=0, bx=0) above the mean
+
+    shifted = {(x, y): (254, 254, 254) for x in range(2) for y in range(2)}
+    brighter = bmp_ahash16(_flat_bmp(8, 8, (14, 14, 14), shifted))
+    assert brighter == base  # +4 on every channel: hash invariant
+
+    noisy = dict(bright)
+    noisy[(7, 7)] = (13, 11, 12)  # one-pixel perturbation
+    assert bmp_ahash16(_flat_bmp(8, 8, (10, 10, 10), noisy)) == base
+
+    assert bmp_ahash16(b"BMcorrupt") is None
+    assert bmp_ahash16(None) is None
+
+
+def test_bmp_ahash_distinguishes_structure():
+    """Images with different bright regions get different hashes —
+    near-dup grouping by equality separates them."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        bmp_ahash16,
+    )
+
+    tl = bmp_ahash16(_flat_bmp(8, 8, (10, 10, 10),
+                               {(x, y): (250, 250, 250)
+                                for x in range(4) for y in range(4)}))
+    br = bmp_ahash16(_flat_bmp(8, 8, (10, 10, 10),
+                               {(x, y): (250, 250, 250)
+                                for x in range(4, 8) for y in range(4, 8)}))
+    assert tl != br
+    assert tl is not None and br is not None
+
+
+def test_ahash_images_spark_path(spark):
+    """The mapInPandas kernel matches the local function per row and
+    degrades corrupt ids to NULL."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        ahash_images,
+        bmp_ahash16,
+        synth_bmp_bytes,
+        synth_images,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 97, 388)], ["media_id"])
+    out = {
+        r["media_id"]: r["ahash"]
+        for r in ahash_images(synth_images(ids)).collect()
+    }
+    for i in (1, 2, 388):
+        assert out[i] == bmp_ahash16(synth_bmp_bytes(i))
+    assert out[97] is None  # corrupt id degrades per row
