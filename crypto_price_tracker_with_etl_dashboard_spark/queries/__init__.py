@@ -227,6 +227,7 @@ ROTATION_POOL: list[str] = [
     #     (functions/dedup.py::fuzzy_key_pairs) ---
     "events_triangles", "doc_fuzzy_join", "emb_hard_negatives",
     "emb_rp_project", "events_communities", "media_image_ahash",
+    "events_zorder_code", "orders_basket_affinity",
 ]
 
 

@@ -477,3 +477,137 @@ register(
     ORDER BY bucket
     """,
 )
+
+
+# ---- Z-order layout codes --------------------------------------------------
+# Morton interleave of (user_id, props.k): the data-layout key that
+# makes selective scans on EITHER column prune files (see
+# operators/zorder.py; the writer side — repartitionByRange + sorted
+# row groups — is pytest-verified via parquet min-max stats).  Codes
+# are pure bit arithmetic, certified exactly.
+
+
+def q_events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.zorder import (
+        morton_code,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_code(
+            F.col("user_id"),
+            F.get_json_object("props", "$.k").cast("bigint"),
+            bits=16,
+        ).alias("zcode"),
+    )
+
+
+def _zorder_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.zorder import (
+        sql_morton,
+    )
+
+    z = sql_morton("user_id", "CAST(json_extract(props, '$.k') AS BIGINT)", bits=16)
+    return f"SELECT event_id, CAST({z} AS BIGINT) AS zcode FROM events"
+
+
+register("events_zorder_code", q_events_zorder_code, _zorder_sql())
+
+
+# ---- Market-basket affinity (co-purchase pairs + lift) ---------------------
+# The association-rule primitive over the order/part star: pairs of
+# parts co-purchased in >= _BASKET_MINSUP orders, scored with lift
+# (observed co-occurrence vs independence).  Pair generation is the
+# capped map-side array expansion (the co-occurrence-graph builder
+# pattern): ONE shuffle builds per-order sorted part sets, pairs
+# explode map-side, so the quadratic stage is bounded per basket by
+# C(_MAX_BASKET_ITEMS, 2) — one pathological mega-order cannot
+# dominate the exchange.  Lift is exact integer ppm:
+# (c * N * 1e6) div (n_a * n_b) — no float drift across engines.
+
+_BASKET_MINSUP = 2
+_MAX_BASKET_ITEMS = 64
+
+
+def q_orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # per-part basket frequency and the basket universe size N come
+    # from the UNCAPPED item table (lift's marginals must not depend
+    # on the pair-stage guard); both are tiny aggregates
+    part_n = items.groupBy("p").agg(F.count("*").alias("n"))
+    n_baskets = items.agg(F.countDistinct("o").alias("N"))
+    baskets = (
+        items.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(
+            (F.size("ps") >= 2) & (F.size("ps") <= _MAX_BASKET_ITEMS)
+        )
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS pa, y AS pb))))"
+    )
+    counts = (
+        baskets.select(F.explode_outer(pairs).alias("pr"))
+        .filter(F.col("pr").isNotNull())
+        .groupBy(F.col("pr.pa").alias("part_a"), F.col("pr.pb").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    na = part_n.select(F.col("p").alias("part_a"), F.col("n").alias("__na"))
+    nb = part_n.select(F.col("p").alias("part_b"), F.col("n").alias("__nb"))
+    return (
+        counts.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("(support * N * 1000000) div (__na * __nb)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+register(
+    "orders_basket_affinity",
+    q_orders_basket_affinity,
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    part_n AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+    nb AS (SELECT COUNT(DISTINCT o) AS N FROM items),
+    baskets AS (
+      SELECT o, COUNT(*) AS sz FROM items GROUP BY o
+      HAVING COUNT(*) BETWEEN 2 AND {_MAX_BASKET_ITEMS}
+    ),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b
+      FROM items a
+      JOIN items b ON a.o = b.o AND a.p < b.p
+      JOIN baskets k ON k.o = a.o
+    ),
+    counts AS (
+      SELECT part_a, part_b, COUNT(*) AS support
+      FROM pairs GROUP BY part_a, part_b
+      HAVING COUNT(*) >= {_BASKET_MINSUP}
+    )
+    SELECT c.part_a, c.part_b, c.support,
+           CAST((c.support * nb.N * 1000000) // (na.n * pbn.n) AS BIGINT)
+             AS lift_ppm
+    FROM counts c
+    JOIN part_n na ON na.p = c.part_a
+    JOIN part_n pbn ON pbn.p = c.part_b
+    CROSS JOIN nb
+    ORDER BY c.support DESC, c.part_a, c.part_b
+    """,
+)

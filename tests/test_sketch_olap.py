@@ -142,3 +142,28 @@ def test_histogram_constant_column_single_bucket(spark):
         .collect()
     )
     assert [(r["bucket"], r["count"]) for r in out] == [(0, 9)]
+
+
+def test_basket_affinity_lift_semantics(spark, tmp_path):
+    """Lift on a hand-built basket set: parts co-occurring MORE than
+    independence predicts get lift > 1e6 ppm, exactly computed.
+    Baskets: {1,2} {1,2} {3,4} {3,5} -> pair (1,2) support 2,
+    n_1 = n_2 = 2, N = 4 -> lift = 2*4/(2*2) = 2.0 (2_000_000 ppm)."""
+    import os
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.olap import (
+        q_orders_basket_affinity,
+    )
+
+    rows = []
+    for o, parts in enumerate([[1, 2], [1, 2], [3, 4], [3, 5]], start=1):
+        for p in parts:
+            rows.append((o, p))
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = q_orders_basket_affinity(spark, d).collect()
+    assert [(r["part_a"], r["part_b"], r["support"], r["lift_ppm"]) for r in out] == [
+        (1, 2, 2, 2_000_000)
+    ]
