@@ -291,3 +291,101 @@ def _heavy_hitters_sql() -> str:
 
 
 register("events_heavy_hitters", q_events_heavy_hitters, _heavy_hitters_sql())
+
+
+# ---- Robust (MAD) outliers -------------------------------------------------
+# The z-score query's robust sibling: median / median-absolute-
+# deviation instead of mean / stddev, so a few extreme rows cannot
+# drag the threshold toward themselves (the masking failure of
+# moment-based outlier detection).  Everything is fixed-point
+# integer: v = round(value*SCALE), medians are LOWER medians (the
+# multiset element at position (n+1)//2 — deterministic without
+# averaging two middles), and the cut is the exact integer
+# comparison dev*10 > 18*mad (k = 1.8, sized for the uniform-ish
+# value distribution like the z query's 1.5).
+#
+# Scale: exact medians need a per-group sort — ONE window pass per
+# stage (rank + count share the partition), group cardinality is
+# |event_type| so partitions are wide but few; at 100 TB swap the
+# exact median for approx_percentile and keep the same plan (the
+# event_value_quantiles pair documents both variants).
+
+_MAD_K10 = 18  # k = 1.8 in tenths: dev*10 > K10*mad
+
+
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * SCALE).cast("bigint").alias("__v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("__v")
+    wc = Window.partitionBy("event_type")
+    ranked = fx.select(
+        "event_type", "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wc).alias("__n"),
+    )
+    med = ranked.filter(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select("event_type", F.col("__v").alias("__med"))
+    dev = fx.join(F.broadcast(med), "event_type").withColumn(
+        "__d", F.abs(F.col("__v") - F.col("__med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("__d")
+    rdev = dev.select(
+        "event_type", "__d",
+        F.row_number().over(wd).alias("__rn"),
+        F.count("*").over(wc).alias("__n"),
+    )
+    mad = rdev.filter(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select("event_type", F.col("__d").alias("__mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("__d") * 10 > _MAD_K10 * F.col("__mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("__d").alias("dev_fp"),
+            F.col("__mad").alias("mad_fp"),
+        )
+    )
+
+
+register(
+    "events_robust_outliers",
+    q_events_robust_outliers,
+    f"""
+    WITH fx AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * {SCALE}) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM fx
+    ),
+    med AS (SELECT event_type, v AS m FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT f.event_id, f.event_type, f.value, abs(f.v - m.m) AS d
+      FROM fx f JOIN med m USING (event_type)
+    ),
+    rdev AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (SELECT event_type, d AS mad FROM rdev WHERE rn = (n + 1) // 2)
+    SELECT dv.event_id, dv.event_type, dv.value,
+           dv.d AS dev_fp, m.mad AS mad_fp
+    FROM dev dv JOIN mad m USING (event_type)
+    WHERE dv.d * 10 > {_MAD_K10} * m.mad
+    """,
+)

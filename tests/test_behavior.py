@@ -138,3 +138,40 @@ def test_bigram_topk_matches_pandas(spark):
         (r["bigram"], r["n"]) for r in q_doc_bigram_topk(spark, SF_SMALL).collect()
     ]
     assert got == expected
+
+
+def test_robust_outliers_resist_masking(spark, tmp_path):
+    """The point of MAD over z-score: a CLUSTER of extreme values
+    inflates the stddev enough to hide itself (every |z| < 1.5 —
+    the classic masking failure), while the median/MAD cut still
+    flags exactly the planted cluster."""
+    import datetime as dt
+    import os
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_robust_outliers,
+        q_events_value_outliers,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.1, 9.9, 10.1, 9.9, 10.0, 500.0, 500.0, 500.0, 500.0]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    robust = q_events_robust_outliers(spark, d).collect()
+    assert sorted(r["event_id"] for r in robust) == [6, 7, 8, 9]  # the plants
+    assert all(r["mad_fp"] > 0 for r in robust)
+
+    # the z query (|z| > 1.5) misses ALL of them: the cluster is
+    # 40% of the data, so mean ~ 206 and sd ~ 253 -> plant z ~ 1.16
+    zflags = {r["event_id"] for r in q_events_value_outliers(spark, d).collect()}
+    assert zflags.isdisjoint({6, 7, 8, 9})
