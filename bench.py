@@ -126,6 +126,17 @@ HEADLINE = [
     "emb_dim_stats",
     "trade_pagerank",
     "prices_trend",
+    # round-6 built batches 4-5 (graph/fuzzy/vector/layout/robust),
+    # later driver debuts — benched from r6 so budgets anchor early
+    "events_triangles",
+    "doc_fuzzy_join",
+    "emb_hard_negatives",
+    "emb_rp_project",
+    "events_communities",
+    "media_image_ahash",
+    "events_zorder_code",
+    "orders_basket_affinity",
+    "events_robust_outliers",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its
