@@ -312,3 +312,52 @@ def test_ema_macd_one_exchange_then_stream(spark):
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_rp_project_zero_shuffle_both_impls(spark):
+    """Random projection is a pure map in either impl: no Exchange
+    at all (the certified hof plan and the 100 TB codegen plan)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for impl in ("hof", "codegen"):
+        plan = plan_of(S.rp_project(emb, impl=impl))
+        assert "Exchange" not in plan, impl
+
+
+def test_zorder_code_zero_shuffle(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_zorder_code"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_hard_negatives_broadcasts_queries_not_corpus(spark):
+    """Same contract as brute-force top-k: corpus scanned once,
+    never shuffled; only the rank window's query-id exchange."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = plan_of(S.hard_negative_topk(emb, queries, k=3))
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_triangles_no_cartesian_product(spark):
+    """The wedge enumeration must stay an equi-join on src with a
+    struct-comparison residual — a planner regression to a cartesian
+    or broadcast-nested-loop join is the O(m^2) failure."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_triangles"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_confirm_needs_no_corpus_rejoin(spark):
+    """Keys ride the postings: the ONLY scans are the two sides of
+    the gram self-join — a Levenshtein confirm that re-joined the
+    corpus (the naive formulation) would add two more."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    keyed = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("key")
+    )
+    plan = plan_of(D.fuzzy_key_pairs(keyed, max_doc_freq=50))
+    assert plan.count("Scan parquet") == 2
