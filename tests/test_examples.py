@@ -22,3 +22,20 @@ def test_training_data_pipeline_end_to_end(spark):
     assert stats["train_chunks"] > 0
     # split column is total: every surviving row carries exactly one
     assert split.filter("split IS NULL").count() == 0
+
+
+def test_vector_search_pipeline_end_to_end(spark):
+    from examples.vector_search_pipeline import build_and_search
+
+    reranked, negatives, projected, stats = build_and_search(spark, SF_SMALL)
+    assert stats["final_pairs"] == stats["queries"] * 5
+    assert stats["shortlist_pairs"] >= stats["final_pairs"]
+    # deterministic pipeline on fixed data; 0.48 today — the loose
+    # bound tolerates parameter tweaks, not a broken probe/re-rank
+    assert stats["recall_at_k"] >= 0.3
+    assert stats["hard_negatives"] == stats["queries"] * 5
+    assert stats["projected_rows"] == stats["corpus"]
+    # the refine contract: final ranking is exact — every returned
+    # pair carries a rank 1..k and a finite distance
+    rows = reranked.collect()
+    assert all(1 <= r["rnk"] <= 5 and r["d2"] is not None for r in rows)
