@@ -230,7 +230,7 @@ ROTATION_POOL: list[str] = [
     "events_triangles", "doc_fuzzy_join", "emb_hard_negatives",
     "emb_rp_project", "events_communities", "media_image_ahash",
     "events_zorder_code", "orders_basket_affinity",
-    "events_robust_outliers",
+    "events_robust_outliers", "orders_merge_upsert",
 ]
 
 

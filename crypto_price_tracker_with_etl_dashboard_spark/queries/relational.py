@@ -536,3 +536,77 @@ register(
     ORDER BY day, event_type
     """,
 )
+
+
+# ---- MERGE INTO (CDC apply) ------------------------------------------------
+# The warehouse upsert primitive (operators/merge.py) certified over
+# a deterministic change set synthesized from orders:
+#   %13 == 0 -> 'U' seq 1 (price bumped +100.0)
+#   %17 == 0 -> 'D' seq 2 (so %221 keys get U then D: keep-last
+#               CDC resolution deletes them — the cardinality rule
+#               under test)
+#   %19 == 0 -> 'I' seq 1 at a shifted key (brand-new rows)
+# One full-outer shuffle join on the key; updates dedup by
+# max(struct(seq, op, payload)) — no window, map-side partials.
+
+_MERGE_INS_SHIFT = 100_000_000
+
+
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd_u = target.filter(k % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd_d = target.filter(k % 17 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    upd_i = target.filter(k % 19 == 0).select(
+        (k + _MERGE_INS_SHIFT).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates = upd_u.unionByName(upd_d).unionByName(upd_i)
+    return merge_upsert(target, updates, "o_orderkey", seq_col="seq")
+
+
+def _merge_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.merge import (
+        sql_merge_upsert,
+    )
+
+    target_cte = """target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    )"""
+    updates_cte = f"""updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice,
+             'U' AS op, 1 AS seq
+      FROM target WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             'D' AS op, 2 AS seq
+      FROM target WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey + {_MERGE_INS_SHIFT}, o_custkey, o_orderstatus,
+             o_totalprice / 2, 'I' AS op, 1 AS seq
+      FROM target WHERE o_orderkey % 19 = 0
+    )"""
+    return sql_merge_upsert(
+        target_cte, updates_cte, "o_orderkey",
+        ["o_custkey", "o_orderstatus", "o_totalprice"], seq_col="seq",
+    )
+
+
+register("orders_merge_upsert", q_orders_merge_upsert, _merge_sql())
