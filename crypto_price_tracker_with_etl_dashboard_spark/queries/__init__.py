@@ -231,6 +231,7 @@ ROTATION_POOL: list[str] = [
     "emb_rp_project", "events_communities", "media_image_ahash",
     "events_zorder_code", "orders_basket_affinity",
     "events_robust_outliers", "orders_merge_upsert",
+    "doc_bigram_coverage",
 ]
 
 

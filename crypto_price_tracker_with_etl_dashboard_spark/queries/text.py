@@ -911,3 +911,91 @@ def _fuzzy_sql() -> str:
 
 
 register("doc_fuzzy_join", q_doc_fuzzy_join, _fuzzy_sql())
+
+
+# ---- Bigram coverage (LM fluency proxy) ------------------------------------
+# Per-document fraction of token bigrams that appear in the corpus's
+# top-N bigram table — the cheap integer stand-in for LM perplexity
+# scoring: fluent text reuses common collocations, gibberish and
+# boilerplate-stripped fragments don't.  The reference table is
+# TakeOrdered top-N (ties -> bigram ASC, deterministic) and
+# BROADCAST; per-doc scoring is one (doc_id) agg.  Coverage is
+# integer ppm — exact on both engines.
+
+_COVERAGE_REF_N = 500
+
+
+def q_doc_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    ref = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("bigram").asc())
+        .limit(_COVERAGE_REF_N)
+        .select("bigram", F.lit(1).alias("__hit"))
+    )
+    return (
+        bg.join(F.broadcast(ref), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("matched"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("matched").cast("bigint").alias("matched"),
+            F.expr("(matched * 1000000) div n_bigrams")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+register(
+    "doc_bigram_coverage",
+    q_doc_bigram_coverage,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM toked
+    ),
+    ref AS (
+      SELECT bigram FROM (
+        SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT {_COVERAGE_REF_N}
+      )
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(COUNT(r.bigram) AS BIGINT) AS matched,
+           CAST((COUNT(r.bigram) * 1000000) // COUNT(*) AS BIGINT)
+             AS coverage_ppm
+    FROM bg LEFT JOIN ref r ON bg.bigram = r.bigram
+    GROUP BY bg.doc_id
+    """,
+)
