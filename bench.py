@@ -137,6 +137,8 @@ HEADLINE = [
     "events_zorder_code",
     "orders_basket_affinity",
     "events_robust_outliers",
+    "orders_merge_upsert",
+    "doc_bigram_coverage",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

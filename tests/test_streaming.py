@@ -910,3 +910,121 @@ def test_streaming_ema_state_survives_restart(spark, tmp_path):
     # from checkpointed state, neither reset nor replayed
     assert len(streamed_rows) == 6
     assert streamed == batch, (streamed, batch)
+
+
+def _cdc_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("val", DoubleType()),
+            StructField("op", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+
+def test_cdc_apply_merges_batches_and_survives_restart(spark, tmp_path):
+    """Change batches stream into a materialized table: inserts,
+    then update+delete, then — after a stop/restart from the same
+    checkpoint — another update.  The committed table equals the
+    sequential batch-merge at every step, and version history stays
+    readable (time travel) until pruned."""
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.cdc import (
+        current_version,
+        prune_versions,
+        read_cdc_table,
+        run_cdc_apply,
+    )
+
+    schema = _cdc_schema()
+    src = str(tmp_path / "changes")
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return run_cdc_apply(spark, stream, tdir, "k", ckpt)
+
+    put([(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t1 = {
+        r["k"]: (r["name"], r["val"])
+        for r in read_cdc_table(spark, tdir).collect()
+    }
+    assert t1 == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+    put([(2, "B", 9.0, "U", 2), (1, "a", 1.0, "D", 2), (3, "c", 3.0, "I", 2)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t2 = {
+        r["k"]: (r["name"], r["val"])
+        for r in read_cdc_table(spark, tdir).collect()
+    }
+    assert t2 == {2: ("B", 9.0), 3: ("c", 3.0)}
+
+    # restart from the same checkpoint: only the NEW batch applies
+    put([(3, "C", 4.0, "U", 3)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t3 = {
+        r["k"]: (r["name"], r["val"])
+        for r in read_cdc_table(spark, tdir).collect()
+    }
+    assert t3 == {2: ("B", 9.0), 3: ("C", 4.0)}
+
+    # versions accumulate; pruning keeps the committed one
+    cur = current_version(tdir)
+    pruned = prune_versions(tdir, keep=1)
+    assert cur not in pruned
+    assert read_cdc_table(spark, tdir).count() == 2
+
+
+def test_cdc_reader_ignores_uncommitted_partial_version(spark, tmp_path):
+    """Commit-last pointer semantics: a crashed batch that wrote its
+    version directory but died before the rename is INVISIBLE —
+    readers stay on the last committed version."""
+    import os
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.cdc import (
+        _commit_pointer,
+        read_cdc_table,
+    )
+
+    tdir = str(tmp_path / "table")
+    os.makedirs(tdir)
+    spark.createDataFrame([(1, "good")], ["k", "name"]).write.parquet(
+        os.path.join(tdir, "v=7")
+    )
+    _commit_pointer(tdir, 7)
+    # simulated crash: v=8 fully written, pointer never moved
+    spark.createDataFrame([(2, "partial")], ["k", "name"]).write.parquet(
+        os.path.join(tdir, "v=8")
+    )
+    rows = read_cdc_table(spark, tdir).collect()
+    assert [(r["k"], r["name"]) for r in rows] == [(1, "good")]
