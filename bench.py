@@ -139,6 +139,8 @@ HEADLINE = [
     "events_robust_outliers",
     "orders_merge_upsert",
     "doc_bigram_coverage",
+    "events_hopping_10m",
+    "events_interarrival",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -276,6 +276,102 @@ register(
 )
 
 
+# ---- Hopping (sliding) window aggregation ----------------------------------
+# 10-minute windows advancing every 5: each event contributes to TWO
+# overlapping windows.  Spark's window(ts, len, slide) expands
+# map-side; the oracle mirrors by unnesting the two epoch-aligned
+# starts each event covers.
+
+def q_events_hopping_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    "events_hopping_10m",
+    q_events_hopping_10m,
+    f"""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS bucket_start
+      FROM events
+    )
+    SELECT bucket_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---- Per-user inter-arrival statistics -------------------------------------
+# The behavioral cadence metric (bot detection, engagement scoring):
+# integer-second gaps between consecutive events per user, one user
+# window + one agg; mean is a SINGLE division of two exact integers
+# so both engines emit the identical double.
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    return (
+        ev.withColumn("__gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("__gap").alias("n_gaps"),
+            F.sum("__gap").cast("bigint").alias("sum_gap_sec"),
+            F.max("__gap").cast("bigint").alias("max_gap_sec"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .withColumn(
+            "mean_gap_sec",
+            F.col("sum_gap_sec").cast("double") / F.col("n_gaps"),
+        )
+    )
+
+
+register(
+    "events_interarrival",
+    q_events_interarrival,
+    """
+    WITH gaps AS (
+      -- epoch_us // 1e6 FLOORS to whole seconds like Spark's
+      -- unix_timestamp (CAST(epoch(...) AS BIGINT) would ROUND)
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000000
+               AS gap
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(gap) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_sec,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_sec,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_sec
+    FROM gaps
+    GROUP BY user_id
+    HAVING COUNT(gap) > 0
+    """,
+)
+
+
 # ---- Sessionization: 30-minute-gap sessions per user -----------------------
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
