@@ -141,6 +141,7 @@ HEADLINE = [
     "doc_bigram_coverage",
     "events_hopping_10m",
     "events_interarrival",
+    "events_user_forest",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -22,6 +22,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     pagerank,
     sql_pagerank,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.hierarchy import (
+    resolve_forest,
+    sql_resolve_forest,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
     label_propagation,
     sql_label_propagation,
@@ -233,4 +237,36 @@ register(
     q_events_communities,
     sql_label_propagation(_TRI_EDGES_CTE, iters=_LPA_ITERS)
     + " ORDER BY community, node",
+)
+
+
+# ---- Hierarchy resolution (forest roots + depth) ---------------------------
+# The data-derived forest: each user's parent is their MINIMUM
+# smaller co-occurring neighbor (edges are u < v, so min(u) per v);
+# users with no smaller neighbor are roots.  Unique parentage holds
+# by construction (min is single-valued), so the relation is a
+# forest and resolve_forest's pointer doubling applies.  The oracle
+# is a genuine WITH RECURSIVE walk — real recursion differential,
+# not an unrolled chain.
+
+
+def q_events_user_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cooccur_edges(spark, sf_dir)
+    parents = edges.groupBy("v").agg(F.min("u").alias("parent")).select(
+        F.col("v").alias("child"), "parent"
+    )
+    return resolve_forest(parents).orderBy("node")
+
+
+register(
+    "events_user_forest",
+    q_events_user_forest,
+    sql_resolve_forest(
+        _TRI_EDGES_CTE
+        + """,
+    parents AS (
+      SELECT v AS child, MIN(u) AS parent FROM edges GROUP BY v
+    )"""
+    )
+    + " ORDER BY node",
 )
