@@ -142,6 +142,7 @@ HEADLINE = [
     "events_hopping_10m",
     "events_interarrival",
     "events_user_forest",
+    "tpch_integrity",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

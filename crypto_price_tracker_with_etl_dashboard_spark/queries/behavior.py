@@ -389,3 +389,78 @@ register(
     WHERE dv.d * 10 > {_MAD_K10} * m.mad
     """,
 )
+
+
+# ---- Referential-integrity report (cross-table constraints) ----------------
+# The Deequ-style cross-table companion to the single-column profile:
+# orphan counts for every foreign key in the star schema, each an
+# anti-join against the (broadcast-sized) parent key set.  A healthy
+# warehouse reports zeros — the VALUE is the report when ingestion
+# breaks; counting orphans is one broadcast anti-join per edge, the
+# fact side scanned once each, never shuffled.
+
+
+def q_tpch_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def check(name, fact, fk, dim, pk):
+        orphans = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()),
+            fk,
+            "left_anti",
+        )
+        return fact.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("fact_rows"),
+        ).crossJoin(orphans.agg(F.count("*").alias("orphans")))
+
+    reports = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        check("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        check("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk")
+
+
+register(
+    "tpch_integrity",
+    q_tpch_integrity,
+    """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS orphans
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    ) ORDER BY fk
+    """,
+)
