@@ -485,3 +485,382 @@ def sql_ols_trend(
     WHERE (nd * sxxd - sxd * sxd) > 0 AND (nd * syyd - syd * syd) > 0
     ORDER BY {key}
     """
+
+
+def bollinger(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+    period: int = 20,
+    width: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands per key: the ``period``-tick simple moving
+    average bracketed by +/- ``width`` population standard deviations
+    — the volatility envelope every price dashboard overlays after
+    the raw chart and RSI (frontend/src/App.js PriceChart renders
+    only the raw series; this is the first derived overlay).
+
+    Exactness: the frame SUM and SUM-of-squares accumulate in
+    fixed-point DECIMAL(38,0) (units of 1e-4), so mean and variance
+    derive from two engine-portable integers via one fixed chain of
+    double ops — ``var = (n*Ssq - S^2) / (n^2 * SCALE^2)`` — and
+    IEEE sqrt/mul/div are correctly rounded, giving bit-identical
+    bands on any engine, partitioning, or frame-evaluation order.
+
+    ONE shuffle on the key; lag, frame sums, and row_number all
+    evaluate in a single per-key sort.  Rows without a full
+    ``period``-tick history are dropped (bands undefined).
+    """
+    if period < 2:
+        raise ValueError(f"bollinger period must be >= 2, got {period}")
+    order_cols = [F.col(c).asc() for c in order_by]
+    wd = Window.partitionBy(key).orderBy(*order_cols)
+    frame = wd.rowsBetween(-(period - 1), 0)
+    pu = F.round(F.col(price) * SCALE).cast("decimal(38,0)")
+    s = F.sum(pu).over(frame)
+    s2 = F.sum(pu * pu).over(frame)
+    n = F.row_number().over(wd)
+    base = prices.filter(F.col(price).isNotNull()).select(
+        F.col(key),
+        *[F.col(c) for c in order_by],
+        F.col(price).alias(price),
+        n.alias("__rn"),
+        s.alias("__s"),
+        s2.alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / (float(period) * SCALE)
+    var = (
+        (float(period) * F.col("__s2").cast("double")
+         - F.col("__s").cast("double") * F.col("__s").cast("double"))
+        / (float(period) * float(period) * SCALE * SCALE)
+    )
+    # A constant frame can round to var = -0.0 or a tiny negative
+    # float; clamp so sqrt never NaNs and both engines agree.
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        base.filter(F.col("__rn") >= period)
+        .select(
+            key,
+            *order_by,
+            price,
+            F.round(mean, 6).alias("sma"),
+            F.round(mean - width * std, 6).alias("band_lo"),
+            F.round(mean + width * std, 6).alias("band_hi"),
+        )
+    )
+
+
+def sql_bollinger(
+    table: str, key: str, order_by: list[str], price: str,
+    period: int = 20, width: float = 2.0, extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`bollinger` (same fixed-point frame
+    sums, same double chain)."""
+    ob = ", ".join(order_by)
+    p = float(period)
+    return f"""
+    WITH {extra_ctes} f AS (
+      SELECT {key}, {ob}, {price},
+             row_number() OVER w AS rn,
+             SUM(CAST(round({price} * {SCALE}) AS DECIMAL(38,0)))
+               OVER (w ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW) AS s,
+             SUM(CAST(round({price} * {SCALE}) AS DECIMAL(38,0))
+                 * CAST(round({price} * {SCALE}) AS DECIMAL(38,0)))
+               OVER (w ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW) AS s2
+      FROM {table} WHERE {price} IS NOT NULL
+      WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+    )
+    SELECT {key}, {ob}, {price},
+           round(CAST(s AS DOUBLE) / ({p} * {SCALE}), 6) AS sma,
+           round(CAST(s AS DOUBLE) / ({p} * {SCALE})
+                 - {width} * sqrt(greatest(
+                     ({p} * CAST(s2 AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / ({p} * {p} * {SCALE} * {SCALE}), 0.0)), 6) AS band_lo,
+           round(CAST(s AS DOUBLE) / ({p} * {SCALE})
+                 + {width} * sqrt(greatest(
+                     ({p} * CAST(s2 AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / ({p} * {p} * {SCALE} * {SCALE}), 0.0)), 6) AS band_hi
+    FROM f WHERE rn >= {period}
+    """
+
+
+def stochastic(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+    k_period: int = 14,
+    d_period: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator per key: %K locates the current price
+    inside its ``k_period``-tick min/max envelope, %D is the
+    ``d_period``-tick simple moving average of %K — the standard
+    momentum pair quoted alongside RSI.
+
+        %K = 100 * (p - min_k) / (max_k - min_k)      (flat frame -> 50)
+        %D = SMA_d(%K)
+
+    Exactness: the frame min/max are order-independent comparisons;
+    %K is one fixed double chain over them, immediately quantized to
+    an integer ppm value (round(%K * 1e6)) so the %D average is an
+    EXACT integer sum divided once — no order-sensitive double
+    accumulation anywhere.  ONE shuffle on the key: both window
+    passes (the %K envelope and the %D average over fully-formed %K
+    rows) share the same key partitioning, so Spark plans a single
+    Exchange with two Sort/Window stages (and DuckDB two window
+    CTEs).  Rows are emitted only once BOTH frames are full.
+    """
+    if k_period < 1 or d_period < 1:
+        raise ValueError("stochastic periods must be >= 1")
+    order_cols = [F.col(c).asc() for c in order_by]
+    wd = Window.partitionBy(key).orderBy(*order_cols)
+    frame = wd.rowsBetween(-(k_period - 1), 0)
+    lo = F.min(price).over(frame)
+    hi = F.max(price).over(frame)
+    k_pct = F.when(hi == lo, F.lit(50.0)).otherwise(
+        100.0 * (F.col(price) - lo) / (hi - lo)
+    )
+    staged = (
+        prices.filter(F.col(price).isNotNull())
+        .select(
+            F.col(key),
+            *[F.col(c) for c in order_by],
+            F.col(price).alias(price),
+            F.row_number().over(wd).alias("__rn"),
+            F.round(k_pct * 1000000.0).cast("bigint").alias("__k_ppm"),
+        )
+        .filter(F.col("__rn") >= k_period)
+    )
+    wd2 = Window.partitionBy(key).orderBy(*order_cols)
+    dframe = wd2.rowsBetween(-(d_period - 1), 0)
+    return (
+        staged.select(
+            key,
+            *order_by,
+            price,
+            F.col("__k_ppm"),
+            F.row_number().over(wd2).alias("__rn2"),
+            F.sum("__k_ppm").over(dframe).alias("__d_sum"),
+        )
+        .filter(F.col("__rn2") >= d_period)
+        .select(
+            key,
+            *order_by,
+            price,
+            F.round(F.col("__k_ppm") / 1000000.0, 6).alias("stoch_k"),
+            F.round(F.col("__d_sum") / (float(d_period) * 1000000.0), 6).alias("stoch_d"),
+        )
+    )
+
+
+def sql_stochastic(
+    table: str, key: str, order_by: list[str], price: str,
+    k_period: int = 14, d_period: int = 3, extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`stochastic` (same ppm quantization and
+    two-pass window structure)."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH {extra_ctes} k AS (
+      SELECT {key}, {ob}, {price},
+             row_number() OVER w AS rn,
+             CAST(round(CASE
+               WHEN max({price}) OVER (w ROWS BETWEEN {k_period - 1} PRECEDING AND CURRENT ROW)
+                    = min({price}) OVER (w ROWS BETWEEN {k_period - 1} PRECEDING AND CURRENT ROW)
+               THEN 50.0
+               ELSE 100.0 * ({price}
+                    - min({price}) OVER (w ROWS BETWEEN {k_period - 1} PRECEDING AND CURRENT ROW))
+                 / (max({price}) OVER (w ROWS BETWEEN {k_period - 1} PRECEDING AND CURRENT ROW)
+                    - min({price}) OVER (w ROWS BETWEEN {k_period - 1} PRECEDING AND CURRENT ROW))
+             END * 1000000.0) AS BIGINT) AS k_ppm
+      FROM {table} WHERE {price} IS NOT NULL
+      WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+    ),
+    staged AS (SELECT * FROM k WHERE rn >= {k_period}),
+    d AS (
+      SELECT {key}, {ob}, {price}, k_ppm,
+             row_number() OVER w2 AS rn2,
+             SUM(k_ppm) OVER (w2 ROWS BETWEEN {d_period - 1} PRECEDING AND CURRENT ROW) AS d_sum
+      FROM staged
+      WINDOW w2 AS (PARTITION BY {key} ORDER BY {ob})
+    )
+    SELECT {key}, {ob}, {price},
+           round(k_ppm / 1000000.0, 6) AS stoch_k,
+           round(d_sum / (CAST({d_period} AS DOUBLE) * 1000000.0), 6) AS stoch_d
+    FROM d WHERE rn2 >= {d_period}
+    """
+
+
+def pairwise_corr(
+    prices: DataFrame,
+    key: str,
+    ts_col: str,
+    price: str,
+    tiebreak: str,
+    top_n: int = 40,
+    min_obs: int = 100,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Pearson correlation of per-``bucket`` returns between every pair of the
+    ``top_n`` most-ticked keys — the co-movement matrix behind
+    "which coins trade together" dashboards and portfolio-risk
+    views.
+
+    Pipeline: bucket close per (key, bucket) = last tick by (ts,
+    tiebreak); simple return vs the previous bucket close, quantized
+    to an integer ppb value (round(r * 1e9)); keys restricted to the
+    ``top_n`` by tick count (tie-broken on the key so the cut is
+    deterministic); returns self-joined on the bucket with ``s1 < s2``;
+    the five Pearson sums accumulate in DECIMAL(38,0) and the
+    correlation is one fixed double chain both engines evaluate
+    identically.  Pairs need ``min_obs`` common buckets and positive
+    variance on both legs.
+
+    Scale: the tick-table work is ONE shuffle on the key (close
+    window + per-key counts share the partitioning); everything
+    after operates on the O(top_n * buckets) return table — the
+    all-pairs join is quadratic only in the FIXED ``top_n``, never
+    in the corpus, and the bucket-key join + (s1, s2) aggregate are
+    shuffles of that tiny relation.  Output is O(top_n^2) rows.
+    """
+    if top_n < 2:
+        raise ValueError(f"pairwise_corr top_n must be >= 2, got {top_n}")
+    bk = F.date_trunc(bucket, F.col(ts_col)).alias("__bk")
+    wd = Window.partitionBy(key, F.date_trunc(bucket, F.col(ts_col))).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    closes = (
+        prices.filter(F.col(price).isNotNull())
+        .select(
+            F.col(key), bk, F.col(price),
+            F.row_number().over(wd).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    topn = (
+        prices.filter(F.col(price).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col(key).asc())
+        .limit(top_n)
+        .select(key)
+    )
+    wk = Window.partitionBy(key).orderBy(F.col("__bk").asc())
+    rets = (
+        closes.join(F.broadcast(topn), key)
+        .select(
+            F.col(key), F.col("__bk"),
+            F.col(price).alias("__c"),
+            F.lag(price).over(wk).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & (F.col("__p") != 0.0))
+        .select(
+            F.col(key), F.col("__bk"),
+            F.round((F.col("__c") - F.col("__p")) / F.col("__p") * 1000000000.0)
+            .cast("bigint").alias("__r"),
+        )
+    )
+    a = rets.select(
+        F.col(key).alias("s1"), F.col("__bk"), F.col("__r").alias("__x")
+    )
+    b = rets.select(
+        F.col(key).alias("s2"), F.col("__bk"), F.col("__r").alias("__y")
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        a.join(b, "__bk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("__x").cast(dec)).alias("__sx"),
+            F.sum(F.col("__y").cast(dec)).alias("__sy"),
+            # quantized returns can reach ~1e13 ppb on near-zero
+            # closes; promote to decimal BEFORE the product so the
+            # cross terms never overflow int64
+            F.sum(F.col("__x").cast(dec) * F.col("__y").cast(dec)).alias("__sxy"),
+            F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__sxx"),
+            F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("__syy"),
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    return (
+        agg.filter(F.col("n_obs") >= min_obs)
+        .select(
+            "s1", "s2", "n_obs",
+            var_x.alias("__vx"), var_y.alias("__vy"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .filter((F.col("__vx") > 0) & (F.col("__vy") > 0))
+        .drop("__vx", "__vy")
+        .orderBy("s1", "s2")
+    )
+
+
+def sql_pairwise_corr(
+    table: str, key: str, ts_col: str, price: str, tiebreak: str,
+    top_n: int = 40, min_obs: int = 100, bucket: str = "hour",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`pairwise_corr` (same ppb quantization,
+    exact sums, and double chain)."""
+    return f"""
+    WITH {extra_ctes} closes AS (
+      SELECT {key}, bk, {price} FROM (
+        SELECT {key}, date_trunc('{bucket}', {ts_col}) AS bk, {price},
+               row_number() OVER (
+                 PARTITION BY {key}, date_trunc('{bucket}', {ts_col})
+                 ORDER BY {ts_col} DESC, {tiebreak} DESC) AS rn
+        FROM {table} WHERE {price} IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    topn AS (
+      SELECT {key} FROM {table} WHERE {price} IS NOT NULL
+      GROUP BY {key} ORDER BY COUNT(*) DESC, {key} ASC LIMIT {top_n}
+    ),
+    rets AS (
+      SELECT {key}, bk,
+             CAST(round((c - p) / p * 1000000000.0) AS BIGINT) AS r
+      FROM (
+        SELECT c.{key}, c.bk, c.{price} AS c,
+               lag(c.{price}) OVER (PARTITION BY c.{key} ORDER BY c.bk ASC) AS p
+        FROM closes c JOIN topn USING ({key})
+      ) WHERE p IS NOT NULL AND p <> 0.0
+    ),
+    agg AS (
+      SELECT a.{key} AS s1, b.{key} AS s2, COUNT(*) AS n_obs,
+             SUM(CAST(a.r AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(b.r AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(a.r AS DECIMAL(38,0)) * CAST(b.r AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(a.r AS DECIMAL(38,0)) * CAST(a.r AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(b.r AS DECIMAL(38,0)) * CAST(b.r AS DECIMAL(38,0))) AS syy
+      FROM rets a JOIN rets b ON a.bk = b.bk AND a.{key} < b.{key}
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_obs,
+           round((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+    FROM agg
+    WHERE n_obs >= {min_obs}
+      AND (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      AND (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+    ORDER BY s1, s2
+    """

@@ -235,6 +235,14 @@ ROTATION_POOL: list[str] = [
     "events_robust_outliers", "orders_merge_upsert",
     "doc_bigram_coverage", "events_hopping_10m", "events_interarrival",
     "events_user_forest", "tpch_integrity",
+    # --- r6-built batch 6, same debut-candidate status: the
+    #     Bollinger / stochastic overlays and the top-N daily-return
+    #     correlation matrix (operators/indicators.py), token-
+    #     distribution drift between hash-splits, per-language
+    #     quality-percentile curation, hour-of-day seasonality,
+    #     week-over-week trending, and the row-level-split leakage
+    #     report. ---
+    "prices_bollinger", "prices_stochastic", "prices_corr_matrix",
 ]
 
 

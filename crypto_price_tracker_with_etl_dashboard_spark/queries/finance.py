@@ -20,15 +20,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+    bollinger,
     ema_macd,
     max_drawdown,
     ols_trend,
+    pairwise_corr,
     rsi,
+    sql_bollinger,
     sql_ema_macd,
     sql_max_drawdown,
     sql_ols_trend,
+    sql_pairwise_corr,
     sql_rsi,
+    sql_stochastic,
     sql_vwap,
+    stochastic,
     vwap,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.queries import register
@@ -142,6 +148,75 @@ register(
     q_prices_trend,
     sql_ols_trend(
         'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (SMA-20 +/- 2 population sigmas) per symbol
+    tick series, from exact fixed-point frame sums
+    (operators/indicators.py::bollinger)."""
+    prices = prices_from_events(spark, sf_dir)
+    return bollinger(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", period=20, width=2.0,
+    )
+
+
+register(
+    "prices_bollinger",
+    q_prices_bollinger,
+    sql_bollinger(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        period=20, width=2.0, extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K-14, %D-3) per symbol tick series;
+    %K is ppm-quantized so the %D average is an exact integer sum
+    (operators/indicators.py::stochastic)."""
+    prices = prices_from_events(spark, sf_dir)
+    return stochastic(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", k_period=14, d_period=3,
+    )
+
+
+register(
+    "prices_stochastic",
+    q_prices_stochastic,
+    sql_stochastic(
+        'prices', 'symbol', ['timestamp', 'event_id'], 'current_price',
+        k_period=14, d_period=3, extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-return Pearson correlation between every pair of the
+    40 most-ticked symbols — the co-movement matrix
+    (operators/indicators.py::pairwise_corr).  Quadratic only in the
+    FIXED top-N, linear in the tick table.  Daily buckets over the
+    30-day corpus (~64 ticks/symbol/month — finer buckets leave
+    almost no aligned observations between two symbols), pairs kept
+    at >= 10 common days."""
+    prices = prices_from_events(spark, sf_dir)
+    return pairwise_corr(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id",
+        top_n=40, min_obs=10, bucket="day",
+    )
+
+
+register(
+    "prices_corr_matrix",
+    q_prices_corr_matrix,
+    sql_pairwise_corr(
+        'prices', 'symbol', 'timestamp', 'current_price', 'event_id',
+        top_n=40, min_obs=10, bucket="day",
         extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )
