@@ -243,6 +243,8 @@ ROTATION_POOL: list[str] = [
     #     week-over-week trending, and the row-level-split leakage
     #     report. ---
     "prices_bollinger", "prices_stochastic", "prices_corr_matrix",
+    "doc_token_drift", "doc_quality_percentile", "events_seasonality",
+    "events_wow_trending", "events_split_leakage",
 ]
 
 

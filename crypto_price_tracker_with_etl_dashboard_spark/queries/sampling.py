@@ -222,3 +222,74 @@ def _mixture_sql() -> str:
 
 
 register("doc_mixture_sample", q_doc_mixture_sample, _mixture_sql())
+
+
+# ---- row-level split leakage report ----------------------------------------
+# The QA check that catches the classic eval-contamination mistake:
+# splitting at the EVENT level sends different rows of the same user
+# into train and test, so "held-out" users aren't held out at all.
+# This report quantifies it — per-split row counts for every user
+# whose rows span >= 2 splits, worst (most-rows) offenders first.
+# The correct fix is splitting on the entity key (hash_split on
+# user_id, as doc_hash_split does on doc_id); this query is the
+# detector that proves why.  ONE shuffle on user_id (the split tag
+# is a narrow map); output capped at the top 100 offenders with a
+# (total, user_id) total order.
+
+_LEAK_TOP = 100
+
+
+def q_events_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = hash_split(ev, "event_id", hasher=lcg_bucket)
+    per_user = tagged.groupBy("user_id").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    n_splits = (
+        (F.col("n_train") > 0).cast("int")
+        + (F.col("n_valid") > 0).cast("int")
+        + (F.col("n_test") > 0).cast("int")
+    )
+    total = F.col("n_train") + F.col("n_valid") + F.col("n_test")
+    return (
+        per_user.select(
+            "user_id", "n_train", "n_valid", "n_test",
+            n_splits.alias("n_splits"), total.alias("total_rows"),
+        )
+        .filter(F.col("n_splits") >= 2)
+        .orderBy(F.col("total_rows").desc(), F.col("user_id").asc())
+        .limit(_LEAK_TOP)
+    )
+
+
+register(
+    "events_split_leakage",
+    q_events_split_leakage,
+    f"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN {sql_lcg_bucket('event_id')} < 80 THEN 'train'
+                  WHEN {sql_lcg_bucket('event_id')} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             CAST(SUM(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM tagged GROUP BY 1
+    )
+    SELECT user_id, n_train, n_valid, n_test,
+           CAST((n_train > 0) AS INT) + CAST((n_valid > 0) AS INT)
+             + CAST((n_test > 0) AS INT) AS n_splits,
+           n_train + n_valid + n_test AS total_rows
+    FROM per_user
+    WHERE CAST((n_train > 0) AS INT) + CAST((n_valid > 0) AS INT)
+          + CAST((n_test > 0) AS INT) >= 2
+    ORDER BY total_rows DESC, user_id ASC
+    LIMIT {_LEAK_TOP}
+    """,
+)

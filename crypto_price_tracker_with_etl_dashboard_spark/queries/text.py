@@ -999,3 +999,174 @@ register(
     GROUP BY bg.doc_id
     """,
 )
+
+
+# ---- token-distribution drift between corpus halves ------------------------
+# The distribution-shift monitor a training pipeline runs when a new
+# crawl lands: hash the corpus into two halves, compare each frequent
+# token's probability between them.  Everything stays integer (counts
+# and round()-quantized ppm shares), so the report is bit-exact; the
+# only log-free divergence is used (total-variation contribution =
+# |p_a - p_b|), because ln() is not correctly-rounded-identical
+# across libm implementations (same reason doc_top_terms keeps its
+# idf as a raw ratio).  Plan: explode -> one (split, term) hash agg
+# -> term-level pivot agg -> broadcast 1-row totals -> top-K of the
+# shared vocabulary by drift.  Two shuffles on the token stream,
+# both map-side combined; output is a fixed K rows.
+
+_DRIFT_VOCAB = 200
+_DRIFT_TOP = 50
+
+
+def q_doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    halves = hash_split(
+        docs, "doc_id", {"a": 50, "b": 50}, hasher=lcg_bucket
+    )
+    terms = halves.select(
+        "split", F.explode_outer(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    per_term = (
+        terms.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    totals = per_term.agg(
+        F.sum("cnt_a").alias("__ta"), F.sum("cnt_b").alias("__tb")
+    )
+    vocab = per_term.orderBy(
+        (F.col("cnt_a") + F.col("cnt_b")).desc(), F.col("term").asc()
+    ).limit(_DRIFT_VOCAB)
+    p_a = F.round(F.col("cnt_a") * 1000000.0 / F.col("__ta")).cast("bigint")
+    p_b = F.round(F.col("cnt_b") * 1000000.0 / F.col("__tb")).cast("bigint")
+    return (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "term", "cnt_a", "cnt_b",
+            p_a.alias("p_a_ppm"), p_b.alias("p_b_ppm"),
+            F.abs(p_a - p_b).alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), F.col("term").asc())
+        .limit(_DRIFT_TOP)
+    )
+
+
+def _token_drift_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    return f"""
+    WITH halves AS (
+      SELECT CASE WHEN {sql_lcg_bucket('doc_id')} < 50 THEN 'a' ELSE 'b' END
+               AS split, text
+      FROM documents
+    ),
+    terms AS (
+      SELECT split, unnest({_SQL_TOKS}) AS term FROM halves
+    ),
+    per_term AS (
+      SELECT term,
+             SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS cnt_a,
+             SUM(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS cnt_b
+      FROM terms WHERE term <> '' GROUP BY 1
+    ),
+    totals AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM per_term),
+    vocab AS (
+      SELECT term, cnt_a, cnt_b FROM per_term
+      ORDER BY cnt_a + cnt_b DESC, term ASC LIMIT {_DRIFT_VOCAB}
+    )
+    SELECT term,
+           CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           CAST(round(cnt_a * 1000000.0 / ta) AS BIGINT) AS p_a_ppm,
+           CAST(round(cnt_b * 1000000.0 / tb) AS BIGINT) AS p_b_ppm,
+           abs(CAST(round(cnt_a * 1000000.0 / ta) AS BIGINT)
+               - CAST(round(cnt_b * 1000000.0 / tb) AS BIGINT)) AS drift_ppm
+    FROM vocab CROSS JOIN totals
+    ORDER BY drift_ppm DESC, term ASC
+    LIMIT {_DRIFT_TOP}
+    """
+
+
+register("doc_token_drift", q_doc_token_drift, _token_drift_sql())
+
+
+# ---- per-language quality-percentile curation ------------------------------
+# The curation cut a pipeline applies after scoring: keep the top
+# quartile of documents per language by a quality score, report what
+# the cut did.  The score is a deliberately integer composite
+# (n_tokens * (1 + distinct stopword hits) — length crossed with a
+# fluency signal) so rank, threshold, and counts are all exact; the
+# quartile boundary is rank <= ceil(n/4) with a (score DESC, doc_id)
+# total order, so both engines cut the identical doc set even on
+# score ties.  ONE shuffle on the language key: the rank window and
+# the per-language aggregate share it.  O(|languages|) output.
+
+def q_doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    scored = docs.select(
+        "doc_id", "lang",
+        (
+            feats["n_tokens"].cast("bigint")
+            * (F.lit(1) + feats["distinct_stopwords"].cast("bigint"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "lang", "score",
+        F.row_number().over(w).alias("__rnk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("__n"),
+    )
+    kept = F.col("__rnk") <= F.expr("(__n + 3) div 4")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.min(F.when(kept, F.col("score"))).alias("threshold_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "doc_quality_percentile",
+    q_doc_quality_percentile,
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKS}) AS BIGINT)
+               * (1 + CAST(len(list_intersect({_SQL_TOKS},
+                     ['the','a','and','of','to'])) AS BIGINT)) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= (n + 3) // 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           MIN(CASE WHEN rnk <= (n + 3) // 4 THEN score END) AS threshold_score,
+           MAX(score) AS max_score
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)

@@ -323,3 +323,96 @@ register(
     q_events_funnel,
     funnel_sql(_FUNNEL_STAGES, within_hours=_FUNNEL_WINDOW_H),
 )
+
+
+# ---- hour-of-day seasonality profile ---------------------------------------
+# The diurnal-shape profile behind anomaly baselines: how does each
+# event type distribute over the 24 hours of the day, and how far
+# from uniform is each hour?  Integer counts + ppm-quantized shares
+# (the deviation references the exact uniform share round(1e6/24)),
+# so every cell is bit-exact.  ONE shuffle: the (type, hour) agg and
+# the per-type total window share the event_type hash partitioning.
+# Output is |types| x 24 regardless of corpus size.
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type"), F.hour("ts").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    share = F.round(F.col("n") * 1000000.0 / total).cast("bigint")
+    uniform = 1000000 // 24  # 41666 ppm: exact integer both engines
+    return agg.select(
+        "event_type", "hour_of_day", "n",
+        share.alias("share_ppm"),
+        (share - F.lit(uniform)).alias("dev_from_uniform_ppm"),
+    ).orderBy("event_type", "hour_of_day")
+
+
+register(
+    "events_seasonality",
+    q_events_seasonality,
+    f"""
+    WITH agg AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
+           CAST(round(n * 1000000.0 / SUM(n) OVER (PARTITION BY event_type))
+                AS BIGINT) AS share_ppm,
+           CAST(round(n * 1000000.0 / SUM(n) OVER (PARTITION BY event_type))
+                AS BIGINT) - {1000000 // 24} AS dev_from_uniform_ppm
+    FROM agg
+    ORDER BY event_type, hour_of_day
+    """,
+)
+
+
+# ---- week-over-week trending -----------------------------------------------
+# The growth dashboard: weekly event counts per type with the
+# week-over-week growth rate, ppm-quantized from two exact integers
+# so the series is portable.  ONE shuffle for the (type, week) agg;
+# the lag window runs on the O(types x weeks) aggregate.  The first
+# week of each type has no prior and reports NULL growth.
+
+def q_events_wow_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("week").asc())
+    prev = F.lag("n").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.round((F.col("n") - prev) * 1000000.0 / prev).cast("bigint"),
+    )
+    return weekly.select(
+        "event_type", "week", "n",
+        prev.alias("prev_n"),
+        growth.alias("growth_ppm"),
+    ).orderBy("event_type", "week")
+
+
+register(
+    "events_wow_trending",
+    q_events_wow_trending,
+    """
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n,
+           lag(n) OVER w AS prev_n,
+           CASE WHEN lag(n) OVER w > 0 THEN
+             CAST(round((n - lag(n) OVER w) * 1000000.0 / lag(n) OVER w)
+                  AS BIGINT)
+           END AS growth_ppm
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+    ORDER BY event_type, week
+    """,
+)
