@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators.funnel import funnel
 from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+    bollinger,
     max_drawdown,
+    pairwise_corr,
     rsi,
+    stochastic,
     vwap,
 )
 
@@ -284,3 +287,118 @@ def test_ols_trend_partition_invariant(spark):
     one = sorted(map(tuple, ols_trend(df, "symbol", ["t", "event_id"], "price").collect()))
     two = sorted(map(tuple, ols_trend(df.repartition(9), "symbol", ["t", "event_id"], "price").collect()))
     assert one == two
+
+
+# ---- Bollinger bands --------------------------------------------------------
+
+def test_bollinger_constant_series_zero_width(spark):
+    df = _series(spark, [10.0] * 6)
+    out = bollinger(df, "symbol", ["t", "event_id"], "price", period=4).collect()
+    # rows 4..6 have a full 4-tick frame; constant series -> zero std
+    assert len(out) == 3
+    for r in out:
+        assert (r["sma"], r["band_lo"], r["band_hi"]) == (10.0, 10.0, 10.0)
+
+
+def test_bollinger_known_variance(spark):
+    # frame [1, 2, 3, 4]: mean 2.5, pop var 1.25
+    df = _series(spark, [1.0, 2.0, 3.0, 4.0])
+    out = bollinger(df, "symbol", ["t", "event_id"], "price", period=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    std = 1.25 ** 0.5
+    assert r["sma"] == 2.5
+    assert r["band_lo"] == round(2.5 - 2 * std, 6)
+    assert r["band_hi"] == round(2.5 + 2 * std, 6)
+
+
+def test_bollinger_requires_full_frame(spark):
+    df = _series(spark, [1.0, 2.0, 3.0])
+    assert bollinger(df, "symbol", ["t", "event_id"], "price", period=4).count() == 0
+
+
+# ---- Stochastic oscillator --------------------------------------------------
+
+def test_stochastic_k_locates_price_in_envelope(spark):
+    # k_period=3, d_period=1 (so stoch_d == stoch_k):
+    # frames: [1,2,3]->K=100, [2,3,2]->(2-2)/(3-2)=0, [3,2,4]->(4-2)/2=100
+    df = _series(spark, [1.0, 2.0, 3.0, 2.0, 4.0])
+    out = stochastic(
+        df, "symbol", ["t", "event_id"], "price", k_period=3, d_period=1
+    ).collect()
+    assert [r["stoch_k"] for r in out] == [100.0, 0.0, 100.0]
+    assert [r["stoch_d"] for r in out] == [100.0, 0.0, 100.0]
+
+
+def test_stochastic_flat_frame_convention_50(spark):
+    df = _series(spark, [5.0, 5.0, 5.0])
+    out = stochastic(
+        df, "symbol", ["t", "event_id"], "price", k_period=3, d_period=1
+    ).collect()
+    assert [r["stoch_k"] for r in out] == [50.0]
+
+
+def test_stochastic_d_averages_k(spark):
+    # K values as above: [100, 0, 100]; %D-3 over them = 66.666667
+    df = _series(spark, [1.0, 2.0, 3.0, 2.0, 4.0])
+    out = stochastic(
+        df, "symbol", ["t", "event_id"], "price", k_period=3, d_period=3
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["stoch_d"] == round(200000000 / 3 / 1e6, 6)
+
+
+# ---- Pairwise return correlation --------------------------------------------
+
+def _ticks(spark, series: dict[str, list[float]]):
+    rows = []
+    for sym, prices in series.items():
+        for day, p in enumerate(prices):
+            rows.append((sym, p, dt.datetime(2024, 1, 1 + day, 12), day))
+    return spark.createDataFrame(rows, ["symbol", "price", "t", "event_id"])
+
+
+def test_pairwise_corr_perfect_pos_and_neg(spark):
+    # b moves with a (corr +1); c is a's mirror image around 20
+    # (returns are not exactly -1 of a's, but monotone-opposed)
+    a = [10.0, 11.0, 12.0, 11.0, 13.0, 14.0, 13.0, 15.0]
+    b = [p * 2 for p in a]
+    df = _ticks(spark, {"a": a, "b": b})
+    out = pairwise_corr(
+        df, key="symbol", ts_col="t", price="price", tiebreak="event_id",
+        top_n=5, min_obs=3, bucket="day",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s1"], r["s2"], r["n_obs"]) == ("a", "b", 7)
+    assert r["corr"] == 1.0
+
+
+def test_pairwise_corr_last_tick_of_bucket_wins(spark):
+    # two ticks same day: close = later ts (tiebreak event_id)
+    rows = [
+        ("a", 10.0, dt.datetime(2024, 1, 1, 9), 0),
+        ("a", 99.0, dt.datetime(2024, 1, 1, 18), 1),  # the close
+        ("a", 20.0, dt.datetime(2024, 1, 2, 12), 2),
+        ("b", 1.0, dt.datetime(2024, 1, 1, 12), 3),
+        ("b", 2.0, dt.datetime(2024, 1, 2, 12), 4),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "price", "t", "event_id"])
+    out = pairwise_corr(
+        df, key="symbol", ts_col="t", price="price", tiebreak="event_id",
+        top_n=5, min_obs=1, bucket="day",
+    ).collect()
+    # single return each -> zero variance -> dropped; proves the
+    # close selection ran without error and variance guard holds
+    assert out == []
+
+
+def test_pairwise_corr_top_n_cut_is_deterministic(spark):
+    # three symbols, top_n=2 keeps the two most-ticked (a, b)
+    a = [10.0, 11.0, 12.0, 11.0, 13.0]
+    df = _ticks(spark, {"a": a, "b": [p + 1 for p in a], "c": a[:2]})
+    out = pairwise_corr(
+        df, key="symbol", ts_col="t", price="price", tiebreak="event_id",
+        top_n=2, min_obs=2, bucket="day",
+    ).collect()
+    assert {(r["s1"], r["s2"]) for r in out} == {("a", "b")}
