@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (34 debut candidates are queued at the pool tail, all
+# r7 PLAN (42 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,19 +105,22 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining TWENTY-SIX
+# block, leaving nothing older than r5.  The remaining THIRTY-FOUR
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
-# emb_dim_stats, trade_pagerank, prices_trend, and the batch-4/5
+# emb_dim_stats, trade_pagerank, prices_trend, the batch-4/5
 # fifteen: events_triangles, doc_fuzzy_join, emb_hard_negatives,
 # emb_rp_project, events_communities, media_image_ahash,
 # events_zorder_code, orders_basket_affinity,
 # events_robust_outliers, orders_merge_upsert, doc_bigram_coverage,
 # events_hopping_10m, events_interarrival, events_user_forest,
-# tpch_integrity) stay at the pool tail
-# and debut across r8/r9/r10 via NEW_THIS_ROUND — split the cohort so each round's
-# rotation still reaches its oldest stale block.
+# tpch_integrity, and the batch-6 eight: prices_bollinger,
+# prices_stochastic, prices_corr_matrix, doc_token_drift,
+# doc_quality_percentile, events_seasonality, events_wow_trending,
+# events_split_leakage) stay at the pool tail
+# and debut across r8/r9/r10+ via NEW_THIS_ROUND — split the cohort so
+# each round's rotation still reaches its oldest stale block.
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [

@@ -361,3 +361,46 @@ def test_fuzzy_join_confirm_needs_no_corpus_rejoin(spark):
     )
     plan = plan_of(D.fuzzy_key_pairs(keyed, max_doc_freq=50))
     assert plan.count("Scan parquet") == 2
+
+
+def test_bollinger_and_stochastic_single_key_shuffle(spark):
+    """Both overlay indicators must plan exactly one Exchange (the
+    symbol-key sort that carries every window pass)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    for q in ("prices_bollinger", "prices_stochastic"):
+        plan = plan_of(SPARK_QUERIES[q](spark, SF_SMALL))
+        assert plan.count("Exchange") <= 2, q  # key shuffle (+AQE read)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_pairwise_corr_topn_broadcast_no_cartesian(spark):
+    """The top-N watchlist cut must reach the return table as a
+    broadcast join, and the all-pairs stage must be the bucket-key
+    equi-join — never a cartesian product."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["prices_corr_matrix"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_drift_aggs_are_map_side_combined(spark):
+    """The (split, term) token agg must show partial aggregation
+    before its Exchange — the map-side combine that keeps the token
+    stream from shuffling raw."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["doc_token_drift"](spark, SF_SMALL))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast
+
+
+def test_split_leakage_single_user_shuffle(spark):
+    """Split tagging is a narrow map: the only Exchange is the
+    user_id aggregate (plus the top-100 ordering)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_split_leakage"](spark, SF_SMALL))
+    assert plan.count("Exchange") <= 2
+    assert "partial_sum" in plan
