@@ -248,6 +248,11 @@ ROTATION_POOL: list[str] = [
     "prices_bollinger", "prices_stochastic", "prices_corr_matrix",
     "doc_token_drift", "doc_quality_percentile", "events_seasonality",
     "events_wow_trending", "events_split_leakage",
+    # --- r6-built batch 7, same debut-candidate status: last-touch
+    #     attribution, sliding-window burst detection, Gini value
+    #     concentration, and embedding-space split drift. ---
+    "events_attribution", "events_burst_detect", "events_value_gini",
+    "emb_split_drift",
 ]
 
 

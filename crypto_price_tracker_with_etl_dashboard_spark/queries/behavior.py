@@ -464,3 +464,228 @@ register(
     ) ORDER BY fk
     """,
 )
+
+
+# ---- last-touch attribution -------------------------------------------------
+# The conversion-credit report: each purchase is attributed to the
+# user's most recent non-purchase event within a 1-hour lookback
+# (last-touch single-credit; purchases with no touch in the window
+# are 'direct').  The carry is one IGNORE NULLS last_value window
+# over the user's (ts, event_id)-ordered stream — both engines
+# support the identical frame — and the credited revenue sums in
+# fixed point.  ONE shuffle on user_id for the window; the report
+# aggregate runs on the O(purchases) carry table.  O(|channels|)
+# output.
+
+_ATTR_LOOKBACK_S = 3600
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    carried = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            touch_type.alias("__touch"), touch_ts.alias("__touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(
+                F.col("__touch").isNotNull()
+                & (
+                    F.unix_timestamp("ts") - F.unix_timestamp("__touch_ts")
+                    <= _ATTR_LOOKBACK_S
+                ),
+                F.col("__touch"),
+            ).otherwise(F.lit("direct")).alias("channel"),
+        )
+    )
+    return (
+        carried.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * SCALE).cast("bigint")).alias("__rev"),
+        )
+        .select(
+            "channel", "n_purchases",
+            F.round(F.col("__rev") / SCALE, 4).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+register(
+    "events_attribution",
+    q_events_attribution,
+    f"""
+    WITH carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    credited AS (
+      SELECT value,
+             CASE WHEN touch IS NOT NULL
+                   AND (epoch_us(ts) // 1000000)
+                       - (epoch_us(touch_ts) // 1000000) <= {_ATTR_LOOKBACK_S}
+                  THEN touch ELSE 'direct' END AS channel
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           round(CAST(SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS BIGINT)
+                 / {SCALE}, 4) AS revenue
+    FROM credited
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+
+
+# ---- sliding-window burst detection ----------------------------------------
+# The rate-anomaly primitive a fixed hopping grid misses: the MAX
+# event count in ANY trailing 10-minute window per user, found by a
+# RANGE frame over epoch seconds (every event is a candidate window
+# end — the sliding-window maximum is exact, not grid-quantized).
+# Integer counts and epoch seconds only.  ONE shuffle on user_id:
+# the range window and the per-user argmax aggregate share it.
+# O(users) output.
+
+_BURST_WINDOW_S = 600
+
+
+def q_events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # unix_timestamp truncates to whole (positive) seconds = the
+    # oracle's epoch_us // 1e6 floor; unix_micros rejects the
+    # TIMESTAMP_NTZ the parquet tables carry
+    sec = F.unix_timestamp(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-_BURST_WINDOW_S, 0)
+    )
+    counted = ev.select(
+        "user_id",
+        sec.alias("__sec"),
+        F.count("*").over(w).alias("__burst"),
+    ).withColumn(
+        "max_burst", F.max("__burst").over(Window.partitionBy("user_id"))
+    )
+    return (
+        counted.groupBy("user_id", "max_burst")
+        .agg(
+            F.min(
+                F.when(F.col("__burst") == F.col("max_burst"), F.col("__sec"))
+            ).alias("burst_end_sec"),
+        )
+        .select("user_id", "max_burst", "burst_end_sec")
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_burst_detect",
+    q_events_burst_detect,
+    f"""
+    WITH counted AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) // 1000000
+                            RANGE BETWEEN {_BURST_WINDOW_S} PRECEDING
+                                      AND CURRENT ROW) AS burst
+      FROM events
+    ),
+    mx AS (
+      SELECT user_id, MAX(burst) OVER (PARTITION BY user_id) AS max_burst,
+             burst, sec
+      FROM counted
+    )
+    SELECT user_id, max_burst,
+           MIN(CASE WHEN burst = max_burst THEN sec END) AS burst_end_sec
+    FROM mx
+    GROUP BY user_id, max_burst
+    ORDER BY user_id
+    """,
+)
+
+
+# ---- Gini concentration of event value -------------------------------------
+# How concentrated is value across events of a type?  The exact Gini
+# coefficient from the sorted-rank closed form
+#     G = (2 * sum(i * x_i) - (n + 1) * sum(x_i)) / (n * sum(x_i))
+# with x_i the value in fixed-point units and i the (value, event_id)
+# rank — every term is an exact DECIMAL(38,0), the final division is
+# one double op.  ONE shuffle on event_type: rank window + aggregate
+# share it.  O(types) output; negative/zero/null values excluded (Gini
+# is defined over positive quantities).
+
+def q_events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    dec = "decimal(38,0)"
+    d = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("__i"),
+        F.round(F.col("value") * SCALE).cast("bigint").alias("__x"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__i").cast(dec) * F.col("__x").cast(dec)).alias("__six"),
+    )
+    gini = (
+        (2.0 * F.col("__six").cast("double")
+         - (F.col("n") + 1).cast("double") * F.col("__sx").cast("double"))
+        / (F.col("n").cast("double") * F.col("__sx").cast("double"))
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select("event_type", "n", F.round(gini, 6).alias("gini"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_value_gini",
+    q_events_value_gini,
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS i,
+             CAST(round(value * {SCALE}) AS BIGINT) AS x
+      FROM events WHERE value > 0
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS six
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((2.0 * CAST(six AS DOUBLE)
+                  - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+    FROM agg WHERE n >= 2
+    ORDER BY event_type
+    """,
+)

@@ -1072,3 +1072,89 @@ register(
     q_emb_rp_project,
     S.sql_rp_project(dim=_DIM, out_dim=8),
 )
+
+
+# ---- Embedding-space split drift --------------------------------------------
+# The representation-shift QA check: hash the corpus into two halves
+# and compare the per-dimension mean vector — a train/eval split (or
+# yesterday's vs today's crawl) whose centroids diverge signals a
+# skewed split or distribution shift before any model sees it.  Same
+# exact-decimal accumulation as emb_dim_stats; the split tag is the
+# portable lcg hash so the oracle reproduces the halves.  ONE
+# shuffle on the dim key (posexplode is a narrow map); output is one
+# row per dimension regardless of corpus size.
+
+def q_emb_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = hash_split(emb, "vec_id", {"a": 50, "b": 50}, hasher=lcg_bucket)
+    cells = halves.select(
+        "split", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "split",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    dec = "decimal(38,10)"
+    stats = cells.groupBy("dim").agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("split") == "a", F.col("v")).otherwise(0.0).cast(dec)).alias("__sa"),
+        F.sum(F.when(F.col("split") == "b", F.col("v")).otherwise(0.0).cast(dec)).alias("__sb"),
+    )
+    mean_a = F.col("__sa").cast("double") / F.col("n_a")
+    mean_b = F.col("__sb").cast("double") / F.col("n_b")
+    return (
+        stats.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "dim", "n_a", "n_b",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(F.abs(mean_a - mean_b), 6).alias("abs_drift"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _split_drift_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    return f"""
+    WITH halves AS (
+      SELECT CASE WHEN {sql_lcg_bucket('vec_id')} < 50 THEN 'a' ELSE 'b' END
+               AS split, embedding
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT split, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM halves
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CAST(CASE WHEN split = 'a' THEN v ELSE 0.0 END
+                      AS DECIMAL(38,10))) AS sa,
+             SUM(CAST(CASE WHEN split = 'b' THEN v ELSE 0.0 END
+                      AS DECIMAL(38,10))) AS sb
+      FROM cells GROUP BY dim
+    )
+    SELECT dim, n_a, n_b,
+           round(CAST(sa AS DOUBLE) / n_a, 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / n_b, 6) AS mean_b,
+           round(abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b), 6)
+             AS abs_drift
+    FROM stats
+    WHERE n_a > 0 AND n_b > 0
+    ORDER BY dim
+    """
+
+
+register("emb_split_drift", q_emb_split_drift, _split_drift_sql())
