@@ -175,3 +175,108 @@ def test_robust_outliers_resist_masking(spark, tmp_path):
     # 40% of the data, so mean ~ 206 and sd ~ 253 -> plant z ~ 1.16
     zflags = {r["event_id"] for r in q_events_value_outliers(spark, d).collect()}
     assert zflags.isdisjoint({6, 7, 8, 9})
+
+
+def test_attribution_matches_pandas(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_attribution,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        touch_type, touch_ts = None, None
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                if (
+                    touch_type is not None
+                    and (int(r.ts.timestamp()) - int(touch_ts.timestamp())) <= 3600
+                ):
+                    rows.append((touch_type, r.value))
+                else:
+                    rows.append(("direct", r.value))
+            else:
+                touch_type, touch_ts = r.event_type, r.ts
+    ref = pd.DataFrame(rows, columns=["channel", "value"])
+    expected = {
+        ch: (len(g), round(sum(round(v * 10000) for v in g["value"]) / 10000, 4))
+        for ch, g in ref.groupby("channel")
+    }
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in q_events_attribution(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_burst_detect_matches_bruteforce(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_burst_detect,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").toPandas()
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        secs = sorted(int(t.timestamp()) for t in g["ts"])
+        best, best_end = 0, None
+        for end in secs:
+            c = sum(1 for s in secs if end - 600 <= s <= end)
+            if c > best:
+                best, best_end = c, end
+            elif c == best and best_end is not None:
+                pass  # keep earliest end
+        expected[uid] = (best, best_end)
+    got = {
+        r["user_id"]: (r["max_burst"], r["burst_end_sec"])
+        for r in q_events_burst_detect(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_gini_matches_closed_form(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.behavior import (
+        q_events_value_gini,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").toPandas()
+    ev = ev[ev["value"] > 0]
+    expected = {}
+    for t, g in ev.groupby("event_type"):
+        xs = [round(v * 10000) for v in g.sort_values(["value", "event_id"])["value"]]
+        n, sx = len(xs), sum(xs)
+        if n < 2:
+            continue
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        expected[t] = round((2.0 * six - (n + 1) * sx) / (n * sx), 6)
+    got = {
+        r["event_type"]: r["gini"]
+        for r in q_events_value_gini(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_gini_uniform_values_near_zero(spark):
+    # equal values -> G = (2*sum(i) - (n+1)*n) / (n*n) * (1/1) = 0
+    df = spark.createDataFrame(
+        [(i, "t", 5.0) for i in range(10)], ["event_id", "event_type", "value"]
+    )
+    from pyspark.sql import Window
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
+
+    # reuse the query's algebra directly on a local frame
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = df.select(
+        "event_type",
+        F.row_number().over(w).alias("i"),
+        F.round(F.col("value") * SCALE).cast("bigint").alias("x"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")).alias("six"),
+    ).collect()[0]
+    g = (2.0 * float(agg["six"]) - (agg["n"] + 1) * float(agg["sx"])) / (
+        agg["n"] * float(agg["sx"])
+    )
+    assert g == 0.0
