@@ -143,6 +143,20 @@ HEADLINE = [
     "events_interarrival",
     "events_user_forest",
     "tpch_integrity",
+    # round-6 batch 6/7 (r7+ debut candidates): bench from their build
+    # round so best-round budgets anchor before they enter the window
+    "prices_bollinger",
+    "prices_stochastic",
+    "prices_corr_matrix",
+    "doc_token_drift",
+    "doc_quality_percentile",
+    "events_seasonality",
+    "events_wow_trending",
+    "events_split_leakage",
+    "events_attribution",
+    "events_burst_detect",
+    "events_value_gini",
+    "emb_split_drift",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -177,3 +177,53 @@ def streaming_histogram(
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---- Bloom filter -----------------------------------------------------------
+# The membership sibling of the CMS: k md5-slice bit positions per
+# key over an m-bit space, materialized as the DISTINCT set-bit
+# table (O(min(n*k, m)) rows — broadcast-sized by construction).
+# Membership = all k positions present, evaluated as k chained
+# BROADCAST LEFT-SEMI joins, so the probe relation never shuffles at
+# all — the semi-join prefilter shape Spark's own runtime bloom
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) injects, here as
+# an explicit engine-portable operator a DuckDB oracle reproduces
+# bit-for-bit.  No false negatives ever; false positives are the
+# (1 - e^(-kn/m))^k textbook rate, surfaced by the certified query.
+
+
+def bloom_bits(df: DataFrame, key: str, k: int = 4, m: int = 4096) -> DataFrame:
+    """The set-bit table: DISTINCT md5-slice positions of every key.
+    One map + one distinct agg onto <= m groups (map-side combined)."""
+    if k > 4:
+        raise ValueError(f"md5 slicing supports k <= 4, got {k}")
+    hashed = df.select(F.md5(F.col(key).cast("string")).alias("__h"))
+    return (
+        hashed.select(
+            F.explode(
+                F.array(*[_bucket(F.col("__h"), j, m) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_semi_filter(
+    probe: DataFrame, key: str, bits: DataFrame, k: int = 4, m: int = 4096
+) -> DataFrame:
+    """Rows of ``probe`` whose key passes the filter (all k bit
+    positions set).  k broadcast left-semi joins — zero shuffle on
+    the probe side; output schema == probe schema."""
+    if k > 4:
+        raise ValueError(f"md5 slicing supports k <= 4, got {k}")
+    h = F.md5(F.col(key).cast("string"))
+    out = probe
+    for j in range(k):
+        out = out.withColumn(f"__bb{j}", _bucket(h, j, m))
+    for j in range(k):
+        out = out.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"__set{j}"))),
+            F.col(f"__bb{j}") == F.col(f"__set{j}"),
+            "left_semi",
+        )
+    return out.drop(*[f"__bb{j}" for j in range(k)])

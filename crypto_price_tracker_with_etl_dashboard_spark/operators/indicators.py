@@ -864,3 +864,99 @@ def sql_pairwise_corr(
            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
     ORDER BY s1, s2
     """
+
+
+def twap(
+    prices: DataFrame,
+    key: str,
+    ts_col: str,
+    price: str,
+    tiebreak: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-weighted average price per (key, bucket): each tick's
+    price is weighted by the whole seconds it remained the live quote
+    — until the next tick, or the bucket's end for the last tick.
+    The duration-weighted mean VWAP becomes when the weight is
+    holding TIME instead of traded volume; the pair is the standard
+    execution-quality benchmark set.
+
+    Exactness: durations are integer seconds (epoch floor — Spark's
+    ``unix_timestamp`` truncation == the oracle's ``epoch_us //
+    1e6``), prices quantize to fixed point, and the weighted sum
+    accumulates in DECIMAL(38,0), so the TWAP is one double division
+    of two engine-portable integers.  Sub-second repeat ticks get
+    weight 0 (they never held the quote for a full second); a bucket
+    whose every tick collapses to weight 0 is dropped rather than
+    divided by zero.
+
+    ONE shuffle on (key, bucket): the lead window and the aggregate
+    share the partitioning.  O(keys x buckets) output.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    bk = F.date_trunc(bucket, F.col(ts_col))
+    w = Window.partitionBy(key, bk).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    bucket_end = F.unix_timestamp(
+        F.date_trunc(bucket, F.col(ts_col)) + F.expr(f"INTERVAL 1 {bucket}")
+    )
+    dur = F.coalesce(F.lead(sec).over(w), bucket_end) - sec
+    d = prices.filter(F.col(price).isNotNull()).select(
+        F.col(key),
+        bk.alias("bucket"),
+        F.round(F.col(price) * SCALE).cast("decimal(38,0)").alias("__p"),
+        dur.alias("__w"),
+    )
+    agg = d.groupBy(key, "bucket").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("__p") * F.col("__w").cast("decimal(38,0)")).alias("__pw"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__tw"),
+    )
+    return (
+        agg.filter(F.col("__tw") > 0)
+        .select(
+            key,
+            "bucket",
+            "n_ticks",
+            F.col("__tw").cast("bigint").alias("covered_sec"),
+            F.round(
+                F.col("__pw").cast("double")
+                / F.col("__tw").cast("double") / SCALE,
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+def sql_twap(
+    table: str, key: str, ts_col: str, price: str, tiebreak: str,
+    bucket: str = "day", extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`twap` (same integer-second weights and
+    fixed-point weighted sum)."""
+    return f"""
+    WITH {extra_ctes} d AS (
+      SELECT {key},
+             date_trunc('{bucket}', {ts_col}) AS bucket,
+             CAST(round({price} * {SCALE}) AS DECIMAL(38,0)) AS p,
+             COALESCE(
+               lead(epoch_us({ts_col}) // 1000000) OVER (
+                 PARTITION BY {key}, date_trunc('{bucket}', {ts_col})
+                 ORDER BY {ts_col} ASC, {tiebreak} ASC),
+               epoch_us(date_trunc('{bucket}', {ts_col})
+                        + INTERVAL 1 {bucket}) // 1000000
+             ) - epoch_us({ts_col}) // 1000000 AS w
+      FROM {table} WHERE {price} IS NOT NULL
+    ),
+    agg AS (
+      SELECT {key}, bucket, COUNT(*) AS n_ticks,
+             SUM(p * CAST(w AS DECIMAL(38,0))) AS pw,
+             SUM(CAST(w AS DECIMAL(38,0))) AS tw
+      FROM d GROUP BY 1, 2
+    )
+    SELECT {key}, bucket, n_ticks,
+           CAST(tw AS BIGINT) AS covered_sec,
+           round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE) / {SCALE}, 6) AS twap
+    FROM agg WHERE tw > 0
+    """

@@ -253,6 +253,10 @@ ROTATION_POOL: list[str] = [
     #     concentration, and embedding-space split drift. ---
     "events_attribution", "events_burst_detect", "events_value_gini",
     "emb_split_drift",
+    # --- r6-built batch 8: daily TWAP, RFM segmentation, equi-depth
+    #     histogram, and the portable-Bloom semi-join prefilter. ---
+    "prices_twap_daily", "orders_rfm_segments", "events_eqdepth_histogram",
+    "events_bloom_prefilter",
 ]
 
 

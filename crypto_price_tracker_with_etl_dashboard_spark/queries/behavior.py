@@ -689,3 +689,107 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---- Bloom-filter semi-join prefilter --------------------------------------
+# The explicit form of runtime bloom pushdown: build a portable
+# Bloom filter over the "heavy purchaser" user set (>= 15
+# purchases), prefilter the view-event stream through it with k
+# broadcast semi-joins (probe side never shuffles), and report the
+# filter's quality against exact membership — no false negatives by
+# construction (asserted by the row), false positives at the
+# textbook rate.  functions/sketch.py::bloom_bits/bloom_semi_filter;
+# single-row output, every count an exact integer.
+
+_BLOOM_MIN_PURCHASES = 15
+_BLOOM_K = 4
+_BLOOM_M = 4096
+
+
+def q_events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        bloom_bits,
+        bloom_semi_filter,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("__np"))
+        .filter(F.col("__np") >= _BLOOM_MIN_PURCHASES)
+        .select("user_id")
+    )
+    bits = bloom_bits(build, "user_id", k=_BLOOM_K, m=_BLOOM_M)
+    probe = ev.filter(F.col("event_type") == "view").select("event_id", "user_id")
+    candidates = bloom_semi_filter(probe, "user_id", bits, k=_BLOOM_K, m=_BLOOM_M)
+    member_rows = probe.join(F.broadcast(build), "user_id", "left_semi")
+    cand_true = candidates.join(F.broadcast(build), "user_id", "left_semi")
+    counts = (
+        probe.agg(F.count("*").alias("n_probe"))
+        .crossJoin(candidates.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(member_rows.agg(F.count("*").alias("n_member_rows")))
+        .crossJoin(cand_true.agg(F.count("*").alias("n_cand_true")))
+    )
+    return counts.select(
+        "n_probe",
+        "n_member_rows",
+        "n_candidates",
+        (F.col("n_candidates") - F.col("n_cand_true")).alias("n_false_pos"),
+        # no-false-negative invariant: every member row passes
+        (F.col("n_cand_true") == F.col("n_member_rows")).alias("no_false_negatives"),
+        F.when(
+            F.col("n_probe") > F.col("n_member_rows"),
+            F.round(
+                (F.col("n_candidates") - F.col("n_cand_true")) * 1000000.0
+                / (F.col("n_probe") - F.col("n_member_rows"))
+            ).cast("bigint"),
+        ).alias("fp_rate_ppm"),
+    )
+
+
+def _bloom_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        sql_bucket,
+    )
+
+    slices = ", ".join(
+        f"{sql_bucket('user_id', j, _BLOOM_M)} AS b{j}" for j in range(_BLOOM_K)
+    )
+    in_bits = " AND ".join(
+        f"b{j} IN (SELECT bit FROM bits)" for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH build AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING COUNT(*) >= {_BLOOM_MIN_PURCHASES}
+    ),
+    bits AS (
+      SELECT DISTINCT unnest([b0, b1, b2, b3]) AS bit
+      FROM (SELECT {slices} FROM build)
+    ),
+    probe AS (
+      SELECT event_id, user_id, {slices}
+      FROM events WHERE event_type = 'view'
+    ),
+    flagged AS (
+      SELECT event_id,
+             CASE WHEN {in_bits} THEN 1 ELSE 0 END AS cand,
+             CASE WHEN user_id IN (SELECT user_id FROM build)
+                  THEN 1 ELSE 0 END AS member
+      FROM probe
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(member) AS BIGINT) AS n_member_rows,
+           CAST(SUM(cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(cand) - SUM(cand * member) AS BIGINT) AS n_false_pos,
+           (SUM(cand * member) = SUM(member)) AS no_false_negatives,
+           CASE WHEN COUNT(*) > SUM(member) THEN
+             CAST(round((SUM(cand) - SUM(cand * member)) * 1000000.0
+                        / (COUNT(*) - SUM(member))) AS BIGINT)
+           END AS fp_rate_ppm
+    FROM flagged
+    """
+
+
+register("events_bloom_prefilter", q_events_bloom_prefilter, _bloom_sql())

@@ -33,8 +33,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     sql_pairwise_corr,
     sql_rsi,
     sql_stochastic,
+    sql_twap,
     sql_vwap,
     stochastic,
+    twap,
     vwap,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.queries import register
@@ -218,5 +220,26 @@ register(
         'prices', 'symbol', 'timestamp', 'current_price', 'event_id',
         top_n=40, min_obs=10, bucket="day",
         extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TWAP per symbol: each tick's price weighted by the whole
+    seconds it stayed the live quote (operators/indicators.py::twap)
+    — VWAP's holding-time sibling."""
+    prices = prices_from_events(spark, sf_dir)
+    return twap(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id", bucket="day",
+    )
+
+
+register(
+    "prices_twap_daily",
+    q_prices_twap_daily,
+    sql_twap(
+        'prices', 'symbol', 'timestamp', 'current_price', 'event_id',
+        bucket="day", extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )

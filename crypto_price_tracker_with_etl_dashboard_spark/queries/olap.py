@@ -611,3 +611,174 @@ register(
     ORDER BY c.support DESC, c.part_a, c.part_b
     """,
 )
+
+
+# ---- RFM customer segmentation ---------------------------------------------
+# The classic marketing cut: quintile each customer on Recency /
+# Frequency / Monetary and report the 3-digit segments.  The ranking
+# runs through operators/rank.py::global_rank — exact order
+# statistics with NO partitionless window over the customer relation
+# (the bucketed prefix-sum plan; the oracle uses plain row_number,
+# same ranks, single-task plan it can afford).  Quintile membership
+# is the integer closed form 1 + (5*(rank-1)) div n, so every
+# boundary is engine-exact; monetary sums are fixed-point.  Shuffles:
+# one custkey agg over orders, then three bucket-key rank passes over
+# the O(customers) aggregate.  Output <= 125 segments.
+
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        global_rank,
+        quantile_bucket,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("__anchor"))
+    cust = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("__anchor"), F.col("__last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    n = orders.select(F.countDistinct("o_custkey").alias("__n"))
+    ranked = global_rank(
+        cust,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        F.col("recency_days"),
+        "r_rank",
+    )
+    ranked = global_rank(
+        ranked,
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        -F.col("frequency"),
+        "f_rank",
+    )
+    ranked = global_rank(
+        ranked,
+        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        -F.floor(F.col("monetary") / 10000.0),
+        "m_rank",
+    )
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        "o_custkey", "monetary",
+        quantile_bucket(F.col("r_rank"), F.col("__n"), 5).alias("r_q"),
+        quantile_bucket(F.col("f_rank"), F.col("__n"), 5).alias("f_q"),
+        quantile_bucket(F.col("m_rank"), F.col("__n"), 5).alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                dsum("monetary") / F.count("*"), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _rfm_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        sql_quantile_bucket,
+    )
+
+    rq = sql_quantile_bucket("r_rank", "n", 5)
+    fq = sql_quantile_bucket("f_rank", "n", 5)
+    mq = sql_quantile_bucket("m_rank", "n", 5)
+    return f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, monetary,
+             row_number() OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_rank,
+             row_number() OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_rank,
+             row_number() OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_rank,
+             COUNT(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT ({rq} * 100 + {fq} * 10 + {mq}) AS segment,
+           COUNT(*) AS n_customers,
+           round({sql_dsum('monetary')} / COUNT(*), 4) AS avg_monetary
+    FROM ranked
+    GROUP BY 1 ORDER BY segment
+    """
+
+
+register("orders_rfm_segments", q_orders_rfm_segments, _rfm_sql())
+
+
+# ---- equi-depth histogram ---------------------------------------------------
+# The fixed-width histogram's sibling (events_histogram): 20 buckets
+# holding equal ROW counts, boundaries wherever the data puts them —
+# the summary that stays informative under skew.  Built on the same
+# global_rank operator as RFM (value-range buckets, prefix-summed
+# offsets; no single-task sort); bucket membership is the integer
+# NTILE closed form.  O(q) output.
+
+_EQD_BUCKETS = 20
+
+
+def q_events_eqdepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        global_rank,
+        quantile_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n = ev.select(F.count("*").alias("__n"))
+    ranked = global_rank(
+        ev.select("event_id", "value"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        F.floor(F.col("value") / 10.0),
+        "rank",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "value",
+            quantile_bucket(F.col("rank"), F.col("__n"), _EQD_BUCKETS).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _eqdepth_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        sql_quantile_bucket,
+    )
+
+    bq = sql_quantile_bucket("rnk", "n", _EQD_BUCKETS)
+    return f"""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value ASC, event_id ASC) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT {bq} AS bucket, COUNT(*) AS n_rows,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM ranked
+    GROUP BY 1 ORDER BY bucket
+    """
+
+
+register("events_eqdepth_histogram", q_events_eqdepth_histogram, _eqdepth_sql())
