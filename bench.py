@@ -157,6 +157,10 @@ HEADLINE = [
     "events_burst_detect",
     "events_value_gini",
     "emb_split_drift",
+    "prices_twap_daily",
+    "orders_rfm_segments",
+    "events_eqdepth_histogram",
+    "events_bloom_prefilter",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its
