@@ -77,19 +77,19 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.try_divide(inter, union).cast("double")
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_col: str = "lang",
-    k: int = 3,
-    threshold: float = 0.1,
-    max_doc_freq: int | None = None,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs (>= threshold) within blocking-key
-    groups, via an inverted index: explode distinct shingles to
-    postings, equi-join postings on (block, shingle) to count each
-    pair's intersection, then jaccard = c / (|A| + |B| - c).
+    """Shared posting-join core of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`: (doc_a, doc_b, __n_a, __n_b,
+    __c) for every co-occurring pair.  See ngram_jaccard_pairs for
+    the full plan rationale (explode-first postings, stop-shingle
+    cap, output-sensitive pair cost).
 
     Pairs sharing zero shingles have jaccard 0 and can never reach a
     positive threshold, so the posting join loses nothing — while the
@@ -118,8 +118,6 @@ def ngram_jaccard_pairs(
     Pairs sharing ZERO shingles are never emitted (their jaccard is
     0, unreachable for threshold > 0; at threshold == 0 this returns
     exactly the co-occurring pairs, not the full cross product)."""
-    if threshold < 0:
-        raise ValueError("threshold must be >= 0")
     from pyspark.sql import Window
 
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
@@ -173,18 +171,68 @@ def ngram_jaccard_pairs(
         "__blk", "__shingle",
         F.col("__id").alias("doc_b"), F.col("__n").alias("__n_b"),
     )
-    counts = (
+    return (
         a.join(b, ["__blk", "__shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "__n_a", "__n_b")
         .agg(F.count("*").alias("__c"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (>= threshold) within blocking-key
+    groups: jaccard = c / (|A| + |B| - c) over the posting-join
+    counts (see :func:`_ngram_pair_counts` for the plan)."""
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    counts = _ngram_pair_counts(df, id_col, text_col, block_col, k, max_doc_freq)
     jac = F.try_divide(
         F.col("__c"), F.col("__n_a") + F.col("__n_b") - F.col("__c")
     ).cast("double")
     return (
         counts.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs Jaccard structurally misses: the
+    containment of the SMALLER shingle set in the larger,
+    c / min(|A|, |B|).  A 50-line excerpt pasted inside a 5,000-line
+    document scores jaccard ~ 0.01 (invisible at any sane threshold)
+    but containment ~ 1.0 — the quote/boilerplate/subset-clone
+    detector a dedup pipeline runs NEXT TO the symmetric pass.  Same
+    inverted-index plan and stop-shingle cap as
+    :func:`ngram_jaccard_pairs`; only the score changes."""
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    counts = _ngram_pair_counts(df, id_col, text_col, block_col, k, max_doc_freq)
+    cont = F.try_divide(
+        F.col("__c"), F.least(F.col("__n_a"), F.col("__n_b"))
+    ).cast("double")
+    return (
+        counts.select(
+            "doc_a", "doc_b",
+            F.col("__c").alias("n_shared"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

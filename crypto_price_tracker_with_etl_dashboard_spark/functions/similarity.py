@@ -1376,3 +1376,141 @@ def sql_rp_project(
     )
     SELECT {id_col}, {rp_cols} FROM sums GROUP BY {id_col}
     """
+
+
+# ---- Farthest-point (k-center greedy) sampling ------------------------------
+# Diverse-subset selection for training-data curation: pick the
+# point farthest from every center chosen so far, k times (Gonzalez,
+# TCS 1985 — a 2-approximation to the k-center objective).  Where
+# stratified/mixture sampling balance KNOWN group labels, this
+# maximizes COVERAGE of the embedding space itself — the "spread"
+# selection behind coreset pickers.
+#
+# Scale shape: each round touches the corpus ONCE — a map computing
+# the squared distance to the single NEWEST center (running-min with
+# the carried distance), then one max(struct) aggregate for the next
+# center; the state DataFrame is localCheckpoint'ed per round so
+# lineage (and re-scans) never compound — k rounds = k scans, the
+# kmeans_iterate discipline.  Driver traffic is one 1-row collect
+# per round.  All distance arithmetic is the same left-to-right
+# fold both engines evaluate identically, so an unrolled-CTE DuckDB
+# oracle reproduces every selection bit-for-bit.
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 via the portable fold (zip_with + left-to-right
+    aggregate — DuckDB's list_sum(list_transform(...)) twin)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k greedily-selected centers: (sel_order, id, sel_dist2 =
+    squared distance to the nearest prior center at selection time;
+    NULL for the seed).  Seed = min id (deterministic); farthest
+    ties break toward the smaller id via max(struct(d2, -id))."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = emb.sparkSession
+    seed = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(1)
+        .collect()[0]
+    )
+    chosen: list[tuple[int, int, float | None]] = [(1, seed[id_col], None)]
+    center_vec = [float(x) for x in seed[vec_col]]
+    state = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    lit_center = F.array(*[F.lit(x) for x in center_vec])
+    state = state.select(
+        "__id", "__v", _dist2(F.col("__v"), lit_center).alias("__d2")
+    ).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        far = state.agg(
+            F.max(F.struct(F.col("__d2"), (-F.col("__id")).alias("__neg")))
+            .alias("m")
+        ).collect()[0]["m"]
+        next_id = -far["__neg"]
+        chosen.append((r, next_id, far["__d2"]))
+        if r == k:
+            break
+        vec = [
+            float(x)
+            for x in state.filter(F.col("__id") == next_id)
+            .select("__v").collect()[0]["__v"]
+        ]
+        lit_c = F.array(*[F.lit(x) for x in vec])
+        state = state.select(
+            "__id", "__v",
+            F.least(F.col("__d2"), _dist2(F.col("__v"), lit_c)).alias("__d2"),
+        ).localCheckpoint(eager=True)
+    out = spark.createDataFrame(
+        chosen, ["sel_order", id_col, "sel_dist2"]
+    )
+    return out.select(
+        F.col("sel_order").cast("int"),
+        F.col(id_col).cast("bigint"),
+        F.col("sel_dist2").cast("double"),
+    ).orderBy("sel_order")
+
+
+def sql_kcenter_sample(k: int, dim: int) -> str:
+    """DuckDB mirror of :func:`kcenter_sample`: k-1 unrolled
+    farthest-point rounds (argmax CTEs are legal outside WITH
+    RECURSIVE) over the embeddings table."""
+    def d2(alias: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+            f"(CAST(e.embedding[i] AS DOUBLE) - CAST({alias}.embedding[i] AS DOUBLE))"
+            f" * (CAST(e.embedding[i] AS DOUBLE) - CAST({alias}.embedding[i] AS DOUBLE))))"
+        )
+
+    parts = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 1)",
+        f"""d1 AS (
+      SELECT e.vec_id, e.embedding, {d2('c')} AS d2
+      FROM embeddings e CROSS JOIN c1 c
+    )""",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""c{r} AS (
+      SELECT vec_id, embedding, d2 FROM d{r - 1}
+      ORDER BY d2 DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f"""d{r} AS (
+      SELECT e.vec_id, e.embedding, least(e.d2, {d2('c')}) AS d2
+      FROM d{r - 1} e CROSS JOIN c{r} c
+    )"""
+            )
+    selects = [
+        "SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS sel_dist2 FROM c1"
+    ] + [
+        f"SELECT {r} AS sel_order, vec_id, d2 AS sel_dist2 FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(sel_order AS INT) AS sel_order,"
+          " vec_id, sel_dist2 FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY sel_order"
+    )

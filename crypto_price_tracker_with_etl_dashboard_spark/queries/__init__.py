@@ -257,6 +257,9 @@ ROTATION_POOL: list[str] = [
     #     histogram, and the portable-Bloom semi-join prefilter. ---
     "prices_twap_daily", "orders_rfm_segments", "events_eqdepth_histogram",
     "events_bloom_prefilter",
+    # --- r6-built batch 9: asymmetric containment dedup, k-core
+    #     decomposition, farthest-point diverse sampling. ---
+    "doc_containment", "events_kcore", "emb_kcenter_sample",
 ]
 
 

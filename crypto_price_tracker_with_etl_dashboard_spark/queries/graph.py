@@ -22,6 +22,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     pagerank,
     sql_pagerank,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
+    kcore,
+    sql_kcore,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.hierarchy import (
     resolve_forest,
     sql_resolve_forest,
@@ -268,5 +272,31 @@ register(
       SELECT v AS child, MIN(u) AS parent FROM edges GROUP BY v
     )"""
     )
+    + " ORDER BY node",
+)
+
+
+# ---- k-core decomposition --------------------------------------------------
+# The density filter before expensive per-node work: peel nodes of
+# in-subgraph degree < k until stable (operators/kcore.py).  The
+# oracle unrolls _KCORE_ROUNDS peel steps — valid because peeling is
+# monotone and the operator RAISES if the fixpoint needs more rounds
+# than the unroll covers.
+
+_KCORE_K = 6  # sf0.01 graph degeneracy is 6 (7-core is empty)
+_KCORE_ROUNDS = 8
+
+
+def q_events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore(
+        _cooccur_edges(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+register(
+    "events_kcore",
+    q_events_kcore,
+    sql_kcore("WITH_PLACEHOLDER", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    .replace("WITH WITH_PLACEHOLDER,", "WITH " + _TRI_EDGES_CTE + ",")
     + " ORDER BY node",
 )

@@ -1170,3 +1170,56 @@ register(
     ORDER BY lang
     """,
 )
+
+
+# ---- asymmetric containment near-dup pairs ---------------------------------
+# The subset-clone detector Jaccard structurally misses: a short doc
+# pasted inside a long one has jaccard ~ |short|/|long| (invisible)
+# but containment c/min(|A|,|B|) ~ 1.  Same inverted-index +
+# stop-shingle-cap plan as doc_ngram_jaccard (the two run off one
+# shared posting core, functions/dedup.py::_ngram_pair_counts).
+
+_CONTAINMENT_T = 0.5
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, threshold=_CONTAINMENT_T, max_doc_freq=_NGRAM_MAX_DF
+    )
+
+
+register(
+    "doc_containment",
+    q_doc_containment,
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    posts AS (
+      SELECT lang, doc_id, unnest(s) AS shingle FROM sh
+    ),
+    capped AS (
+      SELECT lang, doc_id, shingle FROM (
+        SELECT lang, doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM posts
+      ) WHERE df <= {_NGRAM_MAX_DF}
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM capped a JOIN capped b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c AS n_shared,
+           CAST(c AS DOUBLE) / least(na.n, nb.n) AS containment
+    FROM counts
+    JOIN sized na ON na.doc_id = counts.doc_a
+    JOIN sized nb ON nb.doc_id = counts.doc_b
+    WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= {_CONTAINMENT_T}
+    """,
+)

@@ -1158,3 +1158,31 @@ def _split_drift_sql() -> str:
 
 
 register("emb_split_drift", q_emb_split_drift, _split_drift_sql())
+
+
+# ---- Farthest-point diverse sampling ----------------------------------------
+# Greedy k-center selection (functions/similarity.py::kcenter_sample)
+# — coverage-maximizing subset selection, the spread-based sibling
+# of the label-balanced samplers in functions/sampling.py.
+
+_KCENTER_K = 8
+
+
+def q_emb_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kcenter_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, k=_KCENTER_K)
+
+
+def _kcenter_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        sql_kcenter_sample,
+    )
+
+    return sql_kcenter_sample(_KCENTER_K, _DIM)
+
+
+register("emb_kcenter_sample", q_emb_kcenter_sample, _kcenter_sql())
