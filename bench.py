@@ -161,6 +161,9 @@ HEADLINE = [
     "orders_rfm_segments",
     "events_eqdepth_histogram",
     "events_bloom_prefilter",
+    "doc_containment",
+    "events_kcore",
+    "emb_kcenter_sample",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

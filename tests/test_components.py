@@ -74,3 +74,38 @@ def test_unconverged_raises_instead_of_partial_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=3, shortcut=False)
+
+
+# ---- k-core (operators/kcore.py) -------------------------------------------
+
+def test_kcore_clique_plus_tendril(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import kcore
+
+    # K4 on {1,2,3,4} plus a path 4-5-6: the 3-core is exactly the K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_peel(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import kcore
+
+    # a chain has no 2-core; a cycle IS its own 2-core
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert kcore(chain, k=2).count() == 0
+    cycle = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    out = {r["node"]: r["deg"] for r in kcore(cycle, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_raises_when_rounds_exhausted(spark):
+    import pytest
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import kcore
+
+    # a 6-node path needs 3 peel rounds for k=2; cap at 1 must raise
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["u", "v"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_rounds=1)

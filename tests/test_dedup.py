@@ -190,3 +190,27 @@ def test_simhash_hamming_pairs_rejects_unsound_banding(spark):
     sigs = spark.createDataFrame([(1, 7)], ["doc_id", "simhash"])
     with pytest.raises(ValueError, match="recall-complete"):
         simhash_hamming_pairs(sigs, n_bands=2, band_bits=16, max_hamming=2)
+
+
+# ---- containment pairs ------------------------------------------------------
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(100))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))
+    rows = [
+        (1, base, "en"),
+        (2, excerpt, "en"),  # fully contained in doc 1
+        (3, "совсем другой текст на другом языке тут", "ru"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert jac == []  # 8/98 shared shingles: invisible to jaccard
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"], r["containment"]) == (1, 2, 1.0)

@@ -587,3 +587,38 @@ def test_rp_project_rejects_bad_args(spark):
         rp_project(df, dim=0, out_dim=4)
     with _pytest.raises(ValueError, match="impl"):
         rp_project(df, dim=1, out_dim=1, impl="gpu")
+
+
+# ---- farthest-point sampling ------------------------------------------------
+
+def test_kcenter_picks_spread_not_cluster(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kcenter_sample,
+    )
+
+    # three tight clusters at (0,0), (10,0), (0,10); k=3 must pick
+    # one point from EACH cluster (greedy 2-approx covers all)
+    pts = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(20 + i, [0.0, 10.0 + i * 0.01]) for i in range(5)]
+    )
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = kcenter_sample(df, k=3).collect()
+    clusters = {r["vec_id"] // 10 for r in out}
+    assert clusters == {0, 1, 2}
+    assert [r["sel_order"] for r in out] == [1, 2, 3]
+    assert out[0]["sel_dist2"] is None and out[1]["sel_dist2"] > 90
+
+
+def test_kcenter_seed_is_min_id_and_ties_to_smaller(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.similarity import (
+        kcenter_sample,
+    )
+
+    # two coincident far points (7, 9): the farthest tie breaks to 7
+    pts = [(3, [0.0, 0.0]), (7, [5.0, 5.0]), (9, [5.0, 5.0])]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = kcenter_sample(df, k=2).collect()
+    assert out[0]["vec_id"] == 3  # min id seed
+    assert out[1]["vec_id"] == 7  # tie -> smaller id
