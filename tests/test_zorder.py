@@ -103,3 +103,52 @@ def test_zorder_query_filter_prunes_row_groups(spark, tmp_path):
         .filter((F.col("x").between(3, 6)) & (F.col("y").between(3, 6)))
     )
     assert out.count() == 16  # correctness survives the re-layout
+
+
+# ---- file stats + pruning report (sources/stats.py) ------------------------
+
+def test_file_stats_envelopes(spark, tmp_path):
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.stats import (
+        file_stats,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(
+        4, "id"
+    ).write.parquet(p)
+    stats = file_stats(spark, p, ["id", "v"]).collect()
+    assert len(stats) == 4
+    assert sum(r["n_rows"] for r in stats) == 100
+    for r in stats:
+        assert r["id_min"] <= r["id_max"] and r["v_min"] == 2 * r["id_min"]
+
+
+def test_zorder_layout_prunes_2d_box_better_than_linear(spark, tmp_path):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.zorder import (
+        write_zordered,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.stats import (
+        file_stats,
+        pruning_report,
+    )
+
+    n = 1 << 12
+    grid = spark.range(n).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "l")
+    write_zordered(grid, "x", "y", zp, n_files=16)
+    # linear layout: range-partitioned on x only
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lp)
+    # the discriminating case is a predicate on the NON-sort key: a
+    # linear x-layout skips nothing for a y-only box (every file
+    # spans the full y range), while z-order bounds BOTH keys per
+    # file.  (an x-only box is the linear layout's best case and it
+    # rightly wins there — z-order trades a little of the best case
+    # for skipping on every dimension.)
+    box = {"y": (10.0, 17.0)}
+    rz = pruning_report(file_stats(spark, zp, ["x", "y"]), box).collect()[0]
+    rl = pruning_report(file_stats(spark, lp, ["x", "y"]), box).collect()[0]
+    assert rl["n_skipped"] == 0  # linear layout cannot skip on y
+    assert rz["n_skipped"] > 0
+    assert rz["rows_opened"] < rl["rows_opened"]
