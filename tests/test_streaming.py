@@ -1028,3 +1028,81 @@ def test_cdc_reader_ignores_uncommitted_partial_version(spark, tmp_path):
     )
     rows = read_cdc_table(spark, tdir).collect()
     assert [(r["k"], r["name"]) for r in rows] == [(1, "good")]
+
+
+def test_streaming_burst_alerts_fire_once_on_close(spark, tmp_path):
+    """Hopping-window rate alert (streaming/alerts.py): a burst of 5
+    events inside 10 minutes fires alerts for the windows that cover
+    it, each emitted exactly once when the watermark closes it; a
+    quiet key never alerts."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.alerts import (
+        burst_alerts,
+    )
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    pdir = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    burst = [(1, t0 + dt.timedelta(seconds=30 * i)) for i in range(5)]
+    quiet = [(2, t0), (2, t0 + dt.timedelta(minutes=20))]
+    spark.createDataFrame(burst + quiet, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        burst_alerts(
+            stream, threshold=5,
+            window="10 minutes", slide="5 minutes", watermark="10 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("burst_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # event time must advance past window end + watermark
+        spark.createDataFrame(
+            [(3, t0 + dt.timedelta(hours=1))], schema
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM burst_test ORDER BY window_start").collect()
+        # the 2-minute burst at 12:00-12:02 is covered by the hopping
+        # windows starting 11:55 and 12:00 (length 10m, stride 5m)
+        assert [r["user_id"] for r in rows] == [1, 1]
+        assert all(r["n_events"] == 5 for r in rows)
+        starts = [r["window_start"] for r in rows]
+        assert starts == [
+            t0 - dt.timedelta(minutes=5), t0
+        ]
+        # exactly-once: re-draining emits nothing new
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM burst_test").collect()[0]["c"] == 2
+    finally:
+        q.stop()
+
+
+def test_burst_alerts_batch_twin_matches(spark):
+    """The same function on a static frame gives the batch answer —
+    the exact-forensics twin contract."""
+    import datetime as dt
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.alerts import (
+        burst_alerts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0 + dt.timedelta(seconds=30 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = burst_alerts(
+        df, threshold=5, window="10 minutes", slide="5 minutes"
+    ).collect()
+    assert len(out) == 2 and all(r["n_events"] == 5 for r in out)
