@@ -164,6 +164,7 @@ HEADLINE = [
     "doc_containment",
     "events_kcore",
     "emb_kcenter_sample",
+    "events_weighted_median",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -793,3 +793,68 @@ def _bloom_sql() -> str:
 
 
 register("events_bloom_prefilter", q_events_bloom_prefilter, _bloom_sql())
+
+
+# ---- weighted median --------------------------------------------------------
+# The importance-weighted center: each event's value counts with
+# weight 1 + (props.k mod 100) — the robust aggregate curation
+# pipelines use when rows carry sampling weights (mixture-sampled
+# corpora, inverse-propensity event logs).  Lower weighted median:
+# the first value (in (value, event_id) order) whose running weight
+# reaches ceil(W/2).  Both the cumulative sum and the threshold are
+# exact BIGINTs, the selected value is a raw double — nothing to
+# drift.  ONE shuffle on event_type: the cumsum window and the
+# argmin aggregate share it.  O(types) output.
+
+def q_events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        F.get_json_object("props", "$.k").cast("bigint") % 100 + 1
+    ).alias("__w")
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("event_type")
+    d = ev.select("event_type", "value", "event_id", w).select(
+        "event_type", "value",
+        F.sum("__w").over(win).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tw"),
+    )
+    hit = d.filter(F.col("__cw") >= (F.col("__tw") + 1) / 2)
+    return (
+        hit.groupBy("event_type")
+        .agg(
+            F.min(F.struct(F.col("__cw"), F.col("value"))).alias("__m"),
+            F.max("__tw").alias("total_weight"),
+        )
+        .select(
+            "event_type",
+            F.col("__m.value").alias("weighted_median"),
+            "total_weight",
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_weighted_median",
+    q_events_weighted_median,
+    """
+    WITH d AS (
+      SELECT event_type, value,
+             SUM(CAST(json_extract(props, '$.k') AS BIGINT) % 100 + 1)
+               OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(json_extract(props, '$.k') AS BIGINT) % 100 + 1)
+               OVER (PARTITION BY event_type) AS tw
+      FROM events WHERE value IS NOT NULL
+    ),
+    hit AS (SELECT * FROM d WHERE cw >= (tw + 1) / 2)
+    SELECT event_type,
+           (MIN({'cw': cw, 'v': value})).v AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM hit
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
