@@ -165,6 +165,7 @@ HEADLINE = [
     "events_kcore",
     "emb_kcenter_sample",
     "events_weighted_median",
+    "events_incremental_agg",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

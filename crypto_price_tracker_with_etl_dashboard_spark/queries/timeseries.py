@@ -416,3 +416,54 @@ register(
     ORDER BY event_type, week
     """,
 )
+
+
+# ---- incremental aggregate maintenance -------------------------------------
+# The lambda-architecture rollup (operators/incremental.py): the
+# first 25 days' daily aggregate is the "materialized base"; the
+# last 5 days are the delta batch; the certified output is
+# finalize(merge(base_state, delta_state)).  The DuckDB oracle
+# recomputes from ALL facts — so the green row PROVES merge ==
+# recompute, bit-for-bit (fixed-point partials make the equality
+# exact).  Shuffles: one per state build (partial-agged) + one
+# O(groups) merge; the base facts would not be rescanned in
+# production (the state table is what's stored).
+
+_INCR_CUT = "2024-01-26"
+
+
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    )
+    cut = F.lit(_INCR_CUT).cast("timestamp")
+    base = agg_state(ev.filter(F.col("day") < cut), ["event_type", "day"], "value")
+    delta = agg_state(ev.filter(F.col("day") >= cut), ["event_type", "day"], "value")
+    return finalize(merge_states(base, delta)).orderBy("event_type", "day")
+
+
+register(
+    "events_incremental_agg",
+    q_events_incremental_agg,
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(value * 10000) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 10000, 4) AS sum_value,
+           round(CAST(SUM(CAST(round(value * 10000) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 10000 / COUNT(*), 6) AS mean_value,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)

@@ -280,3 +280,51 @@ def test_gini_uniform_values_near_zero(spark):
         agg["n"] * float(agg["sx"])
     )
     assert g == 0.0
+
+
+def test_incremental_merge_equals_recompute(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    merged = finalize(
+        merge_states(
+            agg_state(ev.filter(F.col("day") < cut), ["event_type", "day"], "value"),
+            agg_state(ev.filter(F.col("day") >= cut), ["event_type", "day"], "value"),
+        )
+    )
+    full = finalize(agg_state(ev, ["event_type", "day"], "value"))
+    m = {(r["event_type"], r["day"]): r for r in merged.collect()}
+    f = {(r["event_type"], r["day"]): r for r in full.collect()}
+    assert m.keys() == f.keys()
+    for k in f:
+        for c in ("n", "sum_value", "mean_value", "v_min", "v_max"):
+            assert m[k][c] == f[k][c], (k, c)
+
+
+def test_incremental_merge_is_associative(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    rows = [("a", 1.5), ("a", 2.5), ("a", -1.0), ("b", 7.0)]
+    dfs = [
+        spark.createDataFrame([(t, v)], ["k", "v"]) for t, v in rows
+    ]
+    states = [agg_state(d, ["k"], "v") for d in dfs]
+    left = merge_states(merge_states(states[0], states[1]),
+                        merge_states(states[2], states[3]))
+    right = merge_states(states[0],
+                         merge_states(states[1],
+                                      merge_states(states[2], states[3])))
+    assert sorted(map(tuple, finalize(left).collect())) == sorted(
+        map(tuple, finalize(right).collect())
+    )
