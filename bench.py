@@ -166,6 +166,9 @@ HEADLINE = [
     "emb_kcenter_sample",
     "events_weighted_median",
     "events_incremental_agg",
+    "events_ab_lift",
+    "prices_jump_detect",
+    "doc_langid_confusion",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

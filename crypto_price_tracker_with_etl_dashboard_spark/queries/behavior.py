@@ -858,3 +858,84 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---- A/B arm comparison -----------------------------------------------------
+# The experiment readout: users hash-split into two arms (entity-
+# level lcg split — the leakage-safe assignment events_split_leakage
+# exists to defend), conversion = "user purchased at least once",
+# and the two-proportion z statistic from the pooled rate.  Counts
+# are exact integers; the rate/z chain is one fixed sequence of
+# double ops (sqrt is IEEE-correctly-rounded) both engines evaluate
+# identically.  Shuffles: one user_id agg; the readout is a 1-row
+# fold of the O(users) arm table.
+
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        hash_split(ev, "user_id", {"a": 50, "b": 50}, hasher=lcg_bucket)
+        .groupBy("split", "user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("__conv")
+        )
+    )
+    arms = per_user.groupBy().agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("split") == "a", F.col("__conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("split") == "b", F.col("__conv")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return arms.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.when(se > 0, F.round((p_a - p_b) / se, 6)).alias("z_stat"),
+    )
+
+
+def _ab_lift_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    pool = "((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))"
+    se = (
+        f"sqrt({pool} * (1.0 - {pool}) * (1.0 / n_a + 1.0 / n_b))"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT CASE WHEN {sql_lcg_bucket('user_id')} < 50 THEN 'a' ELSE 'b' END
+               AS split,
+             user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events
+      GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN split = 'a' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN split = 'b' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM per_user
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           CASE WHEN {se} > 0
+                THEN round((conv_a / CAST(n_a AS DOUBLE)
+                            - conv_b / CAST(n_b AS DOUBLE)) / {se}, 6)
+           END AS z_stat
+    FROM arms
+    """
+
+
+register("events_ab_lift", q_events_ab_lift, _ab_lift_sql())

@@ -18,6 +18,7 @@ NEW_THIS_ROUND note).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     bollinger,
@@ -243,3 +244,117 @@ register(
         bucket="day", extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )
+
+
+# ---- robust price-jump detection -------------------------------------------
+# The alerting cut on the tick stream: a return is a "jump" when it
+# sits more than K MADs from its symbol's median return — the
+# moment-free formulation that a handful of flash spikes cannot mask
+# (the same argument as events_robust_outliers, applied to ppb-
+# quantized returns).  Lower medians via the rank trick (the VALUE
+# at rank (n+1)//2 is deterministic even under ties); everything
+# integer until the output.  Shuffles: one symbol-key window for the
+# returns + two median passes sharing the key; med/MAD tables are
+# O(symbols) broadcasts.
+
+_JUMP_K = 8
+
+
+def q_prices_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("timestamp").asc(), F.col("event_id").asc()
+    )
+    rets = (
+        prices.filter(F.col("current_price").isNotNull())
+        .select(
+            "symbol", "timestamp", "event_id",
+            F.col("current_price").alias("__c"),
+            F.lag("current_price").over(w).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & (F.col("__p") != 0.0))
+        .select(
+            "symbol", "timestamp", "event_id",
+            F.round((F.col("__c") - F.col("__p")) / F.col("__p") * 1000000000.0)
+            .cast("bigint").alias("ret_ppb"),
+        )
+    )
+    wr = Window.partitionBy("symbol").orderBy("ret_ppb")
+    wc = Window.partitionBy("symbol")
+    ranked = rets.select(
+        "symbol", "ret_ppb",
+        F.row_number().over(wr).alias("__rn"),
+        F.count("*").over(wc).alias("__n"),
+    )
+    med = ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2")).select(
+        "symbol", F.col("ret_ppb").alias("__med")
+    )
+    dev = rets.join(F.broadcast(med), "symbol").withColumn(
+        "__d", F.abs(F.col("ret_ppb") - F.col("__med"))
+    )
+    wd = Window.partitionBy("symbol").orderBy("__d")
+    rdev = dev.select(
+        "symbol", "__d",
+        F.row_number().over(wd).alias("__rn"),
+        F.count("*").over(wc).alias("__n"),
+    )
+    mad = rdev.filter(F.col("__rn") == F.expr("(__n + 1) div 2")).select(
+        "symbol", F.col("__d").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "symbol")
+        .filter(F.col("__d") > _JUMP_K * F.col("__mad"))
+        .select(
+            "symbol", "timestamp", "event_id", "ret_ppb",
+            F.col("__d").alias("dev_ppb"),
+            F.col("__mad").alias("mad_ppb"),
+        )
+        .orderBy("symbol", "timestamp", "event_id")
+    )
+
+
+def _jump_sql() -> str:
+    return f"""
+    WITH {PRICES_CTE_SQL.strip()},
+    rets AS (
+      SELECT symbol, timestamp, event_id,
+             CAST(round((c - p) / p * 1000000000.0) AS BIGINT) AS ret_ppb
+      FROM (
+        SELECT symbol, timestamp, event_id, current_price AS c,
+               lag(current_price) OVER (
+                 PARTITION BY symbol ORDER BY timestamp ASC, event_id ASC) AS p
+        FROM prices WHERE current_price IS NOT NULL
+      ) WHERE p IS NOT NULL AND p <> 0.0
+    ),
+    med AS (
+      SELECT symbol, ret_ppb AS med FROM (
+        SELECT symbol, ret_ppb,
+               row_number() OVER (PARTITION BY symbol ORDER BY ret_ppb) AS rn,
+               COUNT(*) OVER (PARTITION BY symbol) AS n
+        FROM rets
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT r.symbol, r.timestamp, r.event_id, r.ret_ppb,
+             abs(r.ret_ppb - m.med) AS d
+      FROM rets r JOIN med m ON m.symbol = r.symbol
+    ),
+    mad AS (
+      SELECT symbol, d AS mad FROM (
+        SELECT symbol, d,
+               row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY symbol) AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.symbol, dev.timestamp, dev.event_id, dev.ret_ppb,
+           dev.d AS dev_ppb, mad.mad AS mad_ppb
+    FROM dev JOIN mad ON mad.symbol = dev.symbol
+    WHERE dev.d > {_JUMP_K} * mad.mad
+    ORDER BY dev.symbol, dev.timestamp, dev.event_id
+    """
+
+
+register("prices_jump_detect", q_prices_jump_detect, _jump_sql())

@@ -1223,3 +1223,46 @@ register(
     WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= {_CONTAINMENT_T}
     """,
 )
+
+
+# ---- language-ID confusion matrix ------------------------------------------
+# The evaluation the langid heuristic deserves: guess vs the corpus's
+# labeled lang column, with within-label shares in exact ppm — the
+# precision/recall raw material.  One (lang, guess) agg; the share
+# window runs over the O(|langs|^2) aggregate.
+
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return agg.select(
+        "lang", "guess", "n",
+        F.round(F.col("n") * 1000000.0 / tot).cast("bigint").alias("share_ppm"),
+    ).orderBy("lang", "guess")
+
+
+def _langid_confusion_sql() -> str:
+    # reuse the certified langid CASE expression over the hit counts
+    inner = _langid_sql().strip()
+    return f"""
+    WITH guesses AS ({inner}),
+    agg AS (
+      SELECT d.lang, g.lang_guess AS guess, COUNT(*) AS n
+      FROM documents d JOIN guesses g USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT lang, guess, n,
+           CAST(round(n * 1000000.0 / SUM(n) OVER (PARTITION BY lang))
+                AS BIGINT) AS share_ppm
+    FROM agg
+    ORDER BY lang, guess
+    """
+
+
+register("doc_langid_confusion", q_doc_langid_confusion, _langid_confusion_sql())
