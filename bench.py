@@ -169,6 +169,8 @@ HEADLINE = [
     "events_ab_lift",
     "prices_jump_detect",
     "doc_langid_confusion",
+    "emb_maxsim_topk",
+    "orders_cohort_ltv",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -782,3 +782,60 @@ def _eqdepth_sql() -> str:
 
 
 register("events_eqdepth_histogram", q_events_eqdepth_histogram, _eqdepth_sql())
+
+
+# ---- Cohort lifetime-value matrix ------------------------------------------
+# The revenue sibling of events_retention_cohorts: customers grouped
+# by first-order year, revenue tracked by years-since-acquisition —
+# the (cohort, age) LTV triangle.  The first-order year comes from a
+# min window over the SAME custkey partitioning the revenue
+# aggregate reuses (one shuffle, no join); money sums are
+# fixed-point.  O(years^2) output.
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    d = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("__y"),
+        "o_totalprice",
+    ).withColumn("cohort_year", F.min("__y").over(w))
+    return (
+        d.groupBy(
+            "cohort_year", (F.col("__y") - F.col("cohort_year")).alias("years_since")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .select(
+            "cohort_year", "years_since", "n_active", "n_orders",
+            F.round(F.col("revenue"), 4).alias("revenue"),
+        )
+        .orderBy("cohort_year", "years_since")
+    )
+
+
+register(
+    "orders_cohort_ltv",
+    q_orders_cohort_ltv,
+    f"""
+    WITH d AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS y, o_totalprice,
+             MIN(EXTRACT(year FROM o_orderdate))
+               OVER (PARTITION BY o_custkey) AS cohort_year
+      FROM orders
+    )
+    SELECT CAST(cohort_year AS INT) AS cohort_year,
+           CAST(y - cohort_year AS INT) AS years_since,
+           COUNT(DISTINCT o_custkey) AS n_active,
+           COUNT(*) AS n_orders,
+           round({sql_dsum('o_totalprice')}, 4) AS revenue
+    FROM d
+    GROUP BY 1, 2
+    ORDER BY cohort_year, years_since
+    """,
+)

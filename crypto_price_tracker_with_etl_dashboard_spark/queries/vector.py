@@ -1186,3 +1186,93 @@ def _kcenter_sql() -> str:
 
 
 register("emb_kcenter_sample", q_emb_kcenter_sample, _kcenter_sql())
+
+
+# ---- Late-interaction (MaxSim) retrieval ------------------------------------
+# ColBERT-style scoring: a QUERY is a SET of token vectors, a DOC is
+# a SET of vectors (here: a label group), and
+#     score(Q, D) = sum over q in Q of max over d in D cos(q, d)
+# — each query token finds its best-matching doc vector
+# independently.  The structural point vs single-vector cosine: one
+# pooled embedding averages away individual aspects; MaxSim keeps
+# them.  Determinism: each per-pair cosine is rounded to 6dp then
+# ppm-quantized to an exact BIGINT, so the per-token MAX and the
+# final SUM are integer ops no aggregation order can perturb.
+# Plan: the 8-row token table broadcasts onto ONE corpus scan; max
+# collapses per (label, token) map-side; the sum and rank run over
+# the O(labels x tokens) aggregate.
+
+_MAXSIM_N_QUERIES = 2
+_MAXSIM_TOKENS = 4  # vectors per query: vec_ids [q*4, q*4+4)
+
+
+def q_emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_tok = _MAXSIM_N_QUERIES * _MAXSIM_TOKENS
+    tokens = emb.filter(F.col("vec_id") < n_tok).select(
+        (F.col("vec_id") / _MAXSIM_TOKENS).cast("int").alias("query_id"),
+        F.col("vec_id").alias("token_id"),
+        F.col("embedding").alias("tok_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_tok)
+    cos_ppm = F.round(
+        F.round(S.cosine(F.col("tok_vec"), F.col("embedding")), 6) * 1000000.0
+    ).cast("bigint")
+    pairs = corpus.crossJoin(F.broadcast(tokens)).select(
+        "query_id", "token_id", "label", cos_ppm.alias("__cos_ppm")
+    )
+    per_token = pairs.groupBy("query_id", "label", "token_id").agg(
+        F.max("__cos_ppm").alias("__m")
+    )
+    scored = per_token.groupBy("query_id", "label").agg(
+        F.sum("__m").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("label").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "label", "score_ppm",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _maxsim_sql() -> str:
+    n_tok = _MAXSIM_N_QUERIES * _MAXSIM_TOKENS
+    cos = _sql_cosine("t.tok_vec", "e.embedding")
+    return f"""
+    WITH toks AS (
+      SELECT CAST(vec_id // {_MAXSIM_TOKENS} AS INT) AS query_id,
+             vec_id AS token_id, embedding AS tok_vec
+      FROM embeddings WHERE vec_id < {n_tok}
+    ),
+    pairs AS (
+      SELECT t.query_id, t.token_id, e.label,
+             CAST(round({cos} * 1000000.0) AS BIGINT) AS cos_ppm
+      FROM embeddings e CROSS JOIN toks t
+      WHERE e.vec_id >= {n_tok}
+    ),
+    per_token AS (
+      SELECT query_id, label, token_id, MAX(cos_ppm) AS m
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_id, label, CAST(SUM(m) AS BIGINT) AS score_ppm
+      FROM per_token GROUP BY 1, 2
+    )
+    SELECT query_id, label, score_ppm, rnk FROM (
+      SELECT query_id, label, score_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_ppm DESC, label ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """
+
+
+register("emb_maxsim_topk", q_emb_maxsim_topk, _maxsim_sql())
