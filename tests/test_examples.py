@@ -39,3 +39,18 @@ def test_vector_search_pipeline_end_to_end(spark):
     # pair carries a rank 1..k and a finite distance
     rows = reranked.collect()
     assert all(1 <= r["rnk"] <= 5 and r["d2"] is not None for r in rows)
+
+
+def test_market_analytics_pipeline_end_to_end(spark):
+    from examples.market_analytics_pipeline import analyze
+
+    stats = analyze(spark, SF_SMALL)
+    # every indicator emits rows on the sf0.001 tick stream
+    for k in ("vwap", "twap", "bollinger", "stochastic", "rsi", "ema_macd",
+              "drawdown", "trend"):
+        assert stats[k] > 0, k
+    # the tick counts differ per indicator only through their warmup
+    # frames: bollinger (20) emits fewer rows than stochastic (14+3)
+    assert stats["bollinger"] <= stats["stochastic"] <= stats["twap"] * 1000
+    assert len(stats["worst"]) == 3
+    assert stats["corr_pairs"] <= 45  # C(10, 2)

@@ -404,3 +404,23 @@ def test_split_leakage_single_user_shuffle(spark):
     plan = plan_of(SPARK_QUERIES["events_split_leakage"](spark, SF_SMALL))
     assert plan.count("Exchange") <= 2
     assert "partial_sum" in plan
+
+
+def test_maxsim_tokens_broadcast_corpus_not_shuffled(spark):
+    """MaxSim: the token table must broadcast onto the corpus scan —
+    no sort-merge join, no cartesian against a non-broadcast side."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["emb_maxsim_topk"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_ltv_single_custkey_shuffle(spark):
+    """The min-year window and the revenue aggregate must share one
+    custkey Exchange (plus the tiny output sort)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["orders_cohort_ltv"](spark, SF_SMALL))
+    assert plan.count("Exchange") <= 3  # custkey + final agg + sort
+    assert "CartesianProduct" not in plan
