@@ -960,3 +960,135 @@ def sql_twap(
            round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE) / {SCALE}, 6) AS twap
     FROM agg WHERE tw > 0
     """
+
+
+def heikin_ashi(
+    candles: DataFrame,
+    key: str,
+    order_col: str,
+) -> DataFrame:
+    """Heikin-Ashi smoothed candles from plain OHLC candles — the
+    chart variant that filters noise by making each candle's open
+    the midpoint of the PREVIOUS smoothed candle (an inherently
+    recursive definition, like EMA):
+
+        ha_close_t = (o_t + h_t + l_t + c_t) / 4
+        ha_open_t  = (ha_open_{t-1} + ha_close_{t-1}) / 2   (seed: (o_1+c_1)/2)
+        ha_high_t  = max(h_t, ha_open_t, ha_close_t)
+        ha_low_t   = min(l_t, ha_open_t, ha_close_t)
+
+    Same exactness discipline as :func:`ema_macd`: the recursion runs
+    over fixed-point BIGINTs with round-half-up integer division
+    ((s + 2) // 4, (s + 1) // 2 — floor division, matching DuckDB's
+    `//`), so a WITH RECURSIVE oracle re-derives every candle
+    bit-for-bit; the only doubles are the final /SCALE renders.
+    Same execution shape too: one repartition on the key + in-
+    partition sort, then ONE ``mapInPandas`` stream with a per-key
+    state dict carried across Arrow batches (never per-group
+    applyInPandas).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{key} string, {order_col} timestamp, rn long, "
+        "ha_open double, ha_high double, ha_low double, ha_close double"
+    )
+
+    def run(batches):
+        state: dict = {}  # key -> (ha_open_u, ha_close_u, rn)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ks = pdf[key].to_numpy()
+            ou = pdf["__ou"].to_numpy().tolist()
+            hu = pdf["__hu"].to_numpy().tolist()
+            lu = pdf["__lu"].to_numpy().tolist()
+            cu = pdf["__cu"].to_numpy().tolist()
+            ho_a = np.empty(n, dtype=np.int64)
+            hh_a = np.empty(n, dtype=np.int64)
+            hl_a = np.empty(n, dtype=np.int64)
+            hc_a = np.empty(n, dtype=np.int64)
+            rn_a = np.empty(n, dtype=np.int64)
+            cur = None
+            ho = hc = rn = 0
+            for i in range(n):
+                k = ks[i]
+                if k != cur:
+                    cur = k
+                    if k in state:
+                        ho, hc, rn = state[k]
+                    else:
+                        ho, hc, rn = None, None, 0
+                hc_new = (ou[i] + hu[i] + lu[i] + cu[i] + 2) // 4
+                if rn == 0:
+                    ho_new = (ou[i] + cu[i] + 1) // 2
+                else:
+                    ho_new = (ho + hc + 1) // 2
+                rn += 1
+                ho, hc = ho_new, hc_new
+                state[k] = (ho, hc, rn)
+                ho_a[i] = ho
+                hc_a[i] = hc
+                hh_a[i] = max(hu[i], ho, hc)
+                hl_a[i] = min(lu[i], ho, hc)
+                rn_a[i] = rn
+            out = pdf[[key, order_col]].copy()
+            out["rn"] = rn_a
+            out["ha_open"] = ho_a / SCALE
+            out["ha_high"] = hh_a / SCALE
+            out["ha_low"] = hl_a / SCALE
+            out["ha_close"] = hc_a / SCALE
+            yield out
+
+    prepared = (
+        candles.select(
+            F.col(key).cast("string").alias(key),
+            F.col(order_col),
+            F.round(F.col("open") * SCALE).cast("bigint").alias("__ou"),
+            F.round(F.col("high") * SCALE).cast("bigint").alias("__hu"),
+            F.round(F.col("low") * SCALE).cast("bigint").alias("__lu"),
+            F.round(F.col("close") * SCALE).cast("bigint").alias("__cu"),
+        )
+        .repartition(key)
+        .sortWithinPartitions(key, order_col)
+    )
+    return prepared.mapInPandas(run, out_schema)
+
+
+def sql_heikin_ashi(candles_cte: str, key: str, order_col: str) -> str:
+    """DuckDB mirror of :func:`heikin_ashi`: WITH RECURSIVE frontier
+    join over the rn-indexed candle table.  ``candles_cte`` must end
+    with a ``candles`` relation carrying (key, order_col, open,
+    high, low, close)."""
+    return f"""
+    WITH RECURSIVE {candles_cte.rstrip().rstrip(',')},
+    seq AS (
+      SELECT CAST({key} AS VARCHAR) AS {key}, {order_col},
+             CAST(round(open * {SCALE}) AS BIGINT) AS ou,
+             CAST(round(high * {SCALE}) AS BIGINT) AS hu,
+             CAST(round(low * {SCALE}) AS BIGINT) AS lu,
+             CAST(round(close * {SCALE}) AS BIGINT) AS cu,
+             row_number() OVER (PARTITION BY {key} ORDER BY {order_col}) AS rn
+      FROM candles
+    ),
+    ha AS (
+      SELECT {key}, {order_col}, rn,
+             (ou + cu + 1) // 2 AS ho,
+             (ou + hu + lu + cu + 2) // 4 AS hc,
+             hu, lu
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.{key}, s.{order_col}, s.rn,
+             (h.ho + h.hc + 1) // 2,
+             (s.ou + s.hu + s.lu + s.cu + 2) // 4,
+             s.hu, s.lu
+      FROM seq s JOIN ha h ON s.{key} = h.{key} AND s.rn = h.rn + 1
+    )
+    SELECT {key}, {order_col}, rn,
+           CAST(ho AS DOUBLE) / {SCALE} AS ha_open,
+           CAST(greatest(hu, ho, hc) AS DOUBLE) / {SCALE} AS ha_high,
+           CAST(least(lu, ho, hc) AS DOUBLE) / {SCALE} AS ha_low,
+           CAST(hc AS DOUBLE) / {SCALE} AS ha_close
+    FROM ha
+    """

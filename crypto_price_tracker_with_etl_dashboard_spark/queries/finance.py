@@ -358,3 +358,46 @@ def _jump_sql() -> str:
 
 
 register("prices_jump_detect", q_prices_jump_detect, _jump_sql())
+
+
+def q_prices_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed 5-minute candles: the recursive chart
+    variant layered over the certified OHLC query
+    (operators/indicators.py::heikin_ashi) — each candle's open
+    depends on the whole prior series, so this is the second
+    certified arbitrary-length integer recursion after EMA/MACD."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        heikin_ashi,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import (
+        ohlc_candles,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    candles = ohlc_candles(prices, tiebreak_col="event_id", exact_volume=True)
+    return heikin_ashi(candles, key="symbol", order_col="window_start")
+
+
+def _heikin_ashi_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        sql_heikin_ashi,
+    )
+
+    candles_cte = f"""{PRICES_CTE_SQL.strip().rstrip(',')},
+    candles AS (
+      SELECT symbol,
+             CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300)
+                  AS TIMESTAMP) AS window_start,
+             arg_min(current_price,
+                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS open,
+             MAX(current_price) AS high,
+             MIN(current_price) AS low,
+             arg_max(current_price,
+                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS close
+      FROM prices
+      GROUP BY 1, 2
+    )"""
+    return sql_heikin_ashi(candles_cte, "symbol", "window_start")
+
+
+register("prices_heikin_ashi", q_prices_heikin_ashi, _heikin_ashi_sql())

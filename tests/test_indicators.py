@@ -402,3 +402,55 @@ def test_pairwise_corr_top_n_cut_is_deterministic(spark):
         top_n=2, min_obs=2, bucket="day",
     ).collect()
     assert {(r["s1"], r["s2"]) for r in out} == {("a", "b")}
+
+
+# ---- Heikin-Ashi -----------------------------------------------------------
+
+def test_heikin_ashi_recursion_matches_sequential(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        heikin_ashi,
+    )
+
+    candles = [
+        ("a", ts(0), 10.0, 12.0, 9.0, 11.0),
+        ("a", ts(1), 11.0, 13.0, 10.5, 12.5),
+        ("a", ts(2), 12.5, 12.6, 8.0, 9.0),
+    ]
+    df = spark.createDataFrame(
+        candles, ["symbol", "window_start", "open", "high", "low", "close"]
+    )
+    out = {
+        r["rn"]: r
+        for r in heikin_ashi(df, "symbol", "window_start").collect()
+    }
+    # sequential reference in exact fixed-point ints (SCALE=1e4)
+    S = 10000
+    ho = hc = None
+    for rn, (_, _, o, h, l, c) in enumerate(candles, start=1):
+        ou, hu, lu, cu = (round(v * S) for v in (o, h, l, c))
+        hc_new = (ou + hu + lu + cu + 2) // 4
+        ho = (ou + cu + 1) // 2 if rn == 1 else (ho + hc + 1) // 2
+        hc = hc_new
+        r = out[rn]
+        assert r["ha_open"] == ho / S and r["ha_close"] == hc / S
+        assert r["ha_high"] == max(hu, ho, hc) / S
+        assert r["ha_low"] == min(lu, ho, hc) / S
+
+
+def test_heikin_ashi_keys_independent(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        heikin_ashi,
+    )
+
+    rows = [
+        ("a", ts(0), 10.0, 10.0, 10.0, 10.0),
+        ("b", ts(0), 99.0, 99.0, 99.0, 99.0),
+        ("a", ts(1), 10.0, 10.0, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "window_start", "open", "high", "low", "close"]
+    )
+    out = heikin_ashi(df, "symbol", "window_start").collect()
+    by = {(r["symbol"], r["rn"]): r["ha_open"] for r in out}
+    assert by[("a", 1)] == 10.0 and by[("a", 2)] == 10.0
+    assert by[("b", 1)] == 99.0  # b's seed untouched by a's stream
