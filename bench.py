@@ -171,6 +171,8 @@ HEADLINE = [
     "doc_langid_confusion",
     "emb_maxsim_topk",
     "orders_cohort_ltv",
+    "prices_heikin_ashi",
+    "events_cuped_lift",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -939,3 +939,138 @@ def _ab_lift_sql() -> str:
 
 
 register("events_ab_lift", q_events_ab_lift, _ab_lift_sql())
+
+
+# ---- CUPED variance-reduced lift -------------------------------------------
+# The industrial-strength version of events_ab_lift: regress the
+# post-period metric on the pre-period metric (theta = cov/var) and
+# report the covariate-adjusted arm difference (Deng et al., WSDM
+# 2013).  The whole readout is ALGEBRAIC — adjusted arm means and
+# the variance reduction derive from the same six exact sums
+# (n, Sx, Sy, Sxy, Sxx, Syy — per arm and pooled), so no second
+# per-user pass is needed:
+#     mean(Y_adj | arm) = mean(Y|arm) - theta * (mean(X|arm) - mean(X))
+#     var reduction     = cov^2 / (varX * varY)       (= corr^2)
+# One user_id shuffle builds the per-user (pre, post) pair; one
+# 1-row fold computes every sum; the double chain is fixed.  Window
+# split: pre = days before Jan 16, post = the rest.
+
+_CUPED_CUT = "2024-01-16"
+
+
+def q_events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    vu = F.round(F.col("value") * SCALE).cast("bigint")
+    per_user = (
+        hash_split(ev, "user_id", {"a": 50, "b": 50}, hasher=lcg_bucket)
+        .groupBy("split", "user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, vu).otherwise(0)).alias("__x"),
+            F.sum(F.when(F.col("ts") >= cut, vu).otherwise(0)).alias("__y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    g = per_user.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y").cast(dec)).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("__syy"),
+        F.sum(F.when(F.col("split") == "a", F.col("__x").cast(dec))).alias("__sxa"),
+        F.sum(F.when(F.col("split") == "a", F.col("__y").cast(dec))).alias("__sya"),
+    )
+    n = F.col("n").cast("double")
+    n_a = F.col("n_a").cast("double")
+    n_b = n - n_a
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxa = F.col("__sxa").cast("double")
+    sya = F.col("__sya").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    theta = cov_n / var_x_n
+    mean_y_a = sya / n_a / SCALE
+    mean_y_b = (sy - sya) / n_b / SCALE
+    mean_x_a = sxa / n_a / SCALE
+    mean_x_b = (sx - sxa) / n_b / SCALE
+    diff_raw = mean_y_a - mean_y_b
+    diff_adj = diff_raw - theta * (mean_x_a - mean_x_b)
+    var_red = (cov_n * cov_n) / (var_x_n * var_y_n)
+    return g.filter((F.col("n") >= 2)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        (F.col("n") - F.col("n_a")).cast("bigint").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.round(diff_adj, 6).alias("diff_adj"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )
+
+
+def _cuped_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    return f"""
+    WITH per_user AS (
+      SELECT CASE WHEN {sql_lcg_bucket('user_id')} < 50 THEN 'a' ELSE 'b' END
+               AS split,
+             user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(round(value * {SCALE}) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(round(value * {SCALE}) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+             SUM(CASE WHEN split = 'a' THEN CAST(x AS DECIMAL(38,0)) END) AS sxa,
+             SUM(CASE WHEN split = 'a' THEN CAST(y AS DECIMAL(38,0)) END) AS sya
+      FROM per_user
+    ),
+    t AS (
+      SELECT n_a, CAST(n AS BIGINT) - n_a AS n_b,
+             CAST(n AS DOUBLE) AS nd, CAST(n_a AS DOUBLE) AS nad,
+             CAST(n AS DOUBLE) - CAST(n_a AS DOUBLE) AS nbd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxa AS DOUBLE) AS sxad, CAST(sya AS DOUBLE) AS syad
+      FROM g WHERE n >= 2
+    )
+    SELECT n_a, n_b,
+           round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS theta,
+           round(syad / nad / {SCALE} - (syd - syad) / nbd / {SCALE}, 6) AS diff_raw,
+           round((syad / nad / {SCALE} - (syd - syad) / nbd / {SCALE})
+                 - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+                   * (sxad / nad / {SCALE} - (sxd - sxad) / nbd / {SCALE}), 6)
+             AS diff_adj,
+           round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+             AS var_reduction
+    FROM t
+    """
+
+
+register("events_cuped_lift", q_events_cuped_lift, _cuped_sql())
