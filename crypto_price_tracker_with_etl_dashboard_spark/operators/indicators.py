@@ -1092,3 +1092,126 @@ def sql_heikin_ashi(candles_cte: str, key: str, order_col: str) -> str:
            CAST(hc AS DOUBLE) / {SCALE} AS ha_close
     FROM ha
     """
+
+
+def holt_smooth(
+    series: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    alpha_inv: int = 4,
+    gamma_inv: int = 4,
+) -> DataFrame:
+    """Holt double exponential smoothing per key — level + trend
+    state over an ordered series, the one-step forecaster layered on
+    counts/metrics time series:
+
+        l_t = x_t/a' + (a'-1)(l_{t-1} + b_{t-1})/a'    (a = 1/alpha_inv)
+        b_t = (l_t - l_{t-1})/g' + (g'-1) b_{t-1}/g'   (g = 1/gamma_inv)
+        forecast_{t+1} = l_t + b_t
+
+    Third member of the certified integer-recursion family (EMA/MACD,
+    Heikin-Ashi): state lives in fixed-point BIGINTs, every step is
+    a round-half-up integer division.  The trend numerator can go
+    NEGATIVE, where Python ``//`` floors but DuckDB ``//`` truncates
+    toward zero — the fold therefore uses explicit truncating
+    division (``-((-n) // d)`` for negative numerators) so the WITH
+    RECURSIVE oracle re-derives every (level, trend) bit-for-bit.
+    Seed: l_1 = x_1, b_1 = 0.  Same one-mapInPandas execution shape
+    as :func:`ema_macd`.
+    """
+    if alpha_inv < 2 or gamma_inv < 2:
+        raise ValueError("alpha_inv and gamma_inv must be >= 2")
+    import numpy as np
+
+    out_schema = (
+        f"{key} string, {order_col} timestamp, rn long, "
+        "level double, trend double, forecast_next double"
+    )
+    a, g = alpha_inv, gamma_inv
+    ha, hg = a // 2, g // 2
+
+    def run(batches):
+        state: dict = {}  # key -> (l, b, rn)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ks = pdf[key].to_numpy()
+            xs = pdf["__xu"].to_numpy().tolist()
+            l_a = np.empty(n, dtype=np.int64)
+            b_a = np.empty(n, dtype=np.int64)
+            rn_a = np.empty(n, dtype=np.int64)
+            cur = None
+            l = b = rn = 0
+            for i in range(n):
+                k = ks[i]
+                if k != cur:
+                    cur = k
+                    l, b, rn = state.get(k, (None, None, 0))
+                if rn == 0:
+                    l, b = xs[i], 0
+                else:
+                    # truncating division (DuckDB // semantics)
+                    def tdiv(num, den):
+                        return num // den if num >= 0 else -((-num) // den)
+
+                    l_new = tdiv(xs[i] + (a - 1) * (l + b) + ha, a)
+                    b = tdiv((l_new - l) + (g - 1) * b + hg, g)
+                    l = l_new
+                rn += 1
+                state[k] = (l, b, rn)
+                l_a[i], b_a[i], rn_a[i] = l, b, rn
+            out = pdf[[key, order_col]].copy()
+            out["rn"] = rn_a
+            out["level"] = l_a / SCALE
+            out["trend"] = b_a / SCALE
+            out["forecast_next"] = (l_a + b_a) / SCALE
+            yield out
+
+    prepared = (
+        series.filter(F.col(value).isNotNull())
+        .select(
+            F.col(key).cast("string").alias(key),
+            F.col(order_col),
+            F.round(F.col(value) * SCALE).cast("bigint").alias("__xu"),
+        )
+        .repartition(key)
+        .sortWithinPartitions(key, order_col)
+    )
+    return prepared.mapInPandas(run, out_schema)
+
+
+def sql_holt_smooth(
+    series_cte: str, key: str, order_col: str,
+    alpha_inv: int = 4, gamma_inv: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`holt_smooth` (WITH RECURSIVE frontier
+    join; ``series_cte`` must end with a ``series`` relation carrying
+    (key, order_col, value))."""
+    a, g = alpha_inv, gamma_inv
+    ha, hg = a // 2, g // 2
+    return f"""
+    WITH RECURSIVE {series_cte.rstrip().rstrip(',')},
+    seq AS (
+      SELECT CAST({key} AS VARCHAR) AS {key}, {order_col},
+             CAST(round(value * {SCALE}) AS BIGINT) AS xu,
+             row_number() OVER (PARTITION BY {key} ORDER BY {order_col}) AS rn
+      FROM series WHERE value IS NOT NULL
+    ),
+    holt AS (
+      SELECT {key}, {order_col}, rn, xu AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.{key}, s.{order_col}, s.rn,
+             (s.xu + {a - 1} * (h.l + h.b) + {ha}) // {a},
+             (((s.xu + {a - 1} * (h.l + h.b) + {ha}) // {a}) - h.l
+              + {g - 1} * h.b + {hg}) // {g}
+      FROM seq s JOIN holt h ON s.{key} = h.{key} AND s.rn = h.rn + 1
+    )
+    SELECT {key}, {order_col}, rn,
+           CAST(l AS DOUBLE) / {SCALE} AS level,
+           CAST(b AS DOUBLE) / {SCALE} AS trend,
+           CAST(l + b AS DOUBLE) / {SCALE} AS forecast_next
+    FROM holt
+    """

@@ -467,3 +467,43 @@ register(
     ORDER BY event_type, day
     """,
 )
+
+
+# ---- Holt forecast over daily event counts ---------------------------------
+# Double exponential smoothing (level + trend) per event type over
+# the daily count series — the one-step forecaster
+# (operators/indicators.py::holt_smooth, integer recursion, WITH
+# RECURSIVE oracle).  One (type, day) agg builds the series; the
+# fold is one mapInPandas stream.
+
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        holt_smooth,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("value"))
+    return holt_smooth(
+        daily, key="event_type", order_col="day", value="value"
+    ).orderBy("event_type", "day")
+
+
+def _holt_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        sql_holt_smooth,
+    )
+
+    series_cte = """series AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2
+    )"""
+    return (
+        sql_holt_smooth(series_cte, "event_type", "day")
+        + " ORDER BY event_type, day"
+    )
+
+
+register("events_holt_forecast", q_events_holt_forecast, _holt_sql())
