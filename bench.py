@@ -173,6 +173,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "prices_heikin_ashi",
     "events_cuped_lift",
+    "events_holt_forecast",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -454,3 +454,50 @@ def test_heikin_ashi_keys_independent(spark):
     by = {(r["symbol"], r["rn"]): r["ha_open"] for r in out}
     assert by[("a", 1)] == 10.0 and by[("a", 2)] == 10.0
     assert by[("b", 1)] == 99.0  # b's seed untouched by a's stream
+
+
+# ---- Holt smoothing ---------------------------------------------------------
+
+def test_holt_matches_sequential_reference(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        holt_smooth,
+    )
+
+    vals = [10.0, 12.0, 9.0, 15.0, 14.0, 3.0]
+    df = spark.createDataFrame(
+        [("a", ts(0, i), v) for i, v in enumerate(vals)],
+        ["k", "t", "v"],
+    )
+    out = {r["rn"]: r for r in holt_smooth(df, "k", "t", "v").collect()}
+    S, a, g = 10000, 4, 4
+
+    def tdiv(num, den):
+        return num // den if num >= 0 else -((-num) // den)
+
+    l = b = None
+    for rn, v in enumerate(vals, start=1):
+        xu = round(v * S)
+        if rn == 1:
+            l, b = xu, 0
+        else:
+            l_new = tdiv(xu + (a - 1) * (l + b) + a // 2, a)
+            b = tdiv((l_new - l) + (g - 1) * b + g // 2, g)
+            l = l_new
+        r = out[rn]
+        assert (r["level"], r["trend"]) == (l / S, b / S), rn
+        assert r["forecast_next"] == (l + b) / S
+
+
+def test_holt_linear_series_learns_the_slope(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        holt_smooth,
+    )
+
+    # x_t = 10 + 5t: trend state must converge toward 5
+    df = spark.createDataFrame(
+        [("a", ts(0, i), 10.0 + 5.0 * i) for i in range(40)],
+        ["k", "t", "v"],
+    )
+    last = holt_smooth(df, "k", "t", "v").orderBy("rn").collect()[-1]
+    assert abs(last["trend"] - 5.0) < 0.5
+    assert abs(last["forecast_next"] - (10.0 + 5.0 * 40)) < 3.0
