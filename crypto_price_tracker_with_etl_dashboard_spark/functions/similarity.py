@@ -1458,14 +1458,12 @@ def kcenter_sample(
             "__id", "__v",
             F.least(F.col("__d2"), _dist2(F.col("__v"), lit_c)).alias("__d2"),
         ).localCheckpoint(eager=True)
+    # explicit schema: at k=1 the only sel_dist2 is None and type
+    # inference would fail
     out = spark.createDataFrame(
-        chosen, ["sel_order", id_col, "sel_dist2"]
+        chosen, f"sel_order int, {id_col} bigint, sel_dist2 double"
     )
-    return out.select(
-        F.col("sel_order").cast("int"),
-        F.col(id_col).cast("bigint"),
-        F.col("sel_dist2").cast("double"),
-    ).orderBy("sel_order")
+    return out.orderBy("sel_order")
 
 
 def sql_kcenter_sample(k: int, dim: int) -> str:

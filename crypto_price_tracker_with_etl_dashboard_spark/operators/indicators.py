@@ -634,15 +634,14 @@ def stochastic(
         )
         .filter(F.col("__rn") >= k_period)
     )
-    wd2 = Window.partitionBy(key).orderBy(*order_cols)
-    dframe = wd2.rowsBetween(-(d_period - 1), 0)
+    dframe = wd.rowsBetween(-(d_period - 1), 0)
     return (
         staged.select(
             key,
             *order_by,
             price,
             F.col("__k_ppm"),
-            F.row_number().over(wd2).alias("__rn2"),
+            F.row_number().over(wd).alias("__rn2"),
             F.sum("__k_ppm").over(dframe).alias("__d_sum"),
         )
         .filter(F.col("__rn2") >= d_period)
@@ -763,6 +762,9 @@ def pairwise_corr(
             F.round((F.col("__c") - F.col("__p")) / F.col("__p") * 1000000000.0)
             .cast("bigint").alias("__r"),
         )
+        # O(top_n x buckets) rows; materialize so the pair self-join
+        # does not re-run the tick scan + closes window twice
+        .localCheckpoint(eager=True)
     )
     a = rets.select(
         F.col(key).alias("s1"), F.col("__bk"), F.col("__r").alias("__x")
@@ -1042,7 +1044,15 @@ def heikin_ashi(
             yield out
 
     prepared = (
-        candles.select(
+        candles
+        # a window whose ticks all carry NULL price yields NULL OHLC
+        # cells; they have no place in the recursion (and would NaN
+        # the int64 fold) — drop them, as the SQL twin does
+        .filter(
+            F.col("open").isNotNull() & F.col("high").isNotNull()
+            & F.col("low").isNotNull() & F.col("close").isNotNull()
+        )
+        .select(
             F.col(key).cast("string").alias(key),
             F.col(order_col),
             F.round(F.col("open") * SCALE).cast("bigint").alias("__ou"),
@@ -1071,6 +1081,8 @@ def sql_heikin_ashi(candles_cte: str, key: str, order_col: str) -> str:
              CAST(round(close * {SCALE}) AS BIGINT) AS cu,
              row_number() OVER (PARTITION BY {key} ORDER BY {order_col}) AS rn
       FROM candles
+      WHERE open IS NOT NULL AND high IS NOT NULL
+        AND low IS NOT NULL AND close IS NOT NULL
     ),
     ha AS (
       SELECT {key}, {order_col}, rn,
@@ -1092,6 +1104,12 @@ def sql_heikin_ashi(candles_cte: str, key: str, order_col: str) -> str:
            CAST(hc AS DOUBLE) / {SCALE} AS ha_close
     FROM ha
     """
+
+
+def _tdiv(num: int, den: int) -> int:
+    """Truncating integer division (DuckDB ``//`` semantics: toward
+    zero on negatives, where Python ``//`` floors)."""
+    return num // den if num >= 0 else -((-num) // den)
 
 
 def holt_smooth(
@@ -1152,12 +1170,8 @@ def holt_smooth(
                 if rn == 0:
                     l, b = xs[i], 0
                 else:
-                    # truncating division (DuckDB // semantics)
-                    def tdiv(num, den):
-                        return num // den if num >= 0 else -((-num) // den)
-
-                    l_new = tdiv(xs[i] + (a - 1) * (l + b) + ha, a)
-                    b = tdiv((l_new - l) + (g - 1) * b + hg, g)
+                    l_new = _tdiv(xs[i] + (a - 1) * (l + b) + ha, a)
+                    b = _tdiv((l_new - l) + (g - 1) * b + hg, g)
                     l = l_new
                 rn += 1
                 state[k] = (l, b, rn)

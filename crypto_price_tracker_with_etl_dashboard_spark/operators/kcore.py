@@ -49,7 +49,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select("u", "v")
     deg = _degrees(e)
-    alive = deg.filter(F.col("deg") >= k).select("node")
+    # localCheckpoint per round (the pagerank/LPA/components
+    # discipline): without it every round's count() re-executes all
+    # previous rounds' semi-join + degree chains — O(rounds^2)
+    # recompute on a deep peel
+    alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
     n_alive = alive.count()
     for _ in range(max_rounds):
         e_alive = (
@@ -57,7 +61,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
             .join(F.broadcast(alive.withColumnRenamed("node", "v")), "v", "left_semi")
         )
         deg = _degrees(e_alive)
-        new_alive = deg.filter(F.col("deg") >= k).select("node")
+        new_alive = (
+            deg.filter(F.col("deg") >= k).select("node")
+            .localCheckpoint(eager=True)
+        )
         n_new = new_alive.count()
         if n_new == n_alive:
             return deg.filter(F.col("deg") >= k).select("node", "deg")

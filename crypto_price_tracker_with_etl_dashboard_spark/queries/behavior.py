@@ -820,7 +820,7 @@ def q_events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__w").over(win).alias("__cw"),
         F.sum("__w").over(tot).alias("__tw"),
     )
-    hit = d.filter(F.col("__cw") >= (F.col("__tw") + 1) / 2)
+    hit = d.filter(F.col("__cw") >= F.expr("(__tw + 1) div 2"))
     return (
         hit.groupBy("event_type")
         .agg(
@@ -849,7 +849,7 @@ register(
                OVER (PARTITION BY event_type) AS tw
       FROM events WHERE value IS NOT NULL
     ),
-    hit AS (SELECT * FROM d WHERE cw >= (tw + 1) / 2)
+    hit AS (SELECT * FROM d WHERE cw >= (tw + 1) // 2)
     SELECT event_type,
            (MIN({'cw': cw, 'v': value})).v AS weighted_median,
            CAST(MAX(tw) AS BIGINT) AS total_weight

@@ -383,20 +383,13 @@ def _heikin_ashi_sql() -> str:
         sql_heikin_ashi,
     )
 
-    candles_cte = f"""{PRICES_CTE_SQL.strip().rstrip(',')},
-    candles AS (
-      SELECT symbol,
-             CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300)
-                  AS TIMESTAMP) AS window_start,
-             arg_min(current_price,
-                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS open,
-             MAX(current_price) AS high,
-             MIN(current_price) AS low,
-             arg_max(current_price,
-                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS close
-      FROM prices
-      GROUP BY 1, 2
-    )"""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.reference import (
+        OHLC_CANDLES_CTE_SQL,
+    )
+
+    candles_cte = (
+        f"{PRICES_CTE_SQL.strip().rstrip(',')},\n    {OHLC_CANDLES_CTE_SQL}"
+    )
     return sql_heikin_ashi(candles_cte, "symbol", "window_start")
 
 

@@ -258,25 +258,37 @@ def q_prices_ohlc_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_candles(prices, tiebreak_col="event_id", exact_volume=True)
 
 
+# Shared candles CTE (also the base of prices_heikin_ashi's oracle —
+# the arg_min/arg_max weight is exactness-critical and must not fork:
+# epoch()::HUGEINT rounding is only safe because event_id is
+# ts-monotone in this corpus).  Requires the prices CTE in scope.
+OHLC_CANDLES_CTE_SQL = f"""candles AS (
+      SELECT symbol,
+             CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300)
+                  AS TIMESTAMP)                                      AS window_start,
+             CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300 + 300)
+                  AS TIMESTAMP)                                      AS window_end,
+             arg_min(current_price,
+                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS open,
+             MAX(current_price)                                      AS high,
+             MIN(current_price)                                      AS low,
+             arg_max(current_price,
+                     epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS close,
+             {sql_dsum('total_volume')}                              AS volume,
+             COUNT(*)                                                AS n_ticks
+      FROM prices
+      GROUP BY 1, 2, 3
+    )"""
+
+
 register(
     "prices_ohlc_5min",
     q_prices_ohlc_5min,
     f"""
-    WITH {PRICES_CTE_SQL}
-    SELECT symbol,
-           CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300)
-                AS TIMESTAMP)                                      AS window_start,
-           CAST(to_timestamp(floor(epoch(timestamp) / 300) * 300 + 300)
-                AS TIMESTAMP)                                      AS window_end,
-           arg_min(current_price,
-                   epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS open,
-           MAX(current_price)                                      AS high,
-           MIN(current_price)                                      AS low,
-           arg_max(current_price,
-                   epoch(timestamp)::HUGEINT * 10000000000 + event_id) AS close,
-           {sql_dsum('total_volume')}                              AS volume,
-           COUNT(*)                                                AS n_ticks
-    FROM prices
-    GROUP BY 1, 2, 3
+    WITH {PRICES_CTE_SQL},
+    {OHLC_CANDLES_CTE_SQL}
+    SELECT symbol, window_start, window_end, open, high, low, close,
+           volume, n_ticks
+    FROM candles
     """,
 )

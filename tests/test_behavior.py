@@ -328,3 +328,27 @@ def test_incremental_merge_is_associative(spark):
     assert sorted(map(tuple, finalize(left).collect())) == sorted(
         map(tuple, finalize(right).collect())
     )
+
+
+def test_weighted_median_lower_convention_even_total(spark, monkeypatch):
+    """The review-found off-by-one: with total weight W even and the
+    cumulative weight hitting exactly W/2 at value v1, the LOWER
+    weighted median is v1 (threshold ceil(W/2) = (W+1) div 2 in
+    INTEGER arithmetic — double division would demand W/2 + 0.5 and
+    return the next value)."""
+    import crypto_price_tracker_with_etl_dashboard_spark.queries.behavior as B
+
+    rows = [
+        # (event_id, type, value, weight via props.k): weights 5 and 5
+        (1, "t", 1.0, '{"k": 4}'),   # w = 4 % 100 + 1 = 5, cum 5
+        (2, "t", 9.0, '{"k": 4}'),   # w = 5, cum 10 = W
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value", "props"])
+    monkeypatch.setattr(
+        B, "load_table", lambda spark_, sf_dir, name: df
+    )
+    out = B.q_events_weighted_median(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    # ceil(10/2) = 5 is reached at value 1.0 -> lower median
+    assert (r["weighted_median"], r["total_weight"]) == (1.0, 10)
