@@ -1106,3 +1106,50 @@ def test_burst_alerts_batch_twin_matches(spark):
         df, threshold=5, window="10 minutes", slide="5 minutes"
     ).collect()
     assert len(out) == 2 and all(r["n_events"] == 5 for r in out)
+
+
+def test_wap_publishes_only_on_green_audits(spark, tmp_path):
+    """Write-Audit-Publish (sources/wap.py): a failing audit leaves
+    the published pointer on the previous version; a green batch
+    advances it; readers always see a complete version."""
+    import pytest
+
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.wap import (
+        AuditFailure,
+        audit_min_rows,
+        audit_no_nulls,
+        audit_unique_key,
+        write_audit_publish,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.cdc import (
+        current_version,
+        read_cdc_table,
+    )
+
+    tdir = str(tmp_path / "t")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    audits = {
+        "min_rows": audit_min_rows(1),
+        "no_null_keys": audit_no_nulls("k"),
+        "unique_key": audit_unique_key("k"),
+    }
+    v0 = write_audit_publish(good, tdir, audits)
+    assert v0 == 0 and current_version(tdir) == 0
+    assert read_cdc_table(spark, tdir).count() == 2
+
+    # bad batch: duplicate key AND a null key -> both audits report
+    bad = spark.createDataFrame([(1, "x"), (1, "y"), (None, "z")], ["k", "v"])
+    with pytest.raises(AuditFailure) as ei:
+        write_audit_publish(bad, tdir, audits)
+    assert ei.value.violations == {"no_null_keys": 1, "unique_key": 1}
+    # pointer untouched: readers still see the good version
+    assert current_version(tdir) == 0
+    assert read_cdc_table(spark, tdir).count() == 2
+    # staging retained for debugging
+    import os
+    assert os.path.isdir(str(tmp_path / "t" / "v=1"))
+
+    # next good batch publishes OVER the failed staging version
+    v2 = write_audit_publish(good.limit(1), tdir, audits)
+    assert v2 == 1 and current_version(tdir) == 1
+    assert read_cdc_table(spark, tdir).count() == 1
