@@ -174,6 +174,7 @@ HEADLINE = [
     "prices_heikin_ashi",
     "events_cuped_lift",
     "events_holt_forecast",
+    "doc_curation_funnel",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

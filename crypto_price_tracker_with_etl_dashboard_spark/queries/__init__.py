@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (63 debut candidates are queued at the pool tail, all
+# r7 PLAN (64 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -263,7 +263,7 @@ ROTATION_POOL: list[str] = [
     "events_weighted_median", "events_incremental_agg",
     "events_ab_lift", "prices_jump_detect", "doc_langid_confusion",
     "emb_maxsim_topk", "orders_cohort_ltv", "prices_heikin_ashi",
-    "events_cuped_lift", "events_holt_forecast",
+    "events_cuped_lift", "events_holt_forecast", "doc_curation_funnel",
 ]
 
 

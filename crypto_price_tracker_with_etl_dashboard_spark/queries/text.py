@@ -1266,3 +1266,127 @@ def _langid_confusion_sql() -> str:
 
 
 register("doc_langid_confusion", q_doc_langid_confusion, _langid_confusion_sql())
+
+
+# ---- certified curation funnel ---------------------------------------------
+# The capstone report: the training_data_pipeline example's funnel as
+# ONE certified single-row query — input -> quality gate -> exact
+# dedup -> near-dup removal -> decontamination, each stage count
+# exact.  The oracle COMPOSES the already-certified stage oracles
+# (doc_quality / doc_minhash_lsh / doc_decontaminate embedded as
+# subqueries), so the SQL twin cannot drift from the per-stage
+# definitions.  Near-dup rule is the deterministic keep-first cut:
+# drop d when some surviving a < d pairs with it at est_jaccard >=
+# 0.5 (no transitive clustering — doc_dup_clusters certifies that
+# separately).
+
+_FUNNEL_MIN_TOKENS = 25
+_FUNNEL_MIN_STOPWORDS = 1
+_FUNNEL_NEAR_J = 0.5
+_FUNNEL_CONTAM = 0.8
+
+
+def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    quality = docs.select(
+        "doc_id", "text",
+        feats["n_tokens"].alias("__nt"),
+        feats["distinct_stopwords"].alias("__sw"),
+    ).filter(
+        (F.col("__nt") >= _FUNNEL_MIN_TOKENS)
+        & (F.col("__sw") >= _FUNNEL_MIN_STOPWORDS)
+    )
+    w = Window.partitionBy(T.fingerprint("text"))
+    kept_exact = (
+        quality.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id")
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).filter(F.col("est_jaccard") >= _FUNNEL_NEAR_J)
+    droppers = pairs.join(
+        kept_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    after_near = kept_exact.join(droppers, "doc_id", "left_anti")
+    split = hash_split(fan_out(docs), "doc_id", hasher=lcg_bucket)
+    contaminated = (
+        D.contamination_report(
+            split.filter(F.col("split") == "train"),
+            split.filter(F.col("split") == "test"),
+        )
+        .filter(F.col("contamination") >= _FUNNEL_CONTAM)
+        .select("doc_id")
+    )
+    final = after_near.join(contaminated, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count("*").alias("n_input"))
+        .crossJoin(quality.agg(F.count("*").alias("n_quality")))
+        .crossJoin(kept_exact.agg(F.count("*").alias("n_after_exact")))
+        .crossJoin(after_near.agg(F.count("*").alias("n_after_neardup")))
+        .crossJoin(final.agg(F.count("*").alias("n_final")))
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import ORACLE_SQL
+
+    quality = ORACLE_SQL["doc_quality"]
+    lsh = ORACLE_SQL["doc_minhash_lsh"]
+    decon = ORACLE_SQL["doc_decontaminate"]
+    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return (
+        """
+    WITH quality AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN ("""
+        + quality
+        + f""") q ON q.doc_id = d.doc_id
+      WHERE q.n_tokens >= {_FUNNEL_MIN_TOKENS}
+        AND q.distinct_stopwords >= {_FUNNEL_MIN_STOPWORDS}
+    ),
+    kept_exact AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {fp}) AS min_id
+        FROM quality
+      ) WHERE doc_id = min_id
+    ),
+    droppers AS (
+      SELECT DISTINCT p.doc_b AS doc_id FROM ("""
+        + lsh
+        + f""") p
+      JOIN kept_exact k ON k.doc_id = p.doc_a
+      WHERE p.est_jaccard >= {_FUNNEL_NEAR_J}
+    ),
+    after_near AS (
+      SELECT doc_id FROM kept_exact
+      WHERE doc_id NOT IN (SELECT doc_id FROM droppers)
+    ),
+    contaminated AS (
+      SELECT doc_id FROM ("""
+        + decon
+        + f""") c WHERE c.contamination >= {_FUNNEL_CONTAM}
+    ),
+    final AS (
+      SELECT doc_id FROM after_near
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+           (SELECT COUNT(*) FROM quality) AS n_quality,
+           (SELECT COUNT(*) FROM kept_exact) AS n_after_exact,
+           (SELECT COUNT(*) FROM after_near) AS n_after_neardup,
+           (SELECT COUNT(*) FROM final) AS n_final
+    """
+    )
+
+
+register("doc_curation_funnel", q_doc_curation_funnel, _curation_funnel_sql())
