@@ -424,3 +424,24 @@ def test_cohort_ltv_single_custkey_shuffle(spark):
     plan = plan_of(SPARK_QUERIES["orders_cohort_ltv"](spark, SF_SMALL))
     assert plan.count("Exchange") <= 3  # custkey + final agg + sort
     assert "CartesianProduct" not in plan
+
+
+def test_recursion_folds_single_key_exchange(spark):
+    """Heikin-Ashi and Holt: candles/series agg + ONE key repartition
+    feeding the mapInPandas fold — no extra shuffles sneak in."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    for q in ("prices_heikin_ashi", "events_holt_forecast"):
+        plan = plan_of(SPARK_QUERIES[q](spark, SF_SMALL))
+        # candle/series agg exchange + key repartition (+AQE reads)
+        assert plan.count("Exchange") <= 3, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_weighted_median_single_type_shuffle(spark):
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    plan = plan_of(SPARK_QUERIES["events_weighted_median"](spark, SF_SMALL))
+    # cumsum window, total window, and the argmin agg all share the
+    # event_type partitioning
+    assert plan.count("Exchange") <= 2
