@@ -47,7 +47,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = edges.select("u", "v")
+    # materialize the edge projection ONCE (the triangles/LPA edge
+    # discipline): an uncached input would otherwise re-run its whole
+    # upstream build on every round's action
+    e = edges.select("u", "v").localCheckpoint(eager=True)
     deg = _degrees(e)
     # localCheckpoint per round (the pagerank/LPA/components
     # discipline): without it every round's count() re-executes all
@@ -67,7 +70,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         )
         n_new = new_alive.count()
         if n_new == n_alive:
-            return deg.filter(F.col("deg") >= k).select("node", "deg")
+            return (
+                deg.filter(F.col("deg") >= k).select("node", "deg")
+                .localCheckpoint(eager=True)
+            )
         alive, n_alive = new_alive, n_new
     raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
 

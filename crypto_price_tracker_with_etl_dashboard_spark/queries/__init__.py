@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining THIRTY-FOUR
+# block, leaving nothing older than r5.  The remaining FIFTY-SIX
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -118,9 +118,19 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # tpch_integrity, and the batch-6 eight: prices_bollinger,
 # prices_stochastic, prices_corr_matrix, doc_token_drift,
 # doc_quality_percentile, events_seasonality, events_wow_trending,
-# events_split_leakage) stay at the pool tail
-# and debut across r8/r9/r10+ via NEW_THIS_ROUND — split the cohort so
-# each round's rotation still reaches its oldest stale block.
+# events_split_leakage, and the batch-7..13 twenty-two:
+# events_attribution, events_burst_detect, events_value_gini,
+# emb_split_drift, prices_twap_daily, orders_rfm_segments,
+# events_eqdepth_histogram, events_bloom_prefilter, doc_containment,
+# events_kcore, emb_kcenter_sample, events_weighted_median,
+# events_incremental_agg, events_ab_lift, prices_jump_detect,
+# doc_langid_confusion, emb_maxsim_topk, orders_cohort_ltv,
+# prices_heikin_ashi, events_cuped_lift, events_holt_forecast,
+# doc_curation_funnel) stay at the pool tail
+# and debut across r8+ via NEW_THIS_ROUND (64 total candidates - 8
+# r7 debuts = 56 remaining; at ~8 debuts/round that cohort carries
+# through ~r14 — pick each round's debuts so the rotation still
+# reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
 FIXED_CORE: list[str] = [

@@ -260,10 +260,11 @@ register(
 _JUMP_K = 8
 
 
-def q_prices_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jump_detect(prices: DataFrame) -> DataFrame:
+    """The MAD jump cut over an existing prices relation (the form
+    the worked example composes — one shared prices plan)."""
     from pyspark.sql import Window
 
-    prices = prices_from_events(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy(
         F.col("timestamp").asc(), F.col("event_id").asc()
     )
@@ -313,6 +314,10 @@ def q_prices_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "timestamp", "event_id")
     )
+
+
+def q_prices_jump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jump_detect(prices_from_events(spark, sf_dir))
 
 
 def _jump_sql() -> str:

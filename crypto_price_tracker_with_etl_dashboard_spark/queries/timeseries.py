@@ -450,16 +450,20 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(merge_states(base, delta)).orderBy("event_type", "day")
 
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import (  # noqa: E402
+    SCALE as _SCALE,
+)
+
 register(
     "events_incremental_agg",
     q_events_incremental_agg,
-    """
+    f"""
     SELECT event_type, date_trunc('day', ts) AS day,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(round(value * 10000) AS DECIMAL(38,0))) AS DOUBLE)
-                 / 10000, 4) AS sum_value,
-           round(CAST(SUM(CAST(round(value * 10000) AS DECIMAL(38,0))) AS DOUBLE)
-                 / 10000 / COUNT(*), 6) AS mean_value,
+           round(CAST(SUM(CAST(round(value * {_SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+                 / {_SCALE}, 4) AS sum_value,
+           round(CAST(SUM(CAST(round(value * {_SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+                 / {_SCALE} / COUNT(*), 6) AS mean_value,
            MIN(value) AS v_min,
            MAX(value) AS v_max
     FROM events WHERE value IS NOT NULL

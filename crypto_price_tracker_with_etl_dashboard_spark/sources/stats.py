@@ -55,8 +55,11 @@ def pruning_report(
         must_open = must_open & (
             (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi))
         )
+    # NULL envelope (file's column is entirely NULL) => no non-null
+    # value exists, so a range predicate is unsatisfiable there:
+    # SKIP, and never let the NULL leak out of both counters
     flagged = stats.select(
-        "n_rows", must_open.alias("__open")
+        "n_rows", F.coalesce(must_open, F.lit(False)).alias("__open")
     )
     return flagged.agg(
         F.count("*").alias("n_files"),

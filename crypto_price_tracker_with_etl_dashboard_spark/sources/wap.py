@@ -85,6 +85,9 @@ def audit_min_rows(n: int) -> Callable[[DataFrame], int]:
 
 def audit_no_nulls(*cols: str) -> Callable[[DataFrame], int]:
     """Violations = rows where any of ``cols`` is NULL."""
+    if not cols:
+        raise ValueError("audit_no_nulls needs at least one column")
+
     def check(df: DataFrame) -> int:
         from pyspark.sql import functions as F
 

@@ -47,7 +47,7 @@ def analyze(spark, sf_dir: str) -> dict:
         vwap,
     )
     from crypto_price_tracker_with_etl_dashboard_spark.queries.finance import (
-        q_prices_jump_detect,
+        jump_detect,
     )
     from crypto_price_tracker_with_etl_dashboard_spark.sources import (
         prices_from_events,
@@ -87,7 +87,7 @@ def analyze(spark, sf_dir: str) -> dict:
     stats["corr_pairs"] = corr.count()
 
     # 3. alerts
-    stats["jump_alerts"] = q_prices_jump_detect(spark, sf_dir).count()
+    stats["jump_alerts"] = jump_detect(prices).count()
     return stats
 
 
