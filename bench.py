@@ -175,6 +175,8 @@ HEADLINE = [
     "events_cuped_lift",
     "events_holt_forecast",
     "doc_curation_funnel",
+    "orders_pareto_report",
+    "doc_lsh_calibration",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

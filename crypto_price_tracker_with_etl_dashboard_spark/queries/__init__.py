@@ -274,6 +274,7 @@ ROTATION_POOL: list[str] = [
     "events_ab_lift", "prices_jump_detect", "doc_langid_confusion",
     "emb_maxsim_topk", "orders_cohort_ltv", "prices_heikin_ashi",
     "events_cuped_lift", "events_holt_forecast", "doc_curation_funnel",
+    "orders_pareto_report", "doc_lsh_calibration",
 ]
 
 

@@ -839,3 +839,98 @@ register(
     ORDER BY cohort_year, years_since
     """,
 )
+
+
+# ---- Pareto revenue-concentration report -----------------------------------
+# "What share of customers produces what share of revenue" — the
+# 80/20 report behind account-tiering decisions.  Customers rank by
+# monetary value through operators/rank.py::global_rank (value-range
+# buckets, no partitionless window), deciles come from the integer
+# NTILE closed form, and every share is an exact ppm ratio of two
+# DECIMAL(38,0) fixed-point sums.  Output: 10 rows with per-decile
+# and cumulative revenue shares.
+
+def q_orders_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        global_rank,
+        quantile_bucket,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("decimal(38,0)"))
+        .alias("__rev"),
+    )
+    n = per_cust.agg(
+        F.count("*").alias("__n"), F.sum("__rev").alias("__tot")
+    )
+    ranked = global_rank(
+        per_cust,
+        [F.col("__rev").desc(), F.col("o_custkey").asc()],
+        -F.floor(F.col("__rev") / 100000000),
+        "rank",
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            quantile_bucket(F.col("rank"), F.col("__n"), 10).alias("decile"),
+            "__rev", "__tot",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("__rev").alias("__dr"),
+            F.max("__tot").alias("__t"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    share = F.round(F.col("__dr").cast("double") * 1000000.0
+                    / F.col("__t").cast("double")).cast("bigint")
+    cum = F.round(F.sum(F.col("__dr")).over(w).cast("double") * 1000000.0
+                  / F.col("__t").cast("double")).cast("bigint")
+    return deciles.select(
+        "decile", "n_customers",
+        share.alias("revenue_share_ppm"),
+        cum.alias("cum_share_ppm"),
+    ).orderBy("decile")
+
+
+def _pareto_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        sql_quantile_bucket,
+    )
+
+    dq = sql_quantile_bucket("rnk", "n", 10)
+    return f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 10000) AS DECIMAL(38,0))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rnk,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS tot
+      FROM per_cust
+    ),
+    deciles AS (
+      SELECT {dq} AS decile, COUNT(*) AS n_customers,
+             SUM(rev) AS dr, MAX(tot) AS t
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           CAST(round(CAST(dr AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE))
+                AS BIGINT) AS revenue_share_ppm,
+           CAST(round(CAST(SUM(dr) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE))
+                AS BIGINT) AS cum_share_ppm
+    FROM deciles
+    ORDER BY decile
+    """
+
+
+register("orders_pareto_report", q_orders_pareto_report, _pareto_sql())

@@ -1390,3 +1390,96 @@ def _curation_funnel_sql() -> str:
 
 
 register("doc_curation_funnel", q_doc_curation_funnel, _curation_funnel_sql())
+
+
+# ---- LSH estimate calibration ----------------------------------------------
+# The audit a dedup pipeline owes its threshold choice: for every
+# MinHash candidate pair, compare the signature ESTIMATE to the TRUE
+# 3-gram Jaccard, aggregated per 0.1-wide estimate band.  Per-pair
+# error quantizes to an integer ppm before averaging (no
+# order-dependent double accumulation); the true Jaccard is the
+# uncapped set ratio, computed only on the candidate pairs — an
+# output-bounded set, so the per-pair set intersection is affordable
+# at any corpus size (the same argument as the LSH verify stage
+# itself).  Output: O(10) band rows.
+
+def q_doc_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    sh = docs.select(
+        "doc_id", D.shingles_from_tokens(T.tokens("text")).alias("__sh")
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("__sh", "__sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("__sh", "__sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    true_j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    scored = joined.select(
+        F.floor(F.col("est_jaccard") * 10).cast("int").alias("band"),
+        F.round(F.abs(F.col("est_jaccard") - true_j) * 1000000.0)
+        .cast("bigint").alias("__err_ppm"),
+        F.round(true_j * 1000000.0).cast("bigint").alias("__true_ppm"),
+    )
+    return (
+        scored.groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("__err_ppm").alias("__s"),
+            F.min("__true_ppm").alias("min_true_ppm"),
+            F.max("__true_ppm").alias("max_true_ppm"),
+        )
+        # integer floor division on both engines (a double divide +
+        # bigint cast ROUNDS in DuckDB but truncates in Spark)
+        .select(
+            "band", "n_pairs",
+            F.expr("__s div n_pairs").alias("mean_abs_err_ppm"),
+            "min_true_ppm", "max_true_ppm",
+        )
+        .orderBy("band")
+    )
+
+
+def _lsh_calibration_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import ORACLE_SQL
+
+    lsh = ORACLE_SQL["doc_minhash_lsh"]
+    return (
+        """
+    WITH pairs AS ("""
+        + lsh
+        + f"""),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    scored AS (
+      SELECT CAST(floor(p.est_jaccard * 10) AS INT) AS band,
+             CAST(round(abs(p.est_jaccard - CASE
+               WHEN (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               ELSE 0.0 END) * 1000000.0) AS BIGINT) AS err_ppm,
+             CAST(round(CASE
+               WHEN (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               ELSE 0.0 END * 1000000.0) AS BIGINT) AS true_ppm
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b
+    )
+    SELECT band, COUNT(*) AS n_pairs,
+           CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+           MIN(true_ppm) AS min_true_ppm,
+           MAX(true_ppm) AS max_true_ppm
+    FROM scored
+    GROUP BY band
+    ORDER BY band
+    """
+    )
+
+
+register("doc_lsh_calibration", q_doc_lsh_calibration, _lsh_calibration_sql())
