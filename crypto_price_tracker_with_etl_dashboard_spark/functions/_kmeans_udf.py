@@ -78,3 +78,36 @@ def pq_codes_udf(books, cidss, dsub: int):
         return pd.Series(list(out))
 
     return codes
+
+
+def maxsim_cos_ppm_udf(tokens: np.ndarray):
+    """One Arrow-batched pandas UDF scoring a corpus vector against
+    ALL MaxSim query tokens at once: one numpy GEMM per batch gives
+    every (row, token) cosine, which is then quantized to the SAME
+    integer ppm grid as the certified interpreted fold
+    (round(round(cos, 6) * 1e6)), so the downstream per-token MAX
+    and SUM are identical integer ops.  ``tokens`` is (t, dim)
+    float64 in token_id order; returns array<bigint> of t ppm
+    cosines per row.
+
+    Production batch twin of `queries/vector.py::q_emb_maxsim_topk`'s
+    per-pair fold (the same lever as kmeans_assign_udf: the fold is
+    compute-bound interpreted arithmetic at 100 TB).  The double
+    rounding to 6dp absorbs GEMM-vs-fold summation-order noise
+    (~1e-16 relative) everywhere except exact .5e-6 boundaries;
+    the equivalence test pins zero mismatches on the real table.
+    """
+    t64 = np.ascontiguousarray(tokens, dtype=np.float64)
+    t_norm = np.sqrt((t64 * t64).sum(axis=1))  # (t,)
+
+    @pandas_udf("array<bigint>")
+    def score(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.sqrt((mat * mat).sum(axis=1))  # (n,)
+        cos = (mat @ t64.T) / (norms[:, None] * t_norm[None, :])
+        ppm = np.round(np.round(cos, 6) * 1e6).astype(np.int64)
+        return pd.Series(list(ppm))
+
+    return score

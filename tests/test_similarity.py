@@ -622,3 +622,54 @@ def test_kcenter_seed_is_min_id_and_ties_to_smaller(spark):
     out = kcenter_sample(df, k=2).collect()
     assert out[0]["vec_id"] == 3  # min id seed
     assert out[1]["vec_id"] == 7  # tie -> smaller id
+
+
+def test_maxsim_gemm_twin_matches_fold_exactly(spark):
+    """The Arrow GEMM batch scorer (functions/_kmeans_udf.py::
+    maxsim_cos_ppm_udf) must reproduce the certified interpreted
+    fold's ppm-quantized cosines bit-for-bit on the real embedding
+    table — the production-path equivalence discipline
+    (kmeans_assign_batch, pq_codes) applied to MaxSim."""
+    import numpy as np
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions import (
+        similarity as S,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._kmeans_udf import (
+        maxsim_cos_ppm_udf,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    tok_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+    )
+    tokens = np.array([list(r["embedding"]) for r in tok_rows])
+    corpus = emb.filter(F.col("vec_id") >= 8)
+
+    # fold side: the certified query's per-pair quantization
+    fold = corpus.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(r["vec_id"], list(map(float, r["embedding"]))) for r in tok_rows],
+                "token_id bigint, tok_vec array<double>",
+            )
+        )
+    ).select(
+        "vec_id", "token_id",
+        F.round(
+            F.round(S.cosine(F.col("tok_vec"), F.col("embedding")), 6) * 1000000.0
+        ).cast("bigint").alias("ppm"),
+    )
+    fold_map = {(r["vec_id"], r["token_id"]): r["ppm"] for r in fold.collect()}
+
+    gemm = corpus.select(
+        "vec_id", maxsim_cos_ppm_udf(tokens)(F.col("embedding")).alias("ppms")
+    )
+    mismatches = 0
+    for r in gemm.collect():
+        for t, ppm in enumerate(r["ppms"]):
+            if fold_map[(r["vec_id"], tok_rows[t]["vec_id"])] != ppm:
+                mismatches += 1
+    assert mismatches == 0
