@@ -54,3 +54,19 @@ def test_market_analytics_pipeline_end_to_end(spark):
     assert stats["bollinger"] <= stats["stochastic"] <= stats["twap"] * 1000
     assert len(stats["worst"]) == 3
     assert stats["corr_pairs"] <= 45  # C(10, 2)
+
+
+def test_experimentation_pipeline_end_to_end(spark):
+    from examples.experimentation_pipeline import run_experiment_analysis
+
+    stats = run_experiment_analysis(spark, SF_SMALL)
+    # row-level splits leak users by construction on this corpus
+    assert stats["leaky_users"] > 0
+    assert stats["n_a"] > 0 and stats["n_b"] > 0
+    assert 0.0 <= stats["rate_a"] <= 1.0 and 0.0 <= stats["rate_b"] <= 1.0
+    # CUPED internals: variance reduction is a squared correlation
+    assert 0.0 <= stats["var_reduction"] <= 1.0
+    # the CUPED correction is finite and the readout well-formed
+    assert abs(stats["diff_adj"] - stats["diff_raw"]) < 1e6
+    assert stats["theta"] == stats["theta"]  # not NaN
+    assert stats["seasonality_cells"] > 0
