@@ -177,6 +177,13 @@ HEADLINE = [
     "doc_curation_funnel",
     "orders_pareto_report",
     "doc_lsh_calibration",
+    # round-6 batch 15 (r8+ debut candidates): survival, BFS, HLL,
+    # lead-lag, hybrid RRF — benched from their build round
+    "events_survival_km",
+    "trade_bfs_hops",
+    "events_hll_distinct",
+    "prices_lead_lag",
+    "doc_hybrid_rrf",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

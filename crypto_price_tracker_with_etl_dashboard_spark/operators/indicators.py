@@ -1229,3 +1229,181 @@ def sql_holt_smooth(
            CAST(l + b AS DOUBLE) / {SCALE} AS forecast_next
     FROM holt
     """
+
+
+def lead_lag_corr(
+    prices: DataFrame,
+    key: str,
+    ts_col: str,
+    price: str,
+    tiebreak: str,
+    top_n: int = 8,
+    lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+    min_obs: int = 10,
+    bucket: str = "day",
+) -> DataFrame:
+    """Lead-lag Pearson correlation: for every pair of the ``top_n``
+    most-ticked keys and every lag L in ``lags``, the correlation of
+    s1's per-``bucket`` return at time t with s2's return at
+    t + L buckets — the "does BTC lead ETH by a day?" readout that
+    :func:`pairwise_corr` (the L = 0 slice of this operator) cannot
+    answer.
+
+    Same exactness contract as pairwise_corr: ppb-quantized returns,
+    DECIMAL(38,0) Pearson sums, one fixed double chain.  The lag
+    shift is a timestamp add on the O(top_n * buckets) return table
+    BEFORE the self-join, so the plan is the pairwise one plus a
+    |lags|-way map-side expansion of the tiny relation — still one
+    corpus shuffle total; output is O(top_n^2 * |lags|) rows.
+    """
+    if top_n < 2:
+        raise ValueError(f"lead_lag_corr top_n must be >= 2, got {top_n}")
+    unit = bucket.upper()
+    bk = F.date_trunc(bucket, F.col(ts_col)).alias("__bk")
+    wd = Window.partitionBy(key, F.date_trunc(bucket, F.col(ts_col))).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    closes = (
+        prices.filter(F.col(price).isNotNull())
+        .select(
+            F.col(key), bk, F.col(price),
+            F.row_number().over(wd).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    topn = (
+        prices.filter(F.col(price).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col(key).asc())
+        .limit(top_n)
+        .select(key)
+    )
+    wk = Window.partitionBy(key).orderBy(F.col("__bk").asc())
+    rets = (
+        closes.join(F.broadcast(topn), key)
+        .select(
+            F.col(key), F.col("__bk"),
+            F.col(price).alias("__c"),
+            F.lag(price).over(wk).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & (F.col("__p") != 0.0))
+        .select(
+            F.col(key), F.col("__bk"),
+            F.round((F.col("__c") - F.col("__p")) / F.col("__p") * 1000000000.0)
+            .cast("bigint").alias("__r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = rets.select(
+        F.col(key).alias("s1"), F.col("__bk"), F.col("__r").alias("__x")
+    )
+    # leg b expands |lags|-fold map-side; its bucket is pulled BACK by
+    # the lag so the equi-join on __bk pairs x_t with y_{t+L}
+    b = rets.select(
+        F.col(key).alias("s2"),
+        F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag"),
+        F.col("__bk").alias("__bko"),
+        F.col("__r").alias("__y"),
+    ).select(
+        "s2", "lag", "__y",
+        F.expr(f"timestampadd({unit}, -lag, __bko)").alias("__bk"),
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        a.join(b, "__bk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2", "lag")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("__x").cast(dec)).alias("__sx"),
+            F.sum(F.col("__y").cast(dec)).alias("__sy"),
+            F.sum(F.col("__x").cast(dec) * F.col("__y").cast(dec)).alias("__sxy"),
+            F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__sxx"),
+            F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("__syy"),
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    return (
+        agg.filter(F.col("n_obs") >= min_obs)
+        .select(
+            "s1", "s2", "lag", "n_obs",
+            var_x.alias("__vx"), var_y.alias("__vy"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .filter((F.col("__vx") > 0) & (F.col("__vy") > 0))
+        .drop("__vx", "__vy")
+        .orderBy("s1", "s2", "lag")
+    )
+
+
+def sql_lead_lag_corr(
+    table: str, key: str, ts_col: str, price: str, tiebreak: str,
+    top_n: int = 8, lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+    min_obs: int = 10, bucket: str = "day",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`lead_lag_corr` (the lag join spells
+    the identical alignment as ``b.bk = a.bk + L * INTERVAL``)."""
+    lag_values = ", ".join(f"({l})" for l in lags)
+    return f"""
+    WITH {extra_ctes} closes AS (
+      SELECT {key}, bk, {price} FROM (
+        SELECT {key}, date_trunc('{bucket}', {ts_col}) AS bk, {price},
+               row_number() OVER (
+                 PARTITION BY {key}, date_trunc('{bucket}', {ts_col})
+                 ORDER BY {ts_col} DESC, {tiebreak} DESC) AS rn
+        FROM {table} WHERE {price} IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    topn AS (
+      SELECT {key} FROM {table} WHERE {price} IS NOT NULL
+      GROUP BY {key} ORDER BY COUNT(*) DESC, {key} ASC LIMIT {top_n}
+    ),
+    rets AS (
+      SELECT {key}, bk,
+             CAST(round((c - p) / p * 1000000000.0) AS BIGINT) AS r
+      FROM (
+        SELECT c.{key}, c.bk, c.{price} AS c,
+               lag(c.{price}) OVER (PARTITION BY c.{key} ORDER BY c.bk ASC) AS p
+        FROM closes c JOIN topn USING ({key})
+      ) WHERE p IS NOT NULL AND p <> 0.0
+    ),
+    lag_dim AS (SELECT * FROM (VALUES {lag_values}) AS t(lag)),
+    agg AS (
+      SELECT a.{key} AS s1, b.{key} AS s2, l.lag AS lag, COUNT(*) AS n_obs,
+             SUM(CAST(a.r AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(b.r AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(a.r AS DECIMAL(38,0)) * CAST(b.r AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(a.r AS DECIMAL(38,0)) * CAST(a.r AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(b.r AS DECIMAL(38,0)) * CAST(b.r AS DECIMAL(38,0))) AS syy
+      FROM rets a
+      CROSS JOIN lag_dim l
+      JOIN rets b ON b.bk = a.bk + l.lag * INTERVAL 1 {bucket}
+                 AND a.{key} < b.{key}
+      GROUP BY 1, 2, 3
+    )
+    SELECT s1, s2, lag, n_obs,
+           round((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+    FROM agg
+    WHERE n_obs >= {min_obs}
+      AND (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      AND (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+    ORDER BY s1, s2, lag
+    """

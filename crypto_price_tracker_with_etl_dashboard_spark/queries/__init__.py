@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (66 debut candidates are queued at the pool tail, all
+# r7 PLAN (71 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining FIFTY-EIGHT
+# block, leaving nothing older than r5.  The remaining SIXTY-THREE
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -127,10 +127,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_langid_confusion, emb_maxsim_topk, orders_cohort_ltv,
 # prices_heikin_ashi, events_cuped_lift, events_holt_forecast,
 # doc_curation_funnel, orders_pareto_report, doc_lsh_calibration)
+# and the batch-15 five (events_survival_km, trade_bfs_hops,
+# events_hll_distinct, prices_lead_lag, doc_hybrid_rrf)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (66 total candidates - 8
-# r7 debuts = 58 remaining; at ~8 debuts/round that cohort carries
-# through ~r14 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (71 total candidates - 8
+# r7 debuts = 63 remaining; at ~8 debuts/round that cohort carries
+# through ~r15 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -276,6 +278,16 @@ ROTATION_POOL: list[str] = [
     "emb_maxsim_topk", "orders_cohort_ltv", "prices_heikin_ashi",
     "events_cuped_lift", "events_holt_forecast", "doc_curation_funnel",
     "orders_pareto_report", "doc_lsh_calibration",
+    # --- r6-built batch 15, same debut-candidate status: Kaplan-Meier
+    #     weekly survival (operators/survival.py — the FOURTH certified
+    #     arbitrary-length integer recursion), multi-hop BFS shortest
+    #     hops over the trade graph (operators/bfs.py), the portable
+    #     HyperLogLog distinct sketch with per-day build + register
+    #     merge (functions/sketch.py::hll_*), lead-lag cross-
+    #     correlation between symbols (operators/indicators.py), and
+    #     reciprocal-rank-fusion hybrid retrieval (BM25 x cosine). ---
+    "events_survival_km", "trade_bfs_hops", "events_hll_distinct",
+    "prices_lead_lag", "doc_hybrid_rrf",
 ]
 
 

@@ -24,6 +24,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.profile import (
     profile,
     sql_profile,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.survival import (
+    km_curve,
+    sql_km_curve,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.queries import register
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
@@ -1074,3 +1078,53 @@ def _cuped_sql() -> str:
 
 
 register("events_cuped_lift", q_events_cuped_lift, _cuped_sql())
+
+
+# ---- Kaplan-Meier survival (weekly churn curve) -----------------------------
+# The product-limit estimator over engagement lifetimes: a subject
+# is a (user, event_type) pair — "how long does a user keep doing
+# X?" — whose lifetime is first-to-last occurrence in whole weeks;
+# churn is OBSERVED only when the pair has been silent for >=
+# _CHURN_QUIET_DAYS before the dataset's last day — every pair still
+# active near the end is right-censored (at risk, but not dead).
+# The per-user-only cut degenerates on this corpus (nearly every
+# user stays active to the last week, so zero observed deaths); the
+# engagement cut has real churn mass at every sf.  The survival product is
+# the fourth certified arbitrary-length integer recursion
+# (operators/survival.py; WITH RECURSIVE oracle).  One shuffle on
+# user_id; the fold runs on the calendar-bounded duration histogram.
+
+_CHURN_QUIET_DAYS = 14
+
+
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    users = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+    )
+    mx = users.agg(F.max("l").alias("mxd"))
+    lifetimes = users.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(l, f) div 7").alias("duration_weeks"),
+        (F.col("l") <= F.date_sub("mxd", _CHURN_QUIET_DAYS)).alias("churned"),
+    )
+    return km_curve(lifetimes)
+
+
+_KM_LIFETIMES_SQL = f"""
+      SELECT date_diff('day', f, l) // 7 AS duration_weeks,
+             l <= mxd - INTERVAL {_CHURN_QUIET_DAYS} DAY AS churned
+      FROM (
+        SELECT CAST(MIN(ts) AS DATE) AS f, CAST(MAX(ts) AS DATE) AS l
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id, event_type
+      ),
+      (
+        SELECT MAX(CAST(ts AS DATE)) AS mxd
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      )
+"""
+
+register("events_survival_km", q_events_survival_km, sql_km_curve(_KM_LIFETIMES_SQL))

@@ -25,10 +25,12 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     ema_macd,
     max_drawdown,
     ols_trend,
+    lead_lag_corr,
     pairwise_corr,
     rsi,
     sql_bollinger,
     sql_ema_macd,
+    sql_lead_lag_corr,
     sql_max_drawdown,
     sql_ols_trend,
     sql_pairwise_corr,
@@ -399,3 +401,29 @@ def _heikin_ashi_sql() -> str:
 
 
 register("prices_heikin_ashi", q_prices_heikin_ashi, _heikin_ashi_sql())
+
+
+def q_prices_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag daily-return correlation between every pair of the 8
+    most-ticked symbols at lags of -2..+2 days
+    (operators/indicators.py::lead_lag_corr) — does one coin's move
+    today predict another's tomorrow?  The L = 0 slice reproduces
+    prices_corr_matrix; the off-zero lags are the new signal."""
+    prices = prices_from_events(spark, sf_dir)
+    return lead_lag_corr(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id",
+        top_n=8, min_obs=10, bucket="day",
+    )
+
+
+register(
+    "prices_lead_lag",
+    q_prices_lead_lag,
+    sql_lead_lag_corr(
+        "prices", key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id",
+        top_n=8, min_obs=10, bucket="day",
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)

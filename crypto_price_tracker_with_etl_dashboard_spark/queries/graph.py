@@ -22,6 +22,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     pagerank,
     sql_pagerank,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.bfs import (
+    bfs_hops,
+    sql_bfs_hops,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
     kcore,
     sql_kcore,
@@ -299,4 +303,38 @@ register(
     sql_kcore("WITH_PLACEHOLDER", k=_KCORE_K, rounds=_KCORE_ROUNDS)
     .replace("WITH WITH_PLACEHOLDER,", "WITH " + _TRI_EDGES_CTE + ",")
     + " ORDER BY node",
+)
+
+
+# ---- BFS shortest hops from a source supplier -------------------------------
+# Hop distance from supplier 1 (node 2 in the disjoint encoding) to
+# every node reachable in <= _BFS_HOPS hops of the trade graph — the
+# supply-chain blast-radius readout.  Spark runs the scale-correct
+# visited-anti-join frontier iteration (operators/bfs.py); the oracle
+# unrolls per-level DISTINCT expansions and takes MIN(level), which
+# the operator's docstring proves equivalent.
+
+_BFS_SOURCE = 2  # supplier 1 -> node 2*1 (exists at every sf)
+_BFS_HOPS = 3
+
+
+def q_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reached = bfs_hops(
+        _trade_edges(spark, sf_dir), source=_BFS_SOURCE, max_hops=_BFS_HOPS
+    )
+    kind = F.when(F.col("node") % 2 == 0, "supplier").otherwise("customer")
+    return reached.select(
+        "node", kind.alias("kind"), "hops"
+    ).orderBy("hops", "node")
+
+
+register(
+    "trade_bfs_hops",
+    q_trade_bfs_hops,
+    sql_bfs_hops(_EDGES_CTE, source=_BFS_SOURCE, max_hops=_BFS_HOPS).replace(
+        "SELECT node, MIN(hops) AS hops FROM (",
+        "SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        " AS kind, MIN(hops) AS hops FROM (",
+    )
+    + " ORDER BY hops, node",
 )

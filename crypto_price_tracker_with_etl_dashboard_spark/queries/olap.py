@@ -934,3 +934,65 @@ def _pareto_sql() -> str:
 
 
 register("orders_pareto_report", q_orders_pareto_report, _pareto_sql())
+
+
+# ---- HyperLogLog distinct sketch: per-day build + register merge ------------
+# The mergeable distinct-count sketch (functions/sketch.py hll_*):
+# one 64-register sketch per DAY (map-side combinable; shuffle volume
+# <= days * 64 rows per task), merged by register-wise MAX into the
+# month-scale estimate, reported against the exact distinct count
+# with a signed ppm error.  At 100 TB the per-day sketches are the
+# persisted artifact — any later union-cardinality question is a
+# 64-row MAX, not a corpus rescan.  Everything is integer + exact
+# dyadic-double arithmetic (module header proves order-invariance),
+# so the row hash-matches bit-for-bit.
+
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "event_id"), "event_id", "day"
+    )
+    est = hll_merge_estimate(regs)
+    exact = ev.filter(F.col("event_id").isNotNull()).agg(
+        F.count_distinct("event_id").alias("n_exact")
+    )
+    days = regs.agg(F.count_distinct("day").alias("days_sketched"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "days_sketched",
+            "n_exact",
+            "n_estimate",
+            "registers_filled",
+            F.expr("(n_estimate - n_exact) * 1000000 div n_exact").alias(
+                "err_ppm"
+            ),
+        )
+    )
+
+
+def _hll_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        sql_hll_estimate,
+    )
+
+    return f"""
+    WITH {sql_hll_estimate("event_id", "events", "CAST(ts AS DATE)")},
+    exact AS (
+      SELECT COUNT(DISTINCT event_id) AS n_exact FROM events
+      WHERE event_id IS NOT NULL
+    ),
+    days AS (SELECT COUNT(DISTINCT grp) AS days_sketched FROM regs)
+    SELECT days_sketched, n_exact, n_estimate, registers_filled,
+           ((n_estimate - n_exact) * 1000000) // n_exact AS err_ppm
+    FROM est, exact, days
+    """
+
+
+register("events_hll_distinct", q_events_hll_distinct, _hll_sql())

@@ -1276,3 +1276,150 @@ def _maxsim_sql() -> str:
 
 
 register("emb_maxsim_topk", q_emb_maxsim_topk, _maxsim_sql())
+
+
+# ---- Hybrid retrieval: reciprocal rank fusion (BM25 x cosine) ---------------
+# The production retrieval stack is rarely one ranker: a keyword
+# query (BM25 over the text) and a semantic query (cosine over the
+# embedding) each return a candidate pool, fused by reciprocal rank
+# fusion (Cormack et al., SIGIR 2009): rrf(d) = sum_legs 1/(K + rank)
+# — rank-only fusion, immune to the two legs' incomparable score
+# scales.  Both legs are the engine's already-certified retrieval
+# operators (doc_bm25_topk / emb_cosine_topk machinery); the fusion
+# itself is a full-outer join of two <= _RRF_POOL-row pools, so the
+# added cost over the legs is negligible at any scale.
+#
+# Determinism: ranks are integers with id tiebreaks; 1/(K + rank) is
+# one double division and the fused score one addition — identical
+# operand order on both engines (missing leg contributes literal 0).
+
+_RRF_K = 60        # the SIGIR-2009 constant
+_RRF_POOL = 20     # per-leg candidate pool
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0  # probe embedding: vec_id 0 (exists at every sf)
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.text import (
+        bm25_topk,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sem = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_POOL
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("__rs"))
+    kw = bm25_topk(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_RRF_POOL
+    ).select("doc_id", F.col("rnk").alias("__rk"))
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("__rs")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("__rk")), F.lit(0.0))
+    )
+    fused = sem.join(kw, "doc_id", "full_outer").select(
+        "doc_id", rrf.alias("__rrf")
+    )
+    from pyspark.sql import Window
+
+    # <= 2 * _RRF_POOL fused rows: the unpartitioned rank is bounded
+    # by the FIXED pool size, never the corpus
+    w = Window.orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("doc_id", F.round("__rrf", 9).alias("rrf_score"), "rnk")
+        .orderBy("rnk")
+    )
+
+
+def _rrf_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        _SQL_TOKS,
+        _bm25_contrib_sql,
+        _BM25_TERMS,
+    )
+
+    term_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf_pivots = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_pivots = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    contribs = " + ".join(_bm25_contrib_sql(i) for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    toks AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({term_list}) GROUP BY 1, 2
+    ),
+    dfs AS (
+      SELECT {df_pivots}
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    ),
+    per_doc AS (SELECT doc_id, {tf_pivots} FROM tf GROUP BY 1),
+    kw_scored AS (
+      SELECT p.doc_id, round({contribs}, 6) AS score
+      FROM per_doc p JOIN dl USING (doc_id), stats, dfs
+    ),
+    kw_top AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM kw_scored
+      ) WHERE rnk <= {_RRF_POOL}
+    ),
+    qv AS (
+      SELECT embedding AS query_vec FROM embeddings
+      WHERE vec_id = {_RRF_QUERY_VEC}
+    ),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    sem_top AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine_sim DESC, doc_id ASC) AS rnk
+        FROM sem_scored
+      ) WHERE rnk <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(s.doc_id, k.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + s.rnk), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + k.rnk), 0.0) AS rrf
+      FROM sem_top s FULL OUTER JOIN kw_top k ON s.doc_id = k.doc_id
+    )
+    SELECT doc_id, round(rrf, 9) AS rrf_score,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {_RRF_TOPK}
+    """
+
+
+register("doc_hybrid_rrf", q_doc_hybrid_rrf, _rrf_sql())
