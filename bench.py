@@ -184,6 +184,12 @@ HEADLINE = [
     "events_hll_distinct",
     "prices_lead_lag",
     "doc_hybrid_rrf",
+    # round-6 batch 16
+    "trade_cheapest_path",
+    "emb_matryoshka_recall",
+    "orders_benford_audit",
+    "events_ks_split",
+    "events_winsorize",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

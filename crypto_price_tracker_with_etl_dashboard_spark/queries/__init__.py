@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (71 debut candidates are queued at the pool tail, all
+# r7 PLAN (76 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining SIXTY-THREE
+# block, leaving nothing older than r5.  The remaining SIXTY-EIGHT
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -129,9 +129,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_curation_funnel, orders_pareto_report, doc_lsh_calibration)
 # and the batch-15 five (events_survival_km, trade_bfs_hops,
 # events_hll_distinct, prices_lead_lag, doc_hybrid_rrf)
+# and the batch-16 five (trade_cheapest_path, emb_matryoshka_recall,
+# orders_benford_audit, events_ks_split, events_winsorize)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (71 total candidates - 8
-# r7 debuts = 63 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (76 total candidates - 8
+# r7 debuts = 68 remaining; at ~8 debuts/round that cohort carries
 # through ~r15 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -288,6 +290,15 @@ ROTATION_POOL: list[str] = [
     #     reciprocal-rank-fusion hybrid retrieval (BM25 x cosine). ---
     "events_survival_km", "trade_bfs_hops", "events_hll_distinct",
     "prices_lead_lag", "doc_hybrid_rrf",
+    # --- r6-built batch 16, same debut-candidate status: Bellman-Ford
+    #     weighted cheapest paths (visited pruning unsound under
+    #     weights — certifies the full relaxation shape), the
+    #     Matryoshka prefix-dim recall audit (hard integer verdict on
+    #     every figure), the Benford first-digit forensic audit, the
+    #     binned two-sample KS test between hash splits, and per-group
+    #     exact-percentile winsorization. ---
+    "trade_cheapest_path", "emb_matryoshka_recall", "orders_benford_audit",
+    "events_ks_split", "events_winsorize",
 ]
 
 

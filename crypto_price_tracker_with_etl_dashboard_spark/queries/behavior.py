@@ -1128,3 +1128,211 @@ _KM_LIFETIMES_SQL = f"""
 """
 
 register("events_survival_km", q_events_survival_km, sql_km_curve(_KM_LIFETIMES_SQL))
+
+
+# ---- Two-sample KS test between hash splits ---------------------------------
+# Did the deterministic splitter bias the value distribution?  The
+# Kolmogorov-Smirnov statistic sup |F_a - F_b| between the two
+# halves of an LCG hash split, with the ECDFs evaluated on the
+# integer value grid (floor(value)) — a binned KS: the sup over bin
+# EDGES, exact for the binned distributions and a lower bound for
+# the continuous one (documented trade; the grid keeps the
+# cumulative window O(value range), never O(corpus)).  Counts per
+# (bin, split) aggregate with map-side partials in ONE shuffle;
+# cumulative shares are exact integer ppm so the argmax row is a
+# hard verdict on both engines.
+
+def q_events_ks_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    binned = ev.select(
+        F.floor("value").alias("g"),
+        lcg_bucket("event_id", 2).alias("split"),
+    )
+    grid = binned.groupBy("g").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    wcum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # totals = the cumulative sums' final value (monotone), read from
+    # an unbounded frame in the SAME tiny single-partition window
+    # stage — a separate grid.agg() branch would re-scan and
+    # re-shuffle the corpus a second time (caught by the plan pin)
+    wall = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "g",
+        F.sum("na").over(wcum).alias("ca"),
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    diff = cum.select(
+        "g",
+        F.abs(
+            F.expr("ca * 1000000 div ta") - F.expr("cb * 1000000 div tb")
+        ).alias("d_ppm"),
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+    )
+    return (
+        diff.orderBy(F.col("d_ppm").desc(), F.col("g").asc())
+        .limit(1)
+        .select(
+            F.col("d_ppm").alias("ks_ppm"),
+            F.col("g").alias("at_value"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+def _ks_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    split = sql_lcg_bucket("event_id", 2)
+    return f"""
+    WITH binned AS (
+      SELECT CAST(floor(value) AS BIGINT) AS g, {split} AS split
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM binned GROUP BY 1
+    ),
+    cum AS (
+      SELECT g,
+             CAST(SUM(na) OVER (ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(SUM(nb) OVER (ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             CAST(SUM(na) OVER () AS BIGINT) AS ta,
+             CAST(SUM(nb) OVER () AS BIGINT) AS tb
+      FROM grid
+    )
+    SELECT abs((ca * 1000000) // ta - (cb * 1000000) // tb) AS ks_ppm,
+           g AS at_value, ta AS n_a, tb AS n_b
+    FROM cum
+    ORDER BY ks_ppm DESC, g ASC
+    LIMIT 1
+    """
+
+
+register("events_ks_split", q_events_ks_split, _ks_sql())
+
+
+# ---- Per-group winsorization report ----------------------------------------
+# Robust data cleaning: clip each group's values at its exact
+# p05/p95 order statistics (rank ceil(n/20), integer arithmetic — no
+# float percentile-index boundary risk) and report the raw vs
+# winsorized fixed-point means.  One per-type rank pass finds the
+# cut values; the O(groups) cut table broadcasts back onto a second
+# scan for the clipped aggregate — the same stats-broadcast shape as
+# the z-score/MAD outlier family, never a corpus-wide window.
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    # group size from an unbounded frame in the SAME per-type sort as
+    # the rank — a separate groupBy(count) branch would pay one more
+    # corpus scan + shuffle (caught by the plan pin)
+    wn = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo_rank = F.expr("(n + 19) div 20")          # ceil(n/20) = p05 rank
+    hi_rank = F.col("n") + 1 - F.expr("(n + 19) div 20")
+    cuts = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("lo_cut"),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("hi_cut"),
+        )
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut")).alias("wv"),
+    )
+    agg = clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * SCALE).cast("bigint")).alias("__sr"),
+        F.sum(F.round(F.col("wv") * SCALE).cast("bigint")).alias("__sw"),
+    )
+    return (
+        agg.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo_cut",
+            "hi_cut",
+            F.round((F.col("__sr").cast("double") / SCALE) / F.col("n"), 6).alias(
+                "mean_raw"
+            ),
+            F.round((F.col("__sw").cast("double") / SCALE) / F.col("n"), 6).alias(
+                "mean_winsor"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_winsorize",
+    q_events_winsorize,
+    f"""
+    WITH ev AS (
+      SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+    ranked AS (
+      SELECT e.event_type, e.value, c.n,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY e.value ASC, e.event_id ASC) AS rn
+      FROM ev e JOIN counts c USING (event_type)
+    ),
+    cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo_cut,
+             MAX(CASE WHEN rn = n + 1 - (n + 19) // 20 THEN value END) AS hi_cut
+      FROM ranked
+      WHERE rn = (n + 19) // 20 OR rn = n + 1 - (n + 19) // 20
+      GROUP BY 1
+    ),
+    clipped AS (
+      SELECT e.event_type, e.value,
+             least(greatest(e.value, c.lo_cut), c.hi_cut) AS wv
+      FROM ev e JOIN cuts c USING (event_type)
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS BIGINT) AS sr,
+             CAST(SUM(CAST(round(wv * {SCALE}) AS BIGINT)) AS BIGINT) AS sw
+      FROM clipped GROUP BY 1
+    )
+    SELECT a.event_type, a.n, c.lo_cut, c.hi_cut,
+           round((CAST(sr AS DOUBLE) / {SCALE}) / a.n, 6) AS mean_raw,
+           round((CAST(sw AS DOUBLE) / {SCALE}) / a.n, 6) AS mean_winsor
+    FROM agg a JOIN cuts c USING (event_type)
+    ORDER BY a.event_type
+    """,
+)

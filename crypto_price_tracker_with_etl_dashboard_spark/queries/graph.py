@@ -23,7 +23,9 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
     sql_pagerank,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.bfs import (
+    bellman_ford,
     bfs_hops,
+    sql_bellman_ford,
     sql_bfs_hops,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
@@ -337,4 +339,37 @@ register(
         " AS kind, MIN(hops) AS hops FROM (",
     )
     + " ORDER BY hops, node",
+)
+
+
+# ---- Weighted cheapest path (Bellman-Ford rounds) ---------------------------
+# The weighted sibling of trade_bfs_hops: minimum total edge weight
+# from supplier 1 to every node reachable within _BF_ROUNDS edges
+# (operators/bfs.py::bellman_ford).  Visited-set pruning is unsound
+# under weights (a longer path can be cheaper), so this certifies
+# the full synchronous-relaxation shape instead — the unrolled
+# oracle matches bit-for-bit even short of convergence because
+# every partial distance is an exact BIGINT.
+
+_BF_ROUNDS = 4
+
+
+def q_trade_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = bellman_ford(
+        _trade_edges(spark, sf_dir), source=_BFS_SOURCE, rounds=_BF_ROUNDS
+    )
+    kind = F.when(F.col("node") % 2 == 0, "supplier").otherwise("customer")
+    return dist.select("node", kind.alias("kind"), "cost").orderBy(
+        "cost", "node"
+    )
+
+
+register(
+    "trade_cheapest_path",
+    q_trade_cheapest_path,
+    sql_bellman_ford(_EDGES_CTE, source=_BFS_SOURCE, rounds=_BF_ROUNDS).replace(
+        f"SELECT node, cost FROM d{_BF_ROUNDS}",
+        f"SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        f" AS kind, cost FROM d{_BF_ROUNDS} ORDER BY cost, node",
+    ),
 )

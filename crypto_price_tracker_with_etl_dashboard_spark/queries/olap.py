@@ -996,3 +996,76 @@ def _hll_sql() -> str:
 
 
 register("events_hll_distinct", q_events_hll_distinct, _hll_sql())
+
+
+# ---- Benford first-digit audit ---------------------------------------------
+# Forensic data-quality screen: organically-generated monetary
+# amounts follow Benford's law (P(d) = log10(1 + 1/d)); fabricated
+# or truncated data does not.  The first significant digit is
+# extracted INTEGER-exactly (cent units -> string -> first char;
+# never floating log10, which is not portable at powers of ten), and
+# the expected shares are Python-computed ppm literals embedded
+# identically in both engines, so every row is a hard integer
+# verdict.  One digit-key shuffle with map-side partials; output is
+# exactly 9 rows at any scale.
+
+import math as _math
+
+_BENFORD_PPM = {
+    d: round(_math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    exp = None
+    for d, ppm in _BENFORD_PPM.items():
+        exp = (
+            F.when(F.col("digit") == d, ppm)
+            if exp is None
+            else exp.when(F.col("digit") == d, ppm)
+        )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div __t").alias("obs_ppm"),
+            exp.alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    case = "".join(
+        f" WHEN digit = {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+    )
+    return f"""
+    WITH counts AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, n,
+           (n * 1000000) // t AS obs_ppm,
+           (CASE{case} END) AS exp_ppm,
+           (n * 1000000) // t - (CASE{case} END) AS dev_ppm
+    FROM counts, total
+    ORDER BY digit
+    """
+
+
+register("orders_benford_audit", q_orders_benford_audit, _benford_sql())

@@ -1423,3 +1423,89 @@ def _rrf_sql() -> str:
 
 
 register("doc_hybrid_rrf", q_doc_hybrid_rrf, _rrf_sql())
+
+
+# ---- Matryoshka truncation recall audit -------------------------------------
+# Matryoshka representation learning (Kusupati et al., NeurIPS 2022)
+# serves retrieval from a PREFIX of each embedding: searching the
+# first 16 of 64 dims cuts memory and GEMM cost 4x IF the prefix
+# preserves neighborhoods.  This row measures exactly that trade on
+# the real table: recall@k of prefix-dim brute-force top-k against
+# full-dim ground truth.  Unlike emb_ann_recall's recall_pass
+# boolean (the LSH family's md5 plumbing makes the hit count
+# expensive to re-derive), BOTH legs here are plain cosine folds, so
+# the oracle recomputes the exact hit count and recall ppm — a hard
+# verdict on every figure.
+#
+# Scale: two brute-force passes with the same corpus-never-shuffled
+# plan; the prefix pass reads 4x less vector data.  The audit is the
+# evidence a 100 TB deployment needs BEFORE switching its ANN fleet
+# to prefix serving.
+
+_MRL_DIM = 16
+
+
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    exact = q_emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = S.brute_force_topk(
+        trunc, trunc.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = exact.agg(F.count("*").alias("n_pairs"))
+    return hits.crossJoin(F.broadcast(total)).select(
+        F.lit(f"matryoshka_recall_at_{_K}_dim{_MRL_DIM}").alias("metric"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.expr("hits * 1000000 div n_pairs").alias("recall_ppm"),
+    )
+
+
+def _mrl_sql() -> str:
+    def cosine(dim: int) -> str:
+        return f"""round(
+          list_sum(list_transform(range(1, {dim} + 1),
+            i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+          6)"""
+
+    return f"""
+    WITH {_BF_TOPK_CTES},
+    scored_m AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {cosine(_MRL_DIM)} AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    mrl_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored_m
+      ) WHERE rnk <= {_K}
+    ),
+    agg AS (
+      SELECT
+        (SELECT COUNT(*) FROM bf_topk) AS n_pairs,
+        (SELECT COUNT(*) FROM bf_topk b
+          WHERE EXISTS (SELECT 1 FROM mrl_topk m
+                        WHERE m.query_id = b.query_id
+                          AND m.neighbor_id = b.neighbor_id)) AS hits
+    )
+    SELECT 'matryoshka_recall_at_{_K}_dim{_MRL_DIM}' AS metric,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(hits AS BIGINT) AS hits,
+           (hits * 1000000) // n_pairs AS recall_ppm
+    FROM agg
+    """
+
+
+register("emb_matryoshka_recall", q_emb_matryoshka_recall, _mrl_sql())
