@@ -190,6 +190,12 @@ HEADLINE = [
     "orders_benford_audit",
     "events_ks_split",
     "events_winsorize",
+    # round-6 batch 17
+    "events_dau_mau",
+    "prices_sharpe",
+    "lineitem_quantity_model",
+    "events_cusum_drift",
+    "events_type_hour_assoc",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

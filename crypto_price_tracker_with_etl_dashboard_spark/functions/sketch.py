@@ -362,3 +362,19 @@ def sql_hll_estimate(key_expr: str, table: str, group_expr: str) -> str:
              CAST(COUNT(*) AS BIGINT) AS registers_filled
       FROM merged
     )"""
+
+
+def streaming_hll(stream: DataFrame, key: str) -> DataFrame:
+    """Streaming HyperLogLog: the register table is a MAX-aggregate
+    over the bucket key, which Structured Streaming maintains
+    natively as an update/complete-mode aggregation — no custom
+    state operator, and (max being associative + commutative +
+    idempotent) the running snapshot equals :func:`hll_registers`
+    over everything ingested so far, REGARDLESS of micro-batch
+    boundaries or replays (asserted in test_streaming).  State is
+    bounded by HLL_M rows FOREVER — like :func:`streaming_cms`, a
+    streaming aggregation that needs no watermark to stay bounded;
+    idempotence additionally makes it immune to at-least-once
+    duplicate delivery, which the CMS (a counting sketch) is not.
+    Estimate the latest snapshot with :func:`hll_merge_estimate`."""
+    return hll_registers(stream, key)

@@ -1407,3 +1407,117 @@ def sql_lead_lag_corr(
            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
     ORDER BY s1, s2, lag
     """
+
+
+def sharpe_ratio(
+    prices: DataFrame,
+    key: str,
+    ts_col: str,
+    price: str,
+    tiebreak: str,
+    min_obs: int = 10,
+    periods_per_year: int = 365,
+) -> DataFrame:
+    """Annualized Sharpe ratio (zero risk-free rate) per key from
+    daily closes: mean(r) / sd(r) * sqrt(periods_per_year) — the
+    risk-adjusted-return scalar the drawdown/volatility family
+    reports feed into.
+
+    Same exactness contract as pairwise_corr: closes by last tick per
+    (key, day); ppb-quantized simple returns; n / sum / sum-of-squares
+    accumulate in DECIMAL(38,0); mean, sample sd and the final ratio
+    are one fixed double chain.  One shuffle on the key (closes
+    window + the per-key aggregate share it); output is O(keys).
+    """
+    bk = F.date_trunc("day", F.col(ts_col)).alias("__bk")
+    wd = Window.partitionBy(key, F.date_trunc("day", F.col(ts_col))).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    closes = (
+        prices.filter(F.col(price).isNotNull())
+        .select(F.col(key), bk, F.col(price), F.row_number().over(wd).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wk = Window.partitionBy(key).orderBy(F.col("__bk").asc())
+    rets = (
+        closes.select(
+            F.col(key), F.col(price).alias("__c"),
+            F.lag(price).over(wk).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & (F.col("__p") != 0.0))
+        .select(
+            F.col(key),
+            F.round((F.col("__c") - F.col("__p")) / F.col("__p") * 1000000000.0)
+            .cast("bigint").alias("__r"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = rets.groupBy(key).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.col("__r").cast(dec)).alias("__s"),
+        F.sum(F.col("__r").cast(dec) * F.col("__r").cast(dec)).alias("__sq"),
+    )
+    n = F.col("n_obs").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    var = (n * sq - s * s) / (n * (n - 1.0))
+    sharpe = (s / n) / F.sqrt(var) * F.sqrt(F.lit(float(periods_per_year)))
+    return (
+        agg.filter(F.col("n_obs") >= min_obs)
+        .select(
+            F.col(key), "n_obs",
+            var.alias("__v"),
+            F.round(sharpe, 6).alias("sharpe_annualized"),
+        )
+        .filter(F.col("__v") > 0)
+        .drop("__v")
+        .orderBy(key)
+    )
+
+
+def sql_sharpe_ratio(
+    table: str, key: str, ts_col: str, price: str, tiebreak: str,
+    min_obs: int = 10, periods_per_year: int = 365,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`sharpe_ratio` (same quantization,
+    exact sums, identical double chain)."""
+    return f"""
+    WITH {extra_ctes} closes AS (
+      SELECT {key}, bk, {price} FROM (
+        SELECT {key}, date_trunc('day', {ts_col}) AS bk, {price},
+               row_number() OVER (
+                 PARTITION BY {key}, date_trunc('day', {ts_col})
+                 ORDER BY {ts_col} DESC, {tiebreak} DESC) AS rn
+        FROM {table} WHERE {price} IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT {key},
+             CAST(round((c - p) / p * 1000000000.0) AS BIGINT) AS r
+      FROM (
+        SELECT {key}, bk, {price} AS c,
+               lag({price}) OVER (PARTITION BY {key} ORDER BY bk ASC) AS p
+        FROM closes
+      ) WHERE p IS NOT NULL AND p <> 0.0
+    ),
+    agg AS (
+      SELECT {key}, COUNT(*) AS n_obs,
+             SUM(CAST(r AS DECIMAL(38,0))) AS s,
+             SUM(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))) AS sq
+      FROM rets GROUP BY 1
+    )
+    SELECT {key}, n_obs,
+           round((CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                 / sqrt((CAST(n_obs AS DOUBLE) * CAST(sq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)))
+                 * sqrt({float(periods_per_year)}), 6) AS sharpe_annualized
+    FROM agg
+    WHERE n_obs >= {min_obs}
+      AND (CAST(n_obs AS DOUBLE) * CAST(sq AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)) > 0
+    ORDER BY {key}
+    """

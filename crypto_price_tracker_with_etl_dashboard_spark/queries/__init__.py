@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (76 debut candidates are queued at the pool tail, all
+# r7 PLAN (81 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining SIXTY-EIGHT
+# block, leaving nothing older than r5.  The remaining SEVENTY-THREE
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -131,9 +131,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # events_hll_distinct, prices_lead_lag, doc_hybrid_rrf)
 # and the batch-16 five (trade_cheapest_path, emb_matryoshka_recall,
 # orders_benford_audit, events_ks_split, events_winsorize)
+# and the batch-17 five (events_dau_mau, prices_sharpe,
+# lineitem_quantity_model, events_cusum_drift,
+# events_type_hour_assoc)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (76 total candidates - 8
-# r7 debuts = 68 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (81 total candidates - 8
+# r7 debuts = 73 remaining; at ~8 debuts/round that cohort carries
 # through ~r15 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -299,6 +302,13 @@ ROTATION_POOL: list[str] = [
     #     exact-percentile winsorization. ---
     "trade_cheapest_path", "emb_matryoshka_recall", "orders_benford_audit",
     "events_ks_split", "events_winsorize",
+    # --- r6-built batch 17, same debut-candidate status: DAU/MAU
+    #     stickiness, annualized Sharpe ratio, closed-form two-feature
+    #     OLS from ten exact sufficient statistics (one shared
+    #     expression string on both engines), integer-exact CUSUM
+    #     drift detection, and Cramér's V type x hour association. ---
+    "events_dau_mau", "prices_sharpe", "lineitem_quantity_model",
+    "events_cusum_drift", "events_type_hour_assoc",
 ]
 
 

@@ -1336,3 +1336,104 @@ register(
     ORDER BY a.event_type
     """,
 )
+
+
+# ---- Cramér's V: event_type x hour association ------------------------------
+# "Does WHAT users do depend on WHEN?"  The chi-square-based
+# association strength between event type and hour-of-day —
+# entropy/MI needs log() (not portable bit-for-bit across libms),
+# Cramér's V needs only the +-*/sqrt fixed chain.  Per-cell
+# chi-square contributions are ppm-quantized to BIGINT BEFORE the
+# sum (the doc_lsh_calibration pattern), so the 120-term total is
+# order/partitioning-proof; the corpus pays one (type, hour) agg and
+# every total joins back onto the tiny contingency table.
+
+def q_events_type_hour_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("hr").alias("c"),
+    )
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "r", "c",
+            F.round(
+                (
+                    (F.col("o").cast("double")
+                     - F.col("rt").cast("double") * F.col("ct").cast("double")
+                     / F.col("n").cast("double"))
+                    * (F.col("o").cast("double")
+                       - F.col("rt").cast("double") * F.col("ct").cast("double")
+                       / F.col("n").cast("double"))
+                    / (F.col("rt").cast("double") * F.col("ct").cast("double")
+                       / F.col("n").cast("double"))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("contrib_ppm"),
+        )
+    )
+    agg = contrib.groupBy("n", "r", "c").agg(
+        F.sum("contrib_ppm").alias("chi2_ppm")
+    )
+    v = F.sqrt(
+        (F.col("chi2_ppm").cast("double") / 1000000.0)
+        / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)).cast("double")
+    )
+    return agg.select(
+        "n",
+        F.col("r").cast("bigint").alias("n_types"),
+        F.col("c").cast("bigint").alias("n_hours"),
+        "chi2_ppm",
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+register(
+    "events_type_hour_assoc",
+    q_events_type_hour_assoc,
+    """
+    WITH cells AS (
+      SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT hr) AS c
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n, r, c,
+             CAST(round(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS contrib_ppm
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (hr), tot
+    ),
+    agg AS (
+      SELECT n, r, c, CAST(SUM(contrib_ppm) AS BIGINT) AS chi2_ppm
+      FROM contrib GROUP BY 1, 2, 3
+    )
+    SELECT n, CAST(r AS BIGINT) AS n_types, CAST(c AS BIGINT) AS n_hours,
+           chi2_ppm,
+           round(sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0)
+                      / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
+    FROM agg
+    """,
+)

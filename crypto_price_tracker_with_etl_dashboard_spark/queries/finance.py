@@ -28,6 +28,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     lead_lag_corr,
     pairwise_corr,
     rsi,
+    sharpe_ratio,
     sql_bollinger,
     sql_ema_macd,
     sql_lead_lag_corr,
@@ -35,6 +36,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
     sql_ols_trend,
     sql_pairwise_corr,
     sql_rsi,
+    sql_sharpe_ratio,
     sql_stochastic,
     sql_twap,
     sql_vwap,
@@ -424,6 +426,28 @@ register(
         "prices", key="symbol", ts_col="timestamp",
         price="current_price", tiebreak="event_id",
         top_n=8, min_obs=10, bucket="day",
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    ),
+)
+
+
+def q_prices_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio per symbol from daily returns
+    (operators/indicators.py::sharpe_ratio) — the risk-adjusted
+    scalar next to max_drawdown in any portfolio readout."""
+    prices = prices_from_events(spark, sf_dir)
+    return sharpe_ratio(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id", min_obs=10,
+    )
+
+
+register(
+    "prices_sharpe",
+    q_prices_sharpe,
+    sql_sharpe_ratio(
+        "prices", key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id", min_obs=10,
         extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )

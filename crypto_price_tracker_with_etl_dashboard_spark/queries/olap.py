@@ -1069,3 +1069,114 @@ def _benford_sql() -> str:
 
 
 register("orders_benford_audit", q_orders_benford_audit, _benford_sql())
+
+
+# ---- Two-feature closed-form OLS: quantity ~ discount + tax -----------------
+# Multiple linear regression the way it actually scales: the corpus
+# collapses to TEN sufficient statistics (one DECIMAL(38,0)-exact
+# aggregate pass), and the normal equations solve in closed form via
+# Cramer's rule — no iterative solver, no second pass, no driver
+# matrix library.  The entire double chain (three 3x3 determinants,
+# coefficients, R^2) is ONE shared expression string evaluated by
+# both engines (F.expr on Spark, verbatim SQL on DuckDB), so
+# operand order is identical by construction.  Features/target are
+# ppm/cent-quantized integers, making every sum bit-exact.
+
+_OLS2_DET = (
+    "(nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_OLS2_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+)
+_OLS2_DET1 = (
+    "(nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+)
+_OLS2_DET2 = (
+    "(nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+)
+_OLS2_SSE = (
+    f"(syy - ({_OLS2_DET0} / {_OLS2_DET}) * sy"
+    f" - ({_OLS2_DET1} / {_OLS2_DET}) * s1y"
+    f" - ({_OLS2_DET2} / {_OLS2_DET}) * s2y)"
+)
+_OLS2_SST = "(syy - sy * sy / nd)"
+_OLS2_EXPRS = [
+    f"round({_OLS2_DET0} / {_OLS2_DET}, 6) AS b0",
+    f"round({_OLS2_DET1} / {_OLS2_DET}, 6) AS b1",
+    f"round({_OLS2_DET2} / {_OLS2_DET}, 6) AS b2",
+    f"round(1.0 - {_OLS2_SSE} / {_OLS2_SST}, 6) AS r2",
+]
+_OLS2_OUT = ", ".join(_OLS2_EXPRS)
+
+
+def q_lineitem_quantity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    feats = li.select(
+        F.round(F.col("l_discount") * 1000000).cast("bigint").cast(dec).alias("x1"),
+        F.round(F.col("l_tax") * 1000000).cast("bigint").cast(dec).alias("x2"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").cast(dec).alias("y"),
+    )
+    agg = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("S1"), F.sum("x2").alias("S2"), F.sum("y").alias("Sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("S11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("S12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("S22"),
+        F.sum(F.col("x1") * F.col("y")).alias("S1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("S2y"),
+        F.sum(F.col("y") * F.col("y")).alias("Syy"),
+    )
+    casted = agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("S1").cast("double").alias("s1"),
+        F.col("S2").cast("double").alias("s2"),
+        F.col("Sy").cast("double").alias("sy"),
+        F.col("S11").cast("double").alias("s11"),
+        F.col("S12").cast("double").alias("s12"),
+        F.col("S22").cast("double").alias("s22"),
+        F.col("S1y").cast("double").alias("s1y"),
+        F.col("S2y").cast("double").alias("s2y"),
+        F.col("Syy").cast("double").alias("syy"),
+    )
+    return casted.selectExpr("n", *_OLS2_EXPRS)
+
+
+register(
+    "lineitem_quantity_model",
+    q_lineitem_quantity_model,
+    f"""
+    WITH feats AS (
+      SELECT CAST(CAST(round(l_discount * 1000000) AS BIGINT) AS DECIMAL(38,0)) AS x1,
+             CAST(CAST(round(l_tax * 1000000) AS BIGINT) AS DECIMAL(38,0)) AS x2,
+             CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(x1) AS S1, SUM(x2) AS S2, SUM(y) AS Sy,
+             SUM(x1 * x1) AS S11, SUM(x1 * x2) AS S12, SUM(x2 * x2) AS S22,
+             SUM(x1 * y) AS S1y, SUM(x2 * y) AS S2y, SUM(y * y) AS Syy
+      FROM feats
+    ),
+    casted AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+             CAST(S1 AS DOUBLE) AS s1, CAST(S2 AS DOUBLE) AS s2,
+             CAST(Sy AS DOUBLE) AS sy,
+             CAST(S11 AS DOUBLE) AS s11, CAST(S12 AS DOUBLE) AS s12,
+             CAST(S22 AS DOUBLE) AS s22,
+             CAST(S1y AS DOUBLE) AS s1y, CAST(S2y AS DOUBLE) AS s2y,
+             CAST(Syy AS DOUBLE) AS syy
+      FROM agg
+    )
+    SELECT n, {_OLS2_OUT}
+    FROM casted
+    """,
+)

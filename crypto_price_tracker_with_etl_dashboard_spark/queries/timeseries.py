@@ -511,3 +511,152 @@ def _holt_sql() -> str:
 
 
 register("events_holt_forecast", q_events_holt_forecast, _holt_sql())
+
+
+# ---- DAU/MAU stickiness -----------------------------------------------------
+# The product-health scalar on every growth dashboard: per calendar
+# month, the ratio of average daily active users to monthly active
+# users, in exact ppm.  One (user, day) distinct pass feeds BOTH the
+# daily and monthly counts; everything downstream is O(months) rows.
+# stickiness_ppm = (sum of daily DAU x 1e6) div (days x MAU) — pure
+# integer arithmetic, so each month's row is a hard verdict.
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    daily = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    monthly_dau = daily.groupBy(
+        F.to_date(F.date_trunc("month", "day")).alias("month")
+    ).agg(
+        F.count("*").alias("days"), F.sum("dau").alias("sum_dau")
+    )
+    mau = ud.select(
+        F.to_date(F.date_trunc("month", "day")).alias("month"), "user_id"
+    ).distinct().groupBy("month").agg(F.count("*").alias("mau"))
+    return (
+        monthly_dau.join(mau, "month")
+        .select(
+            "month", "days", "sum_dau", "mau",
+            F.expr("sum_dau * 1000000 div (days * mau)").alias("stickiness_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "events_dau_mau",
+    q_events_dau_mau,
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+    monthly_dau AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             COUNT(*) AS days, CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM daily GROUP BY 1
+    ),
+    mau AS (
+      SELECT month, COUNT(*) AS mau FROM (
+        SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS month, user_id
+        FROM ud
+      ) GROUP BY 1
+    )
+    SELECT month, days, sum_dau, mau,
+           (sum_dau * 1000000) // (days * mau) AS stickiness_ppm
+    FROM monthly_dau JOIN mau USING (month)
+    ORDER BY month
+    """,
+)
+
+
+# ---- CUSUM drift detection --------------------------------------------------
+# Cumulative-sum change detection (Page, Biometrika 1954) on the
+# daily event-count series per type, made INTEGER-exact by scaling:
+# the deviation (x_d - mean) is irrational in general, but
+# x_d * D - total (D = number of days, total = sum of counts) is its
+# exact D-scaled integer twin, so the running CUSUM and its extremes
+# are hard integer verdicts.  The corpus pays one (type, day) agg;
+# the cumulative window runs per type over the calendar-bounded
+# daily grid.  Output: the peak |CUSUM| and the day it peaks —
+# the candidate change point — per event type.
+
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wtot = Window.partitionBy("event_type")
+    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # windows cannot nest in one expression: stage 1 attaches the
+    # per-type scale D and total, stage 2 runs the cumulative sum —
+    # both stages share the single event_type partitioning
+    enriched = daily.select(
+        "event_type", "day", "x",
+        F.count("*").over(wtot).alias("D"),
+        F.sum("x").over(wtot).alias("total"),
+    )
+    scored = enriched.select(
+        "event_type", "day",
+        F.sum(F.col("x") * F.col("D") - F.col("total")).over(wcum).alias(
+            "cusum_scaled"
+        ),
+        F.col("D").alias("days"),
+    )
+    return (
+        scored.withColumn("abs_cusum", F.abs("cusum_scaled"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("abs_cusum").desc(), F.col("day").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "days",
+            F.col("cusum_scaled").alias("peak_cusum_scaled"),
+            F.col("day").alias("at_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_cusum_drift",
+    q_events_cusum_drift,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, day,
+             CAST(SUM(x * D - total) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cusum_scaled,
+             D AS days
+      FROM (
+        SELECT event_type, day, x,
+               COUNT(*) OVER (PARTITION BY event_type) AS D,
+               CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM daily
+      )
+    )
+    SELECT event_type, days, cusum_scaled AS peak_cusum_scaled, day AS at_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum_scaled) DESC, day ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+)

@@ -1153,3 +1153,55 @@ def test_wap_publishes_only_on_green_audits(spark, tmp_path):
     v2 = write_audit_publish(good.limit(1), tdir, audits)
     assert v2 == 1 and current_version(tdir) == 1
     assert read_cdc_table(spark, tdir).count() == 1
+
+
+def test_streaming_hll_equals_batch_and_survives_duplicates(spark, tmp_path):
+    """The streaming HLL register table is a bounded (<= HLL_M rows)
+    update-mode max-aggregate; after two micro-batches — the second a
+    pure REPLAY of part of the first — the snapshot equals
+    hll_registers over the DISTINCT stream: max-idempotence makes the
+    sketch immune to at-least-once duplicate delivery."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        HLL_M,
+        hll_merge_estimate,
+        hll_registers,
+        streaming_hll,
+    )
+
+    pdir = str(tmp_path / "hll_stream")
+    b1 = [(i,) for i in range(300)]
+    b2 = [(i,) for i in range(100)]  # duplicates of batch 1's prefix
+    spark.createDataFrame(b1, "k bigint").coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema("k bigint").parquet(pdir)
+    q = (
+        streaming_hll(stream, "k")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "k bigint").coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        streamed = {
+            (r["bucket"],): r["max_rho"]
+            for r in spark.sql("SELECT * FROM hll_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    whole = {
+        (r["bucket"],): r["max_rho"]
+        for r in hll_registers(
+            spark.createDataFrame(b1, "k bigint"), "k"
+        ).collect()
+    }
+    assert streamed == whole
+    assert len(streamed) <= HLL_M
+    est = hll_merge_estimate(
+        hll_registers(spark.createDataFrame(b1 + b2, "k bigint"), "k")
+    ).collect()[0]["n_estimate"]
+    est_clean = hll_merge_estimate(
+        hll_registers(spark.createDataFrame(b1, "k bigint"), "k")
+    ).collect()[0]["n_estimate"]
+    assert est == est_clean
