@@ -196,6 +196,17 @@ HEADLINE = [
     "lineitem_quantity_model",
     "events_cusum_drift",
     "events_type_hour_assoc",
+    # round-6 batch 18
+    "emb_pca_power",
+    "events_conversion_latency",
+    "orders_duplicate_payments",
+    "doc_cv_folds",
+    "doc_rake_keyphrases",
+    # round-6 batch 19
+    "trade_ppr",
+    "orders_incremental_join",
+    "doc_vocab_growth",
+    "events_item_cf",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

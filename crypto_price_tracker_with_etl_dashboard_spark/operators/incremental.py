@@ -67,3 +67,45 @@ def finalize(state: DataFrame) -> DataFrame:
         "v_min",
         "v_max",
     )
+
+
+def join_delta(
+    base_l: DataFrame,
+    base_r: DataFrame,
+    delta_l: DataFrame,
+    delta_r: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The NEW rows a materialized inner join gains when both inputs
+    receive (insert-only) deltas — the standard IVM delta rule
+
+        d(L |x| R) = dL |x| R  +  L |x| dR  +  dL |x| dR
+
+    (each term hits the OLD other side; the third term pairs the
+    deltas with each other exactly once).  At 100 TB the wins are the
+    base |x| base term never re-running, and each delta term joining
+    a day-sized batch against a keyed (ideally bucketed) base table.
+    Insert-only by design: deletes/updates need retraction counts
+    (negative multiplicities), which the engine's MERGE/CDC path
+    (operators/merge.py) covers instead."""
+    return (
+        delta_l.join(base_r, on)
+        .unionByName(base_l.join(delta_r, on))
+        .unionByName(delta_l.join(delta_r, on))
+    )
+
+
+def maintained_join(
+    base_l: DataFrame,
+    base_r: DataFrame,
+    delta_l: DataFrame,
+    delta_r: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The maintained join state after applying one delta batch:
+    old materialization (base |x| base) + :func:`join_delta`.
+    Equal to (base+delta) |x| (base+delta) row-for-row — the
+    certified query proves it against a full-recompute oracle."""
+    return base_l.join(base_r, on).unionByName(
+        join_delta(base_l, base_r, delta_l, delta_r, on)
+    )

@@ -57,10 +57,18 @@ def pagerank(
     weight: str = "w",
     iters: int = 6,
     unit: int = UNIT,
+    personalize: int | None = None,
 ) -> DataFrame:
     """(node, pagerank) after ``iters`` damped (d=0.85) iterations
     from a uniform start.  ``edges`` rows are (src, dst, weight>0);
-    parallel edges should be pre-aggregated."""
+    parallel edges should be pre-aggregated.
+
+    ``personalize``: a node id makes this PERSONALIZED PageRank
+    (Haveliwala, WWW 2002) — the teleport mass (1-d) lands entirely
+    on that node instead of uniformly, and the walk starts there, so
+    ranks measure proximity TO the source rather than global
+    influence.  Same integer recursion, same per-round plan; only
+    the two teleport constants become per-node conditionals."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     # Cache the caller's edge expression FIRST: nodes, outw, and the
@@ -96,9 +104,20 @@ def pagerank(
         .select(F.col(src).alias("__onode"), "__ow")
         .cache()
     )
-    base = (3 * unit + 10 * n) // (20 * n)
-    init = (unit + n // 2) // n
-    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("pr"))
+    if personalize is None:
+        base_col = F.lit((3 * unit + 10 * n) // (20 * n)).cast("bigint")
+        init_col = F.lit((unit + n // 2) // n).cast("bigint")
+    else:
+        # all teleport/start mass on the source node (same roundings)
+        base_col = (
+            F.when(F.col("node") == personalize, (3 * unit + 10) // 20)
+            .otherwise(0)
+            .cast("bigint")
+        )
+        init_col = (
+            F.when(F.col("node") == personalize, unit).otherwise(0).cast("bigint")
+        )
+    ranks = nodes.select("node", init_col.alias("pr"))
     for it in range(iters):
         # rank columns renamed per round: ranks shares lineage with
         # edges, and duplicate attribute names across a
@@ -130,7 +149,7 @@ def pagerank(
         ranks = nodes.join(F.broadcast(s), "node", "left").select(
             "node",
             (
-                F.lit(base).cast("bigint")
+                base_col
                 + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
             ).alias("pr"),
         )
@@ -154,6 +173,7 @@ def sql_pagerank(
     edges_cte: str,
     iters: int = 6,
     unit: int = UNIT,
+    personalize: int | None = None,
 ) -> str:
     """DuckDB mirror: the same integer recursion UNROLLED as one CTE
     per iteration (the emb_kmeans oracle pattern — aggregates are not
@@ -163,12 +183,24 @@ def sql_pagerank(
     (src, dst, w)."""
     its = []
     prev = "r0"
+    if personalize is None:
+        base_sql = f"((3 * CAST({unit} AS BIGINT) + 10 * nn.n) // (20 * nn.n))"
+        init_sql = f"(CAST({unit} AS BIGINT) + nn.n // 2) // nn.n"
+    else:
+        base_sql = (
+            f"(CASE WHEN n.node = {personalize}"
+            f" THEN (3 * CAST({unit} AS BIGINT) + 10) // 20 ELSE 0 END)"
+        )
+        init_sql = (
+            f"CASE WHEN node = {personalize}"
+            f" THEN CAST({unit} AS BIGINT) ELSE 0 END"
+        )
     for k in range(1, iters + 1):
         cur = f"r{k}"
         its.append(f"""
     {cur} AS (
       SELECT n.node,
-             ((3 * CAST({unit} AS BIGINT) + 10 * nn.n) // (20 * nn.n))
+             {base_sql}
              + (17 * COALESCE(s.S, 0) + 10) // 20 AS pr
       FROM nodes n CROSS JOIN nn LEFT JOIN (
         SELECT e.dst AS node, SUM((r.pr * e.w + o.W // 2) // o.W) AS S
@@ -189,7 +221,7 @@ def sql_pagerank(
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     outw AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
     r0 AS (
-      SELECT node, (CAST({unit} AS BIGINT) + nn.n // 2) // nn.n AS pr
+      SELECT node, {init_sql} AS pr
       FROM nodes CROSS JOIN nn
     ),{','.join(its)}
     SELECT node, CAST(pr AS DOUBLE) / {unit} AS pagerank

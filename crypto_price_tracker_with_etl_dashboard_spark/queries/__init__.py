@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (81 debut candidates are queued at the pool tail, all
+# r7 PLAN (90 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining SEVENTY-THREE
+# block, leaving nothing older than r5.  The remaining EIGHTY-TWO
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -134,9 +134,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-17 five (events_dau_mau, prices_sharpe,
 # lineitem_quantity_model, events_cusum_drift,
 # events_type_hour_assoc)
+# and the batch-18 five (emb_pca_power, events_conversion_latency,
+# orders_duplicate_payments, doc_cv_folds, doc_rake_keyphrases)
+# and the batch-19 four (trade_ppr, orders_incremental_join,
+# doc_vocab_growth, events_item_cf)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (81 total candidates - 8
-# r7 debuts = 73 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (90 total candidates - 8
+# r7 debuts = 82 remaining; at ~8 debuts/round that cohort carries
 # through ~r15 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -309,6 +313,21 @@ ROTATION_POOL: list[str] = [
     #     drift detection, and Cramér's V type x hour association. ---
     "events_dau_mau", "prices_sharpe", "lineitem_quantity_model",
     "events_cusum_drift", "events_type_hour_assoc",
+    # --- r6-built batch 18, same debut-candidate status: power-
+    #     iteration top principal direction (ppm-quantized exact
+    #     integer sums per round, unrolled-CTE oracle), conversion-
+    #     latency percentiles on distributed exact rank, duplicate-
+    #     payment fraud screen, stratified k-fold assignment report,
+    #     and RAKE keyphrase extraction (gaps-and-islands phrases). ---
+    "emb_pca_power", "events_conversion_latency", "orders_duplicate_payments",
+    "doc_cv_folds", "doc_rake_keyphrases",
+    # --- r6-built batch 19, same debut-candidate status: personalized
+    #     PageRank (teleport mass on the source), incremental JOIN
+    #     maintenance (IVM delta rule, merge == recompute oracle),
+    #     Heaps-law vocabulary-growth curve, and item-item
+    #     collaborative filtering (binary-cosine, capped pair stage). ---
+    "trade_ppr", "orders_incremental_join", "doc_vocab_growth",
+    "events_item_cf",
 ]
 
 

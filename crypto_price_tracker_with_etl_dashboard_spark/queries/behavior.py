@@ -1437,3 +1437,93 @@ register(
     FROM agg
     """,
 )
+
+
+# ---- Item-item collaborative filtering --------------------------------------
+# "Users who touched k also touched..." — the item-item CF backbone
+# (Sarwar et al., WWW 2001): cosine similarity between items from
+# binary user-item co-occurrence, sim(i,j) = c_ij / sqrt(c_i * c_j).
+# Items come from the event payload (props.k).  The pair stage is
+# the basket-affinity plan: per-user sorted item sets (capped — one
+# power user cannot explode the quadratic stage), map-side pair
+# expansion, one (i, j) shuffle; marginals come from the UNCAPPED
+# table and broadcast.  Cosine is one sqrt over exact integers,
+# rounded at 6 dp.
+
+_CF_MAX_ITEMS = 64
+_CF_MIN_CO = 3
+
+
+def q_events_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ui = ev.select(
+        "user_id",
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
+    ).filter(F.col("item").isNotNull()).distinct()
+    item_n = ui.groupBy("item").agg(F.count("*").alias("n"))
+    sets = (
+        ui.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+        .filter((F.size("its") >= 2) & (F.size("its") <= _CF_MAX_ITEMS))
+    )
+    pairs = F.expr(
+        "flatten(transform(its, (x, i) ->"
+        " transform(slice(its, i + 2, size(its) - i - 1),"
+        " y -> struct(x AS ia, y AS ib))))"
+    )
+    co = (
+        sets.select(F.explode_outer(pairs).alias("pr"))
+        .filter(F.col("pr").isNotNull())
+        .groupBy(F.col("pr.ia").alias("item_a"), F.col("pr.ib").alias("item_b"))
+        .agg(F.count("*").alias("co_users"))
+        .filter(F.col("co_users") >= _CF_MIN_CO)
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("__na"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("__nb"))
+    cos = F.col("co_users").cast("double") / F.sqrt(
+        (F.col("__na") * F.col("__nb")).cast("double")
+    )
+    return (
+        co.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a", "item_b", "co_users", F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "item_a", "item_b")
+    )
+
+
+register(
+    "events_item_cf",
+    q_events_item_cf,
+    f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events WHERE user_id IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    item_n AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY 1),
+    usets AS (
+      SELECT user_id, COUNT(*) AS sz FROM ui GROUP BY 1
+      HAVING COUNT(*) BETWEEN 2 AND {_CF_MAX_ITEMS}
+    ),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co_users
+      FROM ui a
+      JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      JOIN usets u ON u.user_id = a.user_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_CF_MIN_CO}
+    )
+    SELECT item_a, item_b, co_users,
+           round(CAST(co_users AS DOUBLE)
+                 / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+    FROM co
+    JOIN item_n na ON na.item = item_a
+    JOIN item_n nb ON nb.item = item_b
+    ORDER BY cosine DESC, item_a, item_b
+    """,
+)

@@ -373,3 +373,24 @@ register(
         f" AS kind, cost FROM d{_BF_ROUNDS} ORDER BY cost, node",
     ),
 )
+
+
+# ---- Personalized PageRank from supplier 1 ----------------------------------
+# Same damped integer recursion as trade_pagerank, but the teleport
+# mass (1-d) lands entirely on the source node (Haveliwala, WWW
+# 2002), so ranks measure trade-graph PROXIMITY to supplier 1 — the
+# recommendation/attribution view BFS hop counts can't give (it
+# weighs HOW MANY short weighted paths, not just the shortest).
+
+def q_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(
+        _trade_edges(spark, sf_dir), iters=_PR_ITERS, personalize=_BFS_SOURCE
+    ).orderBy(F.col("pagerank").desc(), F.col("node").asc())
+
+
+register(
+    "trade_ppr",
+    q_trade_ppr,
+    sql_pagerank(_EDGES_CTE, iters=_PR_ITERS, personalize=_BFS_SOURCE)
+    + " ORDER BY pagerank DESC, node ASC",
+)

@@ -1180,3 +1180,129 @@ register(
     FROM casted
     """,
 )
+
+
+# ---- Duplicate-payment screen ----------------------------------------------
+# The classic AP fraud/error audit: two orders from the SAME customer
+# for (near-)the-same amount within a month.  Exact-amount equality
+# finds nothing on realistic data (prices are near-unique), so the
+# screen buckets amounts to $1000 (round(price/1000) — integer
+# equality, engine-portable) and windows dates to +-30 days.  The
+# self-join keys on (custkey, amount bucket): one shuffle, and the
+# quadratic stage is bounded per (customer, bucket) cell — a customer
+# would need many same-bucket orders to matter.
+
+def q_orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") / 1000).cast("bigint").alias("__amt"),
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("custkey"), F.col("__amt"),
+        F.col("o_orderkey").alias("o1"), F.col("o_totalprice").alias("price1"),
+        F.col("d").alias("d1"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("custkey"), F.col("__amt"),
+        F.col("o_orderkey").alias("o2"), F.col("o_totalprice").alias("price2"),
+        F.col("d").alias("d2"),
+    )
+    return (
+        a.join(b, ["custkey", "__amt"])
+        .filter(
+            (F.col("o1") < F.col("o2"))
+            & (F.abs(F.datediff("d2", "d1")) <= 30)
+        )
+        .select(
+            "custkey", "o1", "o2", "price1", "price2",
+            F.datediff("d2", "d1").alias("days_apart"),
+        )
+        .orderBy("custkey", "o1", "o2")
+    )
+
+
+register(
+    "orders_duplicate_payments",
+    q_orders_duplicate_payments,
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(round(o_totalprice / 1000) AS BIGINT) AS amt
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+           a.o_totalprice AS price1, b.o_totalprice AS price2,
+           date_diff('day', a.d, b.d) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.amt = b.amt
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.d, b.d)) <= 30
+    ORDER BY custkey, o1, o2
+    """,
+)
+
+
+# ---- Incremental JOIN maintenance (merge == recompute) ----------------------
+# The IVM delta rule for joins (operators/incremental.py::
+# maintained_join), certified the same way events_incremental_agg
+# certified aggregate maintenance: Spark computes the maintained
+# state — yesterday's orders|x|lineitem materialization plus the
+# three delta terms for the last-week batch — and the DuckDB oracle
+# runs the FULL recompute; the driver's hash equality IS the
+# merge-equals-recompute proof.  Revenue is summed in DECIMAL(38,0)
+# cents so equality is exact.
+
+_IVM_CUT = "1998-05-15"  # base = strictly before; delta = on/after
+
+
+def q_orders_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.incremental import (
+        maintained_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    cut = F.lit(_IVM_CUT).cast("date")
+    joined = maintained_join(
+        orders.filter(F.col("od") < cut),
+        li.filter(F.col("sd") < cut),
+        orders.filter(F.col("od") >= cut),
+        li.filter(F.col("sd") >= cut),
+        on=["k"],
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "orders_incremental_join",
+    q_orders_incremental_join,
+    # the FULL recompute: hash equality against the Spark-side
+    # maintained state is the merge-equals-recompute certification
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)

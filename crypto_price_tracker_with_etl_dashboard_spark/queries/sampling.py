@@ -293,3 +293,60 @@ register(
     LIMIT {_LEAK_TOP}
     """,
 )
+
+
+# ---- Stratified k-fold assignment report -----------------------------------
+# Cross-validation folds with the same leakage discipline as
+# hash_split: fold membership is pure key arithmetic (LCG bucket mod
+# k — no RNG, repartition/rerun-proof), so a document can never
+# migrate folds between materializations.  The certified row reports
+# per-language fold balance: a fold whose size strays from n/k by
+# more than the hash's natural variance is the signal the splitter
+# or the key is broken.  One (lang, fold) shuffle; O(langs) output.
+
+_CV_K = 5
+
+
+def q_doc_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    folds = docs.select(
+        "lang", lcg_bucket("doc_id", _CV_K).alias("fold")
+    )
+    per = folds.groupBy("lang", "fold").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("folds_used"),
+            F.min("n").alias("min_fold_n"),
+            F.max("n").alias("max_fold_n"),
+        )
+        .select(
+            "lang", "n_docs", "folds_used", "min_fold_n", "max_fold_n",
+            F.expr("(max_fold_n - min_fold_n) * 1000000 div n_docs").alias(
+                "spread_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "doc_cv_folds",
+    q_doc_cv_folds,
+    f"""
+    WITH folds AS (
+      SELECT lang, {sql_lcg_bucket("doc_id", _CV_K)} AS fold
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    per AS (SELECT lang, fold, COUNT(*) AS n FROM folds GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS folds_used,
+           MIN(n) AS min_fold_n, MAX(n) AS max_fold_n,
+           ((MAX(n) - MIN(n)) * 1000000) // CAST(SUM(n) AS BIGINT) AS spread_ppm
+    FROM per GROUP BY lang
+    ORDER BY lang
+    """,
+)

@@ -5,7 +5,7 @@ primitives (the algorithms are engine-portable by construction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
@@ -1483,3 +1483,203 @@ def _lsh_calibration_sql() -> str:
 
 
 register("doc_lsh_calibration", q_doc_lsh_calibration, _lsh_calibration_sql())
+
+
+# ---- RAKE keyphrase extraction ---------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al., 2010): candidate
+# phrases are maximal stopword-free token runs (a gaps-and-islands
+# window: run_id = pos - row_number within the doc's non-stop
+# stream), each word scores degree/frequency over the candidate set,
+# and a phrase scores the sum of its words — here in exact integer
+# ppm (deg * 1e6 div freq) so every figure is a hard verdict.
+#
+# Scale shape: tokenization + island grouping pay one doc-key
+# shuffle; the word-stat table is O(vocabulary) and joins back onto
+# the phrase members (vocab-sized build side — the same trade as
+# TF-IDF's df table); the global top-K is a distributed TakeOrdered.
+# Phrases are capped at _RAKE_MAX_LEN words (RAKE's standard cap),
+# which also bounds the member explode.
+
+_RAKE_STOP = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "it", "this", "that", "are", "be",
+]
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 10
+
+
+def q_doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    nonstop = toks.filter(~F.col("term").isin(_RAKE_STOP))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = nonstop.withColumn(
+        "run", F.col("pos") - F.row_number().over(w)
+    )
+    phrases = (
+        islands.groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    members = phrases.select(
+        "doc_id", "run", "phrase", "plen",
+        F.explode(F.split("phrase", " ")).alias("term"),
+    )
+    wordscore = (
+        members.groupBy("term")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("term", F.expr("deg * 1000000 div freq").alias("wscore"))
+    )
+    occ = (
+        members.join(wordscore, "term")
+        .groupBy("doc_id", "run", "phrase")
+        .agg(F.sum("wscore").alias("score_ppm"))
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(F.count("*").alias("n_occ"), F.max("score_ppm").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOPK)
+    )
+
+
+def _rake_sql() -> str:
+    stop_list = ", ".join(f"'{t}'" for t in _RAKE_STOP)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, term FROM toks
+      WHERE term <> '' AND term NOT IN ({stop_list})
+    ),
+    islands AS (
+      SELECT doc_id, pos, term,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM nonstop
+    ),
+    phrases AS (
+      SELECT doc_id, run,
+             string_agg(term, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM islands GROUP BY 1, 2
+      HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ),
+    members AS (
+      SELECT doc_id, run, phrase, plen,
+             unnest(string_split(phrase, ' ')) AS term
+      FROM phrases
+    ),
+    wordscore AS (
+      SELECT term, (CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*) AS wscore
+      FROM members GROUP BY 1
+    ),
+    occ AS (
+      SELECT m.doc_id, m.run, m.phrase,
+             CAST(SUM(w.wscore) AS BIGINT) AS score_ppm
+      FROM members m JOIN wordscore w USING (term)
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase, COUNT(*) AS n_occ,
+           CAST(MAX(score_ppm) AS BIGINT) AS score_ppm
+    FROM occ GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase ASC
+    LIMIT {_RAKE_TOPK}
+    """
+
+
+register("doc_rake_keyphrases", q_doc_rake_keyphrases, _rake_sql())
+
+
+# ---- Vocabulary growth (Heaps-law curve) ------------------------------------
+# How fast does vocabulary grow as the corpus grows?  The curve that
+# sizes tokenizers and predicts dedup payoff.  Exact and one-pass:
+# each term's FIRST document (min doc_id) decides which fifth of the
+# corpus first contributed it; the cumulative sum over the <= 5 bins
+# is the vocabulary size at each 20% checkpoint.  The corpus pays
+# one term shuffle (min-agg, map-side combinable); everything after
+# is O(5) rows.
+
+def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    terms = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    bins = (
+        first.crossJoin(F.broadcast(mx))
+        .select(F.expr("first_doc * 5 div (mx + 1)").alias("bin"), "mx")
+        .groupBy("bin", "mx")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    # emit ALL five checkpoints (a saturated corpus contributes no
+    # new terms after an early bin — the flat tail IS the finding)
+    spine = mx.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("bin"), "mx"
+    )
+    full = spine.join(bins.drop("mx"), "bin", "left").select(
+        "bin", "mx", F.coalesce("new_terms", F.lit(0)).alias("new_terms")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return full.select(
+        ((F.col("bin") + 1) * 20).cast("int").alias("pct_docs"),
+        F.expr("(mx + 1) * (bin + 1) div 5").alias("docs_prefix"),
+        "new_terms",
+        F.sum("new_terms").over(wcum).alias("vocab"),
+    ).orderBy("pct_docs")
+
+
+register(
+    "doc_vocab_growth",
+    q_doc_vocab_growth,
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+    ),
+    first AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM terms
+      WHERE term IS NOT NULL AND term <> '' GROUP BY 1
+    ),
+    mx AS (SELECT MAX(doc_id) AS mx FROM docs),
+    bins AS (
+      SELECT (first_doc * 5) // (mx + 1) AS bin, COUNT(*) AS new_terms
+      FROM first, mx GROUP BY 1
+    ),
+    filled AS (
+      SELECT t.bin, mx.mx, COALESCE(b.new_terms, 0) AS new_terms
+      FROM range(0, 5) t(bin) CROSS JOIN mx LEFT JOIN bins b ON b.bin = t.bin
+    )
+    SELECT CAST((bin + 1) * 20 AS INT) AS pct_docs,
+           ((mx + 1) * (bin + 1)) // 5 AS docs_prefix,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+    FROM filled
+    ORDER BY pct_docs
+    """,
+)

@@ -660,3 +660,103 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---- Conversion-latency percentiles ----------------------------------------
+# How long from first view to first purchase?  Exact p50/p90/p99 of
+# the per-user latency WITHOUT a corpus-sized single-partition sort:
+# the latency table ranks through operators/rank.py::global_rank
+# (bucketed prefix sums — the pack_chunks decomposition), and the
+# quantile targets are integer ranks ceil(n*q/100), so every output
+# value is a hard verdict.  Latencies in whole seconds via the
+# boundary-crossing count (DuckDB date_diff('second') == difference
+# of epoch-second floors == Spark unix_timestamp subtraction).
+
+_LATENCY_QUANTILES = (50, 90, 99)
+
+
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        global_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("ts").alias("tp"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("tp") - F.unix_timestamp("tv")).alias("lat_sec"),
+        )
+    )
+    ranked = global_rank(
+        lat,
+        order_by=[F.col("lat_sec").asc(), F.col("user_id").asc()],
+        bucket=F.expr("lat_sec div 3600"),
+    )
+    n = lat.agg(F.count("*").alias("n"))
+    targets = n.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("pct"),
+                        F.expr(f"(n * {q} + 99) div 100").alias("target"),
+                    )
+                    for q in _LATENCY_QUANTILES
+                ]
+            )
+        ).alias("t"),
+    ).select("n", F.col("t.pct").alias("pct"), F.col("t.target").alias("target"))
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("rank") == F.col("target")
+        )
+        .select("pct", "lat_sec", F.col("n").alias("n_users"))
+        .orderBy("pct")
+    )
+
+
+register(
+    "events_conversion_latency",
+    q_events_conversion_latency,
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    views AS (
+      SELECT user_id, MIN(ts) AS tv FROM ev
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    lat AS (
+      SELECT e.user_id,
+             date_diff('second', v.tv, MIN(e.ts)) AS lat_sec
+      FROM ev e JOIN views v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.tv
+      GROUP BY e.user_id, v.tv
+    ),
+    ranked AS (
+      SELECT lat_sec,
+             row_number() OVER (ORDER BY lat_sec ASC, user_id ASC) AS rnk
+      FROM lat
+    ),
+    n AS (SELECT COUNT(*) AS n FROM lat),
+    targets AS (
+      SELECT n, pct, (n * pct + 99) // 100 AS target
+      FROM n, (VALUES (50), (90), (99)) q(pct)
+    )
+    SELECT t.pct, r.lat_sec, t.n AS n_users
+    FROM ranked r JOIN targets t ON r.rnk = t.target
+    ORDER BY t.pct
+    """,
+)

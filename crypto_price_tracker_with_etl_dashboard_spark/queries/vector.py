@@ -1509,3 +1509,35 @@ def _mrl_sql() -> str:
 
 
 register("emb_matryoshka_recall", q_emb_matryoshka_recall, _mrl_sql())
+
+
+# ---- Top principal direction (power iteration) ------------------------------
+# Matrix-free spectral analysis of the embedding table
+# (functions/decomp.py): two power-iteration rounds from e1 give the
+# dominant direction of the uncentered second moment — the
+# anisotropy/"rogue dimension" readout.  Per-row dots and per-(row,
+# dim) contributions are ppm-quantized to BIGINT so every
+# per-dimension sum is exact under any partitioning; the unrolled
+# oracle replays both rounds bit-for-bit.
+
+_PCA_ITERS = 2
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.decomp import (
+        power_iteration_top_pc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_pc(emb, dim=_DIM, iters=_PCA_ITERS)
+
+
+def _pca_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.decomp import (
+        sql_power_iteration_top_pc,
+    )
+
+    return sql_power_iteration_top_pc("embeddings", dim=_DIM, iters=_PCA_ITERS)
+
+
+register("emb_pca_power", q_emb_pca_power, _pca_sql())

@@ -70,3 +70,18 @@ def test_experimentation_pipeline_end_to_end(spark):
     assert abs(stats["diff_adj"] - stats["diff_raw"]) < 1e6
     assert stats["theta"] == stats["theta"]  # not NaN
     assert stats["seasonality_cells"] > 0
+
+
+def test_search_retrieval_pipeline_end_to_end(spark):
+    from examples.search_retrieval_pipeline import run_retrieval_stack
+
+    stats = run_retrieval_stack(spark, SF_SMALL)
+    assert stats["bm25_pool"] > 0
+    assert stats["cosine_pairs"] > 0
+    assert stats["fused_topk"] == 10
+    assert len(set(stats["fused_ids"])) == 10
+    # both audits return well-formed verdicts; prefix serving is
+    # expected to FAIL on untrained synthetic embeddings
+    assert isinstance(stats["ann_recall_pass"], bool)
+    assert 0 <= stats["matryoshka_recall_ppm"] <= 1_000_000
+    assert len(stats["keyphrases"]) == 3
