@@ -207,6 +207,12 @@ HEADLINE = [
     "orders_incremental_join",
     "doc_vocab_growth",
     "events_item_cf",
+    # round-6 batch 20
+    "events_seq_pairs",
+    "doc_incremental_dedup",
+    "doc_winnow_overlap",
+    "prices_atr",
+    "trade_closeness",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

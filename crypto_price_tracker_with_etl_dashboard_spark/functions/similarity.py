@@ -1512,3 +1512,4 @@ def sql_kcenter_sample(k: int, dim: int) -> str:
         + " UNION ALL ".join(selects)
         + ") ORDER BY sel_order"
     )
+

@@ -85,6 +85,78 @@ def sql_bfs_hops(edges_cte: str, source: int, max_hops: int) -> str:
     )
 
 
+def multi_bfs_hops(
+    edges: DataFrame, sources: list[int], max_hops: int
+) -> DataFrame:
+    """Shortest hop counts from EVERY source in ``sources`` in one
+    synchronized frontier sweep: frontier rows are (root, node)
+    pairs, so K sources cost one shared edge scan per round instead
+    of K sequential :func:`bfs_hops` jobs — the batch shape
+    landmark/pivot centrality estimators use (Eppstein & Wang,
+    SODA'01 pick random pivots exactly so K stays fixed as |V|
+    grows).  Visited-set anti-join and per-round localCheckpoint
+    carry over unchanged, now keyed on (root, node); state is
+    O(K * reached), never paths.
+
+    Returns (root, node, hops) with one row per (source, reached
+    node), hops in 0..max_hops."""
+    if max_hops < 1:
+        raise ValueError(f"multi_bfs_hops needs max_hops >= 1, got {max_hops}")
+    if not sources:
+        raise ValueError("multi_bfs_hops needs at least one source")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    frontier = spark.createDataFrame(
+        [(s, s) for s in sources], "root bigint, node bigint"
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    levels = [frontier.select("root", "node", F.lit(0).alias("hops"))]
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt.select("root", "node", F.lit(k).alias("hops")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
+def sql_multi_bfs_hops(edges_cte: str, sources: list[int], max_hops: int) -> str:
+    """DuckDB mirror of :func:`multi_bfs_hops`: per-level DISTINCT
+    (root, node) frontier expansion unrolled ``max_hops`` times,
+    shortest distance as MIN(level) — the same re-derivation argument
+    as :func:`sql_bfs_hops`, per root."""
+    seed = ", ".join(
+        f"(CAST({s} AS BIGINT), CAST({s} AS BIGINT))" for s in sources
+    )
+    ctes = [
+        edges_cte,
+        f"f0 AS (SELECT * FROM (VALUES {seed}) AS t(root, node))",
+    ]
+    unions = ["SELECT root, node, 0 AS hops FROM f0"]
+    for k in range(1, max_hops + 1):
+        ctes.append(
+            f"f{k} AS (SELECT DISTINCT f.root, e.dst AS node"
+            f" FROM edges e JOIN f{k - 1} f ON e.src = f.node)"
+        )
+        unions.append(f"SELECT root, node, {k} AS hops FROM f{k}")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT root, node, MIN(hops) AS hops FROM ("
+        + " UNION ALL ".join(unions)
+        + ") GROUP BY root, node"
+    )
+
+
 def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:
     """Single-source cheapest-path costs over positive INTEGER edge
     weights, by ``rounds`` synchronous relaxation rounds (Bellman &

@@ -1521,3 +1521,142 @@ def sql_sharpe_ratio(
           / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)) > 0
     ORDER BY {key}
     """
+
+
+def atr(
+    candles: DataFrame,
+    key: str,
+    order_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Average True Range (Wilder, 1978) per key over ordered OHLC
+    candles — the volatility companion of :func:`ema_macd`'s trend
+    recursion.
+
+        tr_t  = max(h_t - l_t, |h_t - c_{t-1}|, |l_t - c_{t-1}|)
+                (first candle: h_1 - l_1 — no previous close)
+        atr_t = ((n-1)*atr_{t-1} + tr_t) / n       (seed: atr_1 = tr_1)
+
+    The smoothing is Wilder's RMA seeded at the first true range (the
+    same seed convention ema_macd uses), rewritten over fixed-point
+    BIGINT units with round-half-up integer division
+
+        au_t = ((n-1)*au_{t-1} + tru_t + n//2) // n
+
+    so every state is an exact integer and a WITH RECURSIVE oracle
+    re-derives the series bit-for-bit.  Every operand is nonnegative
+    (true ranges are), so floor and truncating division agree.
+
+    Execution shape is the ema_macd stream: ONE key repartition +
+    in-partition sort, then ``mapInPandas`` folds each key's candle
+    run sequentially, carrying (prev_close, atr, rn) per key across
+    Arrow batches — the previous close lives in the fold state, so no
+    separate lag window (and no second shuffle) is needed.
+    """
+    if n < 1:
+        raise ValueError(f"atr needs n >= 1, got {n}")
+    import numpy as np
+
+    half = n // 2
+    out_schema = (
+        f"{key} string, {order_col} timestamp, rn long, tr double, atr double"
+    )
+
+    def run(batches):
+        state: dict = {}  # key -> (prev_cu, atr_u, rn)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ks = pdf[key].to_numpy()
+            hu = pdf["__hu"].to_numpy().tolist()
+            lu = pdf["__lu"].to_numpy().tolist()
+            cu = pdf["__cu"].to_numpy().tolist()
+            tr_a = np.empty(m, dtype=np.int64)
+            at_a = np.empty(m, dtype=np.int64)
+            rn_a = np.empty(m, dtype=np.int64)
+            cur = None
+            pc = au = rn = 0
+            for i in range(m):
+                k = ks[i]
+                if k != cur:
+                    if cur is not None:
+                        state[cur] = (pc, au, rn)
+                    cur = k
+                    pc, au, rn = state.get(k, (0, 0, 0))
+                if rn == 0:
+                    tru = hu[i] - lu[i]
+                    au = tru
+                else:
+                    tru = max(hu[i] - lu[i], abs(hu[i] - pc), abs(lu[i] - pc))
+                    au = ((n - 1) * au + tru + half) // n
+                rn += 1
+                pc = cu[i]
+                tr_a[i] = tru
+                at_a[i] = au
+                rn_a[i] = rn
+            state[cur] = (pc, au, rn)
+            out = pdf[[key, order_col]].copy()
+            out["rn"] = rn_a
+            out["tr"] = tr_a / SCALE
+            out["atr"] = at_a / SCALE
+            yield out
+
+    prepared = (
+        candles.filter(
+            F.col("high").isNotNull() & F.col("low").isNotNull()
+            & F.col("close").isNotNull()
+        )
+        .select(
+            F.col(key).cast("string").alias(key),
+            F.col(order_col),
+            F.round(F.col("high") * SCALE).cast("bigint").alias("__hu"),
+            F.round(F.col("low") * SCALE).cast("bigint").alias("__lu"),
+            F.round(F.col("close") * SCALE).cast("bigint").alias("__cu"),
+        )
+        .repartition(key)
+        .sortWithinPartitions(key, order_col)
+    )
+    return prepared.mapInPandas(run, out_schema)
+
+
+def sql_atr(candles_cte: str, key: str, order_col: str, n: int = 14) -> str:
+    """DuckDB mirror of :func:`atr`: true ranges from a lag window
+    over the rn-indexed candle units, then the Wilder RMA as a WITH
+    RECURSIVE frontier join.  ``candles_cte`` must end with a
+    ``candles`` relation carrying (key, order_col, high, low,
+    close)."""
+    half = n // 2
+    return f"""
+    WITH RECURSIVE {candles_cte.rstrip().rstrip(',')},
+    seq AS (
+      SELECT CAST({key} AS VARCHAR) AS {key}, {order_col},
+             CAST(round(high * {SCALE}) AS BIGINT) AS hu,
+             CAST(round(low * {SCALE}) AS BIGINT) AS lu,
+             CAST(round(close * {SCALE}) AS BIGINT) AS cu,
+             row_number() OVER (PARTITION BY {key} ORDER BY {order_col}) AS rn
+      FROM candles
+      WHERE high IS NOT NULL AND low IS NOT NULL AND close IS NOT NULL
+    ),
+    tr AS (
+      SELECT {key}, {order_col}, rn,
+             CASE WHEN rn = 1 THEN hu - lu
+                  ELSE greatest(hu - lu, abs(hu - pc), abs(lu - pc)) END AS tru
+      FROM (
+        SELECT *, lag(cu) OVER (PARTITION BY {key} ORDER BY rn) AS pc
+        FROM seq
+      )
+    ),
+    wilder AS (
+      SELECT {key}, {order_col}, rn, tru, tru AS au FROM tr WHERE rn = 1
+      UNION ALL
+      SELECT t.{key}, t.{order_col}, t.rn, t.tru,
+             (({n} - 1) * w.au + t.tru + {half}) // {n}
+      FROM tr t JOIN wilder w ON t.{key} = w.{key} AND t.rn = w.rn + 1
+    )
+    SELECT {key}, {order_col}, rn,
+           CAST(tru AS DOUBLE) / {SCALE} AS tr,
+           CAST(au AS DOUBLE) / {SCALE} AS atr
+    FROM wilder
+    """
+

@@ -97,7 +97,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
 # top_orders_per_customer, segment_order_stats (r4-certified) — the
 # slimming lets r6 clear four extra stale rows.
-# r7 PLAN (90 debut candidates are queued at the pool tail, all
+# r7 PLAN (95 debut candidates are queued at the pool tail, all
 # check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
 # r6 debuts at the cursor (index 26, before events_tumbling_5min) and
 # set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
@@ -105,7 +105,7 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # indices 26..41 today, 30..45 after the insertion — so r7 debuts
 # exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
 # rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining EIGHTY-TWO
+# block, leaving nothing older than r5.  The remaining EIGHTY-SEVEN
 # candidates (events_top_paths, events_markov, doc_bigram_topk, the
 # batch-3 eight: prices_ema_macd, doc_simhash_neardup,
 # events_grouping_sets, events_histogram, events_heavy_hitters,
@@ -138,10 +138,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # orders_duplicate_payments, doc_cv_folds, doc_rake_keyphrases)
 # and the batch-19 four (trade_ppr, orders_incremental_join,
 # doc_vocab_growth, events_item_cf)
+# and the batch-20 five (events_seq_pairs, doc_incremental_dedup,
+# doc_winnow_overlap, prices_atr, trade_closeness)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (90 total candidates - 8
-# r7 debuts = 82 remaining; at ~8 debuts/round that cohort carries
-# through ~r15 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (95 total candidates - 8
+# r7 debuts = 87 remaining; at ~8 debuts/round that cohort carries
+# through ~r16 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -328,6 +330,16 @@ ROTATION_POOL: list[str] = [
     #     collaborative filtering (binary-cosine, capped pair stage). ---
     "trade_ppr", "orders_incremental_join", "doc_vocab_growth",
     "events_item_cf",
+    # --- r6-built batch 20, same debut-candidate status: gap-allowed
+    #     sequential-pattern support (A-before-B user counts — the
+    #     non-adjacent complement of events_markov), incremental
+    #     corpus dedup (delta-vs-base fingerprint screen with a
+    #     recompute-equivalence verdict column), winnowing span
+    #     overlap (plagiarism-style shared-fingerprint pairs), Wilder
+    #     ATR (the certified integer-recursion family), and
+    #     multi-source harmonic closeness over the trade graph. ---
+    "events_seq_pairs", "doc_incremental_dedup", "doc_winnow_overlap",
+    "prices_atr", "trade_closeness",
 ]
 
 

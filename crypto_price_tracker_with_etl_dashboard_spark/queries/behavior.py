@@ -1527,3 +1527,93 @@ register(
     ORDER BY cosine DESC, item_a, item_b
     """,
 )
+
+
+# ---- Sequential pattern support (A happens-before B) ------------------------
+# Which event-type orderings do users actually follow?  The
+# gap-allowed sequential-pattern complement of events_markov (which
+# counts only ADJACENT transitions): support(a -> b) = number of
+# users with SOME a event strictly before SOME b event, however many
+# events sit between.  "exists a before some b" collapses to one
+# composite comparison per (user, pair): FIRST a occurrence <
+# LAST b occurrence, on the engine-total (ts, event_id) order — so
+# the corpus pays exactly one (user_id, event_type) aggregation
+# shuffle, the per-user pair expansion is |types|^2 (bounded by the
+# tiny type vocabulary, not by event volume), and the pair count is
+# a map-side-combinable second aggregate.  The denominator (distinct
+# users) broadcasts as one row.  At 100 TB the plan is unchanged:
+# the only data-sized shuffle is the per-(user, type) min/max fold.
+
+def q_events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first"),
+        F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("last"),
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.col("first.ts").alias("a_ts"),
+        F.col("first.event_id").alias("a_id"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("dst"),
+        F.col("last.ts").alias("b_ts"),
+        F.col("last.event_id").alias("b_id"),
+    )
+    ordered = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            (F.col("a_ts") < F.col("b_ts"))
+            | ((F.col("a_ts") == F.col("b_ts")) & (F.col("a_id") < F.col("b_id")))
+        )
+    )
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        ordered.groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "src",
+            "dst",
+            "support",
+            F.expr("support * 1000000 div n_users").alias("support_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "src", "dst")
+    )
+
+
+register(
+    "events_seq_pairs",
+    q_events_seq_pairs,
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    spans AS (
+      SELECT user_id, event_type,
+             MIN(ROW(ts, event_id)) AS first_occ,
+             MAX(ROW(ts, event_id)) AS last_occ
+      FROM ev GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
+    pairs AS (
+      SELECT a.event_type AS src, b.event_type AS dst, COUNT(*) AS support
+      FROM spans a
+      JOIN spans b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      WHERE a.first_occ < b.last_occ
+      GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(support AS BIGINT) AS support,
+           CAST(support * 1000000 // n_users AS BIGINT) AS support_ppm
+    FROM pairs, n
+    ORDER BY support DESC, src, dst
+    """,
+)

@@ -451,3 +451,39 @@ register(
         extra_ctes=PRICES_CTE_SQL.strip() + ',',
     ),
 )
+
+
+def q_prices_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder ATR-14 per symbol over the certified 5-minute OHLC
+    candles (operators/indicators.py::atr) — the volatility overlay
+    next to Bollinger/stochastic, and the third certified
+    arbitrary-length integer recursion (after EMA/MACD and
+    Heikin-Ashi) because the RMA state at candle t depends on every
+    prior true range."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import atr
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import (
+        ohlc_candles,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    candles = ohlc_candles(prices, tiebreak_col="event_id", exact_volume=True)
+    return atr(candles, key="symbol", order_col="window_start", n=14)
+
+
+def _atr_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        sql_atr,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.reference import (
+        OHLC_CANDLES_CTE_SQL,
+    )
+
+    candles_cte = (
+        f"{PRICES_CTE_SQL.strip().rstrip(',')},\n    {OHLC_CANDLES_CTE_SQL}"
+    )
+    return sql_atr(candles_cte, "symbol", "window_start", n=14)
+
+
+register("prices_atr", q_prices_atr, _atr_sql())
+

@@ -25,8 +25,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import (
 from crypto_price_tracker_with_etl_dashboard_spark.operators.bfs import (
     bellman_ford,
     bfs_hops,
+    multi_bfs_hops,
     sql_bellman_ford,
     sql_bfs_hops,
+    sql_multi_bfs_hops,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
     kcore,
@@ -393,4 +395,54 @@ register(
     q_trade_ppr,
     sql_pagerank(_EDGES_CTE, iters=_PR_ITERS, personalize=_BFS_SOURCE)
     + " ORDER BY pagerank DESC, node ASC",
+)
+
+
+# ---- Multi-source harmonic closeness centrality ------------------------------
+# WHICH of the first eight suppliers sits most central in the trade
+# graph?  Harmonic closeness H(s) = sum over reached v != s of
+# 1/d(s,v) (Marchiori & Latora, 2000 — well-defined under
+# disconnection, unlike classic closeness), truncated at
+# _CLOSENESS_HOPS like the landmark estimators.  One synchronized
+# multi-source sweep (operators/bfs.py::multi_bfs_hops) shares each
+# round's edge scan across all K sources — the Eppstein-Wang pivot
+# shape, where K stays FIXED as the graph grows, so at 100 TB the
+# cost is max_hops shared edge joins with O(K * |nodes|) state, not
+# K full traversals.  1/d accumulates as exact integer ppm
+# (1000000 div hops), so the oracle matches bit-for-bit.
+
+_CLOSENESS_SOURCES = [2 * s for s in range(1, 9)]  # suppliers 1..8
+_CLOSENESS_HOPS = 3
+
+
+def q_trade_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reached = multi_bfs_hops(
+        _trade_edges(spark, sf_dir),
+        sources=_CLOSENESS_SOURCES,
+        max_hops=_CLOSENESS_HOPS,
+    )
+    return (
+        reached.filter(F.col("hops") > 0)
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.sum(F.expr("1000000 div hops")).cast("bigint").alias("harmonic_ppm"),
+        )
+        .orderBy(F.col("harmonic_ppm").desc(), F.col("root"))
+    )
+
+
+register(
+    "trade_closeness",
+    q_trade_closeness,
+    f"""
+    SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_ppm
+    FROM (
+      {sql_multi_bfs_hops(_EDGES_CTE, _CLOSENESS_SOURCES, _CLOSENESS_HOPS)}
+    )
+    WHERE hops > 0
+    GROUP BY root
+    ORDER BY harmonic_ppm DESC, root
+    """,
 )

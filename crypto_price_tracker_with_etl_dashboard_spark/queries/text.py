@@ -1683,3 +1683,197 @@ register(
     ORDER BY pct_docs
     """,
 )
+
+
+# ---- Incremental corpus dedup (delta vs base) -------------------------------
+# The daily-crawl operator: dedup the NEWEST slice of the corpus
+# against everything already ingested, without re-deduping the base.
+# Slices come from the doc_id range (last fifth = "today's crawl",
+# the same prefix binning doc_vocab_growth uses).  ONE aggregation
+# over the full corpus computes, per content fingerprint, (a) whether
+# any base doc carries it and (b) the earliest delta doc — so the
+# screen costs exactly one fingerprint shuffle plus a delta-sized
+# join, never a base x delta pair stage.  Each delta doc gets
+# keep = no base occurrence AND first within the delta, plus a
+# recompute_keep column (global-first-occurrence, what a full
+# from-scratch dedup would decide) — the merge-equals-recompute
+# verdict is part of the certified row, the same discipline as
+# events_incremental_agg / orders_incremental_join.  At 100 TB the
+# delta join's base side would take a Bloom prefilter on base
+# fingerprints (events_bloom_prefilter is the building block); the
+# aggregation shape is already map-side combinable.
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    binned = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        F.expr("doc_id * 5 div (mx + 1)").alias("bin"),
+    )
+    per_fp = binned.groupBy("fp").agg(
+        F.max((F.col("bin") < 4).cast("int")).alias("in_base"),
+        F.min(F.when(F.col("bin") == 4, F.col("doc_id"))).alias("delta_min"),
+        F.min("doc_id").alias("global_min"),
+    )
+    delta = binned.filter(F.col("bin") == 4).select("doc_id", "fp")
+    return (
+        delta.join(per_fp, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("in_base") == 1).alias("dup_of_base"),
+            (
+                (F.col("in_base") == 0) & (F.col("doc_id") == F.col("delta_min"))
+            ).alias("keep"),
+            (F.col("doc_id") == F.col("global_min")).alias("recompute_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_incremental_dedup",
+    q_doc_incremental_dedup,
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    mx AS (SELECT MAX(doc_id) AS mx FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    binned AS (
+      SELECT doc_id, fp, (doc_id * 5) // (mx + 1) AS bin FROM docs, mx
+    ),
+    per_fp AS (
+      SELECT fp,
+             MAX(CASE WHEN bin < 4 THEN 1 ELSE 0 END) AS in_base,
+             MIN(CASE WHEN bin = 4 THEN doc_id END) AS delta_min,
+             MIN(doc_id) AS global_min
+      FROM binned GROUP BY 1
+    )
+    SELECT d.doc_id, d.fp,
+           (p.in_base = 1) AS dup_of_base,
+           (p.in_base = 0 AND d.doc_id = p.delta_min) AS keep,
+           (d.doc_id = p.global_min) AS recompute_keep
+    FROM binned d JOIN per_fp p USING (fp)
+    WHERE d.bin = 4
+    ORDER BY d.doc_id
+    """,
+)
+
+
+# ---- Winnowing span overlap (plagiarism-style pair detection) ---------------
+# Which document PAIRS share verbatim spans?  doc_winnow certifies
+# the per-doc fingerprint sets; this is the pairwise composition the
+# fingerprints exist for (Schleimer et al., SIGMOD'03 section 5 —
+# source attribution / plagiarism detection in a training corpus).
+# Plan is the posting-join discipline of functions/dedup.py
+# _ngram_pair_counts: explode (doc, fingerprint), drop fingerprints
+# shared by more than _WO_MAX_DF docs BEFORE pairing (one
+# boilerplate fingerprint in m docs would emit C(m,2) rows —
+# the stop-shingle cap), recount set sizes after the drop, one
+# fingerprint-keyed self-join, then a pair aggregate.  Cost tracks
+# actual fingerprint co-occurrence (output-sensitive), never
+# |docs|^2.  Overlap strength is the containment-style coefficient
+# shared * 1e6 // min(|A|, |B|) in exact integers.
+
+_WO_MAX_DF = 16      # stop-fingerprint document-frequency cap
+_WO_MIN_SHARED = 3   # report pairs sharing >= 3 winnowed spans
+
+
+def q_doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    # materialize the k-gram hash array BEFORE winnowing: the
+    # winnow expression references its input several times (size +
+    # per-window slices), and an inline gram_hashes would be
+    # re-evaluated per reference (the interpreted-lambda trap
+    # documented on shingles_from_tokens)
+    hashed = docs.select(
+        "doc_id", T.gram_hashes("text", _WINNOW_K).alias("hs")
+    )
+    fps = hashed.select(
+        "doc_id", T.winnow_fingerprints(F.col("hs"), _WINNOW_W).alias("fps")
+    )
+    posts = (
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    capped = (
+        posts.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= _WO_MAX_DF)
+        .drop("__df")
+    )
+    sized = capped.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(
+        "fp", F.col("doc_id").alias("doc_a"), F.col("__n").alias("n_a")
+    )
+    b = sized.select(
+        "fp", F.col("doc_id").alias("doc_b"), F.col("__n").alias("n_b")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= _WO_MIN_SHARED)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("shared * 1000000 div least(n_a, n_b)").alias("overlap_ppm"),
+        )
+        .orderBy(F.col("overlap_ppm").desc(), "doc_a", "doc_b")
+    )
+
+
+register(
+    "doc_winnow_overlap",
+    q_doc_winnow_overlap,
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             CASE WHEN strlen(text) >= {_WINNOW_K}
+                  THEN list_transform(range(1, strlen(text) - {_WINNOW_K} + 2),
+                       i -> ('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 8))::BIGINT)
+                  ELSE [] END AS hs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WINNOW_W}
+                  THEN list_distinct(list_transform(range(0, len(hs) - {_WINNOW_W} + 1),
+                       j -> list_min(hs[j + 1 : j + {_WINNOW_W}])))
+                  ELSE [] END AS fps
+      FROM hashed
+    ),
+    posts AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM posts
+      ) WHERE df <= {_WO_MAX_DF}
+    ),
+    sized AS (
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM capped
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(COUNT(*) * 1000000 // least(a.n, b.n) AS BIGINT) AS overlap_ppm
+    FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    HAVING COUNT(*) >= {_WO_MIN_SHARED}
+    ORDER BY overlap_ppm DESC, doc_a, doc_b
+    """,
+)
