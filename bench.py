@@ -213,6 +213,12 @@ HEADLINE = [
     "doc_winnow_overlap",
     "prices_atr",
     "trade_closeness",
+    # round-6 batch 21
+    "trade_hits",
+    "prices_obv",
+    "doc_chi2_terms",
+    "doc_global_shuffle",
+    "emb_ivf_recall",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -1,0 +1,200 @@
+"""HITS (Kleinberg hubs & authorities) over a directed weighted edge
+DataFrame — the link-analysis complement to PageRank
+(operators/pagerank.py): PageRank measures global random-walk
+influence on the mirrored graph; HITS keeps the edge DIRECTION and
+scores the two sides of it separately (hub = points at good
+authorities, authority = pointed at by good hubs).  On the
+supplier->customer trade graph that is exactly the buyer/seller
+asymmetry the mirror erases.
+
+Exactness discipline (the pagerank/ema_macd pattern): the classic
+float mutual recursion
+
+    a'(v) = sum_{u->v} h(u) * w(u,v);   then L1-normalize
+    h'(u) = sum_{u->v} a'(v) * w(u,v);  then L1-normalize
+
+is run in fixed-point integer units (UNIT = 1e6).  Normalization
+must avoid the pure-integer form ``x * UNIT div T`` (the product
+overflows BIGINT once UNIT^2 * total_weight > 2^63) without the
+quantized-divisor approximation (``x div round(T/UNIT)`` drifts up
+to 20% off-unit on low-degree graphs where T/UNIT is small), so it
+routes through DOUBLE with only correctly-rounded IEEE ops:
+
+    x_norm = floor((CAST(x AS DOUBLE) * UNIT) / greatest(1, T))
+
+Every term is the same value in both engines, *, /, and floor are
+correctly rounded / exact, and the parenthesization is fixed — so
+the result is bit-identical cross-engine even when T exceeds 2^53
+and its double image rounds (both engines round it identically).
+The DuckDB oracle (:func:`sql_hits`) unrolls the same iterations,
+so every score matches exactly; L1 totals stay within |nodes| units
+of UNIT at any scale.
+
+Scale shape per half-step (the pagerank plan): the O(nodes) score
+table is BROADCAST onto the one cached edge list — edges shuffle
+ZERO times after their build; each half-step is a map-side join plus
+one hash aggregate with map-side partials, and the L1 total is a
+1-row aggregate cross-joined back (never collected to the driver).
+Score lineage is truncated per round with localCheckpoint (the
+components.py lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**6
+
+_HITS_CACHE: dict[str, list] = {}
+
+
+def _l1_normalize(scores: DataFrame, col: str, unit: int) -> DataFrame:
+    """L1-normalize an integer score column to ~``unit`` total via the
+    exact-floor double form (see module docstring).
+
+    The raw-score relation feeds BOTH the total and the rescale
+    branch; truncating it first stops the per-half-step subtree from
+    evaluating twice (and from compounding across the h->a->h chain
+    within an iteration)."""
+    scores = scores.localCheckpoint(eager=False)
+    total = scores.agg(
+        F.greatest(F.lit(1).cast("bigint"), F.sum(col).cast("bigint")).alias("__T")
+    )
+    return scores.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.floor((F.col(col).cast("double") * unit) / F.col("__T"))
+        .cast("bigint")
+        .alias(col),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    unit: int = UNIT,
+) -> DataFrame:
+    """(node, hub, authority) after ``iters`` mutual-recursion rounds
+    from a uniform hub start.  ``edges`` rows are (src, dst, w > 0)
+    with parallel edges pre-aggregated; direction is preserved.
+    Nodes with no out-edges get hub 0, no in-edges authority 0."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = edges.cache()
+    app_id = edges.sparkSession.sparkContext.applicationId
+    for prev in _HITS_CACHE.pop(app_id, []):
+        prev.unpersist()
+    edges.count()  # materialize once before the two-branch node union
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    h = nodes.select("node", F.lit(unit).cast("bigint").alias("h"))
+    a = None
+    for it in range(iters):
+        # authority half-step: a_raw(v) = sum_{u->v} h(u) * w
+        hr = h.select(F.col("node").alias("__hn"), F.col("h").alias("__hs"))
+        a_raw = (
+            edges.join(F.broadcast(hr), F.col(src) == F.col("__hn"))
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("__hs") * F.col(weight).cast("bigint")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("a"))
+        )
+        a_full = nodes.join(F.broadcast(a_raw), "node", "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
+        )
+        a = _l1_normalize(a_full, "a", unit)
+        # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
+        ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
+        h_raw = (
+            edges.join(F.broadcast(ar), F.col(dst) == F.col("__an"))
+            .select(
+                F.col(src).alias("node"),
+                (F.col("__as") * F.col(weight).cast("bigint")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("h"))
+        )
+        h_full = nodes.join(F.broadcast(h_raw), "node", "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
+        )
+        h = _l1_normalize(h_full, "h", unit)
+        if it < iters - 1:
+            h = h.localCheckpoint(eager=False)
+            a = a.localCheckpoint(eager=False)
+    # the O(nodes) authority table broadcasts onto h (the same
+    # ranks-fit-memory premise as every per-round join; pre-AQE the
+    # two derived sides have unknown size and would sort-merge)
+    out = h.join(F.broadcast(a), "node").select(
+        "node",
+        (F.col("h").cast("double") / unit).alias("hub"),
+        (F.col("a").cast("double") / unit).alias("authority"),
+    )
+    _HITS_CACHE[app_id] = [edges, nodes]
+    return out
+
+
+def sql_hits(edges_cte: str, iters: int = 4, unit: int = UNIT) -> str:
+    """DuckDB mirror: the identical integer mutual recursion UNROLLED
+    one CTE pair per iteration (aggregates are not allowed in a
+    recursive CTE term — the sql_pagerank pattern).  ``edges_cte``
+    must end in a CTE named ``edges`` yielding (src, dst, w)."""
+    its = []
+    prev_h = "h0"
+    a_cur = None
+    for k in range(1, iters + 1):
+        a_raw, a_cur, h_raw, h_cur = f"araw{k}", f"a{k}", f"hraw{k}", f"h{k}"
+        its.append(f"""
+    {a_raw} AS MATERIALIZED (
+      SELECT n.node, COALESCE(s.S, 0) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.h * e.w) AS S
+        FROM edges e JOIN {prev_h} r ON e.src = r.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    ),
+    {a_cur} AS MATERIALIZED (
+      SELECT node,
+             CAST(floor((CAST(a AS DOUBLE) * {unit}) / t.T) AS BIGINT) AS a
+      FROM {a_raw} CROSS JOIN (
+        SELECT GREATEST(1, CAST(SUM(a) AS BIGINT)) AS T FROM {a_raw}
+      ) t
+    ),
+    {h_raw} AS MATERIALIZED (
+      SELECT n.node, COALESCE(s.S, 0) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(r.a * e.w) AS S
+        FROM edges e JOIN {a_cur} r ON e.dst = r.node
+        GROUP BY e.src
+      ) s ON n.node = s.node
+    ),
+    {h_cur} AS MATERIALIZED (
+      SELECT node,
+             CAST(floor((CAST(h AS DOUBLE) * {unit}) / t.T) AS BIGINT) AS h
+      FROM {h_raw} CROSS JOIN (
+        SELECT GREATEST(1, CAST(SUM(h) AS BIGINT)) AS T FROM {h_raw}
+      ) t
+    )""")
+        prev_h = h_cur
+    return f"""
+    WITH {edges_cte},
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    h0 AS (SELECT node, CAST({unit} AS BIGINT) AS h FROM nodes),{','.join(its)}
+    SELECT h.node AS node,
+           CAST(h.h AS DOUBLE) / {unit} AS hub,
+           CAST(a.a AS DOUBLE) / {unit} AS authority
+    FROM {prev_h} h JOIN {a_cur} a ON h.node = a.node
+    """

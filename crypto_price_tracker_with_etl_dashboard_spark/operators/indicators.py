@@ -1660,3 +1660,112 @@ def sql_atr(candles_cte: str, key: str, order_col: str, n: int = 14) -> str:
     FROM wilder
     """
 
+
+
+def obv(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+    volume: str,
+) -> DataFrame:
+    """On-Balance Volume (Granville) per key: the running sum of each
+    tick's volume signed by its price direction vs the previous kept
+    tick (+v on an up-tick, -v on a down-tick, 0 on flat / first).
+
+    Exactness: volume quantizes to integer cents once
+    (``round(v*100)``, exact for volumes < 2^53/100), the direction
+    is a pure double comparison, and the running sum is an INTEGER
+    cumulative window — order-fixed by (order_by) so both engines
+    fold identically with zero float accumulation.  Emits one row
+    per key (final OBV plus its path extrema, which certify the
+    cumulative structure, not just the order-free total): ONE
+    shuffle on the key, O(keys) output.
+
+    Ticks with NULL volume (the reference's click rows,
+    sources/tables.py::prices_from_events) are dropped FIRST; the
+    direction chain runs over the kept series."""
+    kept = prices.filter(F.col(volume).isNotNull())
+    order_cols = [F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(F.col(price)).over(w)
+    direction = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col(price) > prev, F.lit(1))
+        .when(F.col(price) < prev, F.lit(-1))
+        .otherwise(F.lit(0))
+    ).cast("bigint")
+    vol_cents = F.round(F.col(volume) * 100).cast("bigint")
+    signed = kept.select(
+        key,
+        *[F.col(c) for c in order_by],
+        (direction * vol_cents).alias("__sc"),
+    )
+    wcum = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = signed.select(key, F.sum("__sc").over(wcum).alias("__run"))
+    return (
+        run.groupBy(key)
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.max("__run").alias("obv_max_cents"),
+            F.min("__run").alias("obv_min_cents"),
+        )
+        .join(
+            signed.groupBy(key).agg(
+                F.sum("__sc").cast("bigint").alias("obv_cents")
+            ),
+            key,
+        )
+        .select(
+            key,
+            "n_ticks",
+            "obv_cents",
+            "obv_max_cents",
+            "obv_min_cents",
+            F.round(F.col("obv_cents").cast("double") / 100, 6).alias("obv"),
+        )
+        .orderBy(key)
+    )
+
+
+def sql_obv(
+    table: str, key: str, order_by: list[str], price: str, volume: str,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`obv` (same integer cumulative fold)."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH {extra_ctes} kept AS (
+      SELECT * FROM {table} WHERE {volume} IS NOT NULL
+    ),
+    sgn AS (
+      SELECT {key}, {ob},
+             CAST(round({volume} * 100) AS BIGINT) *
+             (CASE WHEN lag({price}) OVER w IS NULL THEN 0
+                   WHEN {price} > lag({price}) OVER w THEN 1
+                   WHEN {price} < lag({price}) OVER w THEN -1
+                   ELSE 0 END) AS sc
+      FROM kept
+      WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+    ),
+    run AS (
+      SELECT {key},
+             SUM(sc) OVER (PARTITION BY {key} ORDER BY {ob}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM sgn
+    )
+    SELECT r.{key}, r.n_ticks, s.obv_cents, r.obv_max_cents, r.obv_min_cents,
+           round(CAST(s.obv_cents AS DOUBLE) / 100, 6) AS obv
+    FROM (
+      SELECT {key}, COUNT(*) AS n_ticks,
+             CAST(MAX(r) AS BIGINT) AS obv_max_cents,
+             CAST(MIN(r) AS BIGINT) AS obv_min_cents
+      FROM run GROUP BY {key}
+    ) r JOIN (
+      SELECT {key}, CAST(SUM(sc) AS BIGINT) AS obv_cents
+      FROM sgn GROUP BY {key}
+    ) s USING ({key})
+    ORDER BY {key}
+    """

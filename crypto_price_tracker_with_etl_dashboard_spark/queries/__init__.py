@@ -140,10 +140,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_vocab_growth, events_item_cf)
 # and the batch-20 five (events_seq_pairs, doc_incremental_dedup,
 # doc_winnow_overlap, prices_atr, trade_closeness)
+# and the batch-21 five (trade_hits, prices_obv, doc_chi2_terms,
+# doc_global_shuffle, emb_ivf_recall)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (95 total candidates - 8
-# r7 debuts = 87 remaining; at ~8 debuts/round that cohort carries
-# through ~r16 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (100 total candidates - 8
+# r7 debuts = 92 remaining; at ~8 debuts/round that cohort carries
+# through ~r17 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -340,6 +342,17 @@ ROTATION_POOL: list[str] = [
     #     multi-source harmonic closeness over the trade graph. ---
     "events_seq_pairs", "doc_incremental_dedup", "doc_winnow_overlap",
     "prices_atr", "trade_closeness",
+    # --- r6-built batch 21, same debut-candidate status: HITS hubs &
+    #     authorities over the DIRECTED supplier->customer half graph
+    #     (operators/hits.py — overflow-safe quantized-divisor L1
+    #     normalization, unrolled-CTE oracle), On-Balance Volume
+    #     (integer-cent cumulative fold with path extrema), chi-square
+    #     term-label feature selection, the deterministic global
+    #     shuffle + shard assignment (rank.py-style parallel ranks vs
+    #     DuckDB's partitioned row_number), and the IVF recall audit
+    #     (the quality gate emb_ann_recall gives LSH, at nprobe=2). ---
+    "trade_hits", "prices_obv", "doc_chi2_terms", "doc_global_shuffle",
+    "emb_ivf_recall",
 ]
 
 

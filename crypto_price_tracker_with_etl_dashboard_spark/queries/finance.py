@@ -487,3 +487,34 @@ def _atr_sql() -> str:
 
 register("prices_atr", q_prices_atr, _atr_sql())
 
+
+
+def q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume per symbol (operators/indicators.py::obv):
+    final OBV plus its running-path extrema over the tick series —
+    the classic volume-flow confirmation indicator (up-tick volume
+    accumulates, down-tick volume distributes).  Integer-cent
+    cumulative fold ordered by (timestamp, event_id); one shuffle on
+    the symbol key, O(symbols) output."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import obv
+
+    prices = prices_from_events(spark, sf_dir)
+    return obv(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", volume="total_volume",
+    )
+
+
+def _obv_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        sql_obv,
+    )
+
+    return sql_obv(
+        "prices", key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", volume="total_volume",
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    )
+
+
+register("prices_obv", q_prices_obv, _obv_sql())

@@ -446,3 +446,62 @@ register(
     ORDER BY harmonic_ppm DESC, root
     """,
 )
+
+
+# ---- HITS hubs & authorities ------------------------------------------------
+# The DIRECTED supplier->customer half of the trade graph (no
+# mirror): hub = a supplier selling to well-bought customers,
+# authority = a customer buying from well-selling suppliers — the
+# buyer/seller asymmetry the PageRank mirror deliberately erases.
+_HITS_ITERS = 4
+
+
+def _trade_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated supplier->customer half (same build as
+    _trade_edges, direction kept)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
+            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+def q_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.hits import hits
+
+    return hits(
+        _trade_directed(spark, sf_dir), iters=_HITS_ITERS
+    ).orderBy(F.col("authority").desc(), F.col("hub").desc(), F.col("node"))
+
+
+_DIRECTED_EDGES_CTE = """edges AS (
+      SELECT CAST(l.l_suppkey * 2 AS BIGINT) AS src,
+             CAST(o.o_custkey * 2 + 1 AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1, 2
+    )"""
+
+
+def _hits_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.hits import sql_hits
+
+    return (
+        sql_hits(_DIRECTED_EDGES_CTE, iters=_HITS_ITERS)
+        + " ORDER BY authority DESC, hub DESC, node"
+    )
+
+
+register("trade_hits", q_trade_hits, _hits_sql())

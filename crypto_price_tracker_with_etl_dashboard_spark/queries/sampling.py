@@ -350,3 +350,82 @@ register(
     ORDER BY lang
     """,
 )
+
+
+# ---- deterministic global shuffle + shard assignment ------------------------
+# The LAST stage of a training-data pipeline: fix a pseudo-random
+# training ORDER and shard layout (doc -> shard, position-in-shard)
+# so every rerun writes byte-identical shards.  Order is the full
+# 31-bit LCG hash (tie-broken by doc_id); shards interleave by
+# hash % n.
+#
+# Scale shape (the operators/rank.py discipline): a naive
+# ``row_number() OVER (PARTITION BY shard ...)`` puts an entire
+# 1/n_shards slice of the corpus on ONE task.  Instead rows rank
+# inside (shard, hash-range bucket) cells — fully parallel — and the
+# per-cell counts (an O(shards x buckets) relation) prefix-sum into
+# offsets that broadcast back.  The oracle certifies the composition
+# against DuckDB's plain partitioned row_number(): same positions,
+# radically different plan.
+_SHUF_SHARDS = 8
+_SHUF_HBUCKETS = 64
+
+from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (  # noqa: E402
+    LCG_A, LCG_C, LCG_M,
+)
+from pyspark.sql import Window  # noqa: E402
+
+
+def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    step = LCG_M // _SHUF_HBUCKETS
+    d = docs.select(
+        "doc_id",
+        F.pmod(
+            F.col("doc_id").cast("bigint") * LCG_A + LCG_C, F.lit(LCG_M)
+        ).alias("__h"),
+    ).select(
+        "doc_id", "__h",
+        (F.col("__h") % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        F.expr(f"__h div {step}").alias("__hb"),
+    )
+    w_in = Window.partitionBy("shard", "__hb").orderBy(
+        F.col("__h").asc(), F.col("doc_id").asc()
+    )
+    ranked = d.withColumn("__rn", F.row_number().over(w_in))
+    totals = d.groupBy("shard", "__hb").agg(F.count("*").alias("__bn"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).select("shard", "__hb", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), ["shard", "__hb"])
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("__off") + F.col("__rn")).cast("bigint").alias("pos"),
+        )
+    )
+
+
+register(
+    "doc_global_shuffle",
+    q_doc_global_shuffle,
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {sql_lcg_bucket("doc_id", LCG_M)} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY h % {_SHUF_SHARDS} ORDER BY h, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)

@@ -1877,3 +1877,115 @@ register(
     ORDER BY overlap_ppm DESC, doc_a, doc_b
     """,
 )
+
+
+# ---- chi-square term-label association (feature selection) -----------------
+# The supervised counterpart of doc_top_terms' unsupervised TF-IDF:
+# rank each language's most label-associated terms by the 2x2
+# chi-square statistic over DOCUMENT PRESENCE (a = docs of lang L
+# containing t, b = other-lang docs containing t, c/d their
+# complements).  This is the classic filter-method feature selector
+# (chi2 feature selection) and, run over a curated corpus, the
+# standard "which tokens leak the label" contamination screen.
+#
+# Exactness: all four cells are integer counts; chi2 is ONE shared
+# double expression (the lineitem_quantity_model discipline —
+# identical parenthesization on both engines, only correctly-rounded
+# *, -, / on exactly-equal integer inputs).  min-df and df<N guards
+# keep every denominator factor positive.
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 5
+_CHI2_EXPR = (
+    "(CAST(N AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+)
+
+
+def q_doc_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top chi-square label-associated terms per language.
+
+    Plan shape: presence distinct + the (lang, term) cell aggregate
+    shuffle on the term key; the per-term df table, per-lang doc
+    counts, and the 1-row N all BROADCAST back (vocab- and
+    label-sized relations, never the corpus).  The rank window
+    partitions by lang — O(langs) groups of O(vocab) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id", "lang", F.explode_outer(T.tokens("text")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    cell = pres.groupBy("lang", "term").agg(F.count("*").alias("a"))
+    df_t = pres.groupBy("term").agg(F.count("*").alias("df"))
+    n_l = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_docs = docs.agg(F.count("*").alias("N"))
+    cells = (
+        cell.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= _CHI2_MIN_DF) & (F.col("df") < F.col("N")))
+        .select(
+            "lang", "term", "a", "df", "N",
+            (F.col("df") - F.col("a")).alias("b"),
+            (F.col("n_l") - F.col("a")).alias("c"),
+            (F.col("N") - F.col("n_l") - F.col("df") + F.col("a")).alias("d"),
+        )
+    )
+    scored = cells.select(
+        "lang", "term",
+        F.col("a").cast("bigint").alias("n_lang_term"),
+        F.col("df").cast("bigint").alias("df"),
+        F.expr(_CHI2_EXPR).alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHI2_TOP)
+        .orderBy("lang", "rnk")
+    )
+
+
+register(
+    "doc_chi2_terms",
+    q_doc_chi2_terms,
+    f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang, term FROM (
+        SELECT doc_id, lang, unnest({_SQL_TOKS}) AS term FROM documents
+      ) WHERE term <> ''
+    ),
+    cell AS (SELECT lang, term, COUNT(*) AS a FROM pres GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(*) AS df FROM pres GROUP BY 1),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS N FROM documents),
+    cells AS (
+      SELECT cell.lang, cell.term, cell.a AS a, dft.df AS df, nn.N AS N,
+             dft.df - cell.a AS b,
+             nl.n_l - cell.a AS c,
+             nn.N - nl.n_l - dft.df + cell.a AS d
+      FROM cell JOIN dft USING (term) JOIN nl USING (lang) CROSS JOIN nn
+      WHERE dft.df >= {_CHI2_MIN_DF} AND dft.df < nn.N
+    ),
+    scored AS (
+      SELECT lang, term,
+             CAST(a AS BIGINT) AS n_lang_term,
+             CAST(df AS BIGINT) AS df,
+             {_CHI2_EXPR} AS chi2
+      FROM cells
+    )
+    SELECT lang, term, n_lang_term, df, chi2, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY chi2 DESC, term ASC
+      ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_CHI2_TOP}
+    ORDER BY lang, rnk
+    """,
+)

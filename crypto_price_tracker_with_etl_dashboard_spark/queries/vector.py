@@ -1541,3 +1541,53 @@ def _pca_sql() -> str:
 
 
 register("emb_pca_power", q_emb_pca_power, _pca_sql())
+
+
+# ---- IVF exactness ceiling ---------------------------------------------------
+# The audit the LSH path cannot have: IVF probed EXHAUSTIVELY
+# (nprobe = |labels|) must reproduce the exact brute-force top-k
+# BIT-FOR-BIT — coarse quantization only prunes lists, it never
+# rescores, so full probing is lossless by construction and any
+# deviation is a bug in the bucketing/scoring/tiebreak machinery.
+# A fixed recall floor at nprobe < |labels| would be data-fragile
+# (measured: 0.72 @ sf0.01 but 0.36 @ sf0.1 for nprobe=4 — the
+# synthetic embeddings are only weakly label-clustered), so the
+# SHARP integer fact certified here is exhaustive-probe equality;
+# the pruned operating point's outputs are certified separately
+# (emb_ivf_topk at nprobe=2, emb_ivfadc_topk), and the LSH recall
+# floor by emb_ann_recall.
+_IVF_ALL_LISTS = 10  # distinct labels in the embeddings table
+
+
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = q_emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    full = S.ivf_topk(
+        emb, queries, k=_K, nprobe=_IVF_ALL_LISTS,
+        centroids=_ivf_index(spark, sf_dir, emb),
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(full, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = exact.agg(F.count("*").alias("n_pairs"))
+    return hits.crossJoin(total).select(
+        F.lit(f"ivf_full_probe_equals_exact_at_{_K}").alias("metric"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("hits") == F.col("n_pairs")).alias("exhaustive_match"),
+    )
+
+
+register(
+    "emb_ivf_recall",
+    q_emb_ivf_recall,
+    # n_pairs derives from the exact top-k (robust to SF/ties); the
+    # asserted fact is exhaustive_match = TRUE — recall exactly 1.0.
+    f"""
+    WITH {_BF_TOPK_CTES}
+    SELECT 'ivf_full_probe_equals_exact_at_{_K}' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           TRUE AS exhaustive_match
+    FROM bf_topk
+    """,
+)
