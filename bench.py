@@ -219,6 +219,12 @@ HEADLINE = [
     "doc_chi2_terms",
     "doc_global_shuffle",
     "emb_ivf_recall",
+    # round-6 batch 22
+    "emb_binary_topk",
+    "emb_mmr_rerank",
+    "prices_backtest_naive",
+    "orders_backlog_series",
+    "events_rolling_wau",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

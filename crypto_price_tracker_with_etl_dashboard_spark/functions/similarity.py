@@ -1513,3 +1513,102 @@ def sql_kcenter_sample(k: int, dim: int) -> str:
         + ") ORDER BY sel_order"
     )
 
+
+
+# ---- 1-bit (sign-threshold) binary quantization ------------------------------
+# The most aggressive compression tier below PQ: each dimension
+# collapses to one bit (above / not-above the per-dim corpus mean),
+# the 64-dim vector to two 32-bit words, and similarity to Hamming
+# distance = popcount(xor) — integer-exact, so the whole retrieval
+# path is oracle-checkable bit-for-bit (no float scoring at all).
+# This is the binary-embedding serving layout (32x smaller than
+# float32, SIMD-popcount scan); the float path stays the reranker.
+#
+# Packing uses 32-bit words, NOT one 64-bit word: building bit 63
+# via 1<<63 overflows signed BIGINT on both engines; two half-words
+# keep every intermediate positive and portable.
+_BQ_WORD_BITS = 32
+
+
+def _bq_word(vec_col: str, thr_col: str, lo: int, bits: int) -> Column:
+    """BIGINT word packing ``bits`` sign bits of vec[lo..lo+bits-1]
+    (1-indexed dims) against per-dim thresholds."""
+    return F.expr(
+        f"aggregate(sequence({lo}, {lo + bits - 1}), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + (CASE WHEN CAST({vec_col}[i - 1] AS DOUBLE)"
+        f" > {thr_col}[i - 1] THEN shiftleft(CAST(1 AS BIGINT), i - {lo})"
+        f" ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def binary_thresholds(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """1-row DataFrame with ``thr``: the per-dim corpus means in an
+    array (exact DECIMAL sums, one double division per dim — the IVF
+    centroid discipline), ready to broadcast."""
+    per_dim = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("v")
+            ).alias("mean_v")
+        )
+    )
+    return per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mean_v"))
+        ).alias("__s")
+    ).select(F.expr("transform(__s, x -> x.mean_v)").alias("thr"))
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit codes.  Plan shape:
+    thresholds (1 row) broadcast onto both sides; the corpus packs
+    ONCE in a narrow map (at scale: persist the two BIGINT words and
+    drop the floats — the 32x-compressed serving table); packed
+    queries broadcast onto the packed corpus, per pair two
+    xor+popcount integer ops inside codegen.  Ties break on
+    neighbor id ascending."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    if dim % _BQ_WORD_BITS != 0:
+        raise ValueError(f"dim must be a multiple of {_BQ_WORD_BITS}")
+    thr = F.broadcast(binary_thresholds(corpus, vec_col, dim))
+    words = [
+        (f"w{j}", _bq_word(vec_col, "thr", 1 + j * _BQ_WORD_BITS, _BQ_WORD_BITS))
+        for j in range(dim // _BQ_WORD_BITS)
+    ]
+    c = fan_out(corpus.select(id_col, vec_col)).crossJoin(thr).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[w.alias(f"c_{n}") for n, w in words],
+    )
+    q = queries.select(id_col, vec_col).crossJoin(thr).select(
+        F.col(id_col).alias("query_id"),
+        *[w.alias(f"q_{n}") for n, w in words],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"c_{n} ^ q_{n}")) for n, _ in words
+    ).cast("bigint")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

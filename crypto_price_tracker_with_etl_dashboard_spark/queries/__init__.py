@@ -142,10 +142,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_winnow_overlap, prices_atr, trade_closeness)
 # and the batch-21 five (trade_hits, prices_obv, doc_chi2_terms,
 # doc_global_shuffle, emb_ivf_recall)
+# and the batch-22 five (emb_binary_topk, emb_mmr_rerank,
+# prices_backtest_naive, orders_backlog_series, events_rolling_wau)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (100 total candidates - 8
-# r7 debuts = 92 remaining; at ~8 debuts/round that cohort carries
-# through ~r17 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (105 total candidates - 8
+# r7 debuts = 97 remaining; at ~8 debuts/round that cohort carries
+# through ~r18 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -353,6 +355,18 @@ ROTATION_POOL: list[str] = [
     #     (the quality gate emb_ann_recall gives LSH, at nprobe=2). ---
     "trade_hits", "prices_obv", "doc_chi2_terms", "doc_global_shuffle",
     "emb_ivf_recall",
+    # --- r6-built batch 22, same debut-candidate status: 1-bit binary
+    #     quantization retrieval (sign bits packed into two 32-bit
+    #     BIGINT words, Hamming = popcount(xor) — integer-exact end to
+    #     end), MMR diversified re-ranking (greedy 5-round unroll over
+    #     the certified cosine pool), the seasonal-naive forecast
+    #     backtest (integer-ppm MAPE per symbol), the open-order
+    #     backlog sweep line (year-bucketed prefix sum, no
+    #     partitionless window), and exact rolling 7-day WAU
+    #     (contribution expansion — sliding distinct without a
+    #     COUNT(DISTINCT) frame). ---
+    "emb_binary_topk", "emb_mmr_rerank", "prices_backtest_naive",
+    "orders_backlog_series", "events_rolling_wau",
 ]
 
 

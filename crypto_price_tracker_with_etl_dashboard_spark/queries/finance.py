@@ -518,3 +518,86 @@ def _obv_sql() -> str:
 
 
 register("prices_obv", q_prices_obv, _obv_sql())
+
+
+# ---- seasonal-naive forecast backtest ---------------------------------------
+# The evaluation half of forecasting (events_holt_forecast builds a
+# model; this row certifies how forecast ERROR is measured): the
+# seasonal-naive baseline predicts each day's close with the close 7
+# days earlier, and the backtest reports per-symbol MAPE — the
+# benchmark every real model must beat before it ships.  Error
+# quantizes per evaluation point to integer ppm (floor of one double
+# expression on exactly-equal inputs), so the aggregate is an
+# order-free integer sum on both engines.
+_BT_LAG_DAYS = 7
+
+
+def q_prices_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.filter(F.col("current_price") > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    pred = daily.select(
+        "symbol",
+        F.date_add(F.col("day"), _BT_LAG_DAYS).alias("day"),
+        F.col("close").alias("pred"),
+    )
+    evald = daily.join(pred, ["symbol", "day"]).select(
+        "symbol",
+        F.floor(
+            F.abs(F.col("close") - F.col("pred")) * 1000000.0 / F.col("close")
+        ).cast("bigint").alias("ape_ppm"),
+    )
+    return (
+        evald.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_evals"),
+            F.expr("sum(ape_ppm) div count(*)").alias("mape_ppm"),
+            F.max("ape_ppm").alias("max_ape_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_backtest_naive",
+    q_prices_backtest_naive,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    pred AS (
+      SELECT symbol, day + {_BT_LAG_DAYS} AS day, close AS pred FROM daily
+    ),
+    evald AS (
+      SELECT d.symbol,
+             CAST(floor(abs(d.close - p.pred) * 1000000.0 / d.close) AS BIGINT)
+               AS ape_ppm
+      FROM daily d JOIN pred p ON d.symbol = p.symbol AND d.day = p.day
+    )
+    SELECT symbol, COUNT(*) AS n_evals,
+           CAST(SUM(ape_ppm) AS BIGINT) // COUNT(*) AS mape_ppm,
+           MAX(ape_ppm) AS max_ape_ppm
+    FROM evald GROUP BY symbol ORDER BY symbol
+    """,
+)

@@ -1306,3 +1306,83 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- open-order backlog sweep line -------------------------------------------
+# Operational inventory-over-time: how many orders are OPEN (placed,
+# not yet fully shipped) on each date the count changes.  The
+# classic sweep line — +1 at o_orderdate, -1 at the order's LAST
+# l_shipdate (half-open: an order stops counting on its completion
+# date) — turns interval overlap counting into one aggregate plus a
+# date-ordered prefix sum.
+#
+# Scale shape: one shuffle for max(shipdate) per order, one for
+# the per-date delta aggregate; the prefix sum runs in (year) buckets
+# with offsets prefix-summed over the O(years) totals (the
+# operators/rank.py discipline — no partitionless window over the
+# date spine), certified against DuckDB's plain ordered SUM.
+
+
+def q_orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_date"))
+    deltas = (
+        orders.select(
+            F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+        )
+        .unionByName(
+            done.select(
+                F.to_date("done_date").alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    bucketed = deltas.withColumn("__yr", F.year("day"))
+    w_in = (
+        Window.partitionBy("__yr")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("__cum", F.sum("delta").over(w_in))
+    totals = bucketed.groupBy("__yr").agg(F.sum("delta").alias("__yd"))
+    w_off = Window.orderBy("__yr").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__yd").over(w_off), F.lit(0))
+    ).select("__yr", "__off")
+    return (
+        within.join(F.broadcast(offsets), "__yr")
+        .select(
+            "day",
+            "delta",
+            (F.col("__off") + F.col("__cum")).cast("bigint").alias("backlog"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "orders_backlog_series",
+    q_orders_backlog_series,
+    """
+    WITH done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done_date
+      FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(done_date AS DATE) AS day, -1 AS delta FROM done
+      ) GROUP BY day
+    )
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS backlog
+    FROM deltas ORDER BY day
+    """,
+)

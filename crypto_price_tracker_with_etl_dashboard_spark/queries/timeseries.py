@@ -760,3 +760,66 @@ register(
     ORDER BY t.pct
     """,
 )
+
+
+# ---- rolling 7-day active users (sliding WAU) --------------------------------
+# The sliding-window twin of events_dau_mau's calendar months: for
+# every day in the observed range, the EXACT count of distinct users
+# active in the trailing 7 days.  Sliding distinct resists window
+# frames (COUNT(DISTINCT) OVER RANGE is unsupported / a sort trap),
+# so the scale-correct shape is contribution expansion: each (user,
+# day) presence row contributes to 7 target days, then one distinct +
+# count per target day — shuffle volume is a fixed 7x the presence
+# table (days-bounded), never user x day-range.  Trailing targets
+# past the last observed day are trimmed against the 1-row max-day
+# aggregate (broadcast, never collected).
+_WAU_WINDOW = 7
+
+
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    max_day = ud.agg(F.max("day").alias("max_day"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(0, {_WAU_WINDOW - 1})")
+            ).alias("__k"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, __k)").alias("day"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+        .orderBy("day")
+    )
+
+
+register(
+    "events_rolling_wau",
+    q_events_rolling_wau,
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, day + k AS day
+      FROM ud CROSS JOIN (
+        SELECT CAST(unnest(range(0, {_WAU_WINDOW})) AS INTEGER) AS k
+      )
+    ),
+    md AS (SELECT MAX(day) AS max_day FROM ud)
+    SELECT day, COUNT(*) AS wau
+    FROM contrib CROSS JOIN md
+    WHERE day <= max_day
+    GROUP BY day ORDER BY day
+    """,
+)

@@ -1591,3 +1591,262 @@ register(
     FROM bf_topk
     """,
 )
+
+
+# ---- 1-bit binary quantization retrieval ------------------------------------
+# Below PQ on the compression ladder: sign-threshold bits per dim,
+# Hamming = popcount(xor) over two packed 32-bit words — the
+# binary-embedding serving layout (32x smaller than float32).  The
+# whole path is INTEGER-exact end to end (no float scoring), so the
+# certified row checks codes, packing, distances, and tiebreaks
+# bit-for-bit.
+
+
+def q_emb_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.binary_hamming_topk(emb, queries, dim=_DIM, k=_K)
+
+
+def _bq_sql() -> str:
+    word = (
+        "CAST(list_sum(list_transform(range({lo}, {hi}),"
+        " i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > t.thr[i]"
+        " THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE 0 END)) AS BIGINT)"
+    )
+    w1 = word.format(lo=1, hi=33)
+    w2 = word.format(lo=33, hi=65)
+    return f"""
+    WITH per_dim AS (
+      SELECT pos,
+             CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS mean_v
+      FROM (SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY pos
+    ),
+    thr AS (SELECT list(mean_v ORDER BY pos) AS thr FROM per_dim),
+    packed AS (
+      SELECT e.vec_id, {w1} AS w0, {w2} AS w1
+      FROM embeddings e CROSS JOIN thr t
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
+                  AS BIGINT) AS hamming
+      FROM packed c CROSS JOIN (
+        SELECT * FROM packed WHERE vec_id < {_N_QUERIES}
+      ) q
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, rnk FROM (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_K}
+    """
+
+
+register("emb_binary_topk", q_emb_binary_topk, _bq_sql())
+
+
+# ---- MMR diversified re-ranking ----------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998): from
+# each query's exact top-10 pool, greedily pick 5 results maximizing
+#   0.7 * sim(q, d) - 0.3 * max_{s in picked} sim(d, s)
+# — the standard redundancy-killer between retrieval and the context
+# window (dedups near-identical passages at serving time, where the
+# corpus-side near-dup pass can't see the query).  Greedy selection
+# is inherently sequential in k, so both engines unroll the SAME 5
+# rounds: Spark as 5 tiny joins over the pooled candidates (pool and
+# pairwise-sim tables are O(queries x 10^2) and broadcast-sized —
+# the corpus is touched only by the top-k pool stage), DuckDB as 5
+# chained CTEs.  Every sim is the bit-identical rounded cosine the
+# brute-force row certifies, so picks and scores match exactly.
+_MMR_POOL = 10
+_MMR_K = 5
+
+
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cand = S.brute_force_topk(emb, queries, k=_MMR_POOL).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    ).cache()
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    av = cand.select("query_id", F.col("neighbor_id").alias("a")).join(
+        vecs, F.col("a") == F.col("vec_id")
+    ).select("query_id", "a", F.col("embedding").alias("va"))
+    bv = cand.select("query_id", F.col("neighbor_id").alias("b")).join(
+        vecs, F.col("b") == F.col("vec_id")
+    ).select("query_id", "b", F.col("embedding").alias("vb"))
+    ps = (
+        av.join(bv, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .cache()
+    )
+    lam, one_m = F.lit(0.7), F.lit(0.3)
+
+    def pick(pool: DataFrame, pen: DataFrame | None, rank: int) -> DataFrame:
+        if pen is not None:
+            pool = pool.join(pen, ["query_id", "neighbor_id"], "left")
+        else:
+            pool = pool.withColumn("pen", F.lit(None).cast("double"))
+        # floor((expr) * 1e6) instead of round(expr, 6): round()'s
+        # ENGINE-INTERNAL path differs (Spark rounds the exact decimal
+        # expansion, DuckDB multiplies then rints), which flipped one
+        # half-boundary cell at sf0.01; the explicit floor forces both
+        # engines through the same two correctly-rounded IEEE ops.
+        scored = pool.select(
+            "query_id", "neighbor_id",
+            F.floor(
+                (
+                    lam * F.col("cosine_sim")
+                    - one_m * F.coalesce(F.col("pen"), F.lit(0.0))
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("mmr_ppm"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_ppm").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", "neighbor_id",
+                F.lit(rank).alias("pick_rank"), "mmr_ppm",
+            )
+        )
+
+    picked = pick(cand, None, 1)
+    for r in range(2, _MMR_K + 1):
+        # each round consumes `picked` THREE times (anti-join, penalty
+        # join, union) — truncate its lineage or the DAG re-expands
+        # 3^k-fold (measured 21s -> ~7s at sf0.01)
+        picked = picked.localCheckpoint(eager=False)
+        remaining = cand.join(
+            picked, ["query_id", "neighbor_id"], "left_anti"
+        )
+        pen = (
+            ps.join(
+                picked.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        picked = picked.unionByName(pick(remaining, pen, r))
+    return picked.orderBy("query_id", "pick_rank")
+
+
+def _mmr_sql() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> CAST(a.va[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE)))"
+    ).format(d=_DIM)
+    na = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> CAST(a.va[i] AS DOUBLE) * CAST(a.va[i] AS DOUBLE))))"
+    ).format(d=_DIM)
+    nb = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> CAST(b.vb[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE))))"
+    ).format(d=_DIM)
+    rounds = []
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k))
+        rounds.append(f"""
+    prev{k} AS ({prev}),
+    pen{k} AS (
+      SELECT p.query_id, p.a AS neighbor_id, MAX(p.sim) AS pen
+      FROM ps p JOIN prev{k} s
+        ON p.query_id = s.query_id AND p.b = s.neighbor_id
+      GROUP BY 1, 2
+    ),
+    mmr{k} AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(floor((0.7 * c.cosine_sim - 0.3 * COALESCE(p.pen, 0.0))
+                        * 1000000.0) AS BIGINT) AS mmr_ppm
+      FROM cand c LEFT JOIN pen{k} p
+        ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM prev{k} s
+        WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+      )
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, {k} AS pick_rank, mmr_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY mmr_ppm DESC, neighbor_id ASC) AS rn
+        FROM mmr{k}
+      ) WHERE rn = 1
+    )""")
+    final = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, _MMR_K + 1))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    pool_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cosine_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+        FROM pool_scored
+      ) WHERE rnk <= {_MMR_POOL}
+    ),
+    av AS (
+      SELECT c.query_id, c.neighbor_id AS a, e.embedding AS va
+      FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    bv AS (
+      SELECT c.query_id, c.neighbor_id AS b, e.embedding AS vb
+      FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.a, b.b,
+             round({dot} / ({na} * {nb}), 6) AS sim
+      FROM av a JOIN bv b ON a.query_id = b.query_id AND a.a <> b.b
+    ),
+    mmr1 AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor((0.7 * cosine_sim
+                         - 0.3 * COALESCE(CAST(NULL AS DOUBLE), 0.0))
+                        * 1000000.0) AS BIGINT) AS mmr_ppm
+      FROM cand
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, 1 AS pick_rank, mmr_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY mmr_ppm DESC, neighbor_id ASC) AS rn
+        FROM mmr1
+      ) WHERE rn = 1
+    ),{','.join(rounds)}
+    SELECT query_id, pick_rank, neighbor_id, mmr_ppm FROM ({final})
+    ORDER BY query_id, pick_rank
+    """
+
+
+register("emb_mmr_rerank", q_emb_mmr_rerank, _mmr_sql())
