@@ -225,6 +225,12 @@ HEADLINE = [
     "prices_backtest_naive",
     "orders_backlog_series",
     "events_rolling_wau",
+    # round-6 batch 23
+    "media_audio_vad",
+    "prices_donchian",
+    "trade_assortativity",
+    "doc_readability",
+    "emb_knn_outliers",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -144,10 +144,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_global_shuffle, emb_ivf_recall)
 # and the batch-22 five (emb_binary_topk, emb_mmr_rerank,
 # prices_backtest_naive, orders_backlog_series, events_rolling_wau)
+# and the batch-23 five (media_audio_vad, prices_donchian,
+# trade_assortativity, doc_readability, emb_knn_outliers)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (105 total candidates - 8
-# r7 debuts = 97 remaining; at ~8 debuts/round that cohort carries
-# through ~r18 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (110 total candidates - 8
+# r7 debuts = 102 remaining; at ~8 debuts/round that cohort carries
+# through ~r19 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -367,6 +369,15 @@ ROTATION_POOL: list[str] = [
     #     COUNT(DISTINCT) frame). ---
     "emb_binary_topk", "emb_mmr_rerank", "prices_backtest_naive",
     "orders_backlog_series", "events_rolling_wau",
+    # --- r6-built batch 23, same debut-candidate status: frame-energy
+    #     audio VAD profile (real WAV framing through mapInPandas,
+    #     closed-form oracle), Donchian channel breakouts, Newman
+    #     degree assortativity (exact sufficient statistics, one
+    #     shared Pearson expression), Flesch-style readability from
+    #     three integer counts, and the kNN-density novelty screen
+    #     (label-blocked pairs, ppm-quantized order-free mean). ---
+    "media_audio_vad", "prices_donchian", "trade_assortativity",
+    "doc_readability", "emb_knn_outliers",
 ]
 
 

@@ -601,3 +601,78 @@ register(
     FROM evald GROUP BY symbol ORDER BY symbol
     """,
 )
+
+
+# ---- Donchian channel breakouts ----------------------------------------------
+# The extremum channel next to Bollinger's stddev channel: upper/lower
+# = max/min of the PRIOR 20 ticks (current excluded, the breakout
+# convention), a tick breaks out when it exceeds the channel.  Pure
+# comparisons on raw doubles (order-free, no accumulation) except the
+# channel-width ratio, which floors to integer ppm — so every figure
+# is engine-exact.  One shuffle on the symbol key, O(symbols) output.
+_DONCHIAN_N = 20
+
+
+def q_prices_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("timestamp").asc(), F.col("event_id").asc())
+        .rowsBetween(-_DONCHIAN_N, -1)
+    )
+    chan = prices.select(
+        "symbol",
+        F.col("current_price").alias("px"),
+        F.max("current_price").over(w).alias("upper"),
+        F.min("current_price").over(w).alias("lower"),
+        F.count("current_price").over(w).alias("nw"),
+    ).filter(F.col("nw") == _DONCHIAN_N)
+    return (
+        chan.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_evals"),
+            F.sum((F.col("px") > F.col("upper")).cast("bigint")).alias(
+                "breakouts_up"
+            ),
+            F.sum((F.col("px") < F.col("lower")).cast("bigint")).alias(
+                "breakouts_down"
+            ),
+            F.max(
+                F.floor(
+                    (F.col("upper") - F.col("lower"))
+                    * 1000000.0
+                    / F.col("lower")
+                ).cast("bigint")
+            ).alias("max_width_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_donchian",
+    q_prices_donchian,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    chan AS (
+      SELECT symbol, current_price AS px,
+             MAX(current_price) OVER w AS upper,
+             MIN(current_price) OVER w AS lower,
+             COUNT(current_price) OVER w AS nw
+      FROM prices WHERE current_price > 0
+      WINDOW w AS (PARTITION BY symbol ORDER BY timestamp ASC, event_id ASC
+                   ROWS BETWEEN {_DONCHIAN_N} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT symbol, COUNT(*) AS n_evals,
+           CAST(SUM(CASE WHEN px > upper THEN 1 ELSE 0 END) AS BIGINT)
+             AS breakouts_up,
+           CAST(SUM(CASE WHEN px < lower THEN 1 ELSE 0 END) AS BIGINT)
+             AS breakouts_down,
+           CAST(MAX(CAST(floor((upper - lower) * 1000000.0 / lower)
+                         AS BIGINT)) AS BIGINT) AS max_width_ppm
+    FROM chan WHERE nw = {_DONCHIAN_N}
+    GROUP BY symbol ORDER BY symbol
+    """,
+)

@@ -505,3 +505,77 @@ def _hits_sql() -> str:
 
 
 register("trade_hits", q_trade_hits, _hits_sql())
+
+
+# ---- degree assortativity ----------------------------------------------------
+# Newman's degree assortativity r over the mirrored trade graph: the
+# Pearson correlation of (deg(src), deg(dst)) across directed edge
+# instances — do high-degree traders deal with other high-degree
+# traders (r > 0) or with the periphery (r < 0)?  Bipartite
+# supplier<->customer graphs are canonically DISassortative, so the
+# certified figure has a sign the data must earn.
+#
+# Exactness: the five sufficient statistics (M, Sx, Sy, Sxy, Sx2,
+# Sy2) are exact BIGINT sums; r is ONE shared double expression on
+# them (the lineitem_quantity_model discipline), so both engines
+# agree bit-for-bit.  Degrees broadcast back onto the edge list —
+# the edge relation never reshuffles after its build.
+_ASSORT_EXPR = (
+    "(CAST(M AS DOUBLE) * CAST(Sxy AS DOUBLE)"
+    " - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE))"
+    " / (sqrt(CAST(M AS DOUBLE) * CAST(Sx2 AS DOUBLE)"
+    "          - CAST(Sx AS DOUBLE) * CAST(Sx AS DOUBLE))"
+    "    * sqrt(CAST(M AS DOUBLE) * CAST(Sy2 AS DOUBLE)"
+    "           - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE)))"
+)
+
+
+def q_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    ex = edges.join(
+        F.broadcast(deg.select(F.col("src").alias("__s"), F.col("deg").alias("x"))),
+        F.col("src") == F.col("__s"),
+    ).join(
+        F.broadcast(deg.select(F.col("src").alias("__d"), F.col("deg").alias("y"))),
+        F.col("dst") == F.col("__d"),
+    )
+    stats = ex.agg(
+        F.count("*").cast("bigint").alias("M"),
+        F.sum("x").cast("bigint").alias("Sx"),
+        F.sum("y").cast("bigint").alias("Sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("Sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("Sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("Sy2"),
+    )
+    return stats.select(
+        "M", "Sx", "Sy", "Sxy",
+        F.expr(_ASSORT_EXPR).alias("assortativity"),
+    )
+
+
+register(
+    "trade_assortativity",
+    q_trade_assortativity,
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    ex AS (
+      SELECT dx.deg AS x, dy.deg AS y
+      FROM edges e
+      JOIN deg dx ON e.src = dx.src
+      JOIN deg dy ON e.dst = dy.src
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS M,
+             CAST(SUM(x) AS BIGINT) AS Sx,
+             CAST(SUM(y) AS BIGINT) AS Sy,
+             CAST(SUM(x * y) AS BIGINT) AS Sxy,
+             CAST(SUM(x * x) AS BIGINT) AS Sx2,
+             CAST(SUM(y * y) AS BIGINT) AS Sy2
+      FROM ex
+    )
+    SELECT M, Sx, Sy, Sxy, {_ASSORT_EXPR} AS assortativity
+    FROM stats
+    """,
+)

@@ -242,3 +242,72 @@ register(
     FROM params p LEFT JOIN hashes h USING (media_id)
     """,
 )
+
+
+def q_media_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy VAD profile over REAL decoded WAV: 50 ms frames,
+    exact-integer per-frame energy, low-energy frame counts and
+    ppm-floored peak/min frame RMS (sources/multimodal.py::
+    vad_profile) — the silence-trim screen a speech pipeline runs
+    after decode.  The synth samples are closed-form, so the oracle
+    reproduces every frame sum WITHOUT WAV parsing; what the
+    certified row checks is the real frame/reshape/threshold
+    arithmetic through Arrow-batched mapInPandas, including corrupt
+    rows degrading to NULLs."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        synth_audio,
+        vad_profile,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_audio(docs.select(F.col("doc_id").alias("media_id")))
+    return vad_profile(media)
+
+
+register(
+    "media_audio_vad",
+    q_media_audio_vad,
+    # mirrors sources/multimodal.py::synth_wav_bytes (sample i =
+    # (i*k) % 256 - 128 centered, k = id % 251 + 1, n = (id%30+1)*400)
+    # and _wav_frame_profile (frame = 400 samples, low threshold
+    # mean-square 5400, ppm floors)
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1                       AS k,
+             (doc_id % 30 + 1) * 400                AS n,
+             doc_id % 97 = 0                        AS corrupt
+      FROM documents
+    ),
+    frames AS (
+      SELECT media_id, k,
+             CAST(unnest(range(0, n // 400)) AS BIGINT) AS f
+      FROM params WHERE NOT corrupt
+    ),
+    energy AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(range(f * 400, (f + 1) * 400),
+                    i -> CAST(((i * k) % 256 - 128) AS BIGINT)
+                         * (((i * k) % 256) - 128))) AS BIGINT) AS ssq
+      FROM frames
+    ),
+    prof AS (
+      SELECT media_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN ssq < 5400 * 400 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS low_frames,
+             CAST(MAX(ssq) AS BIGINT) AS max_ssq,
+             CAST(MIN(ssq) AS BIGINT) AS min_ssq
+      FROM energy GROUP BY media_id
+    )
+    SELECT p.media_id,
+           pr.n_frames,
+           pr.low_frames,
+           pr.low_frames * 1000000 // pr.n_frames AS low_ratio_ppm,
+           CAST(floor(sqrt(CAST(pr.max_ssq AS DOUBLE) / (400 * 16384.0))
+                      * 1000000.0) AS BIGINT) AS peak_rms_ppm,
+           CAST(floor(sqrt(CAST(pr.min_ssq AS DOUBLE) / (400 * 16384.0))
+                      * 1000000.0) AS BIGINT) AS min_rms_ppm
+    FROM params p LEFT JOIN prof pr USING (media_id)
+    """,
+)

@@ -1989,3 +1989,60 @@ register(
     ORDER BY lang, rnk
     """,
 )
+
+
+# ---- readability scoring -----------------------------------------------------
+# Flesch-style reading ease per document from three exact integer
+# counts — words (nonempty whitespace tokens), sentences (terminal
+# punctuation marks, floored at 1), and syllable proxies (vowel-run
+# matches, the standard dictionary-free approximation) — composed by
+# ONE shared double expression and floored to milli-units.  The
+# curation use: reading-ease bands are a common quality/complexity
+# facet next to doc_quality's length/punct ratios.
+_FLESCH_EXPR = (
+    "CAST(floor((206.835"
+    " - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))"
+    " - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(F.filter(T.tokens("text"), lambda t: t != "")).cast("bigint")
+        .alias("words"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count("text", F.lit(r"[.!?]")).cast("bigint"),
+        ).alias("sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint")
+        .alias("syllables"),
+    ).filter(F.col("words") > 0)
+    return counts.select(
+        "doc_id", "words", "sentences", "syllables",
+        F.expr(_FLESCH_EXPR).alias("flesch_milli"),
+    )
+
+
+register(
+    "doc_readability",
+    q_doc_readability,
+    f"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_SQL_TOKS}, t -> t <> '')) AS BIGINT)
+               AS words,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT))
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           {_FLESCH_EXPR} AS flesch_milli
+    FROM counts WHERE words > 0
+    """,
+)

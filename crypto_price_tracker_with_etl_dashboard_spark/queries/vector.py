@@ -1850,3 +1850,95 @@ def _mmr_sql() -> str:
 
 
 register("emb_mmr_rerank", q_emb_mmr_rerank, _mmr_sql())
+
+
+# ---- kNN-density novelty screen ----------------------------------------------
+# Per-vector outlier score for data curation: the mean similarity to
+# the vector's 5 nearest neighbors inside its label block — low kNN
+# density = novel/outlier candidate (the embedding-space twin of the
+# robust-outlier screens; SemDeDup prunes the TOP of this ranking,
+# this row serves the BOTTOM).  Pairwise sims quantize to integer ppm
+# per pair BEFORE averaging, so the mean is an order-free integer
+# fold; blocking reuses the cosine_neardup label plan (the quadratic
+# stage is block-bounded, the corpus never joins itself unblocked).
+_KNN_OUT_K = 5
+
+
+def q_emb_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = emb.select("vec_id", "label", "embedding").withColumn(
+        "nrm", S._norm(F.col("embedding"))
+    )
+    a = side.select(
+        F.col("vec_id").alias("a"), "label",
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("b"), "label",
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("a") != F.col("b")).select(
+        "a", "label", "b",
+        F.floor(
+            S._pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            * 1000000.0
+        ).cast("bigint").alias("sim_ppm"),
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("sim_ppm").desc(), F.col("b").asc()
+    )
+    top = pairs.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _KNN_OUT_K
+    )
+    return (
+        top.groupBy(F.col("a").alias("vec_id"), "label")
+        .agg(
+            F.count("*").alias("k_used"),
+            # floor(double) mean, not integer `div`: sim_ppm can be
+            # negative and Spark div truncates toward zero while SQL
+            # floor-division floors — the double floor is identical
+            # on both engines for either sign
+            F.floor(
+                F.sum("sim_ppm").cast("double") / F.count("*")
+            ).cast("bigint").alias("knn_mean_sim_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "emb_knn_outliers",
+    q_emb_knn_outliers,
+    f"""
+    WITH side AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, a.label, b.vec_id AS b,
+             CAST(floor(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS sim_ppm
+      FROM side a JOIN side b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT a, label, sim_ppm FROM (
+        SELECT a, label, sim_ppm,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY sim_ppm DESC, b ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= {_KNN_OUT_K}
+    )
+    SELECT a AS vec_id, label, COUNT(*) AS k_used,
+           CAST(floor(CAST(SUM(sim_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS knn_mean_sim_ppm
+    FROM top GROUP BY a, label ORDER BY a
+    """,
+)

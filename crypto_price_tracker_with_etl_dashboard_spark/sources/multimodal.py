@@ -627,3 +627,103 @@ def ahash_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, AHASH_SCHEMA)
+
+
+# ---- voice-activity / energy profile over decoded audio ----------------------
+# The audio-curation step after decode: frame the clip into fixed
+# windows, measure per-frame energy, and report how much of the clip
+# is low-energy (the silence-trim / dead-air screen a speech-data
+# pipeline runs before transcription).  Per-frame energy is the EXACT
+# integer sum of squared centered samples — comparisons and counts
+# are integer ops, and the two emitted RMS figures are one float
+# divide+sqrt on exact integers — so the certified row checks real
+# framing arithmetic bit-for-bit (the wav_decode discipline).
+VAD_FRAME_LEN = 400  # 50 ms at the 8 kHz synth rate
+VAD_LOW_MEAN_SQ = 5400  # mean-square threshold ~ the 8-bit PCM average
+
+AUDIO_VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("low_frames", LongType(), True),
+        StructField("low_ratio_ppm", LongType(), True),
+        # ppm-floored integers, not round(x, 6) doubles: Python's
+        # round is banker's, DuckDB's is half-away — floor(x * 1e6)
+        # via math.sqrt is the same two IEEE ops on both engines
+        StructField("peak_rms_ppm", LongType(), True),
+        StructField("min_rms_ppm", LongType(), True),
+    ]
+)
+
+
+def _wav_frame_profile(content, frame_len: int, low_mean_sq: int) -> dict:
+    """Per-clip frame-energy profile from one WAV blob (full frames
+    only; a trailing partial frame is dropped).  NULL row on corrupt
+    input, like wav_decode."""
+    import io
+    import wave
+
+    null = {
+        "n_frames": None, "low_frames": None, "low_ratio_ppm": None,
+        "peak_rms_ppm": None, "min_rms_ppm": None,
+    }
+    if content is None:
+        return null
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            width = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except Exception:
+        return null
+    if width != 1:
+        return null
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    nf = len(samples) // frame_len
+    if nf == 0:
+        return {
+            "n_frames": 0, "low_frames": 0, "low_ratio_ppm": 0,
+            "peak_rms_ppm": None, "min_rms_ppm": None,
+        }
+    framed = samples[: nf * frame_len].reshape(nf, frame_len)
+    ssq = (framed * framed).sum(axis=1)  # exact int64 per frame
+    thr = low_mean_sq * frame_len
+    low = int((ssq < thr).sum())
+    import math
+
+    denom = frame_len * 16384.0
+    return {
+        "n_frames": nf,
+        "low_frames": low,
+        "low_ratio_ppm": low * 1_000_000 // nf,
+        "peak_rms_ppm": int(math.sqrt(int(ssq.max()) / denom) * 1000000.0),
+        "min_rms_ppm": int(math.sqrt(int(ssq.min()) / denom) * 1000000.0),
+    }
+
+
+def vad_profile(
+    media: DataFrame,
+    frame_len: int = VAD_FRAME_LEN,
+    low_mean_sq: int = VAD_LOW_MEAN_SQ,
+) -> DataFrame:
+    """Frame-energy VAD profile via mapInPandas (narrow map, binary
+    dropped after the kernel — the decode_audio shape)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prof = [
+                _wav_frame_profile(c, frame_len, low_mean_sq)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": [p["n_frames"] for p in prof],
+                    "low_frames": [p["low_frames"] for p in prof],
+                    "low_ratio_ppm": [p["low_ratio_ppm"] for p in prof],
+                    "peak_rms_ppm": [p["peak_rms_ppm"] for p in prof],
+                    "min_rms_ppm": [p["min_rms_ppm"] for p in prof],
+                }
+            )
+
+    return media.mapInPandas(kernel, AUDIO_VAD_SCHEMA)
