@@ -231,6 +231,12 @@ HEADLINE = [
     "trade_assortativity",
     "doc_readability",
     "emb_knn_outliers",
+    # round-6 batch 24
+    "doc_ngram_novelty",
+    "events_bot_screen",
+    "prices_volume_profile",
+    "emb_centroid_margin",
+    "orders_customer_migration",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -146,10 +146,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # prices_backtest_naive, orders_backlog_series, events_rolling_wau)
 # and the batch-23 five (media_audio_vad, prices_donchian,
 # trade_assortativity, doc_readability, emb_knn_outliers)
+# and the batch-24 five (doc_ngram_novelty, events_bot_screen,
+# prices_volume_profile, emb_centroid_margin,
+# orders_customer_migration)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (110 total candidates - 8
-# r7 debuts = 102 remaining; at ~8 debuts/round that cohort carries
-# through ~r19 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (115 total candidates - 8
+# r7 debuts = 107 remaining; at ~8 debuts/round that cohort carries
+# through ~r20 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -378,6 +381,17 @@ ROTATION_POOL: list[str] = [
     #     (label-blocked pairs, ppm-quantized order-free mean). ---
     "media_audio_vad", "prices_donchian", "trade_assortativity",
     "doc_readability", "emb_knn_outliers",
+    # --- r6-built batch 24, same debut-candidate status: n-gram
+    #     novelty/memorization screen (corpus-unique shingle share),
+    #     behavioral bot screen (peak-hour rate, sub-second follow-up
+    #     share, type concentration — all integer/ppm), volume-at-
+    #     price profile (10 equal bands per symbol, exact cent sums),
+    #     centroid-margin label-noise screen (own-vs-nearest-other
+    #     centroid distance, relabel suggestion), and the customer
+    #     spend-band migration matrix (year-over-year transitions
+    #     with new/churned edges). ---
+    "doc_ngram_novelty", "events_bot_screen", "prices_volume_profile",
+    "emb_centroid_margin", "orders_customer_migration",
 ]
 
 

@@ -1617,3 +1617,122 @@ register(
     ORDER BY support DESC, src, dst
     """,
 )
+
+
+# ---- bot / automation screen ---------------------------------------------------
+# Per-user behavioral bot heuristics — the spam/automation filter a
+# training-data pipeline runs over interaction logs before using them
+# as signals: (1) peak events in any single clock hour, (2) the share
+# of follow-up events arriving < 1 s after the previous one, (3) the
+# share of the user's most common event type.  All three are integer/
+# ppm-exact (timestamps compare in exact microseconds); the flag is a
+# pure integer-threshold disjunction, certified bit-for-bit.
+_BOT_PEAK_HOURLY = 60
+_BOT_RAPID_PPM = 500_000
+_BOT_TOP_TYPE_PPM = 950_000
+
+
+def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("__h"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("peak_hourly"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+            # the cast matches DuckDB's naive epoch_us exactly
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            ).alias("__gap_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("__gap_us") < 1_000_000, 1).otherwise(0)
+            ).cast("bigint").alias("rapid_followups"),
+        )
+    )
+    top_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("top_type_n"))
+    )
+    joined = gaps.join(hourly, "user_id").join(top_type, "user_id")
+    return joined.select(
+        "user_id", "n_events", "peak_hourly", "rapid_followups",
+        F.expr(
+            "CASE WHEN n_events > 1"
+            " THEN rapid_followups * 1000000 div (n_events - 1)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("rapid_ppm"),
+        F.expr("top_type_n * 1000000 div n_events").alias("top_type_ppm"),
+    ).select(
+        "*",
+        (
+            (F.col("peak_hourly") >= _BOT_PEAK_HOURLY)
+            | (F.col("rapid_ppm") >= _BOT_RAPID_PPM)
+            | (F.col("top_type_ppm") >= _BOT_TOP_TYPE_PPM)
+        ).alias("bot_flag"),
+    ).orderBy("user_id")
+
+
+register(
+    "events_bot_screen",
+    q_events_bot_screen,
+    f"""
+    WITH ev AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    hourly AS (
+      SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak_hourly FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM ev GROUP BY 1, 2
+      ) GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rapid_followups
+      FROM (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM ev
+      ) GROUP BY user_id
+    ),
+    top_type AS (
+      SELECT user_id, CAST(MAX(c) AS BIGINT) AS top_type_n FROM (
+        SELECT user_id, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2
+      ) GROUP BY user_id
+    ),
+    m AS (
+      SELECT g.user_id, g.n_events, h.peak_hourly, g.rapid_followups,
+             CASE WHEN g.n_events > 1
+                  THEN g.rapid_followups * 1000000 // (g.n_events - 1)
+                  ELSE CAST(0 AS BIGINT) END AS rapid_ppm,
+             t.top_type_n * 1000000 // g.n_events AS top_type_ppm
+      FROM gaps g JOIN hourly h USING (user_id) JOIN top_type t USING (user_id)
+    )
+    SELECT *,
+           (peak_hourly >= {_BOT_PEAK_HOURLY}
+            OR rapid_ppm >= {_BOT_RAPID_PPM}
+            OR top_type_ppm >= {_BOT_TOP_TYPE_PPM}) AS bot_flag
+    FROM m ORDER BY user_id
+    """,
+)

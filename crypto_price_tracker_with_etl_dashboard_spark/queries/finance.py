@@ -676,3 +676,68 @@ register(
     GROUP BY symbol ORDER BY symbol
     """,
 )
+
+
+# ---- volume profile (volume-at-price histogram) --------------------------------
+# The market-profile view: each symbol's price range split into 10
+# equal bands, positive-volume ticks binned by price, volume summed
+# in exact integer cents per band — where did the volume trade?  The
+# per-symbol min/max are order-free comparisons broadcast back; the
+# band index is one shared floor expression (top-of-range ticks clamp
+# into band 9); a degenerate flat range collapses to band 0.
+_VP_BANDS = 10
+
+
+def q_prices_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_events(spark, sf_dir).filter(
+        (F.col("current_price") > 0) & (F.col("total_volume") > 0)
+    )
+    rng = prices.groupBy("symbol").agg(
+        F.min("current_price").alias("lo"), F.max("current_price").alias("hi")
+    )
+    band = F.expr(
+        f"CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
+        f" ELSE least(CAST({_VP_BANDS - 1} AS BIGINT),"
+        f" CAST(floor((current_price - lo) * {_VP_BANDS}.0 / (hi - lo))"
+        f" AS BIGINT)) END"
+    )
+    return (
+        prices.join(F.broadcast(rng), "symbol")
+        .select(
+            "symbol",
+            band.alias("band"),
+            F.round(F.col("total_volume") * 100).cast("bigint").alias("__vc"),
+        )
+        .groupBy("symbol", "band")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum("__vc").cast("bigint").alias("volume_cents"),
+        )
+        .orderBy("symbol", "band")
+    )
+
+
+register(
+    "prices_volume_profile",
+    q_prices_volume_profile,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    pos AS (
+      SELECT * FROM prices WHERE current_price > 0 AND total_volume > 0
+    ),
+    rng AS (
+      SELECT symbol, MIN(current_price) AS lo, MAX(current_price) AS hi
+      FROM pos GROUP BY symbol
+    )
+    SELECT p.symbol,
+           CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST({_VP_BANDS - 1} AS BIGINT),
+                           CAST(floor((p.current_price - r.lo) * {_VP_BANDS}.0
+                                      / (r.hi - r.lo)) AS BIGINT)) END AS band,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(round(p.total_volume * 100) AS BIGINT)) AS BIGINT)
+             AS volume_cents
+    FROM pos p JOIN rng r USING (symbol)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

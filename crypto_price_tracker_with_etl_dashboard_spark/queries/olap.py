@@ -1386,3 +1386,83 @@ register(
     FROM deltas ORDER BY day
     """,
 )
+
+
+# ---- customer spend-band migration matrix ---------------------------------------
+# Customer-lifecycle analytics: assign every customer a yearly spend
+# band (fixed integer-cent thresholds — data-independent, unlike
+# quantile segments, so bands mean the same thing in every period),
+# then count year-over-year transitions including entries ("new": no
+# orders the prior year) and exits ("churned": none the next).  The
+# classic migration/retention matrix behind cohort revenue planning.
+# All arithmetic is integer (cent sums, CASE thresholds, counts); the
+# year pair join is per-customer via full outer join on consecutive
+# years.
+_MIG_BANDS_SQL = (
+    "CASE WHEN spend_cents >= 30000000 THEN 'high'"
+    " WHEN spend_cents >= 15000000 THEN 'mid'"
+    " ELSE 'low' END"
+)
+
+
+def q_orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint").alias("spend_cents")
+        )
+        .select("cust", "yr", F.expr(_MIG_BANDS_SQL).alias("band"))
+    )
+    nxt = yearly.select(
+        "cust", (F.col("yr") - 1).alias("yr"), F.col("band").alias("band_to")
+    )
+    paired = yearly.join(nxt, ["cust", "yr"], "full_outer").select(
+        F.coalesce(F.col("yr"), F.lit(None)).alias("yr"),
+        F.coalesce(F.col("band"), F.lit("new")).alias("band_from"),
+        F.coalesce(F.col("band_to"), F.lit("churned")).alias("band_to"),
+    )
+    # full-outer rows from `nxt` alone carry yr of (next_year - 1) by
+    # construction; rows from `yearly` alone carry their own yr — both
+    # are the FROM-year of the transition.  Drop the sentinel row a
+    # customer's last observed year would pair with beyond the data:
+    max_yr = yearly.agg(F.max("yr").alias("max_yr"))
+    return (
+        paired.crossJoin(F.broadcast(max_yr))
+        .filter(F.col("yr") < F.col("max_yr"))
+        .groupBy("yr", "band_from", "band_to")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("yr", "band_from", "band_to")
+    )
+
+
+register(
+    "orders_customer_migration",
+    q_orders_customer_migration,
+    f"""
+    WITH yearly AS (
+      SELECT o_custkey AS cust,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             {_MIG_BANDS_SQL.replace("spend_cents", "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")} AS band
+      FROM orders GROUP BY 1, 2
+    ),
+    nxt AS (SELECT cust, yr - 1 AS yr, band AS band_to FROM yearly),
+    paired AS (
+      SELECT COALESCE(y.yr, n.yr) AS yr,
+             COALESCE(y.band, 'new') AS band_from,
+             COALESCE(n.band_to, 'churned') AS band_to
+      FROM yearly y FULL OUTER JOIN nxt n
+        ON y.cust = n.cust AND y.yr = n.yr
+    ),
+    md AS (SELECT MAX(yr) AS max_yr FROM yearly)
+    SELECT yr, band_from, band_to, COUNT(*) AS n_customers
+    FROM paired CROSS JOIN md
+    WHERE yr < max_yr
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)

@@ -2046,3 +2046,55 @@ register(
     FROM counts WHERE words > 0
     """,
 )
+
+
+# ---- n-gram novelty / memorization screen -------------------------------------
+# Per-document novelty: the share of a doc's distinct 3-gram shingles
+# that appear in NO other document (corpus df == 1).  Low novelty =
+# boilerplate/duplicated phrasing (near-dup and template suspects the
+# pairwise passes rank by partner — this ranks the document itself);
+# the same statistic drives memorization audits (how much of a doc is
+# corpus-unique text).  One inverted-index aggregate on the shingle
+# key, df table joined back to the postings — integer counts only.
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posts = docs.select(
+        "doc_id", T.tokens("text").alias("__toks")
+    ).select(
+        "doc_id", F.explode_outer(D.shingles_from_tokens(F.col("__toks"))).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    df_t = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        posts.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("unique_shingles"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "unique_shingles",
+        F.expr("unique_shingles * 1000000 div n_shingles").alias("novelty_ppm"),
+    ).orderBy("doc_id")
+
+
+register(
+    "doc_ngram_novelty",
+    q_doc_ngram_novelty,
+    f"""
+    WITH posts AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    dft AS (SELECT shingle, COUNT(*) AS df FROM posts GROUP BY 1)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unique_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM posts p JOIN dft d USING (shingle)
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)

@@ -1942,3 +1942,131 @@ register(
     FROM top GROUP BY a, label ORDER BY a
     """,
 )
+
+
+# ---- centroid-margin label-noise screen ----------------------------------------
+# Per-vector mislabel suspicion: squared L2 distance to the vector's
+# OWN label centroid vs the nearest OTHER centroid.  A negative
+# margin (some other class's centroid is closer) is the classic
+# label-noise flag; `nearest_other` is the relabel suggestion.
+#
+# Exactness: this operator works on an INTEGER micro-unit grid end to
+# end — each component floors to micro-units (exact double->int, both
+# engines), centroids are floored integer means, distances are
+# integer sums of integer squares.  The float/decimal centroid path
+# the IVF rows use is only round(x,6)-stable: its double means differ
+# across engines at the last ULP (float->DECIMAL(38,10) rounding
+# parity), which a nano-unit margin amplified into 420 off-by-one
+# cells before this grid replaced it.  Corpus scanned once against
+# the broadcast |labels|-row quantized centroid table — a narrow map,
+# no corpus shuffle.
+_CM_Q = 1_000_000  # micro-unit grid
+
+
+def q_emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id", "label",
+        F.expr(
+            f"transform(embedding,"
+            f" v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT))"
+        ).alias("eq"),
+    )
+    per_dim = (
+        vq.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    cents = per_dim.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)"
+        ).alias("centroid")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(eq, centroid, (v, c) -> (v - c) * (v - c)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = vq.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    own = scored.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("d2").alias("d_own")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc()
+    )
+    other = (
+        scored.filter(F.col("label") != F.col("clabel"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("nearest_other"),
+            F.col("d2").alias("d_other"),
+        )
+    )
+    return (
+        own.join(other, "vec_id")
+        .select(
+            "vec_id", "label", "nearest_other",
+            (F.col("d_other") - F.col("d_own")).cast("bigint")
+            .alias("margin_usq"),
+        )
+        .select("*", (F.col("margin_usq") < 0).alias("suspect"))
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "emb_centroid_margin",
+    q_emb_centroid_margin,
+    f"""
+    WITH vq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, pos,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM (SELECT label, unnest(eq) AS v,
+                   generate_subscripts(eq, 1) AS pos
+            FROM vq)
+      GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS clabel, list(cq ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label, c.clabel,
+             CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> (q.eq[i] - c.centroid[i]) * (q.eq[i] - c.centroid[i])))
+               AS BIGINT) AS d2
+      FROM vq q CROSS JOIN cents c
+    ),
+    own AS (
+      SELECT vec_id, label, d2 AS d_own FROM scored WHERE label = clabel
+    ),
+    other AS (
+      SELECT vec_id, clabel AS nearest_other, d2 AS d_other FROM (
+        SELECT vec_id, clabel, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, clabel ASC) AS rn
+        FROM scored WHERE label <> clabel
+      ) WHERE rn = 1
+    )
+    SELECT o.vec_id, o.label, t.nearest_other,
+           CAST(t.d_other - o.d_own AS BIGINT) AS margin_usq,
+           CAST(t.d_other - o.d_own AS BIGINT) < 0 AS suspect
+    FROM own o JOIN other t USING (vec_id)
+    ORDER BY o.vec_id
+    """,
+)
