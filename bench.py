@@ -237,6 +237,12 @@ HEADLINE = [
     "prices_volume_profile",
     "emb_centroid_margin",
     "orders_customer_migration",
+    # round-6 batch 25
+    "media_image_histogram",
+    "trade_neighbor_jaccard",
+    "orders_aging_report",
+    "doc_boilerplate_screen",
+    "orders_supplier_herfindahl",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

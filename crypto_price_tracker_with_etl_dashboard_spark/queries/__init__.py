@@ -149,10 +149,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-24 five (doc_ngram_novelty, events_bot_screen,
 # prices_volume_profile, emb_centroid_margin,
 # orders_customer_migration)
+# and the batch-25 five (media_image_histogram,
+# trade_neighbor_jaccard, orders_aging_report,
+# doc_boilerplate_screen, orders_supplier_herfindahl)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (115 total candidates - 8
-# r7 debuts = 107 remaining; at ~8 debuts/round that cohort carries
-# through ~r20 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (120 total candidates - 8
+# r7 debuts = 112 remaining; at ~8 debuts/round that cohort carries
+# through ~r21 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -392,6 +395,16 @@ ROTATION_POOL: list[str] = [
     #     with new/churned edges). ---
     "doc_ngram_novelty", "events_bot_screen", "prices_volume_profile",
     "emb_centroid_margin", "orders_customer_migration",
+    # --- r6-built batch 25, same debut-candidate status: per-channel
+    #     pixel histogram through the real BMP decoder (every pixel
+    #     must land in the right band), neighbor-overlap Jaccard
+    #     supplier similarity (posting join with the stop-key cap),
+    #     point-in-time open-order aging buckets, license/boilerplate
+    #     marker tally (single-scan stack), and per-nation supplier
+    #     revenue Herfindahl concentration (ppm shares squared). ---
+    "media_image_histogram", "trade_neighbor_jaccard",
+    "orders_aging_report", "doc_boilerplate_screen",
+    "orders_supplier_herfindahl",
 ]
 
 

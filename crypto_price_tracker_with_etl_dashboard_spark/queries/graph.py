@@ -579,3 +579,97 @@ register(
     FROM stats
     """,
 )
+
+
+# ---- neighbor-overlap (Jaccard) supplier similarity ----------------------------
+# Structural substitutability: two suppliers are similar when they
+# sell to the same customers — the node-similarity primitive behind
+# link prediction and entity consolidation (SimRank's first
+# iteration).  Inverted-posting join on the shared customer with the
+# ngram-jaccard stop-key cap (customers buying from more than 32
+# suppliers are hub boilerplate and would quadratically dominate the
+# pair stage); Jaccard in exact integer ppm; pairs kept at >= 3
+# shared customers.
+_NJ_MAX_CUST_DEG = 32
+_NJ_MIN_SHARED = 3
+
+
+def q_trade_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _trade_directed(spark, sf_dir).select(
+        F.col("src").alias("sup"), F.col("dst").alias("cust")
+    )
+    w = Window.partitionBy("cust")
+    capped = (
+        posts.withColumn("__deg", F.count("*").over(w))
+        .filter(F.col("__deg") <= _NJ_MAX_CUST_DEG)
+        .select("sup", "cust")
+    )
+    sizes = capped.groupBy("sup").agg(F.count("*").alias("n"))
+    a = capped.select(F.col("sup").alias("a"), "cust")
+    b = capped.select(F.col("sup").alias("b"), "cust")
+    shared = (
+        a.join(b, "cust")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _NJ_MIN_SHARED)
+    )
+    na = sizes.select(F.col("sup").alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sup").alias("b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a", "b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "shared * 1000000 div (n_a + n_b - shared)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "a", "b")
+    )
+
+
+from pyspark.sql import Window  # noqa: E402
+
+
+register(
+    "trade_neighbor_jaccard",
+    q_trade_neighbor_jaccard,
+    f"""
+    WITH half AS (
+      SELECT CAST(l.l_suppkey * 2 AS BIGINT) AS sup,
+             CAST(o.o_custkey * 2 + 1 AS BIGINT) AS cust
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT sup, cust FROM (
+        SELECT sup, cust, COUNT(*) OVER (PARTITION BY cust) AS deg
+        FROM half
+      ) WHERE deg <= {_NJ_MAX_CUST_DEG}
+    ),
+    sizes AS (SELECT sup, COUNT(*) AS n FROM capped GROUP BY sup),
+    shared AS (
+      SELECT a.sup AS a, b.sup AS b, COUNT(*) AS shared
+      FROM capped a JOIN capped b
+        ON a.cust = b.cust AND a.sup < b.sup
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_NJ_MIN_SHARED}
+    )
+    SELECT s.a, s.b,
+           CAST(s.shared AS BIGINT) AS shared,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(s.shared AS BIGINT) * 1000000
+             // CAST(na.n + nb.n - s.shared AS BIGINT) AS jaccard_ppm
+    FROM shared s
+    JOIN sizes na ON s.a = na.sup
+    JOIN sizes nb ON s.b = nb.sup
+    ORDER BY jaccard_ppm DESC, a, b
+    """,
+)

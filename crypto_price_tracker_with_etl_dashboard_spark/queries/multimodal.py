@@ -311,3 +311,69 @@ register(
     FROM params p LEFT JOIN prof pr USING (media_id)
     """,
 )
+
+
+def q_media_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel 4-band pixel histogram over REAL decoded BMPs
+    (sources/multimodal.py::image_histogram): exposure/color
+    screening, and a stronger decode certificate than channel sums —
+    every pixel must land in the right band or a count is wrong.
+    Corrupt blobs contribute no rows (ids % 97 == 0)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        image_histogram,
+        synth_images,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_images(docs.select(F.col("doc_id").alias("media_id")))
+    return image_histogram(media).orderBy("media_id", "channel", "bucket")
+
+
+register(
+    "media_image_histogram",
+    q_media_image_histogram,
+    # mirrors synth_bmp_bytes' closed pixel form; 64-wide bands
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1            AS k,
+             doc_id % 13 + 4             AS w,
+             doc_id % 7 + 4              AS h
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    px AS (
+      SELECT media_id, k, w,
+             unnest(range(0, w * h)) AS i
+      FROM params
+    ),
+    vals AS (
+      SELECT media_id, 'r' AS channel,
+             ((2 * (i % w) + 3 * (i // w) + 3 * k) % 256) // 64 AS bucket
+      FROM px
+      UNION ALL
+      SELECT media_id, 'g',
+             ((3 * (i % w) + (i // w) + 2 * k) % 256) // 64
+      FROM px
+      UNION ALL
+      SELECT media_id, 'b',
+             (((i % w) + 2 * (i // w) + k) % 256) // 64
+      FROM px
+    ),
+    counted AS (
+      SELECT media_id, channel, bucket, CAST(COUNT(*) AS BIGINT) AS n_pixels
+      FROM vals GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT p.media_id, c.channel, b.bucket
+      FROM params p
+      CROSS JOIN (SELECT unnest(['r','g','b']) AS channel) c
+      CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS bucket) b
+    )
+    SELECT g.media_id, g.channel, g.bucket,
+           COALESCE(c.n_pixels, 0) AS n_pixels
+    FROM grid g LEFT JOIN counted c
+      ON g.media_id = c.media_id AND g.channel = c.channel
+     AND g.bucket = c.bucket
+    ORDER BY g.media_id, g.channel, g.bucket
+    """,
+)

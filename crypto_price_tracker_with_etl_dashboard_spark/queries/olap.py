@@ -1466,3 +1466,146 @@ register(
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
+
+
+# ---- open-order aging report ---------------------------------------------------
+# The receivables-style aging bucket report at a fixed as-of date:
+# orders placed on or before the date whose last lineitem had NOT
+# shipped by it, bucketed by how long they had been open.  Pure
+# date comparisons and integer cent sums; the as-of date is a fixed
+# literal (aging reports are point-in-time statements, not
+# data-relative).
+_AGING_ASOF = "1997-06-01"
+_AGING_BUCKET_SQL = (
+    "CASE WHEN age_days <= 30 THEN '0-30'"
+    " WHEN age_days <= 90 THEN '31-90'"
+    " WHEN age_days <= 180 THEN '91-180'"
+    " ELSE '180+' END"
+)
+
+
+def q_orders_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    open_orders = (
+        orders.join(done, orders["o_orderkey"] == done["l_orderkey"], "left")
+        .filter(
+            (F.to_date("o_orderdate") <= F.lit(_AGING_ASOF))
+            & (
+                F.col("last_ship").isNull()
+                | (F.to_date("last_ship") > F.lit(_AGING_ASOF))
+            )
+        )
+        .select(
+            F.datediff(F.lit(_AGING_ASOF).cast("date"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__vc"),
+        )
+    )
+    return (
+        open_orders.select(F.expr(_AGING_BUCKET_SQL).alias("age_bucket"), "__vc")
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("__vc").cast("bigint").alias("open_value_cents"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+register(
+    "orders_aging_report",
+    q_orders_aging_report,
+    f"""
+    WITH done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    open_orders AS (
+      SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            DATE '{_AGING_ASOF}') AS BIGINT) AS age_days,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS vc
+      FROM orders o LEFT JOIN done d ON o.o_orderkey = d.l_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) <= DATE '{_AGING_ASOF}'
+        AND (d.last_ship IS NULL OR CAST(d.last_ship AS DATE) > DATE '{_AGING_ASOF}')
+    )
+    SELECT {_AGING_BUCKET_SQL} AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(vc) AS BIGINT) AS open_value_cents
+    FROM open_orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---- supplier revenue concentration (Herfindahl) --------------------------------
+# Market-concentration economics per nation: each supplier's revenue
+# share of its nation in exact integer ppm, HHI = sum of squared
+# shares (0..1e6 scale, "is this market monopolized?") — the
+# concentration complement of the Gini / Pareto rows.  Shares floor
+# to ppm BEFORE squaring so the sum is order-free integer arithmetic.
+
+
+def q_orders_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev_cents")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "s_suppkey", "rev_cents")
+    )
+    totals = rev.groupBy("nation").agg(
+        F.sum("rev_cents").cast("bigint").alias("total_cents")
+    )
+    shares = rev.join(F.broadcast(totals), "nation").select(
+        "nation",
+        F.expr("rev_cents * 1000000 div total_cents").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000").alias("hhi"),
+            F.max("share_ppm").alias("top_share_ppm"),
+        )
+        .orderBy(F.col("hhi").desc(), "nation")
+    )
+
+
+register(
+    "orders_supplier_herfindahl",
+    q_orders_supplier_herfindahl,
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT nation, CAST(SUM(rev_cents) AS BIGINT) AS total_cents
+      FROM rev GROUP BY 1
+    ),
+    shares AS (
+      SELECT r.nation, r.rev_cents * 1000000 // t.total_cents AS share_ppm
+      FROM rev r JOIN totals t USING (nation)
+    )
+    SELECT nation, COUNT(*) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares GROUP BY nation
+    ORDER BY hhi DESC, nation
+    """,
+)

@@ -2098,3 +2098,69 @@ register(
     GROUP BY p.doc_id ORDER BY p.doc_id
     """,
 )
+
+
+# ---- boilerplate / license-marker screen ---------------------------------------
+# The web-scrape curation tally next to doc_pii_scrub: how much of
+# the corpus carries license/boilerplate markers (copyright lines,
+# ToS/privacy boilerplate, lorem-ipsum filler, navigation cruft)?
+# Substring containment on the lowered text — deterministic on both
+# engines (no regex dialect involved) — one map pass, O(markers)
+# output rows.
+_BOILERPLATE_MARKERS = [
+    "copyright", "all rights reserved", "terms of service",
+    "privacy policy", "lorem ipsum", "click here",
+]
+
+
+def q_doc_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = docs.select(F.lower("text").alias("__t"))
+    # ONE scan: all marker tallies as columns of a single aggregate,
+    # then stack() to long form — not one agg job per marker
+    sums = low.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.col("__t").contains(m).cast("bigint")).alias(f"__m{i}")
+            for i, m in enumerate(_BOILERPLATE_MARKERS)
+        ],
+    )
+    stack = ", ".join(
+        f"'{m}', __m{i}" for i, m in enumerate(_BOILERPLATE_MARKERS)
+    )
+    return (
+        sums.select(
+            F.expr(
+                f"stack({len(_BOILERPLATE_MARKERS)}, {stack})"
+                " AS (marker, n_docs)"
+            ),
+            "__n",
+        )
+        .select(
+            "marker", "n_docs",
+            F.expr("n_docs * 1000000 div __n").alias("share_ppm"),
+        )
+        .orderBy("marker")
+    )
+
+
+def _boilerplate_sql() -> str:
+    arms = ",\n      ".join(
+        f"SELECT '{m}' AS marker,"
+        f" CAST(SUM(CASE WHEN contains(lower(text), '{m}')"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM documents"
+        for m in _BOILERPLATE_MARKERS
+    )
+    arms = arms.replace(",\n      SELECT", "\n      UNION ALL\n      SELECT")
+    return f"""
+    WITH hits AS (
+      {arms}
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT marker, n_docs, n_docs * 1000000 // nn.n AS share_ppm
+    FROM hits CROSS JOIN nn
+    ORDER BY marker
+    """
+
+
+register("doc_boilerplate_screen", q_doc_boilerplate_screen, _boilerplate_sql())

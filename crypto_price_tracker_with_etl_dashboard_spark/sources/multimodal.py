@@ -727,3 +727,76 @@ def vad_profile(
             )
 
     return media.mapInPandas(kernel, AUDIO_VAD_SCHEMA)
+
+
+# ---- per-channel pixel histogram over decoded images --------------------------
+# The image-statistics step after decode (exposure/color screening
+# before a vision model sees the corpus): bucket every pixel value
+# into 256/n_buckets-wide bands per channel and count.  Counts are
+# exact integers from the REAL parsed pixel array, so the certified
+# row checks stride/row-order/channel-order handling pixel-by-pixel
+# (a histogram is wrong if ANY pixel lands in the wrong band —
+# stronger than the channel sums media_image_decode certifies).
+IMG_HIST_BUCKETS = 4
+
+IMAGE_HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channel", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+    ]
+)
+
+
+def _bmp_pixel_array(content) -> Optional[np.ndarray]:
+    """Parse a 24-bit BMP to its logical top-down (h, w, 3) B,G,R
+    pixel array, or None when undecodable (the bmp_decode rules)."""
+    import struct
+
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack_from("<I", content, 10)
+    hdrsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+    if hdrsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, habs = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(content) < offset + stride * habs:
+        return None
+    px = (
+        np.frombuffer(content, dtype=np.uint8, count=stride * habs, offset=offset)
+        .reshape(habs, stride)[:, : w * 3]
+        .reshape(habs, w, 3)
+    )
+    return px if top_down else px[::-1]
+
+
+def image_histogram(media: DataFrame, n_buckets: int = IMG_HIST_BUCKETS) -> DataFrame:
+    """Long-format per-channel histogram via mapInPandas (narrow map,
+    binary dropped after the kernel).  Undecodable blobs contribute
+    no rows — the join-side NULL semantics live in the query."""
+    width = 256 // n_buckets
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "channel": [], "bucket": [], "n_pixels": []
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _bmp_pixel_array(content)
+                if px is None:
+                    continue
+                flat = px.reshape(-1, 3)
+                for ci, name in ((2, "r"), (1, "g"), (0, "b")):
+                    counts = np.bincount(
+                        flat[:, ci] // width, minlength=n_buckets
+                    )
+                    for b in range(n_buckets):
+                        out["media_id"].append(int(mid))
+                        out["channel"].append(name)
+                        out["bucket"].append(b)
+                        out["n_pixels"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, IMAGE_HIST_SCHEMA)
