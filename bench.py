@@ -243,6 +243,12 @@ HEADLINE = [
     "orders_aging_report",
     "doc_boilerplate_screen",
     "orders_supplier_herfindahl",
+    # round-6 batch 26
+    "prices_var_historical",
+    "events_bounce_rate",
+    "doc_sentence_dedup",
+    "events_sequence_violations",
+    "doc_dup_cluster_stats",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

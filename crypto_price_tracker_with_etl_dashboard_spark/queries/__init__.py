@@ -152,9 +152,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-25 five (media_image_histogram,
 # trade_neighbor_jaccard, orders_aging_report,
 # doc_boilerplate_screen, orders_supplier_herfindahl)
+# and the batch-26 five (prices_var_historical, events_bounce_rate,
+# doc_sentence_dedup, events_sequence_violations,
+# doc_dup_cluster_stats)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (120 total candidates - 8
-# r7 debuts = 112 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (125 total candidates - 8
+# r7 debuts = 117 remaining; at ~8 debuts/round that cohort carries
 # through ~r21 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -405,6 +408,14 @@ ROTATION_POOL: list[str] = [
     "media_image_histogram", "trade_neighbor_jaccard",
     "orders_aging_report", "doc_boilerplate_screen",
     "orders_supplier_herfindahl",
+    # --- r6-built batch 26, same debut-candidate status: exact
+    #     historical VaR (k-th order statistic, no interpolation),
+    #     session bounce rate over the batch gap-sessionization,
+    #     sentence-level dedup share (the C4 granularity), funnel-
+    #     order sequence violations, and the dup-cluster size
+    #     histogram (dedup observability). ---
+    "prices_var_historical", "events_bounce_rate", "doc_sentence_dedup",
+    "events_sequence_violations", "doc_dup_cluster_stats",
 ]
 
 

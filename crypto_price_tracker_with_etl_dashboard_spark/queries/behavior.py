@@ -1736,3 +1736,156 @@ register(
     FROM m ORDER BY user_id
     """,
 )
+
+
+# ---- session bounce rate ---------------------------------------------------------
+# Product-analytics staple over the batch gap-sessionization (the
+# events_sessionize 30-minute rule): per day of session start, how
+# many sessions consist of a single event (a "bounce")?  One user-key
+# window pass to assign sessions, one (user, session) rollup, one
+# day rollup — all integer.
+
+
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sid")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("start_ts"))
+    )
+    return (
+        sess.groupBy(F.to_date("start_ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("bigint")).alias("bounces"),
+        )
+        .select(
+            "day", "n_sessions", "bounces",
+            F.expr("bounces * 1000000 div n_sessions").alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_bounce_rate",
+    q_events_bounce_rate,
+    """
+    WITH ev AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap
+        FROM ev
+      )
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid,
+             ts
+      FROM flagged
+    ),
+    rolled AS (
+      SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS start_ts
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(start_ts AS DATE) AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS bounce_ppm
+    FROM rolled GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---- event-sequence legality violations -------------------------------------------
+# Log data-quality screen: flows that are impossible under the
+# product's state machine.  The certified rule — a purchase before
+# the user's FIRST signup (or with no signup at all) — is the
+# canonical funnel-order violation; the flag is one first-timestamp
+# comparison per user, so the whole screen is a single user-key
+# aggregate and a corpus-level ppm rollup.
+def q_events_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    flags = per_user.select(
+        "user_id",
+        (
+            F.col("first_purchase").isNotNull()
+            & (
+                F.col("first_signup").isNull()
+                | (F.col("first_purchase") < F.col("first_signup"))
+            )
+        ).alias("purchase_before_signup"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("purchase_before_signup").cast("bigint")).alias(
+            "violating_users"
+        ),
+    ).select(
+        "n_users", "violating_users",
+        F.expr("violating_users * 1000000 div n_users").alias("violation_ppm"),
+    )
+
+
+register(
+    "events_sequence_violations",
+    q_events_sequence_violations,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             (first_purchase IS NOT NULL AND
+              (first_signup IS NULL OR first_purchase < first_signup))
+               AS violating
+      FROM per_user
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN violating THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_users,
+           CAST(SUM(CASE WHEN violating THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS violation_ppm
+    FROM flags
+    """,
+)

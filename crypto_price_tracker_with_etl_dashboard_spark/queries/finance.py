@@ -741,3 +741,80 @@ register(
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- historical Value-at-Risk -------------------------------------------------
+# Per-symbol 95% historical VaR: the 5th-percentile tick-to-tick
+# return as an EXACT order statistic (k-th smallest with k =
+# max(1, floor(n/20)), row_number-selected with a deterministic
+# tiebreak) — no interpolation, no float quantile estimator, so the
+# figure is engine-exact.  Returns quantize per tick to integer ppm
+# (one shared floor expression); one shuffle on the symbol key.
+
+
+def q_prices_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("timestamp").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("current_price").over(w)
+    rets = prices.select(
+        "symbol",
+        "event_id",
+        F.floor(
+            (F.col("current_price") - prev) * 1000000.0 / prev
+        ).cast("bigint").alias("ret_ppm"),
+    ).filter(F.col("ret_ppm").isNotNull())
+    wr = Window.partitionBy("symbol").orderBy(
+        F.col("ret_ppm").asc(), F.col("event_id").asc()
+    )
+    ranked = rets.withColumn("__rn", F.row_number().over(wr))
+    counts = rets.groupBy("symbol").agg(F.count("*").alias("n_returns"))
+    return (
+        ranked.join(F.broadcast(counts), "symbol")
+        .filter(
+            F.col("__rn")
+            == F.greatest(F.lit(1).cast("bigint"), F.expr("n_returns div 20"))
+        )
+        .select(
+            "symbol",
+            F.col("n_returns").cast("bigint").alias("n_returns"),
+            F.col("ret_ppm").alias("var95_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_var_historical",
+    q_prices_var_historical,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    rets AS (
+      SELECT symbol, event_id,
+             CAST(floor((current_price - prev) * 1000000.0 / prev) AS BIGINT)
+               AS ret_ppm
+      FROM (
+        SELECT symbol, event_id, current_price,
+               lag(current_price) OVER (
+                 PARTITION BY symbol ORDER BY timestamp ASC, event_id ASC
+               ) AS prev
+        FROM prices WHERE current_price > 0
+      ) WHERE prev IS NOT NULL
+    ),
+    ranked AS (
+      SELECT symbol, ret_ppm,
+             row_number() OVER (PARTITION BY symbol
+                                ORDER BY ret_ppm ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY symbol) AS n_returns
+      FROM rets
+    )
+    SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+           ret_ppm AS var95_ppm
+    FROM ranked
+    WHERE rn = GREATEST(1, n_returns // 20)
+    ORDER BY symbol
+    """,
+)

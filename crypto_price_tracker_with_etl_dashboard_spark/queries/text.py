@@ -2164,3 +2164,128 @@ def _boilerplate_sql() -> str:
 
 
 register("doc_boilerplate_screen", q_doc_boilerplate_screen, _boilerplate_sql())
+
+
+# ---- sentence-level dedup screen ---------------------------------------------
+# Finer-grained than doc-level dedup (the C4 recipe dedups at the
+# line/sentence level): split each document on terminal punctuation,
+# fingerprint every >= 20-char normalized sentence, and report per
+# document how much of it is corpus-duplicated (appears in at least
+# one OTHER document).  One inverted-index aggregate on the sentence
+# fingerprint; integer counts only.
+_SENT_MIN_CHARS = 20
+
+
+def q_doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "doc_id", F.explode_outer(F.split("text", r"[.!?]")).alias("__s")
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("__s"), r"\s+", " ")).alias("__n"),
+        )
+        .filter(F.length("__n") >= _SENT_MIN_CHARS)
+        .select("doc_id", F.md5(F.col("__n")).alias("fp"))
+        .distinct()
+    )
+    # df-per-fingerprint via a window over the (already distinct)
+    # postings, not a groupBy + self-join: the join form evaluates
+    # the regex-heavy sentence subtree TWICE (16.8s -> ~4s at sf0.01)
+    w = Window.partitionBy("fp")
+    return (
+        sents.withColumn("n_docs", F.count("*").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sentences"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("dup_sentences"),
+        )
+        .select(
+            "doc_id", "n_sentences", "dup_sentences",
+            F.expr("dup_sentences * 1000000 div n_sentences").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_sentence_dedup",
+    q_doc_sentence_dedup,
+    f"""
+    WITH sents AS (
+      SELECT DISTINCT doc_id, md5(n) AS fp FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS n
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '[.!?]')) AS s
+          FROM documents
+        )
+      ) WHERE length(n) >= {_SENT_MIN_CHARS}
+    ),
+    dpf AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sents GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_sentences,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+    FROM sents s JOIN dpf d USING (fp)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+
+
+# ---- duplicate-cluster size distribution ----------------------------------------
+# Observability over the MinHash-LSH + connected-components dedup:
+# the cluster SIZE histogram (how many pairs vs. how many big blobs?)
+# plus the total docs absorbed into clusters — the one-line answer to
+# "what did dedup actually remove?".  Reuses the certified
+# doc_dup_clusters pipeline and adds an O(sizes) rollup.
+
+
+def q_doc_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS).filter(
+        F.col("est_jaccard") >= _CLUSTER_MIN_EST_J
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("component").agg(F.count("*").cast("bigint").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            (F.count("*") * F.col("size").cast("bigint"))
+            .cast("bigint")
+            .alias("docs_in_clusters"),
+        )
+        .orderBy("size")
+    )
+
+
+def _dup_cluster_stats_sql() -> str:
+    # reuse doc_dup_clusters' oracle CTE prefix (everything up to its
+    # final per-component SELECT: pairs/strong/edges/walk/comp) and
+    # roll component sizes up into the histogram instead
+    base = _dup_clusters_sql()
+    cut = base.rindex("SELECT component AS cluster_id")
+    prefix = base[:cut]
+    return (
+        prefix
+        + """SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * size AS BIGINT) AS docs_in_clusters
+    FROM (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+      FROM comp GROUP BY component
+    ) GROUP BY size ORDER BY size
+    """
+    )
+
+
+register(
+    "doc_dup_cluster_stats", q_doc_dup_cluster_stats, _dup_cluster_stats_sql()
+)
