@@ -2065,9 +2065,12 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.explode_outer(D.shingles_from_tokens(F.col("__toks"))).alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    df_t = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    # df via a window over the postings, not groupBy + self-join:
+    # the join form evaluates the shingle subtree twice (the
+    # doc_sentence_dedup lesson)
+    w = Window.partitionBy("shingle")
     per_doc = (
-        posts.join(df_t, "shingle")
+        posts.withColumn("df", F.count("*").over(w))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),

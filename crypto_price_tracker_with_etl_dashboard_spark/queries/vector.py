@@ -1859,9 +1859,17 @@ register("emb_mmr_rerank", q_emb_mmr_rerank, _mmr_sql())
 # robust-outlier screens; SemDeDup prunes the TOP of this ranking,
 # this row serves the BOTTOM).  Pairwise sims quantize to integer ppm
 # per pair BEFORE averaging, so the mean is an order-free integer
-# fold; blocking reuses the cosine_neardup label plan (the quadratic
-# stage is block-bounded, the corpus never joins itself unblocked).
+# fold; blocking reuses the cosine_neardup label plan.
+#
+# The AUDITED side is capped (vec_id < 500, the emb_knn_classify
+# convention): the first registration scored every vector against
+# its full label block and the sf1 scale check measured x112
+# (40M interpreted-fold pairs — both sides grew 10x).  With the cap
+# the pair stage is audit_batch x block — LINEAR in the corpus — and
+# each score is still the TRUE kNN density against the full block.
+# Corpus-wide screening belongs on the LSH/IVF bucketed stages.
 _KNN_OUT_K = 5
+_KNN_OUT_CAP = 500
 
 
 def q_emb_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,7 +1879,7 @@ def q_emb_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = emb.select("vec_id", "label", "embedding").withColumn(
         "nrm", S._norm(F.col("embedding"))
     )
-    a = side.select(
+    a = side.filter(F.col("vec_id") < _KNN_OUT_CAP).select(
         F.col("vec_id").alias("a"), "label",
         F.col("embedding").alias("va"), F.col("nrm").alias("na"),
     )
@@ -1927,6 +1935,7 @@ register(
                / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS sim_ppm
       FROM side a JOIN side b
         ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_KNN_OUT_CAP}
     ),
     top AS (
       SELECT a, label, sim_ppm FROM (
