@@ -249,6 +249,11 @@ HEADLINE = [
     "doc_sentence_dedup",
     "events_sequence_violations",
     "doc_dup_cluster_stats",
+    # round-6 batch 27
+    "prices_garch_vol",
+    "events_did_lift",
+    "doc_dedup_by_source",
+    "emb_ivf_list_balance",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

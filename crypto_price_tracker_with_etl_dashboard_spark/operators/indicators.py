@@ -1769,3 +1769,157 @@ def sql_obv(
     ) s USING ({key})
     ORDER BY {key}
     """
+
+
+# GARCH(1,1) fixed parameters (rational, so the recursion stays pure
+# integer): alpha = 10/100, beta = 85/100, omega = gamma * V_L with
+# gamma = 5/100 and long-run variance V_L = (10_000 ppm)^2 = 1e8 pp2
+# (a 1%-per-tick baseline), i.e. OMEGA = 5e6 in ppm^2 units.
+GARCH_ALPHA_NUM = 10
+GARCH_BETA_NUM = 85
+GARCH_DENOM = 100
+GARCH_OMEGA_PP2 = 5_000_000
+
+
+def garch_vol(
+    prices: DataFrame,
+    key: str,
+    order_by: list[str],
+    price: str,
+) -> DataFrame:
+    """GARCH(1,1) conditional volatility per key — the SIXTH member
+    of the certified arbitrary-length integer-recursion family
+    (EMA/MACD, Heikin-Ashi, Holt, ATR, CUSUM): the variance state at
+    tick t depends on every prior squared return,
+
+        s2_t = omega + (alpha*r_t^2 + beta*s2_{t-1})
+        s2_1 = r_1^2,
+
+    run entirely in integer ppm^2 units with one round-half-up per
+    step (the numerator alpha*r2 + beta*s2 + 50 is provably
+    nonnegative).  Returns quantize to integer ppm with TRUNCATING
+    division (_tdiv — DuckDB ``//`` truncates toward zero on
+    negatives where Python floors, the Holt lesson) and are
+    WINSORIZED to +-100% (+-1e6 ppm): the standard dirty-tick guard,
+    and the bound that keeps r^2 <= 1e12 so every recursion state
+    fits BIGINT on both engines (an unclamped synthetic jump
+    overflowed INT64 inside DuckDB's recursion).  The only float op
+    is the final sqrt, floored to an integer vol_ppm on both
+    engines.
+
+    Same execution shape as ema_macd: one key repartition +
+    in-partition sort, then a single mapInPandas stream carrying
+    per-key (prev_price, s2, rn) state across Arrow batches.  Output
+    is O(return rows): (key, rn, ret_ppm, var_pp2, vol_ppm)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{key} string, rn long, ret_ppm long, var_pp2 long, vol_ppm long"
+    )
+    ord_names = [f"__o{i}" for i in range(len(order_by))]
+
+    def run(batches):
+        state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ks = pdf[key].to_numpy()
+            pu = pdf["__pu"].to_numpy().tolist()
+            out_k, out_rn, out_r, out_v, out_s = [], [], [], [], []
+            cur = None
+            prev = s2 = rn = 0
+            have_prev = False
+            for i in range(n):
+                k = ks[i]
+                if k != cur:
+                    if cur is not None:
+                        state[cur] = (prev, s2, rn, have_prev)
+                    cur = k
+                    prev, s2, rn, have_prev = state.get(k, (0, 0, 0, False))
+                p = int(pu[i])
+                if have_prev:
+                    r = _tdiv((p - prev) * 1_000_000, prev)
+                    r = max(-1_000_000, min(1_000_000, r))
+                    r2 = r * r
+                    if rn == 0:
+                        s2 = r2
+                    else:
+                        s2 = GARCH_OMEGA_PP2 + (
+                            GARCH_ALPHA_NUM * r2
+                            + GARCH_BETA_NUM * s2
+                            + GARCH_DENOM // 2
+                        ) // GARCH_DENOM
+                    rn += 1
+                    out_k.append(k)
+                    out_rn.append(rn)
+                    out_r.append(r)
+                    out_v.append(s2)
+                    out_s.append(int(math.sqrt(float(s2))))
+                prev = p
+                have_prev = True
+            state[cur] = (prev, s2, rn, have_prev)
+            yield pd.DataFrame(
+                {
+                    key: np.array(out_k, dtype=object),
+                    "rn": np.array(out_rn, dtype=np.int64),
+                    "ret_ppm": np.array(out_r, dtype=np.int64),
+                    "var_pp2": np.array(out_v, dtype=np.int64),
+                    "vol_ppm": np.array(out_s, dtype=np.int64),
+                }
+            )
+
+    ordered = (
+        prices.filter(F.col(price) > 0)
+        .select(
+            F.col(key).cast("string").alias(key),
+            F.round(F.col(price) * SCALE).cast("bigint").alias("__pu"),
+            *[F.col(c).alias(n) for c, n in zip(order_by, ord_names)],
+        )
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, *ord_names)
+    )
+    return ordered.mapInPandas(run, schema=out_schema)
+
+
+def sql_garch_vol(
+    table: str, key: str, order_by: list[str], price: str,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB mirror of :func:`garch_vol`: same integer recursion via
+    WITH RECURSIVE over the per-key return index."""
+    ob = ", ".join(order_by)
+    return f"""
+    WITH RECURSIVE {extra_ctes} ticks AS (
+      SELECT CAST({key} AS VARCHAR) AS {key},
+             CAST(round({price} * {SCALE}) AS BIGINT) AS pu,
+             row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS tick
+      FROM {table} WHERE {price} > 0
+    ),
+    rets AS (
+      SELECT {key}, tick - 1 AS rn,
+             GREATEST(-1000000, LEAST(1000000,
+               ((pu - prev) * 1000000) // prev)) AS r
+      FROM (
+        SELECT {key}, tick, pu,
+               lag(pu) OVER (PARTITION BY {key} ORDER BY tick) AS prev
+        FROM ticks
+      ) WHERE prev IS NOT NULL
+    ),
+    garch AS (
+      SELECT {key}, rn, r, r * r AS s2 FROM rets WHERE rn = 1
+      UNION ALL
+      SELECT t.{key}, t.rn, t.r,
+             {GARCH_OMEGA_PP2} + ({GARCH_ALPHA_NUM} * t.r * t.r
+               + {GARCH_BETA_NUM} * g.s2 + {GARCH_DENOM // 2})
+               // {GARCH_DENOM}
+      FROM rets t JOIN garch g ON t.{key} = g.{key} AND t.rn = g.rn + 1
+    )
+    SELECT {key}, rn, r AS ret_ppm,
+           CAST(s2 AS BIGINT) AS var_pp2,
+           CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS vol_ppm
+    FROM garch
+    """

@@ -155,10 +155,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-26 five (prices_var_historical, events_bounce_rate,
 # doc_sentence_dedup, events_sequence_violations,
 # doc_dup_cluster_stats)
+# and the batch-27 four (prices_garch_vol, events_did_lift,
+# doc_dedup_by_source, emb_ivf_list_balance)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (125 total candidates - 8
-# r7 debuts = 117 remaining; at ~8 debuts/round that cohort carries
-# through ~r21 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (129 total candidates - 8
+# r7 debuts = 121 remaining; at ~8 debuts/round that cohort carries
+# through ~r22 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -416,6 +418,15 @@ ROTATION_POOL: list[str] = [
     #     histogram (dedup observability). ---
     "prices_var_historical", "events_bounce_rate", "doc_sentence_dedup",
     "events_sequence_violations", "doc_dup_cluster_stats",
+    # --- r6-built batch 27, same debut-candidate status: GARCH(1,1)
+    #     conditional volatility (the SIXTH certified integer
+    #     recursion — Arrow fold + WITH RECURSIVE twin), difference-
+    #     in-differences lift (the third causal estimator), exact-
+    #     dedup rate per (source, lang) stratum, and the IVF
+    #     list-balance index-health report on the integer micro-grid
+    #     quantizer. ---
+    "prices_garch_vol", "events_did_lift", "doc_dedup_by_source",
+    "emb_ivf_list_balance",
 ]
 
 

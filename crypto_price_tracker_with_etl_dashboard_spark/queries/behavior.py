@@ -1889,3 +1889,90 @@ register(
     FROM flags
     """,
 )
+
+
+# ---- difference-in-differences lift --------------------------------------------
+# The experimentation family's third estimator (z-test lift, CUPED,
+# now DiD): treatment assignment by the deterministic user hash,
+# pre/post split at a fixed date, estimate = (T_post - T_pre) -
+# (C_post - C_pre) on per-user daily means.  All four cell means come
+# from exact integer cent sums; the estimate is one shared double
+# expression — the causal readout when treatment starts at a known
+# date and groups have different baselines.
+_DID_SPLIT_DATE = "2024-01-15"
+_DID_EXPR = (
+    "((CAST(t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)"
+    "  - CAST(t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))"
+    " - (CAST(c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)"
+    "    - CAST(c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))"
+)
+
+
+def q_events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    cells = ev.select(
+        (lcg_bucket("user_id", 2) == 1).alias("treated"),
+        (F.to_date("ts") >= F.lit(_DID_SPLIT_DATE)).alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).groupBy().agg(
+        F.sum(F.when(F.col("treated") & F.col("post"), F.col("vc"))).alias("t_post"),
+        F.count(F.when(F.col("treated") & F.col("post"), 1)).alias("n_t_post"),
+        F.sum(F.when(F.col("treated") & ~F.col("post"), F.col("vc"))).alias("t_pre"),
+        F.count(F.when(F.col("treated") & ~F.col("post"), 1)).alias("n_t_pre"),
+        F.sum(F.when(~F.col("treated") & F.col("post"), F.col("vc"))).alias("c_post"),
+        F.count(F.when(~F.col("treated") & F.col("post"), 1)).alias("n_c_post"),
+        F.sum(F.when(~F.col("treated") & ~F.col("post"), F.col("vc"))).alias("c_pre"),
+        F.count(F.when(~F.col("treated") & ~F.col("post"), 1)).alias("n_c_pre"),
+    )
+    return cells.select(
+        F.col("n_t_pre").cast("bigint").alias("n_t_pre"),
+        F.col("n_t_post").cast("bigint").alias("n_t_post"),
+        F.col("n_c_pre").cast("bigint").alias("n_c_pre"),
+        F.col("n_c_post").cast("bigint").alias("n_c_post"),
+        F.expr(_DID_EXPR).alias("did_cents"),
+    )
+
+
+def _did_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    treated = f"({sql_lcg_bucket('user_id', 2)}) = 1"
+    return f"""
+    WITH cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN {treated} AND post THEN vc END) AS BIGINT) AS t_post,
+        COUNT(CASE WHEN {treated} AND post THEN 1 END) AS n_t_post,
+        CAST(SUM(CASE WHEN {treated} AND NOT post THEN vc END) AS BIGINT) AS t_pre,
+        COUNT(CASE WHEN {treated} AND NOT post THEN 1 END) AS n_t_pre,
+        CAST(SUM(CASE WHEN NOT ({treated}) AND post THEN vc END) AS BIGINT) AS c_post,
+        COUNT(CASE WHEN NOT ({treated}) AND post THEN 1 END) AS n_c_post,
+        CAST(SUM(CASE WHEN NOT ({treated}) AND NOT post THEN vc END) AS BIGINT) AS c_pre,
+        COUNT(CASE WHEN NOT ({treated}) AND NOT post THEN 1 END) AS n_c_pre
+      FROM (
+        SELECT user_id,
+               CAST(ts AS DATE) >= DATE '{_DID_SPLIT_DATE}' AS post,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      )
+    )
+    SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           {_DID_EXPR} AS did_cents
+    FROM cells
+    """
+
+
+register("events_did_lift", q_events_did_lift, _did_sql())

@@ -818,3 +818,33 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+def q_prices_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility per symbol
+    (operators/indicators.py::garch_vol) — the volatility-clustering
+    model a risk desk runs beside the historical-VaR tail estimate;
+    the sixth certified arbitrary-length integer recursion."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        garch_vol,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    return garch_vol(
+        prices, key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price",
+    )
+
+
+def _garch_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.indicators import (
+        sql_garch_vol,
+    )
+
+    return sql_garch_vol(
+        "prices", key="symbol", order_by=["timestamp", "event_id"],
+        price="current_price", extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    )
+
+
+register("prices_garch_vol", q_prices_garch_vol, _garch_sql())

@@ -2292,3 +2292,58 @@ def _dup_cluster_stats_sql() -> str:
 register(
     "doc_dup_cluster_stats", q_doc_dup_cluster_stats, _dup_cluster_stats_sql()
 )
+
+
+# ---- dedup rate by stratum --------------------------------------------------
+# Which sources are redundant?  Exact-dedup observability per
+# (source, lang) stratum: documents whose normalized-content
+# fingerprint also appears elsewhere in the corpus (a cross-corpus
+# duplicate), as a ppm rate per stratum — the report that decides
+# which feeds get de-prioritized.  df per fingerprint via a window
+# over the corpus (one pass), then one stratum rollup.
+
+
+def q_doc_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", "lang",
+        F.md5(T.normalized_text("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("__n", F.count("*").over(w))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("__n") > 1).cast("bigint")).alias("dup_docs"),
+        )
+        .select(
+            "source", "lang", "n_docs", "dup_docs",
+            F.expr("dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+register(
+    "doc_dedup_by_source",
+    q_doc_dedup_by_source,
+    """
+    WITH fp AS (
+      SELECT source, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, lang,
+             COUNT(*) OVER (PARTITION BY fp) AS n
+      FROM fp
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+    FROM flagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

@@ -2079,3 +2079,122 @@ register(
     ORDER BY o.vec_id
     """,
 )
+
+
+# ---- IVF list-balance report ---------------------------------------------------
+# Index-health observability for the IVF family: inverted-list sizes
+# from the certified coarse quantizer (nearest centroid per vector on
+# the integer micro-grid — the emb_centroid_margin discipline, so
+# assignment ties and all arithmetic are engine-exact), plus the
+# skew figures a deployment watches (an unbalanced quantizer makes
+# nprobe latency erratic and recall uneven).
+
+
+def q_emb_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding,"
+            f" v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT))"
+        ).alias("eq"),
+    )
+    per_dim = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+                    f" * {_CM_Q}.0) AS BIGINT))"
+                )
+            ).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    cents = per_dim.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)"
+        ).alias("centroid")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(eq, centroid, (v, c) -> (v - c) * (v - c)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = vq.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(F.col("clabel").alias("list_id"))
+        .agg(F.count("*").cast("bigint").alias("size"))
+    )
+    total = assigned.agg(
+        F.sum("size").alias("__t"), F.count("*").alias("__k")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(total))
+        .select(
+            "list_id", "size",
+            F.expr("size * 1000000 div __t").alias("share_ppm"),
+            F.expr("size * __k * 1000000 div __t").alias("balance_ppm"),
+        )
+        .orderBy("list_id")
+    )
+
+
+register(
+    "emb_ivf_list_balance",
+    q_emb_ivf_list_balance,
+    f"""
+    WITH vq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, pos,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM (SELECT label, unnest(eq) AS v,
+                   generate_subscripts(eq, 1) AS pos
+            FROM vq)
+      GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS clabel, list(cq ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    scored AS (
+      SELECT q.vec_id, c.clabel,
+             CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> (q.eq[i] - c.centroid[i]) * (q.eq[i] - c.centroid[i])))
+               AS BIGINT) AS d2
+      FROM vq q CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT clabel AS list_id, COUNT(*) AS size FROM (
+        SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, clabel ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1 GROUP BY clabel
+    ),
+    t AS (SELECT CAST(SUM(size) AS BIGINT) AS t, COUNT(*) AS k FROM assigned)
+    SELECT list_id, CAST(size AS BIGINT) AS size,
+           CAST(size AS BIGINT) * 1000000 // t.t AS share_ppm,
+           CAST(size AS BIGINT) * t.k * 1000000 // t.t AS balance_ppm
+    FROM assigned CROSS JOIN t
+    ORDER BY list_id
+    """,
+)
