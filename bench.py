@@ -254,6 +254,11 @@ HEADLINE = [
     "events_did_lift",
     "doc_dedup_by_source",
     "emb_ivf_list_balance",
+    # round-6 batch 28
+    "emb_binary_recall",
+    "prices_amihud",
+    "orders_benford_by_segment",
+    "events_top_user_churn",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

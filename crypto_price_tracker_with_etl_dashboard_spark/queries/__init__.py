@@ -157,9 +157,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_dup_cluster_stats)
 # and the batch-27 four (prices_garch_vol, events_did_lift,
 # doc_dedup_by_source, emb_ivf_list_balance)
+# and the batch-28 four (emb_binary_recall, prices_amihud,
+# orders_benford_by_segment, events_top_user_churn)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (129 total candidates - 8
-# r7 debuts = 121 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (133 total candidates - 8
+# r7 debuts = 125 remaining; at ~8 debuts/round that cohort carries
 # through ~r22 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -427,6 +429,13 @@ ROTATION_POOL: list[str] = [
     #     quantizer. ---
     "prices_garch_vol", "events_did_lift", "doc_dedup_by_source",
     "emb_ivf_list_balance",
+    # --- r6-built batch 28, same debut-candidate status: the binary-
+    #     tier recall audit (exact top-k overlap, no tunable floor),
+    #     Amihud illiquidity (per-tick integer ratio, order-free
+    #     mean), the per-segment Benford forensic screen (ppm chi-
+    #     square cells), and daily top-10 leaderboard churn. ---
+    "emb_binary_recall", "prices_amihud", "orders_benford_by_segment",
+    "events_top_user_churn",
 ]
 
 

@@ -1976,3 +1976,98 @@ def _did_sql() -> str:
 
 
 register("events_did_lift", q_events_did_lift, _did_sql())
+
+
+# ---- leaderboard churn -------------------------------------------------------
+# Stability of the daily top-10 heavy hitters: how much of today's
+# value leaderboard is still on it tomorrow?  Rapid churn means
+# concentration metrics (Gini, HHI, per-user caps) need re-tuning
+# faster than a weekly job.  Per-day ranks are deterministic
+# (value-cents desc, user asc); the day-pair overlap is an exact
+# integer semi-join count.
+_CHURN_TOP_K = 10
+
+
+def q_events_top_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint")
+        .alias("vc")
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("vc").desc(), F.col("user_id").asc()
+    )
+    top = (
+        daily.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _CHURN_TOP_K)
+        .select("day", "user_id")
+    )
+    nxt = top.select(
+        F.expr("date_add(day, -1)").alias("day"),
+        F.col("user_id").alias("user_next"),
+    )
+    overlap = (
+        top.join(nxt, (top["day"] == nxt["day"]) & (top["user_id"] == nxt["user_next"]))
+        .groupBy(top["day"].alias("day"))
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    days = top.groupBy("day").agg(F.count("*").cast("bigint").alias("k"))
+    max_day = days.agg(F.max("day").alias("max_day"))
+    return (
+        days.join(overlap, "day", "left")
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") < F.col("max_day"))
+        .select(
+            "day", "k",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias("overlap"),
+        )
+        .select(
+            "*",
+            F.expr("(k - overlap) * 1000000 div k").alias("churn_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_top_user_churn",
+    q_events_top_user_churn,
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT day, user_id FROM (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY vc DESC, user_id ASC) AS rn
+        FROM daily
+      ) WHERE rn <= {_CHURN_TOP_K}
+    ),
+    days AS (SELECT day, COUNT(*) AS k FROM top GROUP BY 1),
+    ovl AS (
+      SELECT t.day, COUNT(*) AS overlap
+      FROM top t JOIN top n
+        ON n.day = t.day + 1 AND n.user_id = t.user_id
+      GROUP BY t.day
+    ),
+    md AS (SELECT MAX(day) AS max_day FROM top)
+    SELECT d.day, CAST(d.k AS BIGINT) AS k,
+           CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap,
+           (CAST(d.k AS BIGINT) - CAST(COALESCE(o.overlap, 0) AS BIGINT))
+             * 1000000 // CAST(d.k AS BIGINT) AS churn_ppm
+    FROM days d LEFT JOIN ovl o USING (day) CROSS JOIN md
+    WHERE d.day < max_day
+    ORDER BY d.day
+    """,
+)

@@ -848,3 +848,72 @@ def _garch_sql() -> str:
 
 
 register("prices_garch_vol", q_prices_garch_vol, _garch_sql())
+
+
+# ---- Amihud illiquidity -----------------------------------------------------
+# Market-microstructure staple: Amihud (2002) illiquidity = the mean
+# of |return| per unit of volume — how much does a currency unit of
+# flow move the price?  Per tick the ratio quantizes to an exact
+# integer (|ret_ppm| scaled per 1e6 volume-cents, truncating
+# division on nonnegative terms), so the per-symbol mean is an
+# order-free integer fold.  One shuffle on the symbol key.
+
+
+def q_prices_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(
+        (F.col("current_price") > 0) & (F.col("total_volume") > 0)
+    )
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("timestamp").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("current_price").over(w)
+    per_tick = prices.select(
+        "symbol",
+        F.floor(
+            F.abs(F.col("current_price") - prev) * 1000000.0 / prev
+        ).cast("bigint").alias("__aret_ppm"),
+        F.round(F.col("total_volume") * 100).cast("bigint").alias("__vc"),
+    ).filter(F.col("__aret_ppm").isNotNull())
+    scored = per_tick.select(
+        "symbol",
+        F.expr("__aret_ppm * 1000000 div __vc").alias("illiq_q"),
+    )
+    return (
+        scored.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            F.expr("sum(illiq_q) div count(*)").alias("amihud_q"),
+        )
+        .orderBy(F.col("amihud_q").desc(), "symbol")
+    )
+
+
+register(
+    "prices_amihud",
+    q_prices_amihud,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    per_tick AS (
+      SELECT symbol,
+             CAST(floor(abs(current_price - prev) * 1000000.0 / prev)
+                  AS BIGINT) AS aret_ppm,
+             CAST(round(total_volume * 100) AS BIGINT) AS vc
+      FROM (
+        SELECT symbol, current_price, total_volume,
+               lag(current_price) OVER (
+                 PARTITION BY symbol ORDER BY timestamp ASC, event_id ASC
+               ) AS prev
+        FROM prices WHERE current_price > 0 AND total_volume > 0
+      ) WHERE prev IS NOT NULL
+    ),
+    scored AS (
+      SELECT symbol, aret_ppm * 1000000 // vc AS illiq_q FROM per_tick
+    )
+    SELECT symbol, COUNT(*) AS n_ticks,
+           CAST(SUM(illiq_q) AS BIGINT) // COUNT(*) AS amihud_q
+    FROM scored GROUP BY symbol
+    ORDER BY amihud_q DESC, symbol
+    """,
+)

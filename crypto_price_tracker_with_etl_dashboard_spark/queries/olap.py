@@ -1609,3 +1609,102 @@ register(
     ORDER BY hhi DESC, nation
     """,
 )
+
+
+# ---- Benford screen by segment -----------------------------------------------
+# The group-level extension of orders_benford_audit: per customer
+# market segment, the chi-square distance of the first-digit
+# distribution from Benford's law (cells ppm-quantized before the
+# order-proof sum — the Cramér's-V discipline) plus a flag at a fixed
+# distance threshold.  The forensic question moves from "is the
+# ledger fabricated?" to "WHICH desk's numbers drift?".
+_BENFORD_SEG_FLAG_PPM = 20_000
+
+
+def q_orders_benford_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(F.col("c_mktsegment").alias("segment"), digit.alias("digit"))
+        .groupBy("segment", "digit")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("segment").agg(F.sum("n").alias("__t"))
+    exp = None
+    for d, ppm in _BENFORD_PPM.items():
+        exp = (
+            F.when(F.col("digit") == d, ppm)
+            if exp is None
+            else exp.when(F.col("digit") == d, ppm)
+        )
+    cells = (
+        counts.join(F.broadcast(totals), "segment")
+        .select(
+            "segment",
+            F.expr("n * 1000000 div __t").alias("obs_ppm"),
+            exp.alias("exp_ppm"),
+            "__t",
+        )
+        .select(
+            "segment",
+            "__t",
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"
+            ).alias("cell_q"),
+        )
+    )
+    return (
+        cells.groupBy("segment")
+        .agg(
+            F.max("__t").cast("bigint").alias("n_orders"),
+            F.sum("cell_q").cast("bigint").alias("chi2_ppm"),
+        )
+        .select(
+            "segment", "n_orders", "chi2_ppm",
+            (F.col("chi2_ppm") >= _BENFORD_SEG_FLAG_PPM).alias("flagged"),
+        )
+        .orderBy(F.col("chi2_ppm").desc(), "segment")
+    )
+
+
+def _benford_by_segment_sql() -> str:
+    case = "".join(
+        f" WHEN digit = {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+    )
+    return f"""
+    WITH counts AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(substr(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 0
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+    cells AS (
+      SELECT co.segment, t.t,
+             (co.n * 1000000 // t.t - (CASE{case} END))
+             * (co.n * 1000000 // t.t - (CASE{case} END))
+             // (CASE{case} END) AS cell_q
+      FROM counts co JOIN totals t USING (segment)
+    )
+    SELECT segment, CAST(MAX(t) AS BIGINT) AS n_orders,
+           CAST(SUM(cell_q) AS BIGINT) AS chi2_ppm,
+           CAST(SUM(cell_q) AS BIGINT) >= {_BENFORD_SEG_FLAG_PPM} AS flagged
+    FROM cells GROUP BY segment
+    ORDER BY chi2_ppm DESC, segment
+    """
+
+
+register(
+    "orders_benford_by_segment",
+    q_orders_benford_by_segment,
+    _benford_by_segment_sql(),
+)

@@ -2198,3 +2198,70 @@ register(
     ORDER BY list_id
     """,
 )
+
+
+# ---- binary-tier recall audit --------------------------------------------------
+# What does 32x compression cost at serving time?  The EXACT overlap
+# between the 1-bit Hamming top-k and the float cosine top-k for the
+# fixed query set.  Both sides are deterministic, so the overlap
+# count is a sharp integer the oracle recomputes in full — no recall
+# floor to tune, the certified fact is the measurement itself (the
+# lsh_calibration philosophy, not the emb_ann_recall pass/fail one).
+
+
+def q_emb_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    binq = q_emb_binary_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(binq, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = exact.agg(F.count("*").alias("n_pairs"))
+    return hits.crossJoin(total).select(
+        F.lit(f"binary_vs_float_at_{_K}").alias("metric"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.expr("hits * 1000000 div n_pairs").alias("overlap_ppm"),
+    )
+
+
+def _binary_recall_sql() -> str:
+    # both legs recomputed in full: the bf_topk CTEs + the packed-word
+    # Hamming CTEs (the emb_binary_topk oracle), intersected exactly
+    bq = _bq_sql()
+    # strip the trailing SELECT of the binary oracle down to a CTE
+    cut = bq.index("SELECT query_id, neighbor_id, hamming, rnk FROM (")
+    binary_ctes = bq[:cut].strip()
+    assert binary_ctes.startswith("WITH")
+    binary_ctes = binary_ctes[len("WITH"):].strip().rstrip(",")
+    # the bf CTEs also define a `scored` relation — rename the binary
+    # one to avoid the collision
+    binary_ctes = binary_ctes.replace("scored AS (", "bscored AS (")
+    return f"""
+    WITH {_BF_TOPK_CTES},
+    {binary_ctes},
+    bin_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+        FROM bscored
+      ) WHERE rnk <= {_K}
+    ),
+    hits AS (
+      SELECT COUNT(*) AS hits FROM bf_topk b
+      WHERE EXISTS (
+        SELECT 1 FROM bin_topk n
+        WHERE n.query_id = b.query_id AND n.neighbor_id = b.neighbor_id
+      )
+    ),
+    total AS (SELECT COUNT(*) AS n_pairs FROM bf_topk)
+    SELECT 'binary_vs_float_at_{_K}' AS metric,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(hits AS BIGINT) * 1000000 // CAST(n_pairs AS BIGINT)
+             AS overlap_ppm
+    FROM hits CROSS JOIN total
+    """
+
+
+register("emb_binary_recall", q_emb_binary_recall, _binary_recall_sql())
