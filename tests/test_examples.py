@@ -85,3 +85,20 @@ def test_search_retrieval_pipeline_end_to_end(spark):
     assert isinstance(stats["ann_recall_pass"], bool)
     assert 0 <= stats["matryoshka_recall_ppm"] <= 1_000_000
     assert len(stats["keyphrases"]) == 3
+
+
+def test_risk_report_pipeline_end_to_end(spark):
+    from examples.risk_report_pipeline import run_risk_report
+
+    stats = run_risk_report(spark, SF_SMALL)
+    assert len(stats["worst_var"]) == 5
+    # VaR figures come from the loss tail
+    assert all(v <= 0 for _, v in stats["worst_var"])
+    assert len(stats["hottest_vol"]) == 5
+    assert all(v > 0 for _, v in stats["hottest_vol"])
+    assert len(stats["worst_drawdown"]) == 5
+    assert all(0.0 <= d <= 1.0 for _, d in stats["worst_drawdown"])
+    assert all(q >= 0 for _, q in stats["thinnest"])
+    assert stats["n_symbols"] > 0
+    # the dominant band histogram partitions the symbols
+    assert sum(stats["dominant_band_histogram"].values()) == stats["n_symbols"]
