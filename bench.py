@@ -259,6 +259,11 @@ HEADLINE = [
     "prices_amihud",
     "orders_benford_by_segment",
     "events_top_user_churn",
+    # round-6 batch 29
+    "doc_lsh_pr_audit",
+    "emb_filtered_topk",
+    "orders_repeat_intervals",
+    "events_position_attribution",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -159,10 +159,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_dedup_by_source, emb_ivf_list_balance)
 # and the batch-28 four (emb_binary_recall, prices_amihud,
 # orders_benford_by_segment, events_top_user_churn)
+# and the batch-29 four (doc_lsh_pr_audit, emb_filtered_topk,
+# orders_repeat_intervals, events_position_attribution)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (133 total candidates - 8
-# r7 debuts = 125 remaining; at ~8 debuts/round that cohort carries
-# through ~r22 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (137 total candidates - 8
+# r7 debuts = 129 remaining; at ~8 debuts/round that cohort carries
+# through ~r23 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -436,6 +438,14 @@ ROTATION_POOL: list[str] = [
     #     square cells), and daily top-10 leaderboard churn. ---
     "emb_binary_recall", "prices_amihud", "orders_benford_by_segment",
     "events_top_user_churn",
+    # --- r6-built batch 29, same debut-candidate status: the LSH
+    #     precision/recall audit against exact-Jaccard ground truth,
+    #     predicate-filtered vector search (pre-filter, not
+    #     post-filter), repeat-purchase cadence (exact median gaps
+    #     bucketed by week), and U-shaped position-based attribution
+    #     (remainder-exact integer ppm credits). ---
+    "doc_lsh_pr_audit", "emb_filtered_topk", "orders_repeat_intervals",
+    "events_position_attribution",
 ]
 
 

@@ -2071,3 +2071,104 @@ register(
     ORDER BY d.day
     """,
 )
+
+
+# ---- position-based (U-shaped) attribution ---------------------------------------
+# Multi-touch attribution next to events_attribution's last-touch
+# rule: credit each pre-conversion touchpoint 40% first / 40% last /
+# 20% split across the middles (the classic U-shape), in integer ppm
+# with the division remainder assigned to the LAST touch so every
+# user's credit sums to exactly 1e6.  Touches are the user's events
+# strictly before their first purchase (ts, event_id lexicographic);
+# single-touch paths get the full credit, two-touch paths split
+# 50/50.  One user-key sort shared by the position ranks; O(types)
+# output.
+
+
+def q_events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("__fp_ts"),
+            F.col("event_id").alias("__fp_eid"),
+        )
+    )
+    touches = ev.join(purchases, "user_id").filter(
+        (F.col("ts") < F.col("__fp_ts"))
+        | ((F.col("ts") == F.col("__fp_ts")) & (F.col("event_id") < F.col("__fp_eid")))
+    )
+    wp = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        touches.withColumn("__pos", F.row_number().over(wp))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("user_id")))
+    )
+    credit = F.expr(
+        "CASE WHEN __n = 1 THEN 1000000"
+        " WHEN __n = 2 AND __pos = 1 THEN 500000"
+        " WHEN __n = 2 THEN 500000"
+        " WHEN __pos = 1 THEN 400000"
+        " WHEN __pos = __n THEN 400000 + (200000 - (200000 div (__n - 2)) * (__n - 2))"
+        " ELSE 200000 div (__n - 2) END"
+    ).cast("bigint")
+    return (
+        ranked.select("event_type", credit.alias("__credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("__credit").cast("bigint").alias("credit_ppm"),
+        )
+        .orderBy(F.col("credit_ppm").desc(), "event_type")
+    )
+
+
+register(
+    "events_position_attribution",
+    q_events_position_attribution,
+    """
+    WITH ev AS (
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    purchases AS (
+      SELECT user_id, ts AS fp_ts, event_id AS fp_eid FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM ev WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM ev e JOIN purchases p USING (user_id)
+      WHERE e.ts < p.fp_ts
+         OR (e.ts = p.fp_ts AND e.event_id < p.fp_eid)
+    ),
+    ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM touches
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN pos = 1 THEN 400000
+                         WHEN pos = n THEN 400000
+                           + (200000 - (200000 // (n - 2)) * (n - 2))
+                         ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+    FROM ranked GROUP BY event_type
+    ORDER BY credit_ppm DESC, event_type
+    """,
+)

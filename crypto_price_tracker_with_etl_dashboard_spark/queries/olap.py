@@ -1708,3 +1708,72 @@ register(
     q_orders_benford_by_segment,
     _benford_by_segment_sql(),
 )
+
+
+# ---- repeat-purchase cadence ---------------------------------------------------
+# Customer purchase-rhythm distribution: each repeat customer's
+# MEDIAN inter-order gap (exact lower median over integer day gaps —
+# the events_weighted_median convention), rolled into week-wide
+# buckets.  The histogram a lifecycle-marketing team reads to time
+# win-back campaigns; all arithmetic integer (date diffs, ranks).
+
+
+def q_orders_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = (
+        orders.withColumn("__prev", F.lag("day").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("day"), F.col("__prev")).cast("bigint").alias("gap"),
+        )
+    )
+    wg = Window.partitionBy("o_custkey").orderBy(F.col("gap").asc())
+    med = (
+        gaps.withColumn("__rn", F.row_number().over(wg))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("o_custkey")))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("o_custkey", F.col("gap").alias("median_gap_days"))
+    )
+    return (
+        med.groupBy(
+            F.expr("median_gap_days div 7").alias("gap_weeks")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("gap_weeks")
+    )
+
+
+register(
+    "orders_repeat_intervals",
+    q_orders_repeat_intervals,
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', prev, day) AS BIGINT) AS gap
+      FROM (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               ) AS prev
+        FROM orders
+      ) WHERE prev IS NOT NULL
+    ),
+    med AS (
+      SELECT o_custkey, gap AS median_gap_days FROM (
+        SELECT o_custkey, gap,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY gap ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM gaps
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT median_gap_days // 7 AS gap_weeks,
+           COUNT(*) AS n_customers
+    FROM med GROUP BY 1 ORDER BY 1
+    """,
+)

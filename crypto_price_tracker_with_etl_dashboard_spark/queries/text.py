@@ -2347,3 +2347,108 @@ register(
     FROM flagged GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- LSH precision/recall audit -------------------------------------------------
+# The dedup-quality twin of emb_binary_recall: MinHash-LSH candidate
+# pairs scored against the EXACT n-gram-Jaccard ground truth (within-
+# lang pairs at true J >= 0.35, the cluster threshold).  Both pair
+# sets are deterministic and individually driver-certified
+# (doc_minhash_lsh, doc_ngram_jaccard), so tp/fp/fn and the
+# precision/recall ppm are sharp integers — the measurement a team
+# tuning (num_hashes, bands) actually reads, with no tunable pass
+# floor.
+_PR_TRUTH_J = 0.35
+
+
+def q_doc_lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).select("doc_a", "doc_b")
+    truth = D.ngram_jaccard_pairs(
+        docs, threshold=_PR_TRUTH_J, max_doc_freq=_NGRAM_MAX_DF
+    ).select("doc_a", "doc_b")
+    tp = lsh.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("tp")
+    )
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        tp.crossJoin(n_lsh)
+        .crossJoin(n_truth)
+        .select(
+            F.lit("lsh_vs_jaccard_0.35").alias("metric"),
+            F.col("tp").cast("bigint").alias("tp"),
+            (F.col("n_lsh") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("n_truth") - F.col("tp")).cast("bigint").alias("fn"),
+            F.expr(
+                "CASE WHEN n_lsh > 0 THEN tp * 1000000 div n_lsh"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN tp * 1000000 div n_truth"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _lsh_pr_sql() -> str:
+    return f"""
+    WITH lsh AS (
+      SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    posts AS (
+      SELECT lang, doc_id, unnest(s) AS shingle FROM sh
+    ),
+    capped AS (
+      SELECT lang, doc_id, shingle FROM (
+        SELECT lang, doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM posts
+      ) WHERE df <= {_NGRAM_MAX_DF}
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM capped a JOIN capped b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM counts co
+      JOIN sized na ON co.doc_a = na.doc_id
+      JOIN sized nb ON co.doc_b = nb.doc_id
+      WHERE CAST(co.c AS DOUBLE) / (na.n + nb.n - co.c) >= {_PR_TRUTH_J}
+    ),
+    tp AS (
+      SELECT COUNT(*) AS tp FROM lsh l
+      WHERE EXISTS (
+        SELECT 1 FROM truth t
+        WHERE t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+      )
+    ),
+    nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT 'lsh_vs_jaccard_0.35' AS metric,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_lsh - tp AS BIGINT) AS fp,
+           CAST(n_truth - tp AS BIGINT) AS fn,
+           CASE WHEN n_lsh > 0
+                THEN CAST(tp AS BIGINT) * 1000000 // n_lsh
+                ELSE CAST(0 AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_truth > 0
+                THEN CAST(tp AS BIGINT) * 1000000 // n_truth
+                ELSE CAST(0 AS BIGINT) END AS recall_ppm
+    FROM tp CROSS JOIN nl CROSS JOIN nt
+    """
+
+
+register("doc_lsh_pr_audit", q_doc_lsh_pr_audit, _lsh_pr_sql())

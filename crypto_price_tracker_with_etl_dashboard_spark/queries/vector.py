@@ -2265,3 +2265,52 @@ def _binary_recall_sql() -> str:
 
 
 register("emb_binary_recall", q_emb_binary_recall, _binary_recall_sql())
+
+
+# ---- filtered (predicate-constrained) vector search ----------------------------
+# The vector-DB table stake the plain top-k rows don't cover:
+# retrieve under a metadata predicate (here label IN the allowed
+# set), exact within the filtered corpus.  In Spark the filter is
+# just a Catalyst predicate AHEAD of the scoring scan — pre-filtering
+# beats post-filtering k results (which can starve the result set),
+# and at scale it prunes partitions/row groups before any arithmetic.
+_FILTER_LABELS = (1, 3, 5, 7)
+
+
+def q_emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    allowed = emb.filter(F.col("label").isin(*_FILTER_LABELS))
+    return S.brute_force_topk(allowed, queries, k=_K)
+
+
+register(
+    "emb_filtered_topk",
+    q_emb_filtered_topk,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+        AND e.label IN {_FILTER_LABELS}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_K}
+    """,
+)
