@@ -264,6 +264,11 @@ HEADLINE = [
     "emb_filtered_topk",
     "orders_repeat_intervals",
     "events_position_attribution",
+    # round-6 batch 30
+    "prices_beta",
+    "events_slo_burn",
+    "doc_sampling_plan",
+    "parts_abc_xyz",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -161,9 +161,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # orders_benford_by_segment, events_top_user_churn)
 # and the batch-29 four (doc_lsh_pr_audit, emb_filtered_topk,
 # orders_repeat_intervals, events_position_attribution)
+# and the batch-30 four (prices_beta, events_slo_burn,
+# doc_sampling_plan, parts_abc_xyz)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (137 total candidates - 8
-# r7 debuts = 129 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (141 total candidates - 8
+# r7 debuts = 133 remaining; at ~8 debuts/round that cohort carries
 # through ~r23 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -446,6 +448,15 @@ ROTATION_POOL: list[str] = [
     #     (remainder-exact integer ppm credits). ---
     "doc_lsh_pr_audit", "emb_filtered_topk", "orders_repeat_intervals",
     "events_position_attribution",
+    # --- r6-built batch 30, same debut-candidate status: CAPM beta vs
+    #     the equal-weight market (five exact sufficient statistics,
+    #     shared OLS-slope expression), SLO error-budget burn with a
+    #     date-spine running sum, the corpus sampling-plan report
+    #     (rates + centi-epochs vs fixed mixture targets), and the
+    #     ABC/XYZ inventory matrix (distributed exact revenue rank x
+    #     weekly-demand cv). ---
+    "prices_beta", "events_slo_burn", "doc_sampling_plan",
+    "parts_abc_xyz",
 ]
 
 

@@ -2172,3 +2172,59 @@ register(
     ORDER BY credit_ppm DESC, event_type
     """,
 )
+
+
+# ---- SLO error-budget burn ---------------------------------------------------
+# SRE observability over the event stream: daily error rate vs a 2%
+# SLO, the day's budget consumption (rate/SLO in ppm — 1e6 = exactly
+# on budget), and the RUNNING cumulative burn that pages someone when
+# it crosses the month's allowance.  The cumulative sum runs over the
+# O(days) daily table (the date-spine prefix-sum shape the backlog
+# sweep line documents).
+_SLO_PPM = 20_000  # 2% error budget
+
+
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("errors"),
+    )
+    scored = daily.select(
+        "day", "n_events", "errors",
+        F.expr("errors * 1000000 div n_events").alias("error_ppm"),
+        F.expr(
+            f"errors * 1000000 div n_events * 1000000 div {_SLO_PPM}"
+        ).alias("burn_ppm"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "day", "n_events", "errors", "error_ppm", "burn_ppm",
+        F.sum("burn_ppm").over(w).cast("bigint").alias("cum_burn_ppm"),
+    ).orderBy("day")
+
+
+register(
+    "events_slo_burn",
+    q_events_slo_burn,
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, n_events, errors,
+             errors * 1000000 // n_events AS error_ppm,
+             errors * 1000000 // n_events * 1000000 // {_SLO_PPM} AS burn_ppm
+      FROM daily
+    )
+    SELECT day, n_events, errors, error_ppm, burn_ppm,
+           CAST(SUM(burn_ppm) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_burn_ppm
+    FROM scored ORDER BY day
+    """,
+)

@@ -917,3 +917,120 @@ register(
     ORDER BY amihud_q DESC, symbol
     """,
 )
+
+
+# ---- CAPM beta vs the equal-weight market -----------------------------------
+# Systematic-risk decomposition: regress each symbol's 5-minute
+# return on the equal-weight market return.  Per-bucket returns
+# quantize to integer ppm (floored, winsorized +-100% like GARCH);
+# the market return per bucket is the floored integer mean; beta is
+# the OLS slope from five exact BIGINT sufficient statistics and ONE
+# shared double expression (the lineitem_quantity_model discipline).
+_BETA_EXPR = (
+    "(CAST(n AS DOUBLE) * CAST(Sxy AS DOUBLE)"
+    " - CAST(Sx AS DOUBLE) * CAST(Sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(Syy AS DOUBLE)"
+    "    - CAST(Sy AS DOUBLE) * CAST(Sy AS DOUBLE))"
+)
+
+
+def q_prices_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol", "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("x"),
+        )
+    )
+    market = rets.groupBy("day").agg(
+        F.floor(F.sum("x").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("y")
+    )
+    joined = rets.join(F.broadcast(market), "day")
+    stats = joined.groupBy("symbol").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("Sx"),
+        F.sum("y").cast("bigint").alias("Sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("Sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("Syy"),
+    )
+    return (
+        stats.filter(F.col("n") >= 10)
+        .select("symbol", "n", F.expr(_BETA_EXPR).alias("beta"))
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_beta",
+    q_prices_beta,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS x
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    market AS (
+      SELECT day,
+             CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y
+      FROM rets GROUP BY day
+    ),
+    stats AS (
+      SELECT r.symbol,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r.x) AS BIGINT) AS Sx,
+             CAST(SUM(m.y) AS BIGINT) AS Sy,
+             CAST(SUM(r.x * m.y) AS BIGINT) AS Sxy,
+             CAST(SUM(m.y * m.y) AS BIGINT) AS Syy
+      FROM rets r JOIN market m USING (day)
+      GROUP BY r.symbol
+    )
+    SELECT symbol, n, {_BETA_EXPR} AS beta
+    FROM stats WHERE n >= 10
+    ORDER BY symbol
+    """,
+)

@@ -1777,3 +1777,128 @@ register(
     FROM med GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- ABC / XYZ inventory classification ----------------------------------------
+# The inventory-planning matrix: parts classed by revenue importance
+# (ABC — top 10% of parts by revenue rank = A, next 20% = B, rest C,
+# on the distributed exact rank, no partitionless window) and demand
+# regularity (XYZ — coefficient of variation of weekly shipped
+# quantity: X < 0.5, Y < 1.0, Z otherwise; cv floors to ppm from
+# exact integer sums through one shared sqrt expression).  Output is
+# the O(9) class matrix with part counts and revenue.
+_CV_EXPR = (
+    "CAST(floor(sqrt(CAST(nw AS DOUBLE) * CAST(Sqq AS DOUBLE)"
+    " - CAST(Sq AS DOUBLE) * CAST(Sq AS DOUBLE))"
+    " * 1000000.0 / CAST(Sq AS DOUBLE)) AS BIGINT)"
+)
+
+
+def q_parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.rank import (
+        global_rank,
+        quantile_bucket,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).cast("bigint").alias("rev_cents")
+    )
+    ranked = global_rank(
+        rev,
+        order_by=[F.col("rev_cents").desc(), F.col("l_partkey").asc()],
+        bucket=-F.expr("rev_cents div 1000000"),
+    )
+    n_parts = rev.agg(F.count("*").alias("__np"))
+    abc = ranked.crossJoin(F.broadcast(n_parts)).select(
+        "l_partkey", "rev_cents",
+        F.expr(
+            "CASE WHEN (rank - 1) * 10 < __np THEN 'A'"
+            " WHEN (rank - 1) * 10 < 3 * __np THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("__wk")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint")
+        .alias("q")
+    )
+    xyz_stats = weekly.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("nw"),
+        F.sum("q").cast("bigint").alias("Sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("Sqq"),
+    )
+    xyz = xyz_stats.select(
+        "l_partkey",
+        F.expr(_CV_EXPR).alias("cv_ppm"),
+    ).select(
+        "l_partkey",
+        F.expr(
+            "CASE WHEN cv_ppm < 500000 THEN 'X'"
+            " WHEN cv_ppm < 1000000 THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+register(
+    "parts_abc_xyz",
+    q_parts_abc_xyz,
+    f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    np AS (SELECT COUNT(*) AS np FROM rev),
+    abc AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN (rnk - 1) * 10 < np THEN 'A'
+                  WHEN (rnk - 1) * 10 < 3 * np THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (
+        SELECT l_partkey, rev_cents,
+               row_number() OVER (ORDER BY rev_cents DESC, l_partkey ASC)
+                 AS rnk
+        FROM rev
+      ) CROSS JOIN np
+    ),
+    weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(q) AS BIGINT) AS Sq,
+             CAST(SUM(q * q) AS BIGINT) AS Sqq
+      FROM weekly GROUP BY 1
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN {_CV_EXPR} < 500000 THEN 'X'
+                  WHEN {_CV_EXPR} < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class
+      FROM stats
+    )
+    SELECT a.abc_class, x.xyz_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(a.rev_cents) AS BIGINT) AS revenue_cents
+    FROM abc a JOIN xyz x USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

@@ -429,3 +429,88 @@ register(
     FROM h
     """,
 )
+
+
+# ---- corpus sampling plan ------------------------------------------------------
+# The allocation REPORT a mixture run is configured from (the
+# planning half of mixture_sample): given fixed target token shares
+# per language, compare each stratum's available whitespace tokens to
+# its target slice of a fixed total budget and emit the sampling rate
+# (or the epoch count when undersupplied — data shortage means
+# repetition, the Hoffmann-scaling tradeoff the report surfaces).
+# All arithmetic integer: token counts, ppm rates, centi-epochs.
+_PLAN_BUDGET_TOKENS = 50_000
+_PLAN_SHARES_PPM = {  # fixed editorial mixture, sums to 1e6
+    "en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000,
+    "zh": 150_000,
+}
+
+
+def q_doc_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens"),
+    )
+    share = None
+    for lang, ppm in _PLAN_SHARES_PPM.items():
+        share = (
+            F.when(F.col("lang") == lang, ppm)
+            if share is None
+            else share.when(F.col("lang") == lang, ppm)
+        )
+    share = share.otherwise(0).cast("bigint")
+    planned = avail.select(
+        "lang", "n_docs", "tokens",
+        (share * _PLAN_BUDGET_TOKENS).alias("__target_u"),
+    ).select(
+        "lang", "n_docs", "tokens",
+        F.expr("__target_u div 1000000").alias("target_tokens"),
+    )
+    return planned.select(
+        "lang", "n_docs", "tokens", "target_tokens",
+        # oversupplied -> sample at rate < 1e6; undersupplied -> rate
+        # pins at 1e6 and epochs > 100 centi-epochs signal repetition
+        F.expr(
+            "CASE WHEN tokens >= target_tokens"
+            " THEN target_tokens * 1000000 div tokens"
+            " ELSE CAST(1000000 AS BIGINT) END"
+        ).alias("rate_ppm"),
+        F.expr(
+            "CASE WHEN tokens > 0 THEN target_tokens * 100 div tokens"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("centi_epochs"),
+    ).orderBy("lang")
+
+
+def _sampling_plan_sql() -> str:
+    case = "".join(
+        f" WHEN lang = '{lang}' THEN {ppm}"
+        for lang, ppm in _PLAN_SHARES_PPM.items()
+    )
+    return f"""
+    WITH avail AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY lang
+    ),
+    planned AS (
+      SELECT lang, n_docs, tokens,
+             (CAST(CASE{case} ELSE 0 END AS BIGINT)
+              * {_PLAN_BUDGET_TOKENS}) // 1000000 AS target_tokens
+      FROM avail
+    )
+    SELECT lang, n_docs, tokens, target_tokens,
+           CASE WHEN tokens >= target_tokens
+                THEN target_tokens * 1000000 // tokens
+                ELSE CAST(1000000 AS BIGINT) END AS rate_ppm,
+           CASE WHEN tokens > 0 THEN target_tokens * 100 // tokens
+                ELSE CAST(0 AS BIGINT) END AS centi_epochs
+    FROM planned ORDER BY lang
+    """
+
+
+register("doc_sampling_plan", q_doc_sampling_plan, _sampling_plan_sql())
