@@ -269,6 +269,11 @@ HEADLINE = [
     "events_slo_burn",
     "doc_sampling_plan",
     "parts_abc_xyz",
+    # round-6 batch 31
+    "events_community_modularity",
+    "events_stump_split",
+    "prices_pair_spread",
+    "lineitem_discount_elasticity",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

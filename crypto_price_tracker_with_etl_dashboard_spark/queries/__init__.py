@@ -163,10 +163,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # orders_repeat_intervals, events_position_attribution)
 # and the batch-30 four (prices_beta, events_slo_burn,
 # doc_sampling_plan, parts_abc_xyz)
+# and the batch-31 four (events_community_modularity,
+# events_stump_split, prices_pair_spread,
+# lineitem_discount_elasticity)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (141 total candidates - 8
-# r7 debuts = 133 remaining; at ~8 debuts/round that cohort carries
-# through ~r23 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (145 total candidates - 8
+# r7 debuts = 137 remaining; at ~8 debuts/round that cohort carries
+# through ~r24 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -457,6 +460,15 @@ ROTATION_POOL: list[str] = [
     #     weekly-demand cv). ---
     "prices_beta", "events_slo_burn", "doc_sampling_plan",
     "parts_abc_xyz",
+    # --- r6-built batch 31, same debut-candidate status: Newman
+    #     modularity of the LPA partition (per-community ppm terms,
+    #     floor-before-sum), the decision-stump split search (exact
+    #     Gini impurity argmax — the tree-learner inner loop), the
+    #     pairs-trading spread monitor (integer cross-multiplied
+    #     2-sigma flag, no float std), and the discount-elasticity
+    #     band view. ---
+    "events_community_modularity", "events_stump_split",
+    "prices_pair_spread", "lineitem_discount_elasticity",
 ]
 
 

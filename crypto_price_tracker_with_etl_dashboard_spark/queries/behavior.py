@@ -2228,3 +2228,109 @@ register(
     FROM scored ORDER BY day
     """,
 )
+
+
+# ---- decision-stump split search ------------------------------------------------
+# The smallest genuinely SUPERVISED operator: find the best single
+# threshold on a user's event count for predicting conversion
+# (any purchase), by exact Gini impurity reduction over the distinct
+# candidate thresholds.  Everything is integer counts; the impurity
+# comparison multiplies through by the (positive) denominators
+# instead of dividing, so the argmax is pure BIGINT arithmetic with
+# a deterministic tiebreak (smallest threshold wins ties) — the
+# split-finding inner loop of every tree learner, certified.
+
+
+def q_events_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.max((F.col("event_type") == "purchase").cast("bigint")).alias("y"),
+    )
+    # candidate thresholds: every distinct count value; split is
+    # x <= t.  Cumulative (n, pos) per candidate via one sort-free
+    # aggregate + ordered window over the O(distinct x) spine.
+    per_x = users.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_x.select(
+        F.col("x").alias("t"),
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("pos").over(w).cast("bigint").alias("pl"),
+    )
+    tot = users.agg(
+        F.count("*").cast("bigint").alias("N"),
+        F.sum("y").cast("bigint").alias("P"),
+    )
+    # weighted Gini numerator, scaled by N*nl*nr (all positive):
+    # score = nl*nr*N - N*(nr*pl^2 + ... ) — equivalently minimize
+    # weighted impurity nl*gini_l + nr*gini_r; multiplied through:
+    #   obj(t) = nr * (pl*(nl-pl)) * N + nl * (pr*(nr-pr)) * N
+    # divided by nl*nr — to avoid rational compare, score_q =
+    # floor of the exact double expression (shared string).
+    expr = (
+        "CAST(floor(("
+        " CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)"
+        " + CAST((P - pl) * ((N - nl) - (P - pl)) AS DOUBLE)"
+        "   / CAST(N - nl AS DOUBLE)"
+        ") * 1000000.0 / CAST(N AS DOUBLE)) AS BIGINT)"
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("N"))  # right side must be non-empty
+        .select(
+            "t", "nl", "pl", "N", "P",
+            F.expr(expr).alias("impurity_q"),
+        )
+    )
+    w2 = Window.orderBy(F.col("impurity_q").asc(), F.col("t").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select("t", "nl", "pl", "N", "P", "impurity_q")
+    )
+
+
+register(
+    "events_stump_split",
+    q_events_stump_split,
+    """
+    WITH users AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    per_x AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM users GROUP BY x
+    ),
+    cum AS (
+      SELECT x AS t,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pl
+      FROM per_x
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(y) AS BIGINT) AS P
+      FROM users
+    ),
+    scored AS (
+      SELECT t, nl, pl, N, P,
+             CAST(floor((
+               CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST((P - pl) * ((N - nl) - (P - pl)) AS DOUBLE)
+                 / CAST(N - nl AS DOUBLE)
+             ) * 1000000.0 / CAST(N AS DOUBLE)) AS BIGINT) AS impurity_q
+      FROM cum CROSS JOIN tot
+      WHERE nl < N
+    )
+    SELECT t, nl, pl, N, P, impurity_q FROM (
+      SELECT *, row_number() OVER (ORDER BY impurity_q ASC, t ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)

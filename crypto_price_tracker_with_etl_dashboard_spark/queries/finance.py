@@ -1034,3 +1034,122 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+# ---- pairs-trading spread monitor ----------------------------------------------
+# Statistical-arbitrage observability for a FIXED candidate pair: the
+# daily spread between the two symbols' cumulative ppm returns, its
+# exact integer mean, and the CURRENT day's deviation from that mean
+# quantized against the exact integer variance (deviation² * 1e6 vs
+# variance — a z²-style signal without any float std).  The pair is
+# fixed configuration (pairs selection is prices_corr_matrix's job).
+_PAIR_A = "c1"
+_PAIR_B = "c2"
+
+
+def q_prices_pair_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(
+        (F.col("current_price") > 0)
+        & F.col("symbol").isin(_PAIR_A, _PAIR_B)
+    )
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    a = daily.filter(F.col("symbol") == _PAIR_A).select(
+        "day", F.col("close").alias("ca")
+    )
+    b = daily.filter(F.col("symbol") == _PAIR_B).select(
+        "day", F.col("close").alias("cb")
+    )
+    # spread: ppm log-free ratio gap — floor(ca*1e6/cb), CLAMPED to
+    # [0, 1e7] (10x) so every sufficient statistic and the integer
+    # cross-multiplied 2-sigma compare stay inside BIGINT
+    spread = a.join(b, "day").select(
+        "day",
+        F.least(
+            F.lit(10_000_000).cast("bigint"),
+            F.floor(F.col("ca") * 1000000.0 / F.col("cb")).cast("bigint"),
+        ).alias("ratio_ppm"),
+    )
+    stats = spread.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ratio_ppm").cast("bigint").alias("S"),
+        F.sum(F.col("ratio_ppm") * F.col("ratio_ppm")).cast("bigint").alias("SS"),
+        F.max("day").alias("last_day"),
+    )
+    last = spread.join(
+        F.broadcast(stats.select(F.col("last_day").alias("day"))), "day"
+    ).select(F.col("ratio_ppm").alias("last_ratio_ppm"))
+    return (
+        stats.crossJoin(F.broadcast(last))
+        .select(
+            "n",
+            F.expr("S div n").alias("mean_ratio_ppm"),
+            "last_ratio_ppm",
+            # dev² * n² vs (n*SS - S²): z² >= k  <=>  dev²*n² >= k*(n*SS-S²)/n...
+            # emit the exact ingredients + a 2-sigma flag via integer
+            # cross-multiplication (no float std)
+            F.expr(
+                "(last_ratio_ppm * n - S) * (last_ratio_ppm * n - S)"
+                " >= 4 * (n * SS - S * S)"
+            ).alias("two_sigma_flag"),
+        )
+        .select(
+            "n", "mean_ratio_ppm", "last_ratio_ppm", "two_sigma_flag",
+        )
+    )
+
+
+register(
+    "prices_pair_spread",
+    q_prices_pair_spread,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices
+        WHERE current_price > 0 AND symbol IN ('{_PAIR_A}', '{_PAIR_B}')
+      ) WHERE rn = 1
+    ),
+    spread AS (
+      SELECT a.day,
+             LEAST(CAST(10000000 AS BIGINT),
+                   CAST(floor(a.close * 1000000.0 / b.close) AS BIGINT))
+               AS ratio_ppm
+      FROM (SELECT day, close FROM daily WHERE symbol = '{_PAIR_A}') a
+      JOIN (SELECT day, close FROM daily WHERE symbol = '{_PAIR_B}') b
+        USING (day)
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ratio_ppm) AS BIGINT) AS S,
+             CAST(SUM(ratio_ppm * ratio_ppm) AS BIGINT) AS SS,
+             MAX(day) AS last_day
+      FROM spread
+    ),
+    last AS (
+      SELECT sp.ratio_ppm AS last_ratio_ppm
+      FROM spread sp JOIN stats st ON sp.day = st.last_day
+    )
+    SELECT n, S // n AS mean_ratio_ppm, last_ratio_ppm,
+           (last_ratio_ppm * n - S) * (last_ratio_ppm * n - S)
+             >= 4 * (n * SS - S * S) AS two_sigma_flag
+    FROM stats CROSS JOIN last
+    """,
+)

@@ -673,3 +673,107 @@ register(
     ORDER BY jaccard_ppm DESC, a, b
     """,
 )
+
+
+# ---- community modularity ------------------------------------------------------
+# The quality score for the LPA partition: Newman modularity
+# Q = sum_c [ e_c/m - (d_c/(2m))^2 ] over the same co-occurrence
+# graph — did label propagation find real structure (Q >> 0) or
+# noise (Q ~ 0)?  Per-community terms quantize to integer ppm (floor
+# on one shared double expression over exact integer e_c / d_c / m)
+# BEFORE any summation, so every row is engine-exact; the corpus
+# consumer sums q_ppm for the scalar Q.
+_MOD_EXPR = (
+    "CAST(floor((CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)"
+    " - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"
+    "   * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def q_events_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cooccur_edges(spark, sf_dir)
+    comm = label_propagation(edges, iters=_LPA_ITERS)
+    m = edges.count()  # one scalar (edge count), the |nodes| discipline
+    cu = comm.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = edges.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    e_in = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    d_c = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("d_c"),
+        )
+    )
+    return (
+        d_c.join(e_in, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("bigint").alias("e_in"),
+            "d_c",
+            F.lit(m).cast("bigint").alias("m"),
+        )
+        .select(
+            "community", "n_nodes", "e_in", "d_c", "m",
+            F.expr(_MOD_EXPR).alias("q_ppm"),
+        )
+        .orderBy(F.col("q_ppm").desc(), "community")
+    )
+
+
+def _modularity_sql() -> str:
+    lpa = sql_label_propagation(_TRI_EDGES_CTE, iters=_LPA_ITERS)
+    return f"""
+    WITH {_TRI_EDGES_CTE},
+    comm AS (SELECT * FROM ({lpa})),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    e_in AS (
+      SELECT cu.community, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM edges e
+      JOIN comm cu ON e.u = cu.node
+      JOIN comm cv ON e.v = cv.node
+      WHERE cu.community = cv.community
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    dc AS (
+      SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.deg) AS BIGINT) AS d_c
+      FROM comm c JOIN deg d ON c.node = d.node
+      GROUP BY 1
+    ),
+    joined AS (
+      SELECT dc.community, dc.n_nodes,
+             CAST(COALESCE(e_in.e_in, 0) AS BIGINT) AS e_in,
+             dc.d_c, m.m
+      FROM dc LEFT JOIN e_in USING (community) CROSS JOIN m
+    )
+    SELECT community, n_nodes, e_in, d_c, m,
+           {_MOD_EXPR} AS q_ppm
+    FROM joined
+    ORDER BY q_ppm DESC, community
+    """
+
+
+register(
+    "events_community_modularity",
+    q_events_community_modularity,
+    _modularity_sql(),
+)

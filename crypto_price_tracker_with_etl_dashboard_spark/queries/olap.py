@@ -1902,3 +1902,47 @@ register(
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- discount elasticity view ----------------------------------------------------
+# Promo effectiveness at a glance: average shipped quantity per
+# discount band (integer-percent bands of l_discount) as an exact
+# centi-quantity ratio, plus each band's revenue — does a deeper
+# discount actually move more units?  One lineitem aggregate,
+# O(bands) output; the aggregated complement of q19's row-level
+# disjunctive predicate.
+
+
+def q_lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.select(
+            band.alias("discount_pct"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("__q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("__vc"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("sum(__q) * 100 div count(*)").alias("avg_qty_centi"),
+            F.sum("__vc").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+register(
+    "lineitem_discount_elasticity",
+    q_lineitem_discount_elasticity,
+    """
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) * 100
+             // COUNT(*) AS avg_qty_centi,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
