@@ -274,6 +274,11 @@ HEADLINE = [
     "events_stump_split",
     "prices_pair_spread",
     "lineitem_discount_elasticity",
+    # round-6 batch 32
+    "events_growth_accounting",
+    "events_markov_stationary",
+    "emb_cluster_separation",
+    "prices_weekday_effect",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -166,9 +166,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-31 four (events_community_modularity,
 # events_stump_split, prices_pair_spread,
 # lineitem_discount_elasticity)
+# and the batch-32 four (events_growth_accounting,
+# events_markov_stationary, emb_cluster_separation,
+# prices_weekday_effect)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (145 total candidates - 8
-# r7 debuts = 137 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (149 total candidates - 8
+# r7 debuts = 141 remaining; at ~8 debuts/round that cohort carries
 # through ~r24 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -469,6 +472,14 @@ ROTATION_POOL: list[str] = [
     #     band view. ---
     "events_community_modularity", "events_stump_split",
     "prices_pair_spread", "lineitem_discount_elasticity",
+    # --- r6-built batch 32, same debut-candidate status: weekly
+    #     growth accounting (new/retained/resurrected/churned — the
+    #     why-did-actives-move decomposition), the journey Markov
+    #     chain's stationary distribution (unrolled integer power
+    #     iteration), Davies-Bouldin-style cluster separation on the
+    #     micro grid, and the weekday return-anomaly screen. ---
+    "events_growth_accounting", "events_markov_stationary",
+    "emb_cluster_separation", "prices_weekday_effect",
 ]
 
 

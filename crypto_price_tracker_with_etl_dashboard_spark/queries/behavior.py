@@ -2334,3 +2334,105 @@ register(
     ) WHERE rn = 1
     """,
 )
+
+
+# ---- stationary distribution of the journey Markov chain --------------------------
+# Where do user journeys SETTLE?  The stationary distribution of the
+# events_markov transition matrix by fixed-point power iteration —
+# pi' = pi P over the |types|-row chain in integer ppm (round-half-up
+# per transition product, the pagerank discipline), 6 iterations
+# unrolled identically in the oracle.  Transition counts are exact
+# integers; each step's per-state mass is sum((pi_src * c_sd + r/2)
+# div r_src) over the observed transitions.
+_MSTAT_ITERS = 6
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    row_tot = steps.groupBy("src").agg(F.sum("c").cast("bigint").alias("r"))
+    trans = steps.join(F.broadcast(row_tot), "src").cache()
+    states = trans.select(F.col("src").alias("state")).unionByName(
+        trans.select(F.col("dst").alias("state"))
+    ).distinct().cache()
+    n = states.count()
+    pi = states.select(
+        "state", F.lit(1_000_000 // n).cast("bigint").alias("mass")
+    )
+    for it in range(_MSTAT_ITERS):
+        pr = pi.select(F.col("state").alias("__s"), F.col("mass").alias("__m"))
+        pi = (
+            trans.join(F.broadcast(pr), F.col("src") == F.col("__s"))
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("(__m * c + r div 2) div r").alias("__contrib"),
+            )
+            .groupBy("state")
+            .agg(F.sum("__contrib").cast("bigint").alias("mass"))
+        )
+        if it < _MSTAT_ITERS - 1:
+            pi = pi.localCheckpoint(eager=False)
+    return pi.orderBy(F.col("mass").desc(), "state")
+
+
+def _markov_stationary_sql() -> str:
+    its = []
+    prev = "pi0"
+    for k in range(1, _MSTAT_ITERS + 1):
+        cur = f"pi{k}"
+        its.append(f"""
+    {cur} AS (
+      SELECT t.dst AS state,
+             CAST(SUM((p.mass * t.c + t.r // 2) // t.r) AS BIGINT) AS mass
+      FROM trans t JOIN {prev} p ON t.src = p.state
+      GROUP BY t.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH steps AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS dst
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      ) WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS r FROM steps GROUP BY 1),
+    trans AS (SELECT s.src, s.dst, s.c, rt.r FROM steps s JOIN row_tot rt USING (src)),
+    states AS (
+      SELECT DISTINCT state FROM (
+        SELECT src AS state FROM trans
+        UNION ALL SELECT dst FROM trans
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM states),
+    pi0 AS (
+      SELECT state, CAST(1000000 // n AS BIGINT) AS mass
+      FROM states CROSS JOIN nn
+    ),{','.join(its)}
+    SELECT state, mass FROM {prev}
+    ORDER BY mass DESC, state
+    """
+
+
+register(
+    "events_markov_stationary",
+    q_events_markov_stationary,
+    _markov_stationary_sql(),
+)

@@ -1153,3 +1153,91 @@ register(
     FROM stats CROSS JOIN last
     """,
 )
+
+
+# ---- weekday (calendar-anomaly) effect ------------------------------------------
+# The day-of-week return anomaly check: mean daily ppm return per
+# weekday across all symbols (exact integer sums, floored mean) with
+# the day's observation count — the classic "Monday effect" screen.
+# Daily returns reuse the backtest/beta machinery (winsorized ppm).
+
+
+def q_prices_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    return (
+        rets.groupBy(F.dayofweek("day").alias("weekday"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.floor(F.sum("r").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("mean_ret_ppm"),
+        )
+        .orderBy("weekday")
+    )
+
+
+register(
+    "prices_weekday_effect",
+    q_prices_weekday_effect,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    )
+    SELECT CAST(dayofweek(day) + 1 AS INT) AS weekday,
+           COUNT(*) AS n_obs,
+           CAST(floor(CAST(SUM(r) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_ret_ppm
+    FROM rets GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -823,3 +823,101 @@ register(
     GROUP BY day ORDER BY day
     """,
 )
+
+
+# ---- growth accounting (user lifecycle states) ---------------------------------
+# The standard weekly growth-accounting decomposition: every active
+# user is NEW (first week), RETAINED (active last week too), or
+# RESURRECTED (active before, absent last week); CHURNED counts last
+# week's actives who went quiet.  Week-over-week set logic via one
+# lag over each user's distinct active-week spine — the report that
+# explains WHY the active count moved.
+
+
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    uw = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    tagged = uw.select(
+        "user_id", "week",
+        F.lag("week").over(w).alias("__prev"),
+    ).select(
+        "week",
+        F.expr(
+            "CASE WHEN __prev IS NULL THEN 'new'"
+            " WHEN date_add(__prev, 7) = week THEN 'retained'"
+            " ELSE 'resurrected' END"
+        ).alias("state"),
+    )
+    active = tagged.groupBy("week").pivot(
+        "state", ["new", "retained", "resurrected"]
+    ).count().na.fill(0)
+    # churned(w) = actives(w-1) - retained(w)
+    totals = uw.groupBy("week").agg(F.count("*").cast("bigint").alias("actives"))
+    prev_tot = totals.select(
+        F.expr("date_add(week, 7)").alias("week"),
+        F.col("actives").alias("__prev_actives"),
+    )
+    return (
+        active.join(totals, "week")
+        .join(prev_tot, "week", "left")
+        .select(
+            "week",
+            F.col("actives"),
+            F.col("new").cast("bigint").alias("new"),
+            F.col("retained").cast("bigint").alias("retained"),
+            F.col("resurrected").cast("bigint").alias("resurrected"),
+            F.coalesce(
+                F.col("__prev_actives") - F.col("retained"), F.lit(0)
+            ).cast("bigint").alias("churned"),
+        )
+        .orderBy("week")
+    )
+
+
+register(
+    "events_growth_accounting",
+    q_events_growth_accounting,
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    tagged AS (
+      SELECT week,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN prev + 7 = week THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        FROM uw
+      )
+    ),
+    pivoted AS (
+      SELECT week,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS new,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected
+      FROM tagged GROUP BY week
+    ),
+    totals AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS actives FROM uw GROUP BY week
+    )
+    SELECT p.week, t.actives, p.new, p.retained, p.resurrected,
+           CAST(COALESCE(pt.actives - p.retained, 0) AS BIGINT) AS churned
+    FROM pivoted p
+    JOIN totals t USING (week)
+    LEFT JOIN (SELECT week + 7 AS week, actives FROM totals) pt USING (week)
+    ORDER BY p.week
+    """,
+)

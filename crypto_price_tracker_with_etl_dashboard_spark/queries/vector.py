@@ -2314,3 +2314,144 @@ register(
     ) WHERE rnk <= {_K}
     """,
 )
+
+
+# ---- cluster separation audit -----------------------------------------------------
+# Davies-Bouldin-style health check for the label clustering on the
+# integer micro-grid: each cluster's mean within-cluster squared
+# distance to its own centroid (exact integer mean, floored) vs the
+# squared distance to the NEAREST other centroid — separation_ppm =
+# nearest_other_d2 * 1e6 / intra_mean_d2 (well-separated >> 1e6).
+# The kmeans/IVF twin of the modularity row: is the partition real?
+
+
+def q_emb_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id", "label",
+        F.expr(
+            f"transform(embedding,"
+            f" v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT))"
+        ).alias("eq"),
+    )
+    per_dim = (
+        vq.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    cents = per_dim.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)"
+        ).alias("centroid")
+    ).cache()
+    d2 = F.expr(
+        "aggregate(zip_with(eq, centroid, (v, c) -> (v - c) * (v - c)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    intra = (
+        vq.join(F.broadcast(cents), F.col("label") == F.col("clabel"))
+        .select("label", d2.alias("d2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.floor(F.sum("d2").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("intra_mean_d2"),
+        )
+    )
+    cc = F.expr(
+        "aggregate(zip_with(centroid, c2, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        cents.crossJoin(
+            F.broadcast(
+                cents.select(
+                    F.col("clabel").alias("olabel"),
+                    F.col("centroid").alias("c2"),
+                )
+            )
+        )
+        .filter(F.col("clabel") != F.col("olabel"))
+        .select(F.col("clabel").alias("label"), cc.alias("cd2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cd2").asc())
+    nearest = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("label", F.col("cd2").alias("nearest_other_d2"))
+    )
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label", "n_vecs", "intra_mean_d2", "nearest_other_d2",
+            F.expr(
+                "CASE WHEN intra_mean_d2 > 0"
+                " THEN nearest_other_d2 * 1000000 div intra_mean_d2"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("separation_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "emb_cluster_separation",
+    q_emb_cluster_separation,
+    f"""
+    WITH vq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_CM_Q}.0) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, pos,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM (SELECT label, unnest(eq) AS v,
+                   generate_subscripts(eq, 1) AS pos
+            FROM vq)
+      GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS clabel, list(cq ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    intra AS (
+      SELECT q.label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(floor(CAST(SUM(
+               list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> (q.eq[i] - c.centroid[i]) * (q.eq[i] - c.centroid[i])))
+             ) AS DOUBLE) / COUNT(*)) AS BIGINT) AS intra_mean_d2
+      FROM vq q JOIN cents c ON q.label = c.clabel
+      GROUP BY q.label
+    ),
+    pairs AS (
+      SELECT a.clabel AS label,
+             CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> (a.centroid[i] - b.centroid[i])
+                    * (a.centroid[i] - b.centroid[i]))) AS BIGINT) AS cd2
+      FROM cents a JOIN cents b ON a.clabel <> b.clabel
+    ),
+    nearest AS (
+      SELECT label, cd2 AS nearest_other_d2 FROM (
+        SELECT label, cd2,
+               row_number() OVER (PARTITION BY label ORDER BY cd2 ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT i.label, i.n_vecs, i.intra_mean_d2, n.nearest_other_d2,
+           CASE WHEN i.intra_mean_d2 > 0
+                THEN n.nearest_other_d2 * 1000000 // i.intra_mean_d2
+                ELSE CAST(0 AS BIGINT) END AS separation_ppm
+    FROM intra i JOIN nearest n USING (label)
+    ORDER BY i.label
+    """,
+)
