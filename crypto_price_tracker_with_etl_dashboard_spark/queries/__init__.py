@@ -169,10 +169,14 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-32 four (events_growth_accounting,
 # events_markov_stationary, emb_cluster_separation,
 # prices_weekday_effect)
+# and the batch-33 five (events_user_diversity, events_key_skew,
+# doc_zipf_check, orders_revenue_recognition, prices_variance_ratio)
+# and the batch-34 five (nation_trade_balance, supply_lead_time,
+# events_mde_power, parts_price_index, prices_underwater_spells)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (149 total candidates - 8
-# r7 debuts = 141 remaining; at ~8 debuts/round that cohort carries
-# through ~r24 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (159 total candidates - 8
+# r7 debuts = 151 remaining; at ~8 debuts/round that cohort carries
+# through ~r26 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -480,6 +484,28 @@ ROTATION_POOL: list[str] = [
     #     micro grid, and the weekday return-anomaly screen. ---
     "events_growth_accounting", "events_markov_stationary",
     "emb_cluster_separation", "prices_weekday_effect",
+    # --- r6-built batch 33, same debut-candidate status: inverse-
+    #     Simpson behavioral diversity (effective event types per
+    #     user, exact-integer alternative to entropy), the join-key
+    #     skew report (the pre-join diagnostic that decides when
+    #     operators/skew.py's salting is worth it), the Zipf
+    #     rank-frequency corpus-health check, monthly revenue
+    #     recognition (exact-cents proration via month-sequence
+    #     explode), and the Lo-MacKinlay variance-ratio
+    #     market-efficiency test on non-overlapping blocks. ---
+    "events_user_diversity", "events_key_skew", "doc_zipf_check",
+    "orders_revenue_recognition", "prices_variance_ratio",
+    # --- r6-built batch 34, same debut-candidate status: nation
+    #     export/import trade balance (two independent fixed-point
+    #     fact aggregations), exact lead-time median/p90 per supplier
+    #     nation via count-bucket order statistics (no percentile
+    #     interpolation), experiment sizing (MDE -> users-per-arm at
+    #     80% power from the exact baseline conversion), the
+    #     Laspeyres parts price index (base-year basket at
+    #     cent-exact unit prices), and drawdown DURATION spells
+    #     (gaps-and-islands under the running max). ---
+    "nation_trade_balance", "supply_lead_time", "events_mde_power",
+    "parts_price_index", "prices_underwater_spells",
 ]
 
 

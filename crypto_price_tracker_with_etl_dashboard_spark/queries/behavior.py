@@ -2436,3 +2436,213 @@ register(
     q_events_markov_stationary,
     _markov_stationary_sql(),
 )
+
+
+# ---- behavioral diversity (inverse-Simpson effective event types) ----------
+# How CONCENTRATED is each heavy user's behavior?  The effective
+# number of event types per user via the inverse Simpson index
+# 1 / sum(p_i^2) = n^2 / sum(c_i^2) — the diversity measure that
+# stays exact in integer arithmetic (Shannon entropy needs ln, whose
+# last-ulp differs between Java's Math.log and libm, so the hash
+# would not be engine-portable).  Top-50 users by volume, TakeOrdered
+# (no single-partition window).  Scale: two hash aggs keyed on
+# user_id(+type) with map-side partials; output bounded at 50 rows.
+# n^2 * 1e6 stays under int64 up to ~3e6 events per user.
+
+_DIVERSITY_TOPN = 50
+
+
+def q_events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr("n_events * n_events * 1000000 div ss").alias("eff_types_ppm"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(_DIVERSITY_TOPN)
+    )
+
+
+register(
+    "events_user_diversity",
+    q_events_user_diversity,
+    f"""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM per GROUP BY 1
+    )
+    SELECT user_id, n_events, n_types,
+           n_events * n_events * 1000000 // ss AS eff_types_ppm
+    FROM agg
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {_DIVERSITY_TOPN}
+    """,
+)
+
+
+# ---- join-key skew report ---------------------------------------------------
+# The diagnostic a pipeline runs BEFORE choosing a join strategy on a
+# key (operators/skew.py's salted join vs a plain shuffle join): key
+# cardinality, max-key mass, max/mean ratio, and the top-10 keys'
+# share of all rows.  One hash agg on the key; the top-10 side is a
+# 10-row TakeOrdered folded back by a broadcast cross join, so the
+# report is a single row regardless of input size.  salting_advised
+# mirrors the >=10x-mean rule of thumb the salted-join docstring
+# documents.  max_rows * n_keys * 1e6 must fit int64 — holds through
+# ~1e12 row-key products; beyond that the ratio inputs are emitted
+# anyway so the flag can be recomputed at lower precision.
+
+_SKEW_TOPN = 10
+_SKEW_ADVISE_RATIO_PPM = 10_000_000  # max >= 10x mean
+
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    stats = per.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+    )
+    top = (
+        per.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(_SKEW_TOPN)
+        .agg(F.sum("c").cast("bigint").alias("top10_rows"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        F.expr("n_rows div n_keys").alias("mean_rows"),
+        F.expr("max_rows * n_keys * 1000000 div n_rows").alias("skew_ratio_ppm"),
+        F.expr("top10_rows * 1000000 div n_rows").alias("top10_share_ppm"),
+        F.expr(
+            f"max_rows * n_keys * 1000000 div n_rows >= {_SKEW_ADVISE_RATIO_PPM}"
+        ).alias("salting_advised"),
+    )
+
+
+register(
+    "events_key_skew",
+    q_events_key_skew,
+    f"""
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows
+      FROM per
+    ),
+    top AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM (
+        SELECT c FROM per ORDER BY c DESC, user_id ASC LIMIT {_SKEW_TOPN}
+      )
+    )
+    SELECT n_rows, n_keys, max_rows,
+           n_rows // n_keys AS mean_rows,
+           max_rows * n_keys * 1000000 // n_rows AS skew_ratio_ppm,
+           top10_rows * 1000000 // n_rows AS top10_share_ppm,
+           max_rows * n_keys * 1000000 // n_rows >= {_SKEW_ADVISE_RATIO_PPM}
+             AS salting_advised
+    FROM stats CROSS JOIN top
+    """,
+)
+
+
+# ---- experiment sizing (MDE / power analysis) --------------------------------
+# The question asked BEFORE events_ab_lift is run: how many users per
+# arm does a two-proportion z-test need to detect a given relative
+# lift on the purchase conversion at alpha=0.05 (two-sided), power
+# 0.80?  n = (z_a + z_b)^2 * 2 p(1-p) / (p * mde)^2 with the z-sum
+# squared baked in as ONE double literal (7.848878512225001) so both
+# engines evaluate the identical IEEE expression — multiplication,
+# division and ceil are correctly rounded and engine-portable (unlike
+# the inverse-normal itself).  The baseline p comes from exact user
+# counts (one shuffle); output is |MDE grid| rows.
+
+_MDE_GRID_PPM = (50_000, 100_000, 200_000)  # 5%, 10%, 20% relative
+_Z_SUM_SQ = "7.848878512225001"  # (1.959964 + 0.841621)^2
+
+
+def _mde_expr(mde_ppm: int) -> str:
+    mde = f"({mde_ppm} / 1000000.0)"
+    return (
+        f"CAST(ceil((({_Z_SUM_SQ} * 2.0) * p) * (1.0 - p)"
+        f" / ((p * {mde}) * (p * {mde}))) AS BIGINT)"
+    )
+
+
+def q_events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+    )
+    tot = users.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("purchasers"),
+    ).withColumn("p", F.expr("CAST(purchasers AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+    parts = []
+    for mde_ppm in _MDE_GRID_PPM:
+        parts.append(
+            tot.select(
+                F.lit(mde_ppm).cast("bigint").alias("mde_rel_ppm"),
+                "n_users",
+                F.expr("purchasers * 1000000 div n_users").alias("p_ppm"),
+                F.expr(_mde_expr(mde_ppm)).alias("n_per_arm"),
+                F.expr(f"{_mde_expr(mde_ppm)} * 2 <= n_users").alias("feasible"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("mde_rel_ppm")
+
+
+def _mde_sql() -> str:
+    selects = []
+    for mde_ppm in _MDE_GRID_PPM:
+        selects.append(f"""
+      SELECT CAST({mde_ppm} AS BIGINT) AS mde_rel_ppm, n_users,
+             purchasers * 1000000 // n_users AS p_ppm,
+             {_mde_expr(mde_ppm)} AS n_per_arm,
+             {_mde_expr(mde_ppm)} * 2 <= n_users AS feasible
+      FROM tot""")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(y) AS BIGINT) AS purchasers,
+             CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+      FROM users
+    )
+    SELECT * FROM ({union}
+    ) ORDER BY mde_rel_ppm
+    """
+
+
+register("events_mde_power", q_events_mde_power, _mde_sql())

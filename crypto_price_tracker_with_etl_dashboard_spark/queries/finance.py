@@ -1241,3 +1241,262 @@ register(
     FROM rets GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- Lo-MacKinlay variance ratio --------------------------------------------
+# The market-efficiency screen: VR(q) = Var(q-day return) / (q *
+# Var(1-day return)), ~1 for a random walk, <1 mean-reverting, >1
+# trending.  q-day returns are NON-OVERLAPPING sums of the winsorized
+# daily ppm returns (incomplete tail blocks dropped), so every sum is
+# exact integer arithmetic; the single ratio is one double expression
+# with identical IEEE structure in both engines (multiplication and
+# division are correctly-rounded, engine-portable ops — unlike ln,
+# which the repo's fixed-point discipline avoids).  Plan: one shuffle
+# to daily closes, window lag per symbol, two hash aggs per q; output
+# |symbols| x |qs| rows.  The int64 headroom note: n*SS and S*S stay
+# under 2^63 through ~3e3 daily observations per symbol.
+
+_VR_QS = (2, 5)
+_VR_MIN_DAYS = 20  # testdata caps at ~30 trading days per symbol
+
+_VR_EXPR = (
+    "CAST(nq * SSq - Sq * Sq AS DOUBLE) * CAST(n1 AS DOUBLE)"
+    " * CAST(n1 AS DOUBLE)"
+    " / (CAST(q AS DOUBLE) * CAST(n1 * SS1 - S1 * S1 AS DOUBLE)"
+    " * CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE))"
+)
+
+
+def q_prices_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("symbol").orderBy("day"))
+        )
+    )
+    base = (
+        rets.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum("r").cast("bigint").alias("S1"),
+            F.sum(F.col("r") * F.col("r")).cast("bigint").alias("SS1"),
+        )
+        .filter(F.col("n1") >= _VR_MIN_DAYS)
+        .filter(F.expr("n1 * SS1 - S1 * S1 > 0"))
+    )
+    parts = []
+    for q in _VR_QS:
+        parts.append(
+            rets.withColumn("blk", F.expr(f"(rn - 1) div {q}"))
+            .groupBy("symbol", "blk")
+            .agg(
+                F.count("*").alias("m"),
+                F.sum("r").cast("bigint").alias("rq"),
+            )
+            .filter(F.col("m") == q)
+            .groupBy("symbol")
+            .agg(
+                F.count("*").cast("bigint").alias("nq"),
+                F.sum("rq").cast("bigint").alias("Sq"),
+                F.sum(F.col("rq") * F.col("rq")).cast("bigint").alias("SSq"),
+            )
+            .withColumn("q", F.lit(q).cast("bigint"))
+        )
+    qstats = parts[0]
+    for p in parts[1:]:
+        qstats = qstats.unionByName(p)
+    return (
+        base.join(qstats, "symbol")
+        .filter(F.col("nq") >= 2)
+        .select("symbol", "q", "n1", "nq", F.expr(_VR_EXPR).alias("vr"))
+        .orderBy("symbol", "q")
+    )
+
+
+def _vr_sql() -> str:
+    per_q = []
+    for q in _VR_QS:
+        per_q.append(f"""
+      SELECT symbol, CAST({q} AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS nq,
+             CAST(SUM(rq) AS BIGINT) AS Sq,
+             CAST(SUM(rq * rq) AS BIGINT) AS SSq
+      FROM (
+        SELECT symbol, (rn - 1) // {q} AS blk,
+               COUNT(*) AS m, CAST(SUM(r) AS BIGINT) AS rq
+        FROM rets GROUP BY 1, 2
+      ) WHERE m = {q} GROUP BY 1""")
+    union = "\n      UNION ALL\n".join(per_q)
+    return f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r,
+             row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    base AS (
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(r) AS BIGINT) AS S1,
+             CAST(SUM(r * r) AS BIGINT) AS SS1
+      FROM rets GROUP BY 1
+      HAVING COUNT(*) >= {_VR_MIN_DAYS}
+         AND CAST(COUNT(*) AS BIGINT) * CAST(SUM(r * r) AS BIGINT)
+             - CAST(SUM(r) AS BIGINT) * CAST(SUM(r) AS BIGINT) > 0
+    ),
+    qstats AS ({union}
+    )
+    SELECT symbol, q, n1, nq, {_VR_EXPR} AS vr
+    FROM base JOIN qstats USING (symbol)
+    WHERE nq >= 2
+    ORDER BY symbol, q
+    """
+
+
+register("prices_variance_ratio", q_prices_variance_ratio, _vr_sql())
+
+
+# ---- drawdown (underwater) spells ---------------------------------------------
+# prices_max_drawdown reports DEPTH; this reports DURATION: per
+# symbol, the consecutive-day runs where the close sits below its
+# running maximum — spell count, longest spell, total days underwater
+# — the gaps-and-islands read on the running-max comparison (island
+# id = global row_number minus underwater row_number).  Exact integer
+# day counts; the only float op is the close-vs-runmax comparison of
+# two untouched input doubles.  One shuffle to daily closes; windows
+# all share the per-symbol partitioning.  Symbols never underwater
+# (monotone series) have no spell rows and are omitted, like any
+# empty-group aggregate.
+
+
+def q_prices_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    ws = Window.partitionBy("symbol").orderBy("day")
+    flagged = daily.select(
+        "symbol",
+        "day",
+        (
+            F.col("close")
+            < F.max("close").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("uw"),
+        F.row_number().over(ws).alias("rn"),
+    )
+    islands = flagged.filter("uw").withColumn(
+        "grp", F.col("rn") - F.row_number().over(ws)
+    )
+    spells = islands.groupBy("symbol", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        spells.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spells"),
+            F.max("len").alias("max_spell_days"),
+            F.sum("len").cast("bigint").alias("underwater_days"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_underwater_spells",
+    q_prices_underwater_spells,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT symbol, day,
+             close < MAX(close) OVER (
+               PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uw,
+             row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+      FROM daily
+    ),
+    islands AS (
+      SELECT symbol,
+             rn - row_number() OVER (PARTITION BY symbol ORDER BY day) AS grp
+      FROM (SELECT * FROM flagged WHERE uw)
+    ),
+    spells AS (
+      SELECT symbol, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_spells,
+           MAX(len) AS max_spell_days,
+           CAST(SUM(len) AS BIGINT) AS underwater_days
+    FROM spells GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -1946,3 +1946,186 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- monthly revenue recognition --------------------------------------------
+# The finance-ops proration report: each order's value is recognized
+# evenly across the months from its order date to its last line-item
+# shipment, with the integer-cents remainder assigned to the first
+# month so every order's schedule sums to exactly its total.  Plan:
+# lineitem pre-aggregates max(l_shipdate) per order (map-side
+# partials), joins orders on the shared orderkey (co-partitioned
+# shuffle join at scale), then a month-sequence explode — output is
+# months x 1, never rows x months.  All arithmetic is integer cents;
+# the only double op (totalprice -> cents floor) is identical IEEE
+# math in both engines.
+
+
+def q_orders_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    j = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .select(
+            F.to_date(F.date_trunc("MM", "o_orderdate")).alias("start_m"),
+            F.greatest(
+                F.to_date(F.date_trunc("MM", "o_orderdate")),
+                F.to_date(F.date_trunc("MM", "last_ship")),
+            ).alias("end_m"),
+            F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+        )
+        .withColumn(
+            "months", F.sequence("start_m", "end_m", F.expr("interval 1 month"))
+        )
+        .withColumn("k", F.size("months").cast("bigint"))
+        .select(
+            "start_m", "cents", "k", F.explode("months").alias("month")
+        )
+        .select(
+            "month",
+            (
+                F.expr("cents div k")
+                + F.when(F.col("month") == F.col("start_m"), F.expr("cents % k"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("amount"),
+        )
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("orders_active"),
+            F.sum("amount").cast("bigint").alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "orders_revenue_recognition",
+    q_orders_revenue_recognition,
+    """
+    WITH last_ship AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS start_m,
+             GREATEST(CAST(date_trunc('month', o_orderdate) AS DATE),
+                      CAST(date_trunc('month', last_ship) AS DATE)) AS end_m,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+    ),
+    exploded AS (
+      SELECT start_m, cents,
+             CAST(len(generate_series(start_m, end_m, INTERVAL 1 MONTH))
+                  AS BIGINT) AS k,
+             CAST(unnest(generate_series(start_m, end_m, INTERVAL 1 MONTH))
+                  AS DATE) AS month
+      FROM spans
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS orders_active,
+           CAST(SUM(cents // k
+                    + CASE WHEN month = start_m THEN cents % k ELSE 0 END)
+                AS BIGINT) AS recognized_cents
+    FROM exploded GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---- Laspeyres price index ----------------------------------------------------
+# The inflation read over the catalog: for each ship year, the cost
+# of the BASE year's basket at that year's unit prices, relative to
+# its base-year cost — sum(p_t * q_0) / sum(p_0 * q_0) over the parts
+# traded in both years.  Unit prices are cent-resolution integers
+# (per-term round of extendedprice to cents -> exact integer sums ->
+# one integer division), so the basket values are exact int64 sums
+# (cents * quantity caps ~1e11 per part) and the final ratio is one
+# engine-portable double op.  Plan: one (year, part) hash agg over
+# lineitem, a broadcast 1-row min-year, then a partkey-bucketed join
+# of each year against the base slice.
+
+
+def q_parts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per = (
+        lineitem.groupBy(
+            F.year("l_shipdate").alias("yr"), F.col("l_partkey")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("qty"),
+        )
+        .select(
+            "yr",
+            "l_partkey",
+            F.expr("cents div qty").alias("up_cents"),
+            "qty",
+        )
+    )
+    base_yr = per.agg(F.min("yr").alias("base_yr"))
+    base = (
+        per.crossJoin(F.broadcast(base_yr))
+        .filter(F.col("yr") == F.col("base_yr"))
+        .select(
+            F.col("l_partkey").alias("b_partkey"),
+            F.col("up_cents").alias("up0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = per.join(base, per.l_partkey == base.b_partkey).select(
+        "yr",
+        (F.col("up_cents") * F.col("q0")).alias("vt"),
+        (F.col("up0") * F.col("q0")).alias("v0"),
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("vt").cast("bigint").alias("vt"),
+            F.sum("v0").cast("bigint").alias("v0"),
+        )
+        .select(
+            "yr",
+            "n_parts",
+            F.expr(
+                "CAST(floor(CAST(vt AS DOUBLE) * 1000000.0"
+                " / CAST(v0 AS DOUBLE)) AS BIGINT)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("yr")
+    )
+
+
+register(
+    "parts_price_index",
+    q_parts_price_index,
+    """
+    WITH per AS (
+      SELECT yr, l_partkey, cents // qty AS up_cents, qty FROM (
+        SELECT year(l_shipdate) AS yr, l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+      )
+    ),
+    base AS (
+      SELECT l_partkey AS b_partkey, up_cents AS up0, qty AS q0
+      FROM per WHERE yr = (SELECT MIN(yr) FROM per)
+    ),
+    joined AS (
+      SELECT yr, up_cents * q0 AS vt, up0 * q0 AS v0
+      FROM per JOIN base ON l_partkey = b_partkey
+    )
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(floor(CAST(SUM(vt) AS DOUBLE) * 1000000.0
+                      / CAST(SUM(v0) AS DOUBLE)) AS BIGINT) AS index_ppm
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -2452,3 +2452,68 @@ def _lsh_pr_sql() -> str:
 
 
 register("doc_lsh_pr_audit", q_doc_lsh_pr_audit, _lsh_pr_sql())
+
+
+# ---- Zipf rank-frequency check ----------------------------------------------
+# The corpus-health screen a tokenizer/LM-data pipeline runs to spot
+# template spam or boilerplate floods: natural text keeps rank*freq
+# roughly constant (Zipf's law), while machine-generated filler
+# collapses the head.  The slope-fit variant needs log-log OLS (ln is
+# not engine-portable in the last ulp), so this emits the exact
+# integer ingredients instead: the top-40 terms with rank, frequency,
+# the rank*freq invariant, and each term's corpus share in ppm.
+# Plan: explode -> one hash agg on term (map-side partials) -> 40-row
+# TakeOrdered; the row_number window runs AFTER the limit, over a
+# bounded 40-row set (not a corpus-wide single-partition sort).
+
+_ZIPF_TOPK = 40
+
+
+def q_doc_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(F.explode_outer(T.tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = terms.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
+    total = counts.agg(F.sum("freq").cast("bigint").alias("total"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(_ZIPF_TOPK)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "rank",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_freq"),
+            F.expr("freq * 1000000 div total").alias("share_ppm"),
+        )
+    )
+
+
+register(
+    "doc_zipf_check",
+    q_doc_zipf_check,
+    f"""
+    WITH terms AS (
+      SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM terms
+      WHERE term <> '' GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT term, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT)
+               AS rank
+      FROM counts
+    )
+    SELECT term, rank, freq, rank * freq AS rank_freq,
+           freq * 1000000 // total AS share_ppm
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {_ZIPF_TOPK}
+    """,
+)

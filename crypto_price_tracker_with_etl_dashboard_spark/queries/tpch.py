@@ -849,3 +849,170 @@ register(
     ORDER BY value DESC, l_partkey
     """,
 )
+
+
+# ---- nation trade balance ----------------------------------------------------
+# The bilateral view q5/q7 stop short of: per nation, revenue where
+# its suppliers SHIP (exports) vs revenue its customers ORDER
+# (imports), and the net balance.  Both sides are independent
+# fact-table aggregations keyed by the broadcast supplier/customer
+# dims (no lineitem-orders-lineitem self-join); the revenue sums are
+# the engine's fixed-point dsum, so the balance is deterministic at
+# any partitioning.  The two 25-row aggregates meet in a broadcast-
+# sized full outer join on nation.
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+
+    exports = (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum(rev, "exports"))
+    )
+    imports = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum(rev, "imports"))
+    )
+    return (
+        exports.join(imports, "nationkey", "full_outer")
+        .join(nation, F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("exports", F.lit(0.0)).alias("exports"),
+            F.coalesce("imports", F.lit(0.0)).alias("imports"),
+            (
+                F.coalesce("exports", F.lit(0.0))
+                - F.coalesce("imports", F.lit(0.0))
+            ).alias("balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+register(
+    "nation_trade_balance",
+    q_nation_trade_balance,
+    f"""
+    WITH exports AS (
+      SELECT s_nationkey AS nationkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS exports
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    ),
+    imports AS (
+      SELECT c_nationkey AS nationkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS imports
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           COALESCE(exports, 0.0) AS exports,
+           COALESCE(imports, 0.0) AS imports,
+           COALESCE(exports, 0.0) - COALESCE(imports, 0.0) AS balance
+    FROM exports FULL OUTER JOIN imports USING (nationkey)
+    JOIN nation ON nationkey = n_nationkey
+    ORDER BY nation
+    """,
+)
+
+
+# ---- supplier-nation lead-time percentiles ------------------------------------
+# Order-to-ship latency per supplier nation: exact lower-median and
+# ceil-indexed p90 of datediff(l_shipdate, o_orderdate) in days.
+# Exact distributed percentiles WITHOUT a per-nation row sort: lead
+# times are small integers, so a (nation, lead) count table plus a
+# cumulative sum over the few-hundred distinct leads selects the
+# order statistics — the stump-split trick, immune to percentile_cont
+# interpolation differences between engines.  Shuffles: one hash agg
+# on (nation, lead); the cumsum window runs over |nations| x |leads|
+# rows, thousands at any corpus size.
+
+
+def q_supply_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    per_lead = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lead"),
+        )
+        .groupBy("nation", "lead")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("lead")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_lead.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("nation"))
+    )
+    med = (
+        cum.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("nation")
+        .agg(F.min("lead").alias("med_days"), F.max("n").alias("n_lines"))
+    )
+    p90 = (
+        cum.filter(F.expr("cum >= (n * 9 + 9) div 10"))
+        .groupBy("nation")
+        .agg(F.min("lead").alias("p90_days"))
+    )
+    return (
+        med.join(p90, "nation")
+        .select("nation", "n_lines", "med_days", "p90_days")
+        .orderBy("nation")
+    )
+
+
+register(
+    "supply_lead_time",
+    q_supply_lead_time,
+    """
+    WITH per_lead AS (
+      SELECT n_name AS nation,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lead,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nation, lead, c,
+             CAST(SUM(c) OVER (PARTITION BY nation ORDER BY lead
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+      FROM per_lead
+    ),
+    med AS (
+      SELECT nation, MIN(lead) AS med_days, CAST(MAX(n) AS BIGINT) AS n_lines
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    p90 AS (
+      SELECT nation, MIN(lead) AS p90_days
+      FROM cum WHERE cum >= (n * 9 + 9) // 10 GROUP BY 1
+    )
+    SELECT nation, n_lines, med_days, p90_days
+    FROM med JOIN p90 USING (nation)
+    ORDER BY nation
+    """,
+)
