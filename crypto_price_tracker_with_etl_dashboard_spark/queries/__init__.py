@@ -173,10 +173,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_zipf_check, orders_revenue_recognition, prices_variance_ratio)
 # and the batch-34 five (nation_trade_balance, supply_lead_time,
 # events_mde_power, parts_price_index, prices_underwater_spells)
+# and the batch-35 five (events_peak_concurrency,
+# prices_momentum_deciles, prices_kelly, events_hll_overlap,
+# supplier_scorecard)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (159 total candidates - 8
-# r7 debuts = 151 remaining; at ~8 debuts/round that cohort carries
-# through ~r26 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (164 total candidates - 8
+# r7 debuts = 156 remaining; at ~8 debuts/round that cohort carries
+# through ~r27 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -506,6 +509,17 @@ ROTATION_POOL: list[str] = [
     #     (gaps-and-islands under the running max). ---
     "nation_trade_balance", "supply_lead_time", "events_mde_power",
     "parts_price_index", "prices_underwater_spells",
+    # --- r6-built batch 35, same debut-candidate status: peak
+    #     concurrent sessions per day (sweep line with the backlog
+    #     series' bucketed prefix-sum discipline), cross-sectional
+    #     momentum quintiles (trailing-return ntile -> mean forward
+    #     return), Kelly-criterion position sizing from exact return
+    #     moments, the HLL inclusion-exclusion overlap audit (the
+    #     mergeable-sketch answer to |A∩B| without a rescan), and the
+    #     supplier scorecard (volume / cent-exact revenue / on-time
+    #     SLA / revenue share, top-20). ---
+    "events_peak_concurrency", "prices_momentum_deciles", "prices_kelly",
+    "events_hll_overlap", "supplier_scorecard",
 ]
 
 

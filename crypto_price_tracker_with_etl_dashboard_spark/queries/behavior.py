@@ -2646,3 +2646,113 @@ def _mde_sql() -> str:
 
 
 register("events_mde_power", q_events_mde_power, _mde_sql())
+
+
+# ---- peak concurrent sessions per day -----------------------------------------
+# Capacity planning's load metric: the maximum number of SIMULTANEOUS
+# 30-minute-gap sessions (the events_sessionize convention) observed
+# each day.  Sweep line over closed session intervals — +1 at start,
+# -1 at end, +1 rows ordered first at an equal instant — with the
+# orders_backlog_series bucketed-prefix-sum discipline: the running
+# sum is computed inside (day) partitions and shifted by the
+# prior-days total, so there is NO partitionless window over the
+# change-point spine; the oracle certifies it against DuckDB's plain
+# global ordered sum.
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sess = (
+        ev.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    deltas = (
+        sess.select(F.col("start").alias("ts"), F.lit(1).alias("sign"))
+        .unionByName(sess.select(F.col("end").alias("ts"), F.lit(-1).alias("sign")))
+        .groupBy(F.to_date("ts").alias("day"), "ts", "sign")
+        .agg(F.sum("sign").cast("bigint").alias("d"))
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("sign").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = deltas.withColumn("cum", F.sum("d").over(w_in))
+    per_day = within.groupBy("day").agg(
+        F.max("cum").cast("bigint").alias("max_cum"),
+        F.sum("d").cast("bigint").alias("day_total"),
+        F.sum(F.when(F.col("sign") == 1, F.col("d")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sessions_started"),
+    )
+    w_off = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_day.withColumn(
+            "off", F.coalesce(F.sum("day_total").over(w_off), F.lit(0).cast("bigint"))
+        )
+        .select(
+            "day",
+            "sessions_started",
+            (F.col("off") + F.col("max_cum")).cast("bigint").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_peak_concurrency",
+    q_events_peak_concurrency,
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS start, MAX(ts) AS "end"
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ) GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT CAST(ts AS DATE) AS day, ts, sign, CAST(SUM(sign) AS BIGINT) AS d
+      FROM (
+        SELECT start AS ts, 1 AS sign FROM sess
+        UNION ALL
+        SELECT "end" AS ts, -1 AS sign FROM sess
+      ) GROUP BY 1, 2, 3
+    ),
+    swept AS (
+      SELECT day, sign, d,
+             CAST(SUM(d) OVER (ORDER BY ts, sign DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM deltas
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN sign = 1 THEN d ELSE 0 END) AS BIGINT)
+             AS sessions_started,
+           CAST(MAX(cum) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -1500,3 +1500,265 @@ register(
     FROM spells GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- cross-sectional momentum quintiles -----------------------------------------
+# The factor-investing read: rank symbols by their TRAILING return up
+# to a split date (last day minus 7), bucket into quintiles, and
+# report each quintile's mean FORWARD return — does past winnership
+# predict the next week?  The cross-section is |symbols| rows (never
+# |ticks|), so the single ntile window is bounded by the universe
+# size, not the data; everything upstream is the shared daily-close
+# shuffle.  Returns are winsorized ppm ints; quintile assignment is
+# ntile(5) with a full deterministic ordering (ret desc, symbol).
+
+_MOM_QUANTILES = 5
+_MOM_FWD_DAYS = 7
+
+
+def q_prices_momentum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    split = daily.agg(
+        F.date_sub(F.max("day"), _MOM_FWD_DAYS).alias("split_day")
+    )
+    d = daily.crossJoin(F.broadcast(split))
+    trail = (
+        d.filter(F.col("day") <= F.col("split_day"))
+        .groupBy("symbol")
+        .agg(
+            F.min_by("close", "day").alias("first_close"),
+            F.max_by("close", "day").alias("split_close"),
+        )
+        .filter(F.col("first_close") != F.col("split_close"))
+    )
+    fwd = (
+        d.filter(F.col("day") > F.col("split_day"))
+        .groupBy("symbol")
+        .agg(F.max_by("close", "day").alias("last_close"))
+    )
+    rets = trail.join(fwd, "symbol").select(
+        "symbol",
+        F.greatest(
+            F.lit(-1000000).cast("bigint"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.floor(
+                    (F.col("split_close") - F.col("first_close"))
+                    * 1000000.0
+                    / F.col("first_close")
+                ).cast("bigint"),
+            ),
+        ).alias("trail_ppm"),
+        F.greatest(
+            F.lit(-1000000).cast("bigint"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.floor(
+                    (F.col("last_close") - F.col("split_close"))
+                    * 1000000.0
+                    / F.col("split_close")
+                ).cast("bigint"),
+            ),
+        ).alias("fwd_ppm"),
+    )
+    wq = Window.orderBy(F.col("trail_ppm").desc(), F.col("symbol").asc())
+    return (
+        rets.withColumn("quintile", F.ntile(_MOM_QUANTILES).over(wq).cast("bigint"))
+        .groupBy("quintile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_symbols"),
+            F.floor(F.sum("fwd_ppm").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("mean_fwd_ppm"),
+        )
+        .orderBy("quintile")
+    )
+
+
+register(
+    "prices_momentum_deciles",
+    q_prices_momentum_deciles,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    split AS (SELECT MAX(day) - {_MOM_FWD_DAYS} AS split_day FROM daily),
+    trail AS (
+      SELECT symbol,
+             arg_min(close, day) AS first_close,
+             arg_max(close, day) AS split_close
+      FROM daily CROSS JOIN split WHERE day <= split_day
+      GROUP BY 1 HAVING arg_min(close, day) <> arg_max(close, day)
+    ),
+    fwd AS (
+      SELECT symbol, arg_max(close, day) AS last_close
+      FROM daily CROSS JOIN split WHERE day > split_day
+      GROUP BY 1
+    ),
+    rets AS (
+      SELECT symbol,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((split_close - first_close) * 1000000.0
+                          / first_close) AS BIGINT))) AS trail_ppm,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((last_close - split_close) * 1000000.0
+                          / split_close) AS BIGINT))) AS fwd_ppm
+      FROM trail JOIN fwd USING (symbol)
+    )
+    SELECT quintile, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+           CAST(floor(CAST(SUM(fwd_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_fwd_ppm
+    FROM (
+      SELECT fwd_ppm,
+             CAST(ntile({_MOM_QUANTILES}) OVER (
+               ORDER BY trail_ppm DESC, symbol ASC) AS BIGINT) AS quintile
+      FROM rets
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---- Kelly criterion position sizing --------------------------------------------
+# The bet-sizing read on top of the return stats: f* = mu / sigma^2
+# over the winsorized daily ppm returns — how much of the bankroll a
+# log-wealth maximizer would allocate per symbol.  With S = sum(r),
+# SS = sum(r^2) in exact integers, f* = S * n * 1e6 / (n*SS - S^2)
+# (the ppm scalings cancel to one factor), evaluated as a single
+# engine-portable double expression and clipped to +/-10x leverage.
+
+_KELLY_MIN_DAYS = 20
+_KELLY_CLIP_PPM = 10_000_000  # |f*| <= 10x bankroll
+
+
+def q_prices_kelly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    return (
+        rets.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("S"),
+            F.sum(F.col("r") * F.col("r")).cast("bigint").alias("SS"),
+        )
+        .filter(F.col("n") >= _KELLY_MIN_DAYS)
+        .filter(F.expr("n * SS - S * S > 0"))
+        .select(
+            "symbol",
+            "n",
+            F.floor(F.col("S").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("mean_ret_ppm"),
+            F.greatest(
+                F.lit(-_KELLY_CLIP_PPM).cast("bigint"),
+                F.least(
+                    F.lit(_KELLY_CLIP_PPM).cast("bigint"),
+                    F.expr(
+                        "CAST(floor(CAST(S AS DOUBLE) * CAST(n AS DOUBLE)"
+                        " * 1000000.0 / CAST(n * SS - S * S AS DOUBLE))"
+                        " AS BIGINT)"
+                    ),
+                ),
+            ).alias("kelly_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_kelly",
+    q_prices_kelly,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    stats AS (
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS S,
+             CAST(SUM(r * r) AS BIGINT) AS SS
+      FROM rets GROUP BY 1
+      HAVING COUNT(*) >= {_KELLY_MIN_DAYS}
+         AND CAST(COUNT(*) AS BIGINT) * CAST(SUM(r * r) AS BIGINT)
+             - CAST(SUM(r) AS BIGINT) * CAST(SUM(r) AS BIGINT) > 0
+    )
+    SELECT symbol, n,
+           CAST(floor(CAST(S AS DOUBLE) / n) AS BIGINT) AS mean_ret_ppm,
+           GREATEST(CAST(-{_KELLY_CLIP_PPM} AS BIGINT),
+                    LEAST(CAST({_KELLY_CLIP_PPM} AS BIGINT),
+             CAST(floor(CAST(S AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0
+                        / CAST(n * SS - S * S AS DOUBLE)) AS BIGINT)))
+             AS kelly_ppm
+    FROM stats ORDER BY symbol
+    """,
+)

@@ -2129,3 +2129,122 @@ register(
     FROM joined GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- HLL set-overlap estimate (inclusion-exclusion audit) --------------------
+# The question mergeable sketches exist to answer WITHOUT a rescan:
+# how many users did BOTH of two behaviors?  |A ∩ B| is estimated by
+# inclusion-exclusion over three HLL sketches (purchasers, viewers,
+# union — the union sketch is just the register-wise MAX, the merge
+# property events_hll_distinct certifies), and reported against the
+# exact intersection with a signed ppm error.  Every estimate is the
+# module's order-invariant exact-dyadic arithmetic, so the audit row
+# is bit-portable.  At 100 TB the three 64-register sketches are the
+# persisted artifact; the exact side here is the audit's ground
+# truth, computed with one user_id shuffle.
+
+_HLL_SET_A = "purchase"
+_HLL_SET_B = "view"
+
+
+def q_events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def est(df, name):
+        one = hll_merge_estimate(hll_registers(df, "user_id"))
+        return one.select(F.col("n_estimate").alias(name))
+
+    est_a = est(ev.filter(F.col("event_type") == _HLL_SET_A), "est_a")
+    est_b = est(ev.filter(F.col("event_type") == _HLL_SET_B), "est_b")
+    est_u = est(
+        ev.filter(F.col("event_type").isin(_HLL_SET_A, _HLL_SET_B)), "est_union"
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin(_HLL_SET_A, _HLL_SET_B))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == _HLL_SET_A).cast("int")).alias("a"),
+            F.max((F.col("event_type") == _HLL_SET_B).cast("int")).alias("b"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(a = 1 AND b = 1 AS INT)"))
+            .cast("bigint")
+            .alias("exact_overlap")
+        )
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr("est_a + est_b - est_union").alias("est_overlap"),
+            "exact_overlap",
+            F.expr(
+                "(est_a + est_b - est_union - exact_overlap) * 1000000"
+                " div exact_overlap"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def _hll_overlap_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        sql_hll_hash,
+        sql_hll_rho,
+    )
+
+    h = sql_hll_hash("user_id")
+
+    def est_cte(tag: str, where: str) -> str:
+        return f"""
+    regs_{tag} AS (
+      SELECT ({h}) % {HLL_M} AS bucket,
+             MAX({sql_hll_rho(f"(({h}) // {HLL_M})")}) AS max_rho
+      FROM events
+      WHERE user_id IS NOT NULL AND {where}
+      GROUP BY 1
+    ),
+    est_{tag} AS (
+      SELECT CAST(floor({HLL_ALPHA * HLL_M * HLL_M}
+                        / (SUM(1.0 / (CAST(1 AS BIGINT) << max_rho))
+                           + ({HLL_M} - COUNT(*)))) AS BIGINT) AS est_{tag}
+      FROM regs_{tag}
+    )"""
+
+    return f"""
+    WITH {est_cte("a", f"event_type = '{_HLL_SET_A}'")},
+    {est_cte("b", f"event_type = '{_HLL_SET_B}'")},
+    {est_cte("u", f"event_type IN ('{_HLL_SET_A}', '{_HLL_SET_B}')")},
+    exact AS (
+      SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_overlap
+      FROM (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = '{_HLL_SET_A}' THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN event_type = '{_HLL_SET_B}' THEN 1 ELSE 0 END) AS b
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN ('{_HLL_SET_A}', '{_HLL_SET_B}')
+        GROUP BY 1
+      )
+    )
+    SELECT est_a, est_b, est_u AS est_union,
+           est_a + est_b - est_u AS est_overlap,
+           exact_overlap,
+           ((est_a + est_b - est_u - exact_overlap) * 1000000)
+             // exact_overlap AS err_ppm
+    FROM est_a, est_b, est_u, exact
+    """
+
+
+register("events_hll_overlap", q_events_hll_overlap, _hll_overlap_sql())

@@ -1016,3 +1016,89 @@ register(
     ORDER BY nation
     """,
 )
+
+
+# ---- supplier scorecard --------------------------------------------------------
+# The procurement composite: per supplier — line volume, cent-exact
+# net revenue, on-time rate (order-to-ship within 30 days), and
+# revenue share of the whole book — top 20 by revenue.  Revenue is
+# per-term-rounded integer cents (exact, order-free sums); the share
+# ratio is one double op so the int64 product cap never binds.  Plan:
+# the lineitem-orders join is co-partitioned on orderkey, supplier is
+# broadcast, the top-20 is a distributed TakeOrdered, and the 1-row
+# total folds back via a broadcast cross join.
+
+_SCORECARD_TOPN = 20
+_SCORECARD_SLA_DAYS = 30
+
+
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    per = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            ).alias("cents"),
+            (
+                F.datediff("l_shipdate", "o_orderdate") <= _SCORECARD_SLA_DAYS
+            ).cast("int").alias("on_time"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.sum("on_time").cast("bigint").alias("on_time_lines"),
+        )
+    )
+    total = per.agg(F.sum("revenue_cents").cast("bigint").alias("total_cents"))
+    return (
+        per.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("s_name").alias("supplier"),
+            "n_lines",
+            "revenue_cents",
+            F.expr("on_time_lines * 1000000 div n_lines").alias("on_time_ppm"),
+            F.expr(
+                "CAST(floor(CAST(revenue_cents AS DOUBLE) * 1000000.0"
+                " / CAST(total_cents AS DOUBLE)) AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("supplier").asc())
+        .limit(_SCORECARD_TOPN)
+    )
+
+
+register(
+    "supplier_scorecard",
+    q_supplier_scorecard,
+    f"""
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                                <= {_SCORECARD_SLA_DAYS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS on_time_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM per
+    )
+    SELECT s_name AS supplier, n_lines, revenue_cents,
+           on_time_lines * 1000000 // n_lines AS on_time_ppm,
+           CAST(floor(CAST(revenue_cents AS DOUBLE) * 1000000.0
+                      / CAST(total_cents AS DOUBLE)) AS BIGINT)
+             AS rev_share_ppm
+    FROM per JOIN supplier ON l_suppkey = s_suppkey
+    CROSS JOIN total
+    ORDER BY revenue_cents DESC, supplier ASC
+    LIMIT {_SCORECARD_TOPN}
+    """,
+)
