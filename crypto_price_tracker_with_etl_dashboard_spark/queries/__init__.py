@@ -176,10 +176,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-35 five (events_peak_concurrency,
 # prices_momentum_deciles, prices_kelly, events_hll_overlap,
 # supplier_scorecard)
+# and the batch-36 five (events_srm_check, events_depth_conversion,
+# prices_roll_spread, events_seasonal_residuals, media_binary_dedup)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (164 total candidates - 8
-# r7 debuts = 156 remaining; at ~8 debuts/round that cohort carries
-# through ~r27 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (169 total candidates - 8
+# r7 debuts = 161 remaining; at ~8 debuts/round that cohort carries
+# through ~r28 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -520,6 +522,16 @@ ROTATION_POOL: list[str] = [
     #     SLA / revenue share, top-20). ---
     "events_peak_concurrency", "prices_momentum_deciles", "prices_kelly",
     "events_hll_overlap", "supplier_scorecard",
+    # --- r6-built batch 36, same debut-candidate status: the
+    #     sample-ratio-mismatch gate (integer chi-square vs the 3.841
+    #     critical value — the validity check every lift readout
+    #     assumes), conversion by session depth, Roll's implied
+    #     bid-ask spread from lag-1 serial covariance (IEEE sqrt is
+    #     correctly rounded, hence portable), seasonal-residual
+    #     anomaly cells vs the additive hour+weekday expectation, and
+    #     binary checksum dedup over the multimodal payload column. ---
+    "events_srm_check", "events_depth_conversion", "prices_roll_spread",
+    "events_seasonal_residuals", "media_binary_dedup",
 ]
 
 

@@ -2756,3 +2756,164 @@ register(
     FROM swept GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- sample-ratio-mismatch (SRM) check ------------------------------------------
+# The experimentation health gate run BEFORE reading any lift query:
+# does the 50/50 user split actually contain 50/50 of the users?  A
+# skewed ratio means assignment is broken and every downstream
+# readout is invalid.  Chi-square on the two observed arm counts
+# against equal expecteds reduces to (a-b)^2/n, compared against the
+# 95% critical value 3.841 by integer cross-multiplication — no
+# float stats at all.  One user-id shuffle; one output row.
+
+_SRM_CRIT_MILLI = 3841  # chi2(1 df) at p = 0.05, x1000
+
+
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct().select(
+        lcg_bucket("user_id", 2).alias("arm")
+    )
+    counts = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("arm_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("arm_b"),
+    )
+    return counts.select(
+        "arm_a",
+        "arm_b",
+        F.expr("arm_a + arm_b").alias("n_users"),
+        F.expr("arm_a * 1000000 div (arm_a + arm_b)").alias("arm_a_ppm"),
+        F.expr("(arm_a - arm_b) * (arm_a - arm_b) * 1000 div (arm_a + arm_b)").alias(
+            "chi2_milli"
+        ),
+        F.expr(
+            "(arm_a - arm_b) * (arm_a - arm_b) * 1000"
+            f" >= {_SRM_CRIT_MILLI} * (arm_a + arm_b)"
+        ).alias("srm_detected"),
+    )
+
+
+def _srm_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    return f"""
+    WITH users AS (
+      SELECT {sql_lcg_bucket('user_id', 2)} AS arm
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS arm_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS arm_b
+      FROM users
+    )
+    SELECT arm_a, arm_b, arm_a + arm_b AS n_users,
+           arm_a * 1000000 // (arm_a + arm_b) AS arm_a_ppm,
+           (arm_a - arm_b) * (arm_a - arm_b) * 1000 // (arm_a + arm_b)
+             AS chi2_milli,
+           (arm_a - arm_b) * (arm_a - arm_b) * 1000
+             >= {_SRM_CRIT_MILLI} * (arm_a + arm_b) AS srm_detected
+    FROM counts
+    """
+
+
+register("events_srm_check", q_events_srm_check, _srm_sql())
+
+
+# ---- conversion by session depth ------------------------------------------------
+# Does engagement depth predict purchase?  Sessions (the 30-minute
+# events_sessionize convention) bucketed by event count (capped at
+# 10+), each bucket reporting its session count and the share that
+# contained a purchase.  All integer counts; one user shuffle for the
+# session windows plus one small bucket agg.
+
+
+_DEPTH_CAP = 10
+
+
+def q_events_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sess = (
+        ev.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("depth"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+        )
+    )
+    return (
+        sess.select(
+            F.least(F.col("depth"), F.lit(_DEPTH_CAP).cast("bigint")).alias(
+                "depth_bucket"
+            ),
+            "converted",
+        )
+        .groupBy("depth_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "depth_bucket",
+            "n_sessions",
+            "n_converted",
+            F.expr("n_converted * 1000000 div n_sessions").alias("conv_ppm"),
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+register(
+    "events_depth_conversion",
+    q_events_depth_conversion,
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS depth,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ) GROUP BY 1, 2
+    )
+    SELECT depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
+    FROM (
+      SELECT LEAST(depth, CAST({_DEPTH_CAP} AS BIGINT)) AS depth_bucket,
+             converted
+      FROM sess
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)

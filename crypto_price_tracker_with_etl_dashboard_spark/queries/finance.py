@@ -1762,3 +1762,112 @@ register(
     FROM stats ORDER BY symbol
     """,
 )
+
+
+# ---- Roll implied bid-ask spread -------------------------------------------------
+# The microstructure classic: under Roll's model the effective spread
+# is 2*sqrt(-Cov(dp_t, dp_{t-1})) — bid-ask bounce makes successive
+# price changes negatively autocorrelated in proportion to the
+# spread.  Price deltas are exact integer cents; the lag-1 serial
+# covariance numerator n*S_xy - S_x*S_y is exact int64; the final
+# sqrt is IEEE-correctly-rounded (engine-portable, unlike ln), so the
+# milli-cent spread is bit-exact.  Symbols whose serial covariance is
+# non-negative (model inapplicable) are filtered out, deterministic.
+
+_ROLL_MIN_PAIRS = 10
+
+
+def q_prices_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.expr("CAST(round(current_price * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    deltas = (
+        daily.withColumn("__prev", F.lag("cents").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select("symbol", "day", (F.col("cents") - F.col("__prev")).alias("dc"))
+    )
+    pairs = (
+        deltas.withColumn("dc_prev", F.lag("dc").over(wd))
+        .filter(F.col("dc_prev").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dc").cast("bigint").alias("Sx"),
+            F.sum("dc_prev").cast("bigint").alias("Sy"),
+            F.sum(F.col("dc") * F.col("dc_prev")).cast("bigint").alias("Sxy"),
+        )
+    )
+    return (
+        pairs.filter(F.col("n") >= _ROLL_MIN_PAIRS)
+        .withColumn("cov_num", F.expr("n * Sxy - Sx * Sy"))
+        .filter(F.col("cov_num") < 0)
+        .select(
+            "symbol",
+            "n",
+            "cov_num",
+            F.expr(
+                "CAST(floor(2000.0 * sqrt(CAST(-cov_num AS DOUBLE))"
+                " / CAST(n AS DOUBLE)) AS BIGINT)"
+            ).alias("spread_millicents"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_roll_spread",
+    q_prices_roll_spread,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day,
+             CAST(round(current_price * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    deltas AS (
+      SELECT symbol, day, cents - prev AS dc
+      FROM (
+        SELECT symbol, day, cents,
+               lag(cents) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    pairs AS (
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dc) AS BIGINT) AS Sx,
+             CAST(SUM(dc_prev) AS BIGINT) AS Sy,
+             CAST(SUM(dc * dc_prev) AS BIGINT) AS Sxy
+      FROM (
+        SELECT symbol, dc,
+               lag(dc) OVER (PARTITION BY symbol ORDER BY day) AS dc_prev
+        FROM deltas
+      ) WHERE dc_prev IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT symbol, n, n * Sxy - Sx * Sy AS cov_num,
+           CAST(floor(2000.0 * sqrt(CAST(-(n * Sxy - Sx * Sy) AS DOUBLE))
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS spread_millicents
+    FROM pairs
+    WHERE n >= {_ROLL_MIN_PAIRS} AND n * Sxy - Sx * Sy < 0
+    ORDER BY symbol
+    """,
+)

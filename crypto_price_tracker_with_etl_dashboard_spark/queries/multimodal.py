@@ -377,3 +377,61 @@ register(
     ORDER BY g.media_id, g.channel, g.bucket
     """,
 )
+
+
+# ---- binary checksum dedup ----------------------------------------------------
+# The first pass every image/audio corpus gets before any expensive
+# perceptual hashing: exact duplicate detection on the raw BYTES via
+# md5 over the binary column.  Spark's md5 runs on the binary payload
+# itself; the oracle reproduces it from the source text (identical
+# utf-8 bytes, sources/multimodal.py contract) — what's certified is
+# the binary-column fingerprint plumbing.  One shuffle on the 128-bit
+# digest with map-side partials; the summary fold is a 1-row agg.
+# Per-type breakdown keeps the row count at |media_type| = 3.
+
+
+def q_media_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(fan_out(load_table(spark, sf_dir, "documents")))
+    groups = media.groupBy(
+        "media_type", F.md5("content").alias("digest")
+    ).agg(F.count("*").cast("bigint").alias("copies"))
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("copies").cast("bigint").alias("n_media"),
+            F.count("*").cast("bigint").alias("n_unique"),
+            F.max("copies").alias("max_copies"),
+        )
+        .select(
+            "media_type",
+            "n_media",
+            "n_unique",
+            F.expr("n_media - n_unique").alias("n_duplicates"),
+            F.expr("(n_media - n_unique) * 1000000 div n_media").alias("dup_ppm"),
+            "max_copies",
+        )
+        .orderBy("media_type")
+    )
+
+
+register(
+    "media_binary_dedup",
+    q_media_binary_dedup,
+    f"""
+    WITH {MEDIA_CTE_SQL.strip()},
+    groups AS (
+      SELECT media_type, md5(content_text) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS copies
+      FROM media GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(SUM(copies) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(copies) AS BIGINT) - CAST(COUNT(*) AS BIGINT)
+             AS n_duplicates,
+           (CAST(SUM(copies) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000
+             // CAST(SUM(copies) AS BIGINT) AS dup_ppm,
+           MAX(copies) AS max_copies
+    FROM groups GROUP BY 1 ORDER BY 1
+    """,
+)

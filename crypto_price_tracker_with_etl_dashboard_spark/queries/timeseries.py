@@ -921,3 +921,117 @@ register(
     ORDER BY p.week
     """,
 )
+
+
+# ---- seasonal-residual anomalies ---------------------------------------------
+# events_seasonality reports the hour/weekday PROFILE; this flags the
+# cells that break it: per (day, hour) traffic vs an additive
+# two-factor expectation (hour-of-day effect + day-of-week effect
+# over the dense day x hour grid), top-10 by absolute residual.  All
+# milli-count fixed point — the three means are integer divisions
+# over exact grid sums, so the residual ranking is bit-portable.
+# Plan: one hash agg to the (day, hour) grid (dense-completed by a
+# broadcast day x 24 spine), two tiny profile aggs broadcast back;
+# the top-10 is a distributed TakeOrdered over |days|*24 rows.
+
+_RESID_TOPK = 10
+
+
+def q_events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    days = obs.select("day").distinct()
+    hours = (
+        days.sparkSession.range(24)
+        .select(F.col("id").cast("int").alias("hour"))
+    )
+    grid = (
+        days.crossJoin(F.broadcast(hours))
+        .join(obs, ["day", "hour"], "left")
+        .select("day", "hour", F.coalesce("c", F.lit(0).cast("bigint")).alias("c"))
+    )
+    n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
+    total = grid.agg(F.sum("c").cast("bigint").alias("total"))
+    hm = grid.groupBy("hour").agg(F.sum("c").cast("bigint").alias("h_sum"))
+    dm = (
+        grid.withColumn("dow", F.dayofweek("day"))
+        .groupBy("dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("d_sum"),
+            F.count("*").cast("bigint").alias("d_cells"),
+        )
+    )
+    scored = (
+        grid.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(hm), "hour")
+        .join(F.broadcast(dm), "dow")
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "hour",
+            "c",
+            F.expr(
+                "h_sum * 1000 div n_days"
+                " + d_sum * 1000 div d_cells"
+                " - total * 1000 div (n_days * 24)"
+            ).alias("expected_milli"),
+        )
+        .withColumn(
+            "residual_milli", F.expr("c * 1000 - expected_milli")
+        )
+    )
+    return (
+        scored.orderBy(
+            F.abs(F.col("residual_milli")).desc(),
+            F.col("day").asc(),
+            F.col("hour").asc(),
+        )
+        .limit(_RESID_TOPK)
+        .select("day", "hour", "c", "expected_milli", "residual_milli")
+    )
+
+
+register(
+    "events_seasonal_residuals",
+    q_events_seasonal_residuals,
+    f"""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM obs),
+    grid AS (
+      SELECT d.day, h.hour, COALESCE(o.c, CAST(0 AS BIGINT)) AS c
+      FROM days d
+      CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS INT) AS hour) h
+      LEFT JOIN obs o ON o.day = d.day AND o.hour = h.hour
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM grid),
+    hm AS (SELECT hour, CAST(SUM(c) AS BIGINT) AS h_sum FROM grid GROUP BY 1),
+    dm AS (
+      SELECT dayofweek(day) AS dow, CAST(SUM(c) AS BIGINT) AS d_sum,
+             CAST(COUNT(*) AS BIGINT) AS d_cells
+      FROM grid GROUP BY 1
+    ),
+    scored AS (
+      SELECT g.day, g.hour, g.c,
+             hm.h_sum * 1000 // nd.n_days
+               + dm.d_sum * 1000 // dm.d_cells
+               - tot.total * 1000 // (nd.n_days * 24) AS expected_milli
+      FROM grid g
+      JOIN hm USING (hour)
+      JOIN dm ON dm.dow = dayofweek(g.day)
+      CROSS JOIN nd CROSS JOIN tot
+    )
+    SELECT day, hour, c, expected_milli,
+           c * 1000 - expected_milli AS residual_milli
+    FROM scored
+    ORDER BY abs(c * 1000 - expected_milli) DESC, day ASC, hour ASC
+    LIMIT {_RESID_TOPK}
+    """,
+)
