@@ -217,3 +217,67 @@ def sql_bellman_ford(edges_cte: str, source: int, rounds: int) -> str:
             f") GROUP BY node)"
         )
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, cost FROM d{rounds}"
+
+
+_WIDEST_INF = (1 << 62)  # source sentinel: wider than any real edge sum
+
+
+def widest_path(edges: DataFrame, source: int, rounds: int) -> DataFrame:
+    """Single-source WIDEST (maximum-bottleneck) path capacities over
+    positive INTEGER edge capacities, by ``rounds`` synchronous
+    relaxation rounds: cap_k(v) = max(cap_{k-1}(v), max over edges
+    u->v of min(cap_{k-1}(u), w)).  The (max, min) semiring swap of
+    :func:`bellman_ford` — the logistics question "what is the widest
+    route?" instead of "what is the cheapest?".
+
+    Like Bellman-Ford (and unlike BFS), settled nodes must keep
+    relaxing: a longer path can be WIDER.  Integer capacities make
+    every partial value engine-exact, so the unrolled oracle matches
+    bit-for-bit short of convergence.  The source carries the
+    _WIDEST_INF sentinel internally and is dropped from the result
+    (its own bottleneck is undefined).
+
+    ``edges`` has BIGINT (src, dst, w), w >= 1; returns (node, width).
+    """
+    if rounds < 1:
+        raise ValueError(f"widest_path needs rounds >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w")
+    cap = spark.createDataFrame(
+        [(source, _WIDEST_INF)], "node bigint, width bigint"
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = e.join(cap.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.least(F.col("width"), F.col("w")).alias("width"),
+        )
+        cap = (
+            cap.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.max("width").alias("width"))
+            .localCheckpoint(eager=True)
+        )
+    return cap.filter(F.col("node") != source)
+
+
+def sql_widest_path(edges_cte: str, source: int, rounds: int) -> str:
+    """DuckDB mirror of :func:`widest_path`: the same (max, min)
+    relaxation unrolled round by round."""
+    ctes = [
+        edges_cte,
+        f"c0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        f" CAST({_WIDEST_INF} AS BIGINT) AS width)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"c{k} AS (SELECT node, MAX(width) AS width FROM ("
+            f"SELECT node, width FROM c{k - 1}"
+            f" UNION ALL "
+            f"SELECT e.dst AS node, LEAST(c.width, e.w) AS width"
+            f" FROM edges e JOIN c{k - 1} c ON e.src = c.node"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, width FROM c{rounds} WHERE node <> {source}"
+    )

@@ -178,9 +178,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # supplier_scorecard)
 # and the batch-36 five (events_srm_check, events_depth_conversion,
 # prices_roll_spread, events_seasonal_residuals, media_binary_dedup)
+# and the batch-37 five (trade_bottleneck_path, media_scene_cuts,
+# doc_source_pair_dups, prices_tail_ratio, events_value_ab_welch)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (169 total candidates - 8
-# r7 debuts = 161 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (174 total candidates - 8
+# r7 debuts = 166 remaining; at ~8 debuts/round that cohort carries
 # through ~r28 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -532,6 +534,16 @@ ROTATION_POOL: list[str] = [
     #     binary checksum dedup over the multimodal payload column. ---
     "events_srm_check", "events_depth_conversion", "prices_roll_spread",
     "events_seasonal_residuals", "media_binary_dedup",
+    # --- r6-built batch 37, same debut-candidate status: widest
+    #     (maximum-bottleneck) trade route — the (max, min) semiring
+    #     swap of Bellman-Ford, video scene-cut detection (per-video
+    #     lag window over the exploded frame plan), the cross-source
+    #     near-dup matrix over the certified LSH pairs (which feeds
+    #     overlap), exact p95/|p05| return tail ratio via count-bucket
+    #     order statistics, and Welch's unequal-variance t on per-user
+    #     purchase spend (the continuous-metric A/B read). ---
+    "trade_bottleneck_path", "media_scene_cuts", "doc_source_pair_dups",
+    "prices_tail_ratio", "events_value_ab_welch",
 ]
 
 

@@ -2917,3 +2917,123 @@ register(
     ) GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- Welch t-test on purchase spend (continuous-metric A/B) ------------------
+# events_ab_lift reads a PROPORTION; experiments on revenue need the
+# continuous-metric test: Welch's unequal-variance t on per-user
+# purchase spend between the two LCG arms.  Per-user spend is summed
+# in exact integer cents; each arm's (n, S, SS) moments are exact
+# int64 (every one under 2^53, hence exactly representable), and the
+# t statistic is ONE shared double expression — division, multiply
+# and IEEE sqrt are correctly rounded, so the milli-floored t is
+# engine-portable without any fixed-point variance dance.
+
+_WELCH_T_CRIT_MILLI = 1960  # |t| at p ~ 0.05 for large df
+
+
+_WELCH_SE2_EXPR = (
+    "((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+    " / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)"
+    " + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+    " / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)"
+)
+
+_WELCH_T_EXPR = (
+    "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    f" / sqrt({_WELCH_SE2_EXPR})"
+)
+
+
+def q_events_value_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+    )
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    arms = spend.select(lcg_bucket("user_id", 2).alias("arm"), "cents")
+    mom = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ssa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ssb"),
+    )
+    # both-variances-zero would make t = 0/0 = NaN; the guard is the
+    # same shared double expression so it filters identically
+    return mom.filter(F.expr(f"na >= 2 AND nb >= 2 AND ({_WELCH_SE2_EXPR}) > 0")).select(
+        "na",
+        "nb",
+        F.expr("CAST(floor(CAST(sa AS DOUBLE) / na) AS BIGINT)").alias(
+            "mean_a_cents"
+        ),
+        F.expr("CAST(floor(CAST(sb AS DOUBLE) / nb) AS BIGINT)").alias(
+            "mean_b_cents"
+        ),
+        F.expr(f"CAST(floor(({_WELCH_T_EXPR}) * 1000.0) AS BIGINT)").alias(
+            "t_milli"
+        ),
+        F.expr(
+            f"abs(CAST(floor(({_WELCH_T_EXPR}) * 1000.0) AS BIGINT))"
+            f" >= {_WELCH_T_CRIT_MILLI}"
+        ).alias("significant"),
+    )
+
+
+def _welch_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    return f"""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    arms AS (
+      SELECT {sql_lcg_bucket('user_id', 2)} AS arm, cents FROM spend
+    ),
+    mom AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT)
+          AS ssa,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT)
+          AS ssb
+      FROM arms
+    )
+    SELECT na, nb,
+           CAST(floor(CAST(sa AS DOUBLE) / na) AS BIGINT) AS mean_a_cents,
+           CAST(floor(CAST(sb AS DOUBLE) / nb) AS BIGINT) AS mean_b_cents,
+           CAST(floor(({_WELCH_T_EXPR}) * 1000.0) AS BIGINT) AS t_milli,
+           abs(CAST(floor(({_WELCH_T_EXPR}) * 1000.0) AS BIGINT))
+             >= {_WELCH_T_CRIT_MILLI} AS significant
+    FROM mom WHERE na >= 2 AND nb >= 2 AND ({_WELCH_SE2_EXPR}) > 0
+    """
+
+
+register("events_value_ab_welch", q_events_value_ab_welch, _welch_sql())

@@ -1871,3 +1871,139 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+# ---- return tail ratio --------------------------------------------------------
+# Asymmetry-of-extremes risk stat: the exact 95th percentile of daily
+# returns over the magnitude of the exact 5th, per symbol.  Both
+# order statistics come from the count-bucket selection trick
+# (returns are winsorized ppm INTEGERS, so a (symbol, r) count table
+# plus a cumulative sum picks any quantile exactly — the
+# supply_lead_time discipline, no percentile interpolation).  Symbols
+# whose p05 is non-negative or p95 non-positive (no two-sided tail)
+# are filtered, deterministic.
+
+_TAIL_MIN_DAYS = 20
+
+
+def q_prices_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    per_r = rets.groupBy("symbol", "r").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("symbol")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_r.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("symbol"))
+    )
+    p05 = (
+        cum.filter(F.expr("cum >= (n + 19) div 20"))
+        .groupBy("symbol")
+        .agg(F.min("r").alias("p05_ppm"), F.max("n").alias("n"))
+    )
+    p95 = (
+        cum.filter(F.expr("cum >= (n * 19 + 19) div 20"))
+        .groupBy("symbol")
+        .agg(F.min("r").alias("p95_ppm"))
+    )
+    return (
+        p05.join(p95, "symbol")
+        .filter(F.col("n") >= _TAIL_MIN_DAYS)
+        .filter((F.col("p05_ppm") < 0) & (F.col("p95_ppm") > 0))
+        .select(
+            "symbol",
+            "n",
+            "p05_ppm",
+            "p95_ppm",
+            F.expr("p95_ppm * 1000000 div (-p05_ppm)").alias("tail_ratio_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_tail_ratio",
+    q_prices_tail_ratio,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    per_r AS (
+      SELECT symbol, r, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rets GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT symbol, r, c,
+             CAST(SUM(c) OVER (PARTITION BY symbol ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY symbol) AS BIGINT) AS n
+      FROM per_r
+    ),
+    p05 AS (
+      SELECT symbol, MIN(r) AS p05_ppm, CAST(MAX(n) AS BIGINT) AS n
+      FROM cum WHERE cum >= (n + 19) // 20 GROUP BY 1
+    ),
+    p95 AS (
+      SELECT symbol, MIN(r) AS p95_ppm
+      FROM cum WHERE cum >= (n * 19 + 19) // 20 GROUP BY 1
+    )
+    SELECT symbol, n, p05_ppm, p95_ppm,
+           p95_ppm * 1000000 // (-p05_ppm) AS tail_ratio_ppm
+    FROM p05 JOIN p95 USING (symbol)
+    WHERE n >= {_TAIL_MIN_DAYS} AND p05_ppm < 0 AND p95_ppm > 0
+    ORDER BY symbol
+    """,
+)

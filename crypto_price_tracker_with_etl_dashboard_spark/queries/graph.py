@@ -29,6 +29,8 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.bfs import (
     sql_bellman_ford,
     sql_bfs_hops,
     sql_multi_bfs_hops,
+    sql_widest_path,
+    widest_path,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
     kcore,
@@ -776,4 +778,37 @@ register(
     "events_community_modularity",
     q_events_community_modularity,
     _modularity_sql(),
+)
+
+
+# ---- Widest (maximum-bottleneck) trade route --------------------------------
+# The logistics dual of trade_cheapest_path: the widest route from
+# supplier 1 to every node within _BF_ROUNDS edges, where an edge's
+# capacity is its trade count and a route's width is its NARROWEST
+# edge — the (max, min) semiring swap of Bellman-Ford
+# (operators/bfs.py::widest_path).  Same synchronous-relaxation
+# scale shape (one join + one MAX per round, state O(nodes)); the
+# unrolled oracle matches bit-for-bit short of convergence because
+# every partial width is an exact BIGINT.
+
+
+def q_trade_bottleneck_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = widest_path(
+        _trade_edges(spark, sf_dir), source=_BFS_SOURCE, rounds=_BF_ROUNDS
+    )
+    kind = F.when(F.col("node") % 2 == 0, "supplier").otherwise("customer")
+    return cap.select("node", kind.alias("kind"), "width").orderBy(
+        F.col("width").desc(), F.col("node").asc()
+    )
+
+
+register(
+    "trade_bottleneck_path",
+    q_trade_bottleneck_path,
+    sql_widest_path(_EDGES_CTE, source=_BFS_SOURCE, rounds=_BF_ROUNDS).replace(
+        f"SELECT node, width FROM c{_BF_ROUNDS} WHERE node <> {_BFS_SOURCE}",
+        f"SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        f" AS kind, width FROM c{_BF_ROUNDS} WHERE node <> {_BFS_SOURCE}"
+        f" ORDER BY width DESC, node ASC",
+    ),
 )

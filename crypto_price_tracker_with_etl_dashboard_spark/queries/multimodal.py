@@ -435,3 +435,103 @@ register(
     FROM groups GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- video scene-cut detection ------------------------------------------------
+# The frame-pipeline read on top of media_frame_sample: per sampled
+# frame a deterministic intensity (first md5 byte of payload+frame
+# index — the stub-codec discipline of media_decode: the Spark-side
+# shape being certified is the REAL one, a per-video lag window over
+# an exploded frame plan), a cut wherever the intensity jumps by more
+# than the threshold, and a per-video summary.  At scale the frame
+# table is |videos| x fps rows, partitioned by media_id; the lag
+# window never crosses videos.
+
+_CUT_THRESHOLD = 64  # |delta intensity| on the 0-255 scale
+
+
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    media = media_from_documents(fan_out(load_table(spark, sf_dir, "documents")))
+    frames = frame_sample_plan(media.filter(F.col("media_type") == "video"),
+                               every_ms=1000)
+    feat = frames.join(
+        media.select("media_id", F.col("content").cast("string").alias("__txt")),
+        "media_id",
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("__txt"), F.col("frame_idx"))), 1, 2
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("intensity"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = (
+        feat.withColumn("__prev", F.lag("intensity").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "media_id",
+            F.abs(F.col("intensity") - F.col("__prev")).alias("d"),
+        )
+    )
+    return (
+        deltas.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.sum((F.col("d") > _CUT_THRESHOLD).cast("bigint")).alias("n_cuts"),
+            F.max("d").alias("max_delta"),
+        )
+        .select(
+            "media_id",
+            "n_transitions",
+            "n_cuts",
+            F.expr("n_cuts * 1000000 div n_transitions").alias("cut_ppm"),
+            "max_delta",
+        )
+        .orderBy("media_id")
+    )
+
+
+register(
+    "media_scene_cuts",
+    q_media_scene_cuts,
+    f"""
+    WITH {MEDIA_CTE_SQL.strip()},
+    frames AS (
+      SELECT media_id, content_text,
+             CAST(unnest(range(0, greatest(CAST(duration_ms / 1000 AS BIGINT),
+                                           1))) AS INT) AS frame_idx
+      FROM media WHERE media_type = 'video'
+    ),
+    feat AS (
+      SELECT media_id, frame_idx,
+             ('0x' || substr(md5(content_text || '#' || frame_idx), 1, 2))::BIGINT
+               AS intensity
+      FROM frames
+    ),
+    deltas AS (
+      SELECT media_id, abs(intensity - prev) AS d
+      FROM (
+        SELECT media_id, intensity,
+               lag(intensity) OVER (PARTITION BY media_id ORDER BY frame_idx)
+                 AS prev
+        FROM feat
+      ) WHERE prev IS NOT NULL
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN d > {_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(SUM(CASE WHEN d > {_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS cut_ppm,
+           MAX(d) AS max_delta
+    FROM deltas GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -2517,3 +2517,64 @@ register(
     WHERE rank <= {_ZIPF_TOPK}
     """,
 )
+
+
+# ---- cross-source near-dup matrix -------------------------------------------
+# WHERE is the duplication coming from?  doc_dedup_by_source reports
+# each source's own dup rate; this breaks the certified MinHash-LSH
+# candidate pairs down by UNORDERED source pair — the
+# mirror-site / scraper-overlap view that decides which feeds to
+# drop.  Reuses minhash_lsh_pairs verbatim (same banding constants as
+# doc_minhash_lsh), joins the two |docs|-row source maps, and folds
+# to a |sources|^2-bounded matrix; strong pairs = estimated Jaccard
+# >= 0.5 (the dup-cluster threshold).
+
+
+def q_doc_source_pair_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "est_jaccard",
+        )
+    )
+    return (
+        tagged.groupBy("source_lo", "source_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("est_jaccard") >= 0.5).cast("bigint")).alias(
+                "strong_pairs"
+            ),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+register(
+    "doc_source_pair_dups",
+    q_doc_source_pair_dups,
+    f"""
+    WITH pairs AS ({_minhash_sql()}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(a.source, b.source) AS source_lo,
+           GREATEST(a.source, b.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS strong_pairs
+    FROM pairs
+    JOIN src a ON pairs.doc_a = a.doc_id
+    JOIN src b ON pairs.doc_b = b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
