@@ -180,10 +180,13 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # prices_roll_spread, events_seasonal_residuals, media_binary_dedup)
 # and the batch-37 five (trade_bottleneck_path, media_scene_cuts,
 # doc_source_pair_dups, prices_tail_ratio, events_value_ab_welch)
+# and the batch-38 four (parts_sourcing_depth,
+# media_audio_clipping, prices_var_exceedances,
+# parts_brand_share_shift)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (174 total candidates - 8
-# r7 debuts = 166 remaining; at ~8 debuts/round that cohort carries
-# through ~r28 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (178 total candidates - 8
+# r7 debuts = 170 remaining; at ~8 debuts/round that cohort carries
+# through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -544,6 +547,15 @@ ROTATION_POOL: list[str] = [
     #     purchase spend (the continuous-metric A/B read). ---
     "trade_bottleneck_path", "media_scene_cuts", "doc_source_pair_dups",
     "prices_tail_ratio", "events_value_ab_welch",
+    # --- r6-built batch 38, same debut-candidate status: sourcing-
+    #     depth exposure bands (revenue by distinct-supplier count),
+    #     the REAL-decode audio clipping screen (full-scale
+    #     sample share through the stdlib wave kernel), out-of-sample
+    #     VaR exceedance backtest with the Kupiec binomial test as
+    #     one integer cross-multiplication, and YoY brand share-shift
+    #     top movers. ---
+    "parts_sourcing_depth", "media_audio_clipping",
+    "prices_var_exceedances", "parts_brand_share_shift",
 ]
 
 

@@ -2007,3 +2007,158 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+# ---- VaR exceedance (Kupiec) backtest ---------------------------------------------
+# Risk governance on top of the VaR family: estimate the 5% VaR on
+# the FIRST half of each symbol's return history (exact order
+# statistic, count-bucket selection), count exceedances in the
+# SECOND half, and flag symbols whose exceedance count falls outside
+# the binomial 95% band — the Kupiec proportion-of-failures test,
+# reduced to one integer cross-multiplication: with p = 1/20,
+# z^2 >= 3.8416  <=>  (20x - n2)^2 * 10000 >= 729904 * n2.
+# Out-of-sample by construction (the estimate never sees the test
+# window).  One shuffle to daily closes; windows share the
+# per-symbol partitioning.
+
+_VAR_BT_MIN_DAYS = 20
+
+
+def q_prices_var_exceedances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("symbol")))
+        .filter(F.col("n") >= _VAR_BT_MIN_DAYS)
+        .drop("day")
+    )
+    est = rets.filter(F.expr("rn <= n div 2"))
+    per_r = est.groupBy("symbol", "r").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("symbol")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_r.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n1", F.sum("c").over(Window.partitionBy("symbol"))
+    )
+    var05 = (
+        cum.filter(F.expr("cum >= (n1 + 19) div 20"))
+        .groupBy("symbol")
+        .agg(F.min("r").alias("var05_ppm"), F.max("n1").cast("bigint").alias("n1"))
+    )
+    test = (
+        rets.filter(F.expr("rn > n div 2"))
+        .join(var05, "symbol")
+        .groupBy("symbol", "var05_ppm", "n1")
+        .agg(
+            F.count("*").cast("bigint").alias("n2"),
+            F.sum((F.col("r") < F.col("var05_ppm")).cast("bigint")).alias("exceed"),
+        )
+    )
+    return test.select(
+        "symbol",
+        "n1",
+        "var05_ppm",
+        "n2",
+        "exceed",
+        F.expr("exceed * 1000000 div n2").alias("exceed_ppm"),
+        F.expr(
+            "(20 * exceed - n2) * (20 * exceed - n2) * 10000 >= 729904 * n2"
+        ).alias("kupiec_reject"),
+    ).orderBy("symbol")
+
+
+register(
+    "prices_var_exceedances",
+    q_prices_var_exceedances,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, r, rn, n FROM (
+        SELECT symbol,
+               GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+                 CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r,
+               row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+        FROM (
+          SELECT symbol, day, close,
+                 lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+          FROM daily
+        ) WHERE prev IS NOT NULL
+      ) WHERE n >= {_VAR_BT_MIN_DAYS}
+    ),
+    per_r AS (
+      SELECT symbol, r, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rets WHERE rn <= n // 2 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT symbol, r, c,
+             CAST(SUM(c) OVER (PARTITION BY symbol ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY symbol) AS BIGINT) AS n1
+      FROM per_r
+    ),
+    var05 AS (
+      SELECT symbol, MIN(r) AS var05_ppm, CAST(MAX(n1) AS BIGINT) AS n1
+      FROM cum WHERE cum >= (n1 + 19) // 20 GROUP BY 1
+    ),
+    test AS (
+      SELECT rets.symbol, var05_ppm, n1,
+             CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN r < var05_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS exceed
+      FROM rets JOIN var05 ON rets.symbol = var05.symbol
+      WHERE rn > n // 2
+      GROUP BY 1, 2, 3
+    )
+    SELECT symbol, n1, var05_ppm, n2, exceed,
+           exceed * 1000000 // n2 AS exceed_ppm,
+           (20 * exceed - n2) * (20 * exceed - n2) * 10000 >= 729904 * n2
+             AS kupiec_reject
+    FROM test ORDER BY symbol
+    """,
+)

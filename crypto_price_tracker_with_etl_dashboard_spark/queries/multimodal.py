@@ -535,3 +535,56 @@ register(
     FROM deltas GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- audio clipping screen ----------------------------------------------------
+# The audio-quality gate next to the VAD profile: what share of each
+# payload's samples sit at full scale (255 on the 8-bit grid)?
+# Clipped recordings distort every downstream feature, so corpora
+# screen them out before feature extraction.  The Spark side is the
+# REAL decode path (stdlib wave parse + numpy full-scale count inside
+# the decode_audio mapInPandas shape); the oracle counts the
+# closed-form solutions of (i*k) % 256 = 255 without parsing WAV —
+# same certification contract as media_audio_decode.  Corrupt blobs
+# degrade to NULL and are filtered identically.
+
+
+def q_media_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        audio_clip_screen,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_audio(docs.select(F.col("doc_id").alias("media_id")))
+    return (
+        audio_clip_screen(media)
+        .filter(F.col("n_samples").isNotNull())
+        .select(
+            "media_id",
+            "n_samples",
+            "n_clipped",
+            F.expr("n_clipped * 1000000 div n_samples").alias("clip_ppm"),
+        )
+        .orderBy("media_id")
+    )
+
+
+register(
+    "media_audio_clipping",
+    q_media_audio_clipping,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1        AS k,
+             (doc_id % 30 + 1) * 400 AS n
+      FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(len(list_filter(range(0, n), i -> (i * k) % 256 = 255))
+                AS BIGINT) AS n_clipped,
+           CAST(len(list_filter(range(0, n), i -> (i * k) % 256 = 255))
+                AS BIGINT) * 1000000 // n AS clip_ppm
+    FROM params ORDER BY media_id
+    """,
+)

@@ -2248,3 +2248,103 @@ def _hll_overlap_sql() -> str:
 
 
 register("events_hll_overlap", q_events_hll_overlap, _hll_overlap_sql())
+
+
+# ---- brand share shift --------------------------------------------------------
+# Category-management screen: each brand's share of yearly revenue,
+# the year-over-year share delta, and the top movers by |delta| —
+# who is winning shelf space?  Cent-exact revenue sums; shares are
+# ppm-floored doubles of exact ints; the YoY pairing is one lag
+# window over the (brand, year) grid (|brands| x |years| rows).
+# Top-10 by absolute delta is a distributed TakeOrdered.
+
+_BRAND_SHIFT_TOPK = 10
+
+
+def q_parts_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    per = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("yr"), "p_brand")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wy = Window.partitionBy("yr")
+    shares = (
+        per.withColumn("yr_total", F.sum("cents").over(wy))
+        .select(
+            "yr",
+            "p_brand",
+            F.expr(
+                "CAST(floor(CAST(cents AS DOUBLE) * 1000000.0"
+                " / CAST(yr_total AS DOUBLE)) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+    wb = Window.partitionBy("p_brand").orderBy("yr")
+    deltas = (
+        shares.withColumn("prev_share", F.lag("share_ppm").over(wb))
+        .withColumn("prev_yr", F.lag("yr").over(wb))
+        .filter(F.col("prev_share").isNotNull() & F.expr("yr = prev_yr + 1"))
+        .select(
+            "yr",
+            "p_brand",
+            "share_ppm",
+            (F.col("share_ppm") - F.col("prev_share")).alias("delta_ppm"),
+        )
+    )
+    return (
+        deltas.orderBy(
+            F.abs(F.col("delta_ppm")).desc(),
+            F.col("yr").asc(),
+            F.col("p_brand").asc(),
+        )
+        .limit(_BRAND_SHIFT_TOPK)
+    )
+
+
+register(
+    "parts_brand_share_shift",
+    q_parts_brand_share_shift,
+    f"""
+    WITH per AS (
+      SELECT year(l_shipdate) AS yr, p_brand,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT yr, p_brand,
+             CAST(floor(CAST(cents AS DOUBLE) * 1000000.0
+                        / CAST(CAST(SUM(cents) OVER (PARTITION BY yr) AS BIGINT)
+                               AS DOUBLE)) AS BIGINT) AS share_ppm
+      FROM per
+    ),
+    deltas AS (
+      SELECT yr, p_brand, share_ppm, share_ppm - prev_share AS delta_ppm
+      FROM (
+        SELECT yr, p_brand, share_ppm,
+               lag(share_ppm) OVER w AS prev_share,
+               lag(yr) OVER w AS prev_yr
+        FROM shares
+        WINDOW w AS (PARTITION BY p_brand ORDER BY yr)
+      ) WHERE prev_share IS NOT NULL AND yr = prev_yr + 1
+    )
+    SELECT yr, p_brand, share_ppm, delta_ppm
+    FROM deltas
+    ORDER BY abs(delta_ppm) DESC, yr ASC, p_brand ASC
+    LIMIT {_BRAND_SHIFT_TOPK}
+    """,
+)

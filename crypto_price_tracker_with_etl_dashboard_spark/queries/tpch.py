@@ -1102,3 +1102,81 @@ register(
     LIMIT {_SCORECARD_TOPN}
     """,
 )
+
+
+# ---- sourcing-depth exposure ---------------------------------------------------
+# The procurement risk view q16 (supplier diversity) stops short of:
+# band every part by HOW MANY distinct suppliers ship it, and report
+# each band's part count and cent-exact revenue — how much revenue
+# rides on thinly-sourced parts?  Fixed data-independent band edges
+# (<=20 / 21-30 / 31+ suppliers: TPC-H's uniform assignment puts
+# every part in the teens-to-forties, so these cut meaningful
+# terciles; a literal single-source part lands in the lowest band).
+# Revenue uses per-term-rounded integer cents; shares are one double
+# op.  Plan: one partkey hash agg, then a 3-row fold.
+
+
+def q_parts_sourcing_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bucket = F.when(F.col("n_suppliers") <= 20, "1-thin(<=20)").when(
+        F.col("n_suppliers") <= 30, "2-mid(21-30)"
+    ).otherwise("3-deep(31+)")
+    per = (
+        per_part.groupBy(bucket.alias("sourcing"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    total = per.agg(F.sum("revenue_cents").cast("bigint").alias("total_cents"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "sourcing",
+            "n_parts",
+            "revenue_cents",
+            F.expr(
+                "CAST(floor(CAST(revenue_cents AS DOUBLE) * 1000000.0"
+                " / CAST(total_cents AS DOUBLE)) AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+        .orderBy("sourcing")
+    )
+
+
+register(
+    "parts_sourcing_depth",
+    q_parts_sourcing_depth,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    per AS (
+      SELECT CASE WHEN n_suppliers <= 20 THEN '1-thin(<=20)'
+                  WHEN n_suppliers <= 30 THEN '2-mid(21-30)'
+                  ELSE '3-deep(31+)' END AS sourcing,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM per_part GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM per)
+    SELECT sourcing, n_parts, revenue_cents,
+           CAST(floor(CAST(revenue_cents AS DOUBLE) * 1000000.0
+                      / CAST(total_cents AS DOUBLE)) AS BIGINT)
+             AS rev_share_ppm
+    FROM per CROSS JOIN total
+    ORDER BY sourcing
+    """,
+)

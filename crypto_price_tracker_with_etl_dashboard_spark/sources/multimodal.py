@@ -800,3 +800,51 @@ def image_histogram(media: DataFrame, n_buckets: int = IMG_HIST_BUCKETS) -> Data
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, IMAGE_HIST_SCHEMA)
+
+
+CLIP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("n_clipped", LongType(), True),
+    ]
+)
+
+
+def wav_clip_stats(content: Optional[bytes]) -> tuple:
+    """Clipping screen for 8-bit unsigned PCM: how many samples sit at
+    full-scale 255?  Parsed with the same stdlib ``wave`` path as
+    :func:`wav_decode`; undecodable payloads degrade to NULLs."""
+    import io
+    import wave
+
+    if content is None:
+        return (None, None)
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                return (None, None)
+            raw = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.uint8
+            )
+    except Exception:
+        return (None, None)
+    return (int(raw.size), int((raw == 255).sum()))
+
+
+def audio_clip_screen(media: DataFrame) -> DataFrame:
+    """Per-payload clipping stats via the decode_audio mapInPandas
+    shape (narrow map, binary dropped after the kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_clip_stats(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [s[0] for s in stats],
+                    "n_clipped": [s[1] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(kernel, CLIP_STATS_SCHEMA)
