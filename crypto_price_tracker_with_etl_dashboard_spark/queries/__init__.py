@@ -183,9 +183,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-38 four (parts_sourcing_depth,
 # media_audio_clipping, prices_var_exceedances,
 # parts_brand_share_shift)
+# and the batch-39 five (doc_simhash_bit_balance, prices_gap_report,
+# customer_balance_activity_corr, media_image_border,
+# orders_monthly_seasonal_index)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (178 total candidates - 8
-# r7 debuts = 170 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (183 total candidates - 8
+# r7 debuts = 175 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -556,6 +559,15 @@ ROTATION_POOL: list[str] = [
     #     top movers. ---
     "parts_sourcing_depth", "media_audio_clipping",
     "prices_var_exceedances", "parts_brand_share_shift",
+    # --- r6-built batch 39, same debut-candidate status: SimHash
+    #     bit-balance index-health audit, per-symbol tick-coverage
+    #     gap report, customer balance-vs-activity Pearson r (zero-
+    #     order customers kept via left join), border-vs-interior
+    #     image screen through the real BMP parse, and the monthly
+    #     seasonal demand index. ---
+    "doc_simhash_bit_balance", "prices_gap_report",
+    "customer_balance_activity_corr", "media_image_border",
+    "orders_monthly_seasonal_index",
 ]
 
 

@@ -2162,3 +2162,73 @@ register(
     FROM test ORDER BY symbol
     """,
 )
+
+
+# ---- tick-coverage gap report --------------------------------------------------
+# The data-quality read every time-series consumer runs before
+# trusting an indicator: per symbol, how complete is the daily
+# coverage between its first and last observation, and how long was
+# the worst outage?  Missing days come from the per-symbol date span
+# vs observed-day count (exact integers); the longest gap is the max
+# day-over-day delta minus one — all from the same lag window the
+# return queries use, so the report costs one shuffle.
+
+
+def q_prices_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir)
+    days = prices.select(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).distinct()
+    wd = Window.partitionBy("symbol").orderBy("day")
+    gaps = days.withColumn(
+        "gap", F.datediff(F.col("day"), F.lag("day").over(wd)) - 1
+    )
+    return (
+        gaps.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("observed_days"),
+            (F.datediff(F.max("day"), F.min("day")) + 1)
+            .cast("bigint")
+            .alias("span_days"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap_days"),
+        )
+        .select(
+            "symbol",
+            "span_days",
+            "observed_days",
+            (F.col("span_days") - F.col("observed_days")).alias("missing_days"),
+            F.expr("observed_days * 1000000 div span_days").alias("coverage_ppm"),
+            "max_gap_days",
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_gap_report",
+    q_prices_gap_report,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    days AS (
+      SELECT DISTINCT symbol, CAST(timestamp AS DATE) AS day FROM prices
+    ),
+    gaps AS (
+      SELECT symbol, day,
+             date_diff('day', lag(day) OVER (PARTITION BY symbol ORDER BY day),
+                       day) - 1 AS gap
+      FROM days
+    )
+    SELECT symbol,
+           CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+           CAST(COUNT(*) AS BIGINT) AS observed_days,
+           CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) - COUNT(*)
+             AS missing_days,
+           CAST(COUNT(*) AS BIGINT) * 1000000
+             // CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+             AS coverage_ppm,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -588,3 +588,79 @@ register(
     FROM params ORDER BY media_id
     """,
 )
+
+
+# ---- image border-vs-interior screen ------------------------------------------
+# The letterbox / solid-border ingredient: per image, red-channel
+# mean over the 1-pixel border frame vs the interior, through the
+# REAL BMP parse (same mapInPandas contract as media_image_decode —
+# stride and bottom-up row order must both be right or the border
+# mask lands on the wrong pixels).  The oracle reproduces the sums
+# from the synthesis formula with a border predicate on (x, y) —
+# no BMP parsing.  Means are milli-floored exact integers.
+
+
+def q_media_image_border(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        image_border_screen,
+        synth_images,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_images(docs.select(F.col("doc_id").alias("media_id")))
+    return (
+        image_border_screen(media)
+        .filter(F.col("n_border").isNotNull())
+        .select(
+            "media_id",
+            "n_border",
+            "n_interior",
+            F.expr("border_sum_r * 1000 div n_border").alias("border_mean_milli"),
+            F.expr("interior_sum_r * 1000 div n_interior").alias(
+                "interior_mean_milli"
+            ),
+            F.expr(
+                "border_sum_r * 1000 div n_border"
+                " - interior_sum_r * 1000 div n_interior"
+            ).alias("contrast_milli"),
+        )
+        .orderBy("media_id")
+    )
+
+
+register(
+    "media_image_border",
+    q_media_image_border,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1 AS k,
+             doc_id % 13 + 4  AS w,
+             doc_id % 7 + 4   AS h
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    sums AS (
+      SELECT media_id,
+             CAST(2 * w + 2 * h - 4 AS BIGINT) AS n_border,
+             CAST(w * h - (2 * w + 2 * h - 4) AS BIGINT) AS n_interior,
+             CAST(list_sum(list_transform(range(0, w * h), i ->
+               CASE WHEN (i % w) = 0 OR (i % w) = w - 1
+                      OR (i // w) = 0 OR (i // w) = h - 1
+                    THEN (2 * (i % w) + 3 * (i // w) + 3 * k) % 256
+                    ELSE 0 END)) AS BIGINT) AS border_sum_r,
+             CAST(list_sum(list_transform(range(0, w * h), i ->
+               CASE WHEN (i % w) = 0 OR (i % w) = w - 1
+                      OR (i // w) = 0 OR (i // w) = h - 1
+                    THEN 0
+                    ELSE (2 * (i % w) + 3 * (i // w) + 3 * k) % 256 END))
+               AS BIGINT) AS interior_sum_r
+      FROM params
+    )
+    SELECT media_id, n_border, n_interior,
+           border_sum_r * 1000 // n_border AS border_mean_milli,
+           interior_sum_r * 1000 // n_interior AS interior_mean_milli,
+           border_sum_r * 1000 // n_border
+             - interior_sum_r * 1000 // n_interior AS contrast_milli
+    FROM sums ORDER BY media_id
+    """,
+)

@@ -2348,3 +2348,136 @@ register(
     LIMIT {_BRAND_SHIFT_TOPK}
     """,
 )
+
+
+# ---- customer balance-activity correlation ----------------------------------------
+# Does a bigger account balance predict ordering more?  Pearson r of
+# c_acctbal (exact integer cents) against lifetime order count over
+# ALL customers (zero-order customers included via left join — the
+# part a naive inner-join correlation silently drops).  Moments are
+# exact int64 sums; r is one shared double expression (correctly-
+# rounded ops only), milli-floored.  One custkey-bucketed agg + a
+# broadcast-sized moment fold.
+
+_CORR_R_EXPR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt("
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    ")"
+)
+
+
+def q_customer_balance_activity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    xy = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("x"),
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("y"),
+    )
+    mom = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return mom.filter(
+        F.expr(
+            "n >= 2 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0"
+            " AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0"
+        )
+    ).select(
+        "n",
+        F.expr("CAST(floor(CAST(sy AS DOUBLE) * 1000.0 / n) AS BIGINT)").alias(
+            "mean_orders_milli"
+        ),
+        F.expr(f"CAST(floor(({_CORR_R_EXPR}) * 1000.0) AS BIGINT)").alias(
+            "r_milli"
+        ),
+    )
+
+
+register(
+    "customer_balance_activity_corr",
+    q_customer_balance_activity_corr,
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             COALESCE(n_orders, CAST(0 AS BIGINT)) AS y
+      FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT n,
+           CAST(floor(CAST(sy AS DOUBLE) * 1000.0 / n) AS BIGINT)
+             AS mean_orders_milli,
+           CAST(floor(({_CORR_R_EXPR}) * 1000.0) AS BIGINT) AS r_milli
+    FROM mom
+    WHERE n >= 2 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+)
+
+
+# ---- monthly seasonal index ---------------------------------------------------
+# The demand-planning classic: each calendar month's order volume as
+# a ppm index against the average month — the multiplicative seasonal
+# profile a planner divides out before trending.  Exact integer
+# counts; the index is integer cross-multiplication (count * 12 * 1e6
+# / total).  One small month-of-year agg.
+
+
+def q_orders_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    total = per.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            F.col("month").cast("bigint").alias("month"),
+            "n_orders",
+            F.expr("n_orders * 12 * 1000000 div total").alias("seasonal_index_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    "orders_monthly_seasonal_index",
+    q_orders_monthly_seasonal_index,
+    """
+    WITH per AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM per)
+    SELECT month, n_orders,
+           n_orders * 12 * 1000000 // total AS seasonal_index_ppm
+    FROM per CROSS JOIN total
+    ORDER BY month
+    """,
+)

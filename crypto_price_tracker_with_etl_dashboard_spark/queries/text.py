@@ -2578,3 +2578,84 @@ register(
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- SimHash bit-balance audit ------------------------------------------------
+# Index-health for the SimHash family (the ivf_list_balance
+# discipline): a healthy 32-bit SimHash has each bit set on ~half the
+# corpus — a skewed bit carries no Hamming discrimination, and a
+# stuck bit (0 or 100%) effectively shortens every signature.  One
+# shuffle-free signature pass (reuses the certified doc_simhash
+# expression), one explode to (bit, set?) pairs, one 32-row agg.
+
+_SIMHASH_BITS = 32
+
+
+def q_doc_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select("doc_id", D.token_hashes("text").alias("hs"))
+    sigs = hashed.select(D.simhash32_from_hashes(F.col("hs")).alias("simhash"))
+    # literal per-bit shift amounts (shiftright takes an int, not a
+    # Column, so the 32-element array is built with a Python loop)
+    bits = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        F.shiftright(F.col("simhash"), b)
+                        .bitwiseAND(F.lit(1))
+                        .alias("set"),
+                    )
+                    for b in range(_SIMHASH_BITS)
+                ]
+            )
+        ).alias("x")
+    ).select("x.bit", "x.set")
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("set").cast("bigint").alias("n_set"),
+        )
+        .select(
+            F.col("bit").cast("bigint").alias("bit"),
+            "n_docs",
+            "n_set",
+            F.expr("n_set * 1000000 div n_docs").alias("set_ppm"),
+            F.expr(
+                "abs(2 * n_set - n_docs) * 1000000 div n_docs >= 500000"
+            ).alias("skewed"),
+        )
+        .orderBy("bit")
+    )
+
+
+def _simhash_balance_sql() -> str:
+    hashes = f"list_transform({_SQL_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {hashes} AS h FROM documents),
+    sigs AS (SELECT CAST({bit_terms} AS BIGINT) AS simhash FROM h),
+    bits AS (
+      SELECT CAST(unnest(range(0, {_SIMHASH_BITS})) AS BIGINT) AS bit, simhash
+      FROM sigs
+    )
+    SELECT bit,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM((simhash >> CAST(bit AS INT)) & 1) AS BIGINT) AS n_set,
+           CAST(SUM((simhash >> CAST(bit AS INT)) & 1) AS BIGINT)
+             * 1000000 // COUNT(*) AS set_ppm,
+           abs(2 * CAST(SUM((simhash >> CAST(bit AS INT)) & 1) AS BIGINT)
+               - COUNT(*)) * 1000000 // COUNT(*) >= 500000 AS skewed
+    FROM bits GROUP BY 1 ORDER BY 1
+    """
+
+
+register("doc_simhash_bit_balance", q_doc_simhash_bit_balance, _simhash_balance_sql())

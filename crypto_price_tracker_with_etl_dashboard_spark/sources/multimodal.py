@@ -848,3 +848,71 @@ def audio_clip_screen(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, CLIP_STATS_SCHEMA)
+
+
+BORDER_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_border", LongType(), True),
+        StructField("n_interior", LongType(), True),
+        StructField("border_sum_r", LongType(), True),
+        StructField("interior_sum_r", LongType(), True),
+    ]
+)
+
+
+def bmp_border_stats(content: Optional[bytes]) -> tuple:
+    """Border-vs-interior red-channel sums through the REAL BMP parse
+    (letterbox / solid-border screen ingredient).  Border = row 0,
+    last row, col 0, last col of the logical top-down image.
+    Undecodable payloads degrade to NULLs."""
+    import struct
+
+    null = (None, None, None, None)
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return null
+    (offset,) = struct.unpack_from("<I", content, 10)
+    hdrsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+    if hdrsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return null
+    top_down, habs = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(content) < offset + stride * habs:
+        return null
+    px = (
+        np.frombuffer(content, dtype=np.uint8, count=stride * habs, offset=offset)
+        .reshape(habs, stride)[:, : w * 3]
+        .reshape(habs, w, 3)
+    )
+    if not top_down:
+        px = px[::-1]
+    r = px[:, :, 2].astype(np.int64)
+    border = np.zeros((habs, w), dtype=bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    return (
+        int(border.sum()),
+        int((~border).sum()),
+        int(r[border].sum()),
+        int(r[~border].sum()),
+    )
+
+
+def image_border_screen(media: DataFrame) -> DataFrame:
+    """Per-payload border stats via the decode_images mapInPandas
+    shape (narrow map, binary dropped after the kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [bmp_border_stats(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_border": [s[0] for s in stats],
+                    "n_interior": [s[1] for s in stats],
+                    "border_sum_r": [s[2] for s in stats],
+                    "interior_sum_r": [s[3] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(kernel, BORDER_STATS_SCHEMA)
