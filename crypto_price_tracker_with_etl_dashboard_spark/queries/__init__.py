@@ -186,9 +186,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-39 five (doc_simhash_bit_balance, prices_gap_report,
 # customer_balance_activity_corr, media_image_border,
 # orders_monthly_seasonal_index)
+# and the batch-40 five (prices_corr_clusters, lineitem_domain_audit,
+# doc_dup_length_bias, events_session_fatigue,
+# prices_round_clustering)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (183 total candidates - 8
-# r7 debuts = 175 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (188 total candidates - 8
+# r7 debuts = 180 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -568,6 +571,15 @@ ROTATION_POOL: list[str] = [
     "doc_simhash_bit_balance", "prices_gap_report",
     "customer_balance_activity_corr", "media_image_border",
     "orders_monthly_seasonal_index",
+    # --- r6-built batch 40, same debut-candidate status: correlated-
+    #     symbol clusters (certified corr matrix -> LPA communities),
+    #     the lineitem value-domain contract audit, the dedup
+    #     length-bias audit (does exact dedup skew corpus length?),
+    #     within-session fatigue curve, and round-number price
+    #     clustering (binomial z as integer cross-multiplication). ---
+    "prices_corr_clusters", "lineitem_domain_audit",
+    "doc_dup_length_bias", "events_session_fatigue",
+    "prices_round_clustering",
 ]
 
 

@@ -3037,3 +3037,90 @@ def _welch_sql() -> str:
 
 
 register("events_value_ab_welch", q_events_value_ab_welch, _welch_sql())
+
+
+# ---- within-session fatigue curve ------------------------------------------------
+# Do users slow down as a session progresses?  Mean gap (seconds,
+# milli-floored) between consecutive events BY POSITION within the
+# session — the fatigue/engagement-decay curve product teams read
+# before tuning session-length targets.  Positions cap at 20 (the
+# tail is sparse and would emit one row per max depth).  One user
+# shuffle for the session windows; the curve agg is |positions| rows.
+
+_FATIGUE_MAX_POS = 20
+
+
+def q_events_session_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = (
+        sess.withColumn("pos", F.row_number().over(w_sess))
+        .withColumn(
+            "g",
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_sess)),
+        )
+        .filter(F.col("g").isNotNull() & (F.col("pos") <= _FATIGUE_MAX_POS))
+    )
+    return (
+        steps.groupBy(F.col("pos").cast("bigint").alias("position"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_steps"),
+            F.sum("g").cast("bigint").alias("sum_gap_s"),
+        )
+        .select(
+            "position",
+            "n_steps",
+            F.expr("sum_gap_s * 1000 div n_steps").alias("mean_gap_milli_s"),
+        )
+        .orderBy("position")
+    )
+
+
+register(
+    "events_session_fatigue",
+    q_events_session_fatigue,
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    steps AS (
+      SELECT row_number() OVER ws AS pos,
+             date_diff('second', lag(ts) OVER ws, ts) AS g
+      FROM sess
+      WINDOW ws AS (PARTITION BY user_id, session_id
+                    ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT CAST(pos AS BIGINT) AS position,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(g) AS BIGINT) * 1000 // COUNT(*) AS mean_gap_milli_s
+    FROM steps
+    WHERE g IS NOT NULL AND pos <= {_FATIGUE_MAX_POS}
+    GROUP BY 1 ORDER BY 1
+    """,
+)

