@@ -189,9 +189,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-40 five (prices_corr_clusters, lineitem_domain_audit,
 # doc_dup_length_bias, events_session_fatigue,
 # prices_round_clustering)
+# and the batch-41 five (emb_adc_recall, emb_neardup_sweep,
+# events_simpson_check, events_freshness_report,
+# prices_extreme_timing)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (188 total candidates - 8
-# r7 debuts = 180 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (193 total candidates - 8
+# r7 debuts = 185 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -580,6 +583,14 @@ ROTATION_POOL: list[str] = [
     "prices_corr_clusters", "lineitem_domain_audit",
     "doc_dup_length_bias", "events_session_fatigue",
     "prices_round_clustering",
+    # --- r6-built batch 41, same debut-candidate status: the ADC
+    #     recall audit (completes the recall family), near-dup
+    #     threshold sweep (three taus from one pair pass), the
+    #     Simpson's-paradox mix-confounding screen (all-integer lift
+    #     signs), the event-stream freshness monitor, and intraday
+    #     extreme-print timing. ---
+    "emb_adc_recall", "emb_neardup_sweep", "events_simpson_check",
+    "events_freshness_report", "prices_extreme_timing",
 ]
 
 

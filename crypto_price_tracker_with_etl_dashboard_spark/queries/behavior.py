@@ -3124,3 +3124,175 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- Simpson's-paradox screen -----------------------------------------------------
+# The aggregation trap every experiment readout must clear: the
+# OVERALL conversion lift between the two LCG arms can carry the
+# opposite sign of EVERY activity stratum's lift when arm mix differs
+# across strata.  Lift signs are exact integer cross-products
+# (conv_a * n_b - conv_b * n_a — no division, no floats); users
+# stratify at a fixed 5-events/user activity cut.  A reversal flags
+# the readout as mix-confounded.  One user shuffle; 1-row report.
+
+_SIMPSON_ACTIVITY_CUT = 5
+
+
+def q_events_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    tagged = users.select(
+        lcg_bucket("user_id", 2).alias("arm"),
+        (F.col("n_events") > _SIMPSON_ACTIVITY_CUT).cast("int").alias("heavy"),
+        "y",
+    )
+    cells = tagged.groupBy("arm", "heavy").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("conv"),
+    )
+    # one row: pivot the 4 cells into columns via conditional sums
+    flat = cells.agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == a) & (F.col("heavy") == h), F.col(c))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}_{a}{h}")
+            for c in ("n", "conv")
+            for a in (0, 1)
+            for h in (0, 1)
+        ]
+    )
+    sign = lambda expr: f"CASE WHEN {expr} > 0 THEN 1 WHEN {expr} < 0 THEN -1 ELSE 0 END"  # noqa: E731
+    overall = sign(
+        "(conv_00 + conv_01) * (n_10 + n_11) - (conv_10 + conv_11) * (n_00 + n_01)"
+    )
+    light = sign("conv_00 * n_10 - conv_10 * n_00")
+    heavy = sign("conv_01 * n_11 - conv_11 * n_01")
+    return flat.select(
+        F.expr("n_00 + n_01").alias("n_arm_a"),
+        F.expr("n_10 + n_11").alias("n_arm_b"),
+        F.expr(overall).cast("bigint").alias("overall_dir"),
+        F.expr(light).cast("bigint").alias("light_dir"),
+        F.expr(heavy).cast("bigint").alias("heavy_dir"),
+        F.expr(
+            f"({overall}) <> 0 AND ({light}) = ({heavy})"
+            f" AND ({overall}) = -({light})"
+        ).alias("simpson_reversal"),
+    )
+
+
+def _simpson_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    cols = []
+    for c in ("n", "conv"):
+        for a in (0, 1):
+            for h in (0, 1):
+                cols.append(
+                    f"CAST(SUM(CASE WHEN arm = {a} AND heavy = {h}"
+                    f" THEN {c} ELSE 0 END) AS BIGINT) AS {c}_{a}{h}"
+                )
+    sign = lambda e: f"CASE WHEN {e} > 0 THEN 1 WHEN {e} < 0 THEN -1 ELSE 0 END"  # noqa: E731
+    overall = sign(
+        "(conv_00 + conv_01) * (n_10 + n_11) - (conv_10 + conv_11) * (n_00 + n_01)"
+    )
+    light = sign("conv_00 * n_10 - conv_10 * n_00")
+    heavy = sign("conv_01 * n_11 - conv_11 * n_01")
+    return f"""
+    WITH users AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tagged AS (
+      SELECT {sql_lcg_bucket('user_id', 2)} AS arm,
+             CASE WHEN n_events > {_SIMPSON_ACTIVITY_CUT} THEN 1 ELSE 0 END
+               AS heavy,
+             y
+      FROM users
+    ),
+    cells AS (
+      SELECT arm, heavy, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS conv
+      FROM tagged GROUP BY 1, 2
+    ),
+    flat AS (SELECT {', '.join(cols)} FROM cells)
+    SELECT n_00 + n_01 AS n_arm_a,
+           n_10 + n_11 AS n_arm_b,
+           CAST({overall} AS BIGINT) AS overall_dir,
+           CAST({light} AS BIGINT) AS light_dir,
+           CAST({heavy} AS BIGINT) AS heavy_dir,
+           ({overall}) <> 0 AND ({light}) = ({heavy})
+             AND ({overall}) = -({light}) AS simpson_reversal
+    FROM flat
+    """
+
+
+register("events_simpson_check", q_events_simpson_check, _simpson_sql())
+
+
+# ---- event-stream freshness report ------------------------------------------------
+# The on-call data-ops monitor: per event type, the last observed
+# event and its staleness against the stream head — a type that went
+# quiet signals a broken producer long before volume alarms fire.
+# Staleness is exact integer seconds; the stale flag trips at 24 h.
+# One small type agg + a broadcast 1-row head.
+
+_FRESHNESS_STALE_S = 86_400
+
+
+def q_events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    return (
+        per.crossJoin(F.broadcast(head))
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            (
+                F.unix_timestamp("head_ts") - F.unix_timestamp("last_ts")
+            ).cast("bigint").alias("staleness_s"),
+            (
+                (F.unix_timestamp("head_ts") - F.unix_timestamp("last_ts"))
+                > _FRESHNESS_STALE_S
+            ).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_freshness_report",
+    q_events_freshness_report,
+    f"""
+    WITH per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY 1
+    ),
+    head AS (SELECT MAX(ts) AS head_ts FROM events)
+    SELECT event_type, n_events, last_ts,
+           CAST(epoch_us(head_ts) // 1000000 - epoch_us(last_ts) // 1000000
+                AS BIGINT) AS staleness_s,
+           epoch_us(head_ts) // 1000000 - epoch_us(last_ts) // 1000000
+             > {_FRESHNESS_STALE_S} AS stale
+    FROM per CROSS JOIN head
+    ORDER BY event_type
+    """,
+)

@@ -2351,3 +2351,94 @@ register(
     FROM agg
     """,
 )
+
+
+# ---- intraday extreme-print timing -------------------------------------------------
+# WHEN in the day do extremes print?  For every (symbol, day), the
+# hour of the day's highest and lowest tick (ties -> latest
+# timestamp, then event_id — one deterministic row_number each), then
+# the 24-bucket histogram of those hours across all symbol-days.
+# U-shaped timing (extremes at the open/close) is the classic
+# session-liquidity signature; a flat profile is what 24/7 crypto
+# SHOULD show — deviations flag data problems or venue effects.
+# One shuffle to (symbol, day) windows; output <= 24 rows.
+
+
+def q_prices_extreme_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    base = prices.select(
+        "symbol",
+        F.to_date("timestamp").alias("day"),
+        F.hour("timestamp").alias("hour"),
+        "current_price",
+        "timestamp",
+        "event_id",
+    )
+    w_hi = Window.partitionBy("symbol", "day").orderBy(
+        F.col("current_price").desc(),
+        F.col("timestamp").desc(),
+        F.col("event_id").desc(),
+    )
+    w_lo = Window.partitionBy("symbol", "day").orderBy(
+        F.col("current_price").asc(),
+        F.col("timestamp").desc(),
+        F.col("event_id").desc(),
+    )
+    tagged = base.withColumn("rh", F.row_number().over(w_hi)).withColumn(
+        "rl", F.row_number().over(w_lo)
+    )
+    highs = tagged.filter(F.col("rh") == 1).groupBy("hour").agg(
+        F.count("*").cast("bigint").alias("n_highs")
+    )
+    lows = tagged.filter(F.col("rl") == 1).groupBy("hour").agg(
+        F.count("*").cast("bigint").alias("n_lows")
+    )
+    return (
+        highs.join(lows, "hour", "full_outer")
+        .select(
+            F.col("hour").cast("bigint").alias("hour"),
+            F.coalesce("n_highs", F.lit(0).cast("bigint")).alias("n_highs"),
+            F.coalesce("n_lows", F.lit(0).cast("bigint")).alias("n_lows"),
+        )
+        .orderBy("hour")
+    )
+
+
+register(
+    "prices_extreme_timing",
+    q_prices_extreme_timing,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    base AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day,
+             CAST(hour(timestamp) AS INT) AS hour, current_price,
+             timestamp, event_id
+      FROM prices WHERE current_price > 0
+    ),
+    tagged AS (
+      SELECT hour,
+             row_number() OVER (PARTITION BY symbol, day
+               ORDER BY current_price DESC, timestamp DESC, event_id DESC)
+               AS rh,
+             row_number() OVER (PARTITION BY symbol, day
+               ORDER BY current_price ASC, timestamp DESC, event_id DESC)
+               AS rl
+      FROM base
+    ),
+    highs AS (
+      SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_highs
+      FROM tagged WHERE rh = 1 GROUP BY 1
+    ),
+    lows AS (
+      SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_lows
+      FROM tagged WHERE rl = 1 GROUP BY 1
+    )
+    SELECT CAST(hour AS BIGINT) AS hour,
+           COALESCE(n_highs, CAST(0 AS BIGINT)) AS n_highs,
+           COALESCE(n_lows, CAST(0 AS BIGINT)) AS n_lows
+    FROM highs FULL OUTER JOIN lows USING (hour)
+    ORDER BY hour
+    """,
+)

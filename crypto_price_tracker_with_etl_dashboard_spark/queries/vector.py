@@ -2455,3 +2455,116 @@ register(
     ORDER BY i.label
     """,
 )
+
+
+# ---- ADC recall audit ---------------------------------------------------------
+# Completes the recall-audit family (LSH / IVF / binary / Matryoshka
+# all have one): overlap@k of the PQ-compressed ADC ranking against
+# exact brute-force cosine, hard integer verdict.  Both legs are
+# already-certified queries; the audit is two semi-join folds.
+
+
+def q_emb_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    adc = q_emb_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(adc, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = exact.agg(F.count("*").alias("n_pairs"))
+    return hits.crossJoin(total).select(
+        F.lit(f"adc_vs_float_at_{_K}").alias("metric"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.expr("hits * 1000000 div n_pairs").alias("overlap_ppm"),
+    )
+
+
+def _adc_recall_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import ORACLE_SQL
+
+    adc = ORACLE_SQL["emb_pq_adc_topk"]
+    tail = "SELECT query_id, neighbor_id, approx_dist, rnk FROM ("
+    cut = adc.index(tail)
+    adc_ctes = adc[:cut].strip()
+    assert adc_ctes.startswith("WITH")
+    adc_ctes = adc_ctes[len("WITH"):].strip().rstrip(",")
+    return f"""
+    WITH {adc_ctes},
+    adc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id ASC)
+                 AS rnk
+        FROM adc
+      ) WHERE rnk <= {_K}
+    ),
+    {_BF_TOPK_CTES.strip()},
+    hits AS (
+      SELECT COUNT(*) AS hits FROM bf_topk b
+      WHERE EXISTS (
+        SELECT 1 FROM adc_topk a
+        WHERE a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      )
+    ),
+    total AS (SELECT COUNT(*) AS n_pairs FROM bf_topk)
+    SELECT 'adc_vs_float_at_{_K}' AS metric,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(hits AS BIGINT) * 1000000 // CAST(n_pairs AS BIGINT)
+             AS overlap_ppm
+    FROM hits CROSS JOIN total
+    """
+
+
+register("emb_adc_recall", q_emb_adc_recall, _adc_recall_sql())
+
+
+# ---- near-dup threshold sweep ---------------------------------------------------
+# The knob-tuning read before a SemDeDup/near-dup run: how many pairs
+# would each cosine threshold flag?  One label-blocked pair pass at
+# the loosest tau, conditional counts at the tighter cuts — three
+# rows from one scan instead of three runs.
+
+_SWEEP_TAUS_PPM = (350_000, 500_000, 650_000)
+
+
+def q_emb_neardup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_pairs(emb, threshold=_SWEEP_TAUS_PPM[0] / 1e6)
+    parts = []
+    for tau in _SWEEP_TAUS_PPM:
+        parts.append(
+            pairs.filter(F.col("cosine_sim") >= tau / 1e6).agg(
+                F.lit(tau).cast("bigint").alias("tau_ppm"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tau_ppm")
+
+
+def _neardup_sweep_sql() -> str:
+    selects = []
+    for tau in _SWEEP_TAUS_PPM:
+        selects.append(f"""
+      SELECT CAST({tau} AS BIGINT) AS tau_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs WHERE cosine_sim >= {tau / 1e6}""")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH pairs AS (
+      SELECT {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')}
+            >= {_SWEEP_TAUS_PPM[0] / 1e6}
+    )
+    SELECT * FROM ({union}
+    ) ORDER BY tau_ppm
+    """
+
+
+register("emb_neardup_sweep", q_emb_neardup_sweep, _neardup_sweep_sql())
