@@ -192,9 +192,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-41 five (emb_adc_recall, emb_neardup_sweep,
 # events_simpson_check, events_freshness_report,
 # prices_extreme_timing)
+# and the batch-42 five (emb_storage_budget, trade_graph_growth,
+# parts_price_realization, prices_ljung_box, doc_chars_per_token)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (193 total candidates - 8
-# r7 debuts = 185 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (198 total candidates - 8
+# r7 debuts = 190 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -591,6 +593,15 @@ ROTATION_POOL: list[str] = [
     #     extreme-print timing. ---
     "emb_adc_recall", "emb_neardup_sweep", "events_simpson_check",
     "events_freshness_report", "prices_extreme_timing",
+    # --- r6-built batch 42, same debut-candidate status: the vector-
+    #     index storage budget (bytes/footprint/compression per tier,
+    #     derived from the registered tier constants), trade-graph
+    #     growth by quarter, list-vs-street price realization by
+    #     brand, the Ljung-Box joint autocorrelation test (lags 1-3,
+    #     one 3-lag window pass), and tokenizer chars-per-token by
+    #     source. ---
+    "emb_storage_budget", "trade_graph_growth", "parts_price_realization",
+    "prices_ljung_box", "doc_chars_per_token",
 ]
 
 

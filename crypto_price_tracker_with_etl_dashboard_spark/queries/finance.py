@@ -2442,3 +2442,187 @@ register(
     ORDER BY hour
     """,
 )
+
+
+# ---- Ljung-Box autocorrelation test -------------------------------------------------
+# The joint no-autocorrelation test over lags 1..3 (Ljung & Box
+# 1978): Q = n(n+2) * sum_k rho_k^2 / (n-k) against the chi-square
+# critical value 7.815 (3 df, p=.05).  Each lag's Pearson rho comes
+# from exact integer moments over the ALIGNED pairs (conditional sums
+# in ONE pass over a single 3-lag window projection — no per-lag
+# rescans); Q is one shared double expression, milli-floored.  The
+# complement to the single-lag reads (variance ratio, Roll spread):
+# "is there ANY linear structure left?"
+
+_LB_LAGS = 3
+_LB_CRIT_MILLI = 7815
+_LB_MIN_DAYS = 20
+
+
+def _lb_rho(k: int) -> str:
+    """Pearson rho for lag k from the conditional moment columns."""
+    return (
+        f"(CAST(n{k} AS DOUBLE) * CAST(sxy{k} AS DOUBLE)"
+        f" - CAST(sx{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE))"
+        f" / sqrt("
+        f"(CAST(n{k} AS DOUBLE) * CAST(sxx{k} AS DOUBLE)"
+        f" - CAST(sx{k} AS DOUBLE) * CAST(sx{k} AS DOUBLE))"
+        f" * (CAST(n{k} AS DOUBLE) * CAST(syy{k} AS DOUBLE)"
+        f" - CAST(sy{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE)))"
+    )
+
+
+def _lb_q() -> str:
+    terms = " + ".join(
+        f"(({_lb_rho(k)}) * ({_lb_rho(k)})) / (CAST(n AS DOUBLE) - {k}.0)"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({terms})"
+
+
+def _lb_guard() -> str:
+    return " AND ".join(
+        f"n{k} >= 2"
+        f" AND CAST(n{k} AS DOUBLE) * sxx{k}"
+        f" - CAST(sx{k} AS DOUBLE) * sx{k} > 0"
+        f" AND CAST(n{k} AS DOUBLE) * syy{k}"
+        f" - CAST(sy{k} AS DOUBLE) * sy{k} > 0"
+        for k in range(1, _LB_LAGS + 1)
+    )
+
+
+def q_prices_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("x"),
+        )
+    )
+    lagged = rets
+    for k in range(1, _LB_LAGS + 1):
+        lagged = lagged.withColumn(f"y{k}", F.lag("x", k).over(wd))
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for k in range(1, _LB_LAGS + 1):
+        yk = F.col(f"y{k}")
+        aligned = yk.isNotNull()
+        aggs += [
+            F.sum(aligned.cast("bigint")).cast("bigint").alias(f"n{k}"),
+            F.sum(F.when(aligned, F.col("x")).otherwise(0)).cast("bigint").alias(f"sx{k}"),
+            F.sum(F.when(aligned, yk).otherwise(0)).cast("bigint").alias(f"sy{k}"),
+            F.sum(F.when(aligned, F.col("x") * yk).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxy{k}"),
+            F.sum(F.when(aligned, F.col("x") * F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxx{k}"),
+            F.sum(F.when(aligned, yk * yk).otherwise(0))
+            .cast("bigint")
+            .alias(f"syy{k}"),
+        ]
+    mom = lagged.groupBy("symbol").agg(*aggs)
+    return (
+        mom.filter(F.col("n") >= _LB_MIN_DAYS)
+        .filter(F.expr(_lb_guard()))
+        .select(
+            "symbol",
+            "n",
+            F.expr(f"CAST(floor(({_lb_q()}) * 1000.0) AS BIGINT)").alias(
+                "q_milli"
+            ),
+            F.expr(
+                f"CAST(floor(({_lb_q()}) * 1000.0) AS BIGINT)"
+                f" >= {_LB_CRIT_MILLI}"
+            ).alias("autocorr_detected"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def _ljung_box_sql() -> str:
+    mom_cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for k in range(1, _LB_LAGS + 1):
+        a = f"y{k} IS NOT NULL"
+        mom_cols += [
+            f"CAST(SUM(CASE WHEN {a} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}",
+            f"CAST(SUM(CASE WHEN {a} THEN x ELSE 0 END) AS BIGINT) AS sx{k}",
+            f"CAST(SUM(CASE WHEN {a} THEN y{k} ELSE 0 END) AS BIGINT) AS sy{k}",
+            f"CAST(SUM(CASE WHEN {a} THEN x * y{k} ELSE 0 END) AS BIGINT)"
+            f" AS sxy{k}",
+            f"CAST(SUM(CASE WHEN {a} THEN x * x ELSE 0 END) AS BIGINT)"
+            f" AS sxx{k}",
+            f"CAST(SUM(CASE WHEN {a} THEN y{k} * y{k} ELSE 0 END) AS BIGINT)"
+            f" AS syy{k}",
+        ]
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY symbol ORDER BY day) AS y{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS x
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    lagged AS (
+      SELECT symbol, x, {lag_cols} FROM rets
+    ),
+    mom AS (
+      SELECT symbol, {', '.join(mom_cols)}
+      FROM lagged GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(floor(({_lb_q()}) * 1000.0) AS BIGINT) AS q_milli,
+           CAST(floor(({_lb_q()}) * 1000.0) AS BIGINT) >= {_LB_CRIT_MILLI}
+             AS autocorr_detected
+    FROM mom
+    WHERE n >= {_LB_MIN_DAYS} AND {_lb_guard()}
+    ORDER BY symbol
+    """
+
+
+register("prices_ljung_box", q_prices_ljung_box, _ljung_box_sql())

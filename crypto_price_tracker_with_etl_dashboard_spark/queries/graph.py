@@ -812,3 +812,64 @@ register(
         f" ORDER BY width DESC, node ASC",
     ),
 )
+
+
+# ---- trade-graph growth by quarter ---------------------------------------------
+# The temporal-graph read the static centrality queries skip: how the
+# trade network GROWS — new supplier-customer relations, distinct
+# participants, and cumulative edges per order quarter.  First-seen
+# quarters come from one (pair) min-agg; the cumulative count is a
+# plain window over the handful of quarter rows (bucketed-prefix-sum
+# exempt: the spine is O(quarters), not O(data)).
+
+
+def q_trade_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.min(F.date_trunc("quarter", "o_orderdate")).alias("first_q"))
+    )
+    per_q = pairs.groupBy(F.to_date("first_q").alias("quarter")).agg(
+        F.count("*").cast("bigint").alias("new_edges"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("suppliers_active"),
+        F.count_distinct("o_custkey").cast("bigint").alias("customers_active"),
+    )
+    w = Window.orderBy("quarter").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_q.withColumn(
+            "cum_edges", F.sum("new_edges").over(w).cast("bigint")
+        )
+        .orderBy("quarter")
+    )
+
+
+register(
+    "trade_graph_growth",
+    q_trade_graph_growth,
+    """
+    WITH pairs AS (
+      SELECT l_suppkey, o_custkey,
+             MIN(date_trunc('quarter', o_orderdate)) AS first_q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    per_q AS (
+      SELECT CAST(first_q AS DATE) AS quarter,
+             CAST(COUNT(*) AS BIGINT) AS new_edges,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS suppliers_active,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customers_active
+      FROM pairs GROUP BY 1
+    )
+    SELECT quarter, new_edges, suppliers_active, customers_active,
+           CAST(SUM(new_edges) OVER (ORDER BY quarter
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_edges
+    FROM per_q ORDER BY quarter
+    """,
+)

@@ -2552,3 +2552,75 @@ register(
     FROM agg
     """,
 )
+
+
+# ---- list-vs-street price realization ---------------------------------------------
+# Pricing power by brand: realized unit revenue (net of discount, in
+# exact cents) against the catalog list price — who actually collects
+# list, and who discounts it away?  Unit realization is cent-exact
+# integer division; the gap vs p_retailprice is ppm of list.  One
+# partkey agg joined to the broadcast part dim, folded per brand.
+
+
+def q_parts_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("bigint").alias("qty"),
+    )
+    joined = per_part.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        "net_cents",
+        "qty",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("list_cents"),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("net_cents").cast("bigint").alias("net_cents"),
+            F.sum(F.col("list_cents") * F.col("qty")).cast("bigint").alias(
+                "list_value_cents"
+            ),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            F.expr("net_cents * 1000000 div list_value_cents").alias(
+                "realization_ppm"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+register(
+    "parts_price_realization",
+    q_parts_price_realization,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS net_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT p_brand, net_cents, qty,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS list_cents
+      FROM per_part JOIN part ON l_partkey = p_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(net_cents) AS BIGINT) * 1000000
+             // CAST(SUM(list_cents * qty) AS BIGINT) AS realization_ppm
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+)

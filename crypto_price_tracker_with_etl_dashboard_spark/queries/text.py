@@ -2731,3 +2731,57 @@ register(
     FROM agg
     """,
 )
+
+
+# ---- tokenizer compression (chars per token) ---------------------------------------
+# The tokenizer-health read per source: characters per whitespace
+# token, milli-floored — a source whose ratio drifts high is
+# concatenating words (or shipping non-text), one drifting low is
+# fragmenting.  Exact integer sums; one small source agg.
+
+
+def q_doc_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("chars"),
+        F.size(T.tokens("text")).cast("bigint").alias("toks"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("total_chars * 1000 div total_tokens").alias(
+                "chars_per_token_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "doc_chars_per_token",
+    q_doc_chars_per_token,
+    f"""
+    WITH per AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS chars,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) AS BIGINT) * 1000 // CAST(SUM(toks) AS BIGINT)
+             AS chars_per_token_milli
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)

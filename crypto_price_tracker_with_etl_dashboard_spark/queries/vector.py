@@ -2568,3 +2568,68 @@ def _neardup_sweep_sql() -> str:
 
 
 register("emb_neardup_sweep", q_emb_neardup_sweep, _neardup_sweep_sql())
+
+
+# ---- index storage budget -------------------------------------------------------
+# The capacity-planning table behind every tier choice this module
+# certifies: bytes per vector and total footprint for float32 / SQ8 /
+# PQ codes / binary sign bits, with the compression ratio vs float —
+# exact integer arithmetic from the corpus count and the registered
+# tier parameters (_DIM, _PQ_M), so the budget row can never drift
+# from the code that defines the tiers.
+
+
+def _tier_bytes() -> list[tuple[str, int]]:
+    return [
+        ("1-float32", _DIM * 4),
+        ("2-sq8", _DIM),
+        ("3-pq", _PQ_M),
+        ("4-binary", (_DIM + 7) // 8),
+    ]
+
+
+def q_emb_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    float_bytes = _DIM * 4
+    parts = []
+    for tier, bpv in _tier_bytes():
+        parts.append(
+            n.select(
+                F.lit(tier).alias("tier"),
+                "n_vectors",
+                F.lit(bpv).cast("bigint").alias("bytes_per_vec"),
+                F.expr(f"n_vectors * {bpv}").alias("total_bytes"),
+                F.lit(float_bytes * 1_000_000 // bpv)
+                .cast("bigint")
+                .alias("compression_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tier")
+
+
+def _storage_budget_sql() -> str:
+    float_bytes = _DIM * 4
+    rows = []
+    for tier, bpv in _tier_bytes():
+        rows.append(
+            f"""
+      SELECT '{tier}' AS tier, n_vectors,
+             CAST({bpv} AS BIGINT) AS bytes_per_vec,
+             n_vectors * {bpv} AS total_bytes,
+             CAST({float_bytes * 1_000_000 // bpv} AS BIGINT)
+               AS compression_ppm
+      FROM n"""
+        )
+    union = "\n      UNION ALL\n".join(rows)
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    SELECT * FROM ({union}
+    ) ORDER BY tier
+    """
+
+
+register("emb_storage_budget", q_emb_storage_budget, _storage_budget_sql())
