@@ -194,9 +194,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # prices_extreme_timing)
 # and the batch-42 five (emb_storage_budget, trade_graph_growth,
 # parts_price_realization, prices_ljung_box, doc_chars_per_token)
+# and the batch-43 five (events_perceptron, prices_higher_moments,
+# emb_pq_code_balance, doc_cross_lang_dups, parts_return_rates)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (198 total candidates - 8
-# r7 debuts = 190 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (203 total candidates - 8
+# r7 debuts = 195 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -602,6 +604,16 @@ ROTATION_POOL: list[str] = [
     #     source. ---
     "emb_storage_budget", "trade_graph_growth", "parts_price_realization",
     "prices_ljung_box", "doc_chars_per_token",
+    # --- r6-built batch 43, same debut-candidate status: the batch
+    #     perceptron trained in-engine with exact integer weights
+    #     (unrolled 3-round oracle — the first CLASSIFIER the driver
+    #     certifies end to end), higher return moments
+    #     (skewness/excess kurtosis from exact power sums), the PQ
+    #     code-balance index-health audit, the cross-language
+    #     near-dup false-positive audit, and the brand return-rate
+    #     league. ---
+    "events_perceptron", "prices_higher_moments", "emb_pq_code_balance",
+    "doc_cross_lang_dups", "parts_return_rates",
 ]
 
 

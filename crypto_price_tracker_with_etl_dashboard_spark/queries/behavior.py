@@ -3296,3 +3296,127 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---- batch perceptron (integer weights) ---------------------------------------------
+# A linear classifier TRAINED inside the engine with bit-exact
+# portability: the batch perceptron update w += sum over
+# misclassified of y*x keeps every weight an exact integer when the
+# features are integers — no learning-rate floats, no exp/log, so
+# the whole training run (3 synchronous rounds, the kmeans/pagerank
+# discipline) unrolls into a DuckDB oracle that matches bit-for-bit.
+# Features per user: bias, capped event count, distinct types, view
+# count; label +-1 on purchase.  Each round is one broadcast of the
+# 1-row weight state against the user table + one sum — state is
+# O(features), never O(users).  Output: the final weights and the
+# training accuracy.
+
+_PCT_ROUNDS = 8  # unnormalized integer features converge slowly; 8
+# synchronous rounds settle both the hand case and the real corpus
+_PCT_CAP = 1000  # feature cap keeps w·x far inside int64
+
+_PCT_FEATS = ("fx0", "fx1", "fx2", "fx3")
+
+
+def _pct_margin() -> str:
+    return " + ".join(f"w{i} * {f}" for i, f in enumerate(_PCT_FEATS))
+
+
+def q_events_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.least(F.count("*"), F.lit(_PCT_CAP)).cast("bigint").alias("fx1"),
+        F.count_distinct("event_type").cast("bigint").alias("fx2"),
+        F.least(
+            F.sum((F.col("event_type") == "view").cast("int")), F.lit(_PCT_CAP)
+        )
+        .cast("bigint")
+        .alias("fx3"),
+        F.when(
+            F.max((F.col("event_type") == "purchase").cast("int")) == 1, 1
+        )
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("fx0", F.lit(1).cast("bigint"))
+    users = users.localCheckpoint(eager=True)
+
+    w = users.sparkSession.createDataFrame(
+        [(0, 0, 0, 0)], "w0 bigint, w1 bigint, w2 bigint, w3 bigint"
+    )
+    margin = _pct_margin()
+    for _ in range(_PCT_ROUNDS):
+        joined = users.crossJoin(F.broadcast(w))
+        upd = joined.agg(
+            *[
+                (
+                    F.max(F.col(f"w{i}"))
+                    + F.sum(
+                        F.when(
+                            F.expr(f"y * ({margin}) <= 0"),
+                            F.col("y") * F.col(f),
+                        ).otherwise(0)
+                    )
+                )
+                .cast("bigint")
+                .alias(f"w{i}")
+                for i, f in enumerate(_PCT_FEATS)
+            ]
+        )
+        w = upd.localCheckpoint(eager=True)
+    final = users.crossJoin(F.broadcast(w))
+    return final.agg(
+        *[F.max(f"w{i}").alias(f"w{i}") for i in range(len(_PCT_FEATS))],
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.expr(f"CAST(y * ({margin}) > 0 AS INT)"))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+        "n_users",
+        F.expr("n_correct * 1000000 div n_users").alias("train_acc_ppm"),
+    )
+
+
+def _perceptron_sql() -> str:
+    margin = _pct_margin()
+    ctes = [
+        f"""users AS (
+      SELECT CAST(1 AS BIGINT) AS fx0,
+             CAST(LEAST(COUNT(*), {_PCT_CAP}) AS BIGINT) AS fx1,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS fx2,
+             CAST(LEAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                        {_PCT_CAP}) AS BIGINT) AS fx3,
+             CAST(CASE WHEN MAX(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) = 1
+                       THEN 1 ELSE -1 END AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )""",
+        "wr0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)",
+    ]
+    for k in range(1, _PCT_ROUNDS + 1):
+        upd_cols = ", ".join(
+            f"CAST(MAX(w{i}) + SUM(CASE WHEN y * ({margin}) <= 0"
+            f" THEN y * {f} ELSE 0 END) AS BIGINT) AS w{i}"
+            for i, f in enumerate(_PCT_FEATS)
+        )
+        ctes.append(
+            f"wr{k} AS (SELECT {upd_cols}"
+            f" FROM users CROSS JOIN wr{k - 1})"
+        )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT w0, w1, w2, w3,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN y * ({margin}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS train_acc_ppm
+    FROM users CROSS JOIN wr{_PCT_ROUNDS}
+    GROUP BY w0, w1, w2, w3
+    """
+
+
+register("events_perceptron", q_events_perceptron, _perceptron_sql())

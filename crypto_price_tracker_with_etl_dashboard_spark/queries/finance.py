@@ -2626,3 +2626,140 @@ def _ljung_box_sql() -> str:
 
 
 register("prices_ljung_box", q_prices_ljung_box, _ljung_box_sql())
+
+
+# ---- higher return moments (skewness / excess kurtosis) ------------------------------
+# The risk stats past mean/variance: per symbol, skewness (crash
+# asymmetry) and excess kurtosis (fat tails) from the exact integer
+# power sums S1..S4 of PER-MILLE daily returns (milli, not ppm — r^4
+# must stay inside int64: 1000^4 * n ~ 1e12 * n).  The standardized
+# moments are ONE shared double expression over the exact sums;
+# correctly-rounded ops only (pow(x, 1.5) spelled sqrt(x)*x — sqrt
+# and multiply are exact-rounded, pow is not guaranteed to be).
+
+_MOM_MIN_DAYS = 20
+
+_MOM_M2 = (
+    "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+)
+_MOM_M3 = (
+    "(CAST(s3 AS DOUBLE)"
+    " - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)"
+)
+_MOM_M4 = (
+    "(CAST(s4 AS DOUBLE)"
+    " - 4.0 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + 6.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    " - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s1 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " / CAST(n AS DOUBLE)"
+)
+_MOM_SKEW = f"(({_MOM_M3}) / (sqrt({_MOM_M2}) * ({_MOM_M2})))"
+_MOM_KURT = f"(({_MOM_M4}) / (({_MOM_M2}) * ({_MOM_M2})) - 3.0)"
+
+
+def q_prices_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            F.greatest(
+                F.lit(-1000).cast("bigint"),
+                F.least(
+                    F.lit(1000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    mom = rets.groupBy("symbol").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s1"),
+        F.sum(F.expr("r * r")).cast("bigint").alias("s2"),
+        F.sum(F.expr("r * r * r")).cast("bigint").alias("s3"),
+        F.sum(F.expr("r * r * r * r")).cast("bigint").alias("s4"),
+    )
+    return (
+        mom.filter(F.col("n") >= _MOM_MIN_DAYS)
+        .filter(F.expr(f"({_MOM_M2}) > 0"))
+        .select(
+            "symbol",
+            "n",
+            F.expr(f"CAST(floor(({_MOM_SKEW}) * 1000.0) AS BIGINT)").alias(
+                "skew_milli"
+            ),
+            F.expr(f"CAST(floor(({_MOM_KURT}) * 1000.0) AS BIGINT)").alias(
+                "ex_kurt_milli"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_higher_moments",
+    q_prices_higher_moments,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol,
+             GREATEST(CAST(-1000 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+               CAST(floor((close - prev) * 1000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    mom AS (
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS s1,
+             CAST(SUM(r * r) AS BIGINT) AS s2,
+             CAST(SUM(r * r * r) AS BIGINT) AS s3,
+             CAST(SUM(r * r * r * r) AS BIGINT) AS s4
+      FROM rets GROUP BY 1
+    )
+    SELECT symbol, n,
+           CAST(floor(({_MOM_SKEW}) * 1000.0) AS BIGINT) AS skew_milli,
+           CAST(floor(({_MOM_KURT}) * 1000.0) AS BIGINT) AS ex_kurt_milli
+    FROM mom
+    WHERE n >= {_MOM_MIN_DAYS} AND ({_MOM_M2}) > 0
+    ORDER BY symbol
+    """,
+)

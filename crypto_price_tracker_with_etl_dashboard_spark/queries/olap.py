@@ -2624,3 +2624,67 @@ register(
     FROM joined GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- return-rate league -------------------------------------------------------------
+# Quality ops: per brand, the share of line items flagged returned
+# (l_returnflag = 'R') with a high-return flag at 1.5x the global
+# rate by integer cross-multiplication.  One partkey-joined brand
+# agg; |brands| rows.
+
+
+def q_parts_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    per = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+            .cast("bigint")
+            .alias("returned"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("bigint").alias("t_lines"),
+        F.sum("returned").cast("bigint").alias("t_returned"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n_lines",
+            "returned",
+            F.expr("returned * 1000000 div n_lines").alias("return_ppm"),
+            F.expr(
+                "returned * 2 * t_lines >= 3 * t_returned * n_lines"
+            ).alias("high_return"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+register(
+    "parts_return_rates",
+    q_parts_return_rates,
+    """
+    WITH per AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returned
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_lines) AS BIGINT) AS t_lines,
+             CAST(SUM(returned) AS BIGINT) AS t_returned
+      FROM per
+    )
+    SELECT p_brand, n_lines, returned,
+           returned * 1000000 // n_lines AS return_ppm,
+           returned * 2 * t_lines >= 3 * t_returned * n_lines AS high_return
+    FROM per CROSS JOIN tot
+    ORDER BY p_brand
+    """,
+)

@@ -2785,3 +2785,57 @@ register(
     FROM per GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- cross-language near-dup audit --------------------------------------------------
+# Do the MinHash-LSH candidates cross language boundaries?  Genuine
+# near-dups almost never do (translations share no 3-shingles), so a
+# high cross-language share means the banding is hashing structure,
+# not content — a false-positive audit on the certified pair table.
+# Reuses minhash_lsh_pairs verbatim; two |docs|-row lang-map joins;
+# 1-row report.
+
+
+def q_doc_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    lang = docs.select("doc_id", "lang")
+    tagged = pairs.join(
+        lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")),
+        "doc_a",
+    ).join(
+        lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")),
+        "doc_b",
+    )
+    return tagged.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("la") != F.col("lb")).cast("bigint"))
+        .cast("bigint")
+        .alias("cross_lang_pairs"),
+    ).select(
+        "n_pairs",
+        "cross_lang_pairs",
+        F.expr(
+            "CASE WHEN n_pairs > 0"
+            " THEN cross_lang_pairs * 1000000 div n_pairs END"
+        ).alias("cross_lang_ppm"),
+    )
+
+
+register(
+    "doc_cross_lang_dups",
+    q_doc_cross_lang_dups,
+    f"""
+    WITH pairs AS ({_minhash_sql()}),
+    lang AS (SELECT doc_id, lang FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a.lang <> b.lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_lang_pairs,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(CASE WHEN a.lang <> b.lang THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // COUNT(*) END AS cross_lang_ppm
+    FROM pairs
+    JOIN lang a ON pairs.doc_a = a.doc_id
+    JOIN lang b ON pairs.doc_b = b.doc_id
+    """,
+)

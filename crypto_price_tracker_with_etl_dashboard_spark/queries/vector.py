@@ -2633,3 +2633,74 @@ def _storage_budget_sql() -> str:
 
 
 register("emb_storage_budget", q_emb_storage_budget, _storage_budget_sql())
+
+
+# ---- PQ code-balance audit --------------------------------------------------------
+# Index health for the PQ family (the emb_ivf_list_balance
+# discipline, per SUBSPACE): how evenly does each subspace's trained
+# codebook get used?  A subspace whose codes collapse onto few
+# centroids wastes its bits and degrades every ADC distance.  The
+# Spark side re-encodes with the certified S.pq_encode and explodes
+# the m codes; one (subspace, cid) agg.  share is ppm of the corpus;
+# the skew flag trips when the top code exceeds 4x its fair share.
+
+
+def q_emb_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(emb, _pq_books(spark, sf_dir, emb), m=_PQ_M, dim=_DIM)
+    codes = enc.select(
+        F.posexplode("codes").alias("subspace", "cid")
+    ).select(F.col("subspace").cast("bigint"), F.col("cid").cast("bigint"))
+    per = codes.groupBy("subspace", "cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    tot = per.groupBy("subspace").agg(
+        F.sum("n_vecs").cast("bigint").alias("sub_total"),
+        F.count("*").cast("bigint").alias("codes_used"),
+    )
+    return (
+        per.join(tot, "subspace")
+        .select(
+            "subspace",
+            "cid",
+            "n_vecs",
+            "codes_used",
+            F.expr("n_vecs * 1000000 div sub_total").alias("share_ppm"),
+            F.expr(
+                f"n_vecs * {_PQ_K} * 1000000 div sub_total >= 4000000"
+            ).alias("hot_code"),
+        )
+        .orderBy("subspace", "cid")
+    )
+
+
+def _pq_code_balance_sql() -> str:
+    selects = []
+    for s in range(_PQ_M):
+        selects.append(
+            f"SELECT CAST({s} AS BIGINT) AS subspace,"
+            f" CAST(cid AS BIGINT) AS cid FROM pqenc_{s}"
+        )
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH {_pq_train_ctes()},
+    codes AS ({union}
+    ),
+    per AS (
+      SELECT subspace, cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM codes GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT subspace, CAST(SUM(n_vecs) AS BIGINT) AS sub_total,
+             CAST(COUNT(*) AS BIGINT) AS codes_used
+      FROM per GROUP BY 1
+    )
+    SELECT subspace, cid, n_vecs, codes_used,
+           n_vecs * 1000000 // sub_total AS share_ppm,
+           n_vecs * {_PQ_K} * 1000000 // sub_total >= 4000000 AS hot_code
+    FROM per JOIN tot USING (subspace)
+    ORDER BY subspace, cid
+    """
+
+
+register("emb_pq_code_balance", q_emb_pq_code_balance, _pq_code_balance_sql())
