@@ -196,9 +196,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # parts_price_realization, prices_ljung_box, doc_chars_per_token)
 # and the batch-43 five (events_perceptron, prices_higher_moments,
 # emb_pq_code_balance, doc_cross_lang_dups, parts_return_rates)
+# and the batch-44 five (prices_idio_vol_share, trade_degree_ccdf,
+# doc_prefix_clusters, orders_split_shipments,
+# customer_repeat_by_segment)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (203 total candidates - 8
-# r7 debuts = 195 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (208 total candidates - 8
+# r7 debuts = 200 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -614,6 +617,14 @@ ROTATION_POOL: list[str] = [
     #     league. ---
     "events_perceptron", "prices_higher_moments", "emb_pq_code_balance",
     "doc_cross_lang_dups", "parts_return_rates",
+    # --- r6-built batch 44, same debut-candidate status:
+    #     idiosyncratic-vs-systematic volatility share (R^2 against
+    #     the equal-weight market), the supplier degree CCDF
+    #     tail-shape read, prefix template mining (the cheapest
+    #     boilerplate detector), the split-shipment consolidation
+    #     profile, and repeat-purchase rate by market segment. ---
+    "prices_idio_vol_share", "trade_degree_ccdf", "doc_prefix_clusters",
+    "orders_split_shipments", "customer_repeat_by_segment",
 ]
 
 

@@ -2763,3 +2763,150 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+# ---- idiosyncratic volatility share ---------------------------------------------
+# The risk decomposition on top of prices_beta: how much of each
+# symbol's daily variance is MARKET co-movement (R^2 against the
+# equal-weight market return) vs idiosyncratic?  The market return
+# per day is the floored mean of the winsorized ppm returns (exact
+# integers); R^2 is the squared Pearson from exact moments, one
+# shared double chain, ppm-floored; idio = 1e6 - systematic.
+
+_IDIO_MIN_DAYS = 20
+
+_IDIO_R2 = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def q_prices_idio_vol_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    market = rets.groupBy("day").agg(
+        F.floor(F.sum("r").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("m")
+    )
+    joined = rets.join(F.broadcast(market), "day")
+    mom = joined.groupBy("symbol").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sx"),
+        F.sum("r").cast("bigint").alias("sy"),
+        F.sum(F.expr("m * r")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("m * m")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("r * r")).cast("bigint").alias("syy"),
+    )
+    return (
+        mom.filter(F.col("n") >= _IDIO_MIN_DAYS)
+        .filter(
+            F.expr(
+                "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0"
+                " AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0"
+            )
+        )
+        .select(
+            "symbol",
+            "n",
+            F.expr(f"CAST(floor(({_IDIO_R2}) * 1000000.0) AS BIGINT)").alias(
+                "systematic_ppm"
+            ),
+            F.expr(
+                f"1000000 - CAST(floor(({_IDIO_R2}) * 1000000.0) AS BIGINT)"
+            ).alias("idio_ppm"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_idio_vol_share",
+    q_prices_idio_vol_share,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    market AS (
+      SELECT day,
+             CAST(floor(CAST(SUM(r) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM rets GROUP BY 1
+    ),
+    mom AS (
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sx,
+             CAST(SUM(r) AS BIGINT) AS sy,
+             CAST(SUM(m * r) AS BIGINT) AS sxy,
+             CAST(SUM(m * m) AS BIGINT) AS sxx,
+             CAST(SUM(r * r) AS BIGINT) AS syy
+      FROM rets JOIN market USING (day)
+      GROUP BY 1
+    )
+    SELECT symbol, n,
+           CAST(floor(({_IDIO_R2}) * 1000000.0) AS BIGINT) AS systematic_ppm,
+           1000000 - CAST(floor(({_IDIO_R2}) * 1000000.0) AS BIGINT)
+             AS idio_ppm
+    FROM mom
+    WHERE n >= {_IDIO_MIN_DAYS}
+      AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    ORDER BY symbol
+    """,
+)

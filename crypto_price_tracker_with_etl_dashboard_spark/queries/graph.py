@@ -873,3 +873,74 @@ register(
     FROM per_q ORDER BY quarter
     """,
 )
+
+
+# ---- supplier degree CCDF ---------------------------------------------------------
+# The tail-shape read on the trade graph: the complementary CDF of
+# supplier degree (distinct customers per supplier) at fixed
+# thresholds — how heavy is the hub tail the centrality queries rank?
+# Exact integer counts; |thresholds| output rows.
+
+_CCDF_THRESHOLDS = (1, 2, 5, 10, 20, 50, 100)
+
+
+def q_trade_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("degree"))
+    )
+    total = deg.agg(F.count("*").cast("bigint").alias("n_suppliers"))
+    parts = []
+    for t in _CCDF_THRESHOLDS:
+        parts.append(
+            deg.filter(F.col("degree") >= t)
+            .agg(F.count("*").cast("bigint").alias("n_at_least"))
+            .select(
+                F.lit(t).cast("bigint").alias("threshold"), "n_at_least"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_suppliers",
+            "n_at_least",
+            F.expr("n_at_least * 1000000 div n_suppliers").alias("ccdf_ppm"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _degree_ccdf_sql() -> str:
+    selects = []
+    for t in _CCDF_THRESHOLDS:
+        selects.append(
+            f"""
+      SELECT CAST({t} AS BIGINT) AS threshold,
+             CAST(SUM(CASE WHEN degree >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_at_least
+      FROM deg"""
+        )
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH deg AS (
+      SELECT l_suppkey, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS degree
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM deg)
+    SELECT threshold, n_suppliers, n_at_least,
+           n_at_least * 1000000 // n_suppliers AS ccdf_ppm
+    FROM ({union}
+    ) CROSS JOIN total
+    ORDER BY threshold
+    """
+
+
+register("trade_degree_ccdf", q_trade_degree_ccdf, _degree_ccdf_sql())

@@ -2688,3 +2688,139 @@ register(
     ORDER BY p_brand
     """,
 )
+
+
+# ---- split-shipment profile ---------------------------------------------------------
+# Fulfillment ops: how many orders ship in one calendar month vs
+# split across several, and how long the splits stretch — the
+# consolidation-opportunity read.  One orderkey agg (distinct ship
+# months + span), a 3-bucket fold; exact integers throughout.
+
+
+def q_orders_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct(F.date_trunc("month", "l_shipdate"))
+        .cast("bigint")
+        .alias("ship_months"),
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    bucket = (
+        F.when(F.col("ship_months") == 1, "1-single")
+        .when(F.col("ship_months") == 2, "2-split")
+        .otherwise("3-multi")
+    )
+    per = per_order.groupBy(bucket.alias("shipping")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("span_days").cast("bigint").alias("span_sum"),
+    )
+    total = per.agg(F.sum("n_orders").cast("bigint").alias("t_orders"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "shipping",
+            "n_orders",
+            F.expr("n_orders * 1000000 div t_orders").alias("share_ppm"),
+            F.expr("span_sum * 1000 div n_orders").alias("mean_span_milli_d"),
+        )
+        .orderBy("shipping")
+    )
+
+
+register(
+    "orders_split_shipments",
+    q_orders_split_shipments,
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+               AS ship_months,
+             CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate))
+                  AS BIGINT) AS span_days
+      FROM lineitem GROUP BY 1
+    ),
+    per AS (
+      SELECT CASE WHEN ship_months = 1 THEN '1-single'
+                  WHEN ship_months = 2 THEN '2-split'
+                  ELSE '3-multi' END AS shipping,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(span_days) AS BIGINT) AS span_sum
+      FROM per_order GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t_orders FROM per)
+    SELECT shipping, n_orders,
+           n_orders * 1000000 // t_orders AS share_ppm,
+           span_sum * 1000 // n_orders AS mean_span_milli_d
+    FROM per CROSS JOIN total
+    ORDER BY shipping
+    """,
+)
+
+
+# ---- repeat-purchase rate by market segment -------------------------------------------
+# The retention read on the customer dimension: per c_mktsegment,
+# what share of customers ever ordered twice — with zero-order
+# customers kept in the base (the same left-join discipline as
+# customer_balance_activity_corr).  Exact integers; |segments| rows.
+
+
+def q_customer_repeat_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    base = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+    )
+    return (
+        base.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum((F.col("n_orders") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("repeaters"),
+            F.sum("n_orders").cast("bigint").alias("orders_total"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "repeaters",
+            F.expr("repeaters * 1000000 div n_customers").alias("repeat_ppm"),
+            F.expr("orders_total * 1000 div n_customers").alias(
+                "orders_per_cust_milli"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "customer_repeat_by_segment",
+    q_customer_repeat_by_segment,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT c_mktsegment,
+             COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders
+      FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeaters,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS repeat_ppm,
+           CAST(SUM(n_orders) AS BIGINT) * 1000 // COUNT(*)
+             AS orders_per_cust_milli
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -2839,3 +2839,60 @@ register(
     JOIN lang b ON pairs.doc_b = b.doc_id
     """,
 )
+
+
+# ---- prefix template mining ---------------------------------------------------------
+# The cheapest boilerplate detector: group documents by their first
+# 32 normalized characters and surface the biggest clusters — shared
+# prefixes are template headers / scraper banners that near-dup
+# pipelines then confirm.  One prefix-key shuffle; top-10
+# TakeOrdered; only clusters with >= 2 docs qualify.
+
+_PREFIX_LEN = 32
+_PREFIX_TOPK = 10
+
+
+def q_doc_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        F.substring(T.normalized_text("text"), 1, _PREFIX_LEN).alias("prefix")
+    )
+    total = pre.agg(F.count("*").cast("bigint").alias("n_docs"))
+    groups = (
+        pre.groupBy("prefix")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        groups.crossJoin(F.broadcast(total))
+        .select(
+            "prefix",
+            "n_members",
+            F.expr("n_members * 1000000 div n_docs").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("prefix").asc())
+        .limit(_PREFIX_TOPK)
+    )
+
+
+register(
+    "doc_prefix_clusters",
+    q_doc_prefix_clusters,
+    f"""
+    WITH pre AS (
+      SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    1, {_PREFIX_LEN}) AS prefix
+      FROM documents
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pre),
+    groups AS (
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM pre GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT prefix, n_members,
+           n_members * 1000000 // n_docs AS share_ppm
+    FROM groups CROSS JOIN total
+    ORDER BY n_members DESC, prefix ASC
+    LIMIT {_PREFIX_TOPK}
+    """,
+)
