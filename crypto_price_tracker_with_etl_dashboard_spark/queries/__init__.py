@@ -199,9 +199,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-44 five (prices_idio_vol_share, trade_degree_ccdf,
 # doc_prefix_clusters, orders_split_shipments,
 # customer_repeat_by_segment)
+# and the batch-45 five (doc_dedup_idempotence,
+# events_dormancy_histogram, parts_price_dispersion,
+# events_neyman_allocation, prices_spread_volume_corr)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (208 total candidates - 8
-# r7 debuts = 200 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (213 total candidates - 8
+# r7 debuts = 205 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -625,6 +628,15 @@ ROTATION_POOL: list[str] = [
     #     profile, and repeat-purchase rate by market segment. ---
     "prices_idio_vol_share", "trade_degree_ccdf", "doc_prefix_clusters",
     "orders_split_shipments", "customer_repeat_by_segment",
+    # --- r6-built batch 45, same debut-candidate status: the dedup
+    #     idempotence property audit (dedup of survivors removes
+    #     nothing), the dormancy-length histogram (winback timing),
+    #     intra-month unit-price dispersion, Neyman sampling
+    #     allocation (integer-quantized weights, order-proof), and
+    #     the Roll-spread-vs-volume microstructure correlation. ---
+    "doc_dedup_idempotence", "events_dormancy_histogram",
+    "parts_price_dispersion", "events_neyman_allocation",
+    "prices_spread_volume_corr",
 ]
 
 

@@ -3420,3 +3420,165 @@ def _perceptron_sql() -> str:
 
 
 register("events_perceptron", q_events_perceptron, _perceptron_sql())
+
+
+# ---- dormancy-length histogram ---------------------------------------------------
+# The winback-timing read growth accounting points at: when users DO
+# come back, how long were they away?  For every resurrection (an
+# active day following >= 1 fully-quiet calendar day), the dormancy
+# length in days, bucketed 1..4 and 5+.  Day granularity, not weeks —
+# the corpus spans ~a month, and the same query at coarser grain is a
+# one-constant change.  One user shuffle; |buckets| output rows.
+
+
+def q_events_dormancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    gaps = (
+        ud.withColumn("prev", F.lag("day").over(wd))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            (F.datediff("day", "prev").cast("bigint") - 1).alias("dormant_days")
+        )
+        .filter(F.col("dormant_days") >= 1)
+    )
+    bucket = F.when(F.col("dormant_days") >= 5, F.lit(5)).otherwise(
+        F.col("dormant_days")
+    )
+    total = gaps.agg(F.count("*").cast("bigint").alias("n_resurrections"))
+    return (
+        gaps.groupBy(bucket.cast("bigint").alias("dormancy_days"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dormancy_days",
+            "n",
+            F.expr("n * 1000000 div n_resurrections").alias("share_ppm"),
+        )
+        .orderBy("dormancy_days")
+    )
+
+
+register(
+    "events_dormancy_histogram",
+    q_events_dormancy_histogram,
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('day', prev, day) AS BIGINT) - 1 AS dormant_days
+      FROM (
+        SELECT day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM ud
+      ) WHERE prev IS NOT NULL
+    ),
+    res AS (SELECT * FROM gaps WHERE dormant_days >= 1),
+    total AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_resurrections FROM res
+    )
+    SELECT CASE WHEN dormant_days >= 5 THEN CAST(5 AS BIGINT)
+                ELSE dormant_days END AS dormancy_days,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) * 1000000 // n_resurrections AS share_ppm
+    FROM res CROSS JOIN total
+    GROUP BY 1, n_resurrections ORDER BY 1
+    """,
+)
+
+
+# ---- Neyman sampling allocation --------------------------------------------------
+# The sampling DESIGN next to events_per_user_cap's execution:
+# allocate a 10k-row budget across event types proportionally to
+# N_h * sigma_h (Neyman 1934) — high-variance strata earn more
+# samples than proportional allocation gives them.  sigma_h comes
+# from exact cent moments via IEEE sqrt; the final floored counts are
+# one shared double chain, so the plan is driver-certifiable.
+
+_NEYMAN_BUDGET = 10_000
+
+_NEYMAN_SD = (
+    "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE))"
+)
+
+
+def q_events_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT)"
+                " * CAST(round(value * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ss"),
+    )
+    # the per-stratum weight is quantized to integer micro-units
+    # BEFORE summing: a SUM over raw doubles is partial-order
+    # dependent (the exact trap operators/exact.py documents), while
+    # the integer weight sum and the final allocation divisions are
+    # bit-portable
+    weighted = mom.withColumn(
+        "wq",
+        F.expr(
+            f"CAST(floor(CAST(nh AS DOUBLE) * ({_NEYMAN_SD}) * 1000000.0)"
+            " AS BIGINT)"
+        ),
+    )
+    total = weighted.agg(F.sum("wq").cast("bigint").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "nh",
+            # wq * budget can exceed int64 at corpus scale; the ratio
+            # of two exact ints through doubles is bit-portable
+            F.expr(
+                f"CAST(floor(CAST(wq AS DOUBLE) * {_NEYMAN_BUDGET}.0"
+                " / CAST(tw AS DOUBLE)) AS BIGINT)"
+            ).alias("alloc_n"),
+            F.expr(
+                "CAST(floor(CAST(wq AS DOUBLE) * 1000000.0"
+                " / CAST(tw AS DOUBLE)) AS BIGINT)"
+            ).alias("alloc_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_neyman_allocation",
+    q_events_neyman_allocation,
+    f"""
+    WITH mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    weighted AS (
+      SELECT event_type, nh,
+             CAST(floor(CAST(nh AS DOUBLE) * ({_NEYMAN_SD}) * 1000000.0)
+                  AS BIGINT) AS wq
+      FROM mom
+    ),
+    total AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM weighted)
+    SELECT event_type, nh,
+           CAST(floor(CAST(wq AS DOUBLE) * {_NEYMAN_BUDGET}.0
+                      / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc_n,
+           CAST(floor(CAST(wq AS DOUBLE) * 1000000.0
+                      / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc_ppm
+    FROM weighted CROSS JOIN total
+    ORDER BY event_type
+    """,
+)

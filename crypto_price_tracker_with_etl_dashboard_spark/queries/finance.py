@@ -2910,3 +2910,102 @@ register(
     ORDER BY symbol
     """,
 )
+
+
+# ---- spread-vs-volume relation --------------------------------------------------------
+# The microstructure relation the Roll spread exists to test: do
+# high-volume symbols trade tighter?  Pearson r (milli-floored,
+# shared double chain) between the certified Roll spread and each
+# symbol's mean tick volume in exact cents, over the |symbols|
+# cross-section.  Both legs reuse certified machinery — the spread
+# via q_prices_roll_spread, volume via one symbol agg in whole-dollar units.
+
+
+def q_prices_spread_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spread = q_prices_roll_spread(spark, sf_dir).select(
+        "symbol", F.col("spread_millicents").alias("x")
+    )
+    prices = prices_from_events(spark, sf_dir).filter(
+        F.col("total_volume").isNotNull()
+    )
+    # whole-dollar volume units: cent-scaled squares would overflow
+    # int64 in the cross-sectional syy sum
+    vol = prices.groupBy("symbol").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(total_volume) AS BIGINT)) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    xy = spread.join(vol, "symbol")
+    mom = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    r_expr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return mom.filter(
+        F.expr(
+            "n >= 3 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0"
+            " AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0"
+        )
+    ).select(
+        "n",
+        F.expr(f"CAST(floor(({r_expr}) * 1000.0) AS BIGINT)").alias("r_milli"),
+    )
+
+
+def _spread_volume_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import ORACLE_SQL
+
+    roll = ORACLE_SQL["prices_roll_spread"]
+    r_expr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    roll AS ({roll}),
+    vol AS (
+      SELECT symbol,
+             CAST(SUM(CAST(round(total_volume) AS BIGINT)) // COUNT(*)
+                  AS BIGINT) AS y
+      FROM prices WHERE total_volume IS NOT NULL GROUP BY 1
+    ),
+    xy AS (
+      SELECT roll.spread_millicents AS x, vol.y AS y
+      FROM roll JOIN vol ON roll.symbol = vol.symbol
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n, CAST(floor(({r_expr}) * 1000.0) AS BIGINT) AS r_milli
+    FROM mom
+    WHERE n >= 3 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """
+
+
+register(
+    "prices_spread_volume_corr",
+    q_prices_spread_volume_corr,
+    _spread_volume_sql(),
+)

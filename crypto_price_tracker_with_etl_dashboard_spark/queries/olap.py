@@ -2824,3 +2824,80 @@ register(
     FROM base GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- intra-month price dispersion -----------------------------------------------------
+# Pricing governance: does the SAME part sell at materially different
+# unit prices within one calendar month?  Line-level unit price in
+# exact integer cents (floor of ext*100/qty — one double op per
+# line); per (part, month) min/max; the dispersion ratio in ppm of
+# the min; a 1-row report of how much of the catalog-month grid
+# exceeds 5%.  One (part, month) shuffle + 1-row fold.
+
+_DISPERSION_FLAG_PPM = 50_000
+
+
+def q_parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    lines = li.select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 / l_quantity) AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    pm = lines.groupBy("l_partkey", "month").agg(
+        F.min("unit_cents").alias("lo"),
+        F.max("unit_cents").alias("hi"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    ).filter(F.col("n_lines") >= 2)
+    return pm.agg(
+        F.count("*").cast("bigint").alias("n_part_months"),
+        F.sum(
+            F.expr(
+                f"CAST((hi - lo) * 1000000 div lo >= {_DISPERSION_FLAG_PPM}"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("dispersed"),
+        F.max(F.expr("(hi - lo) * 1000000 div lo")).alias("max_dispersion_ppm"),
+    ).select(
+        "n_part_months",
+        "dispersed",
+        F.expr("dispersed * 1000000 div n_part_months").alias("dispersed_ppm"),
+        "max_dispersion_ppm",
+    )
+
+
+register(
+    "parts_price_dispersion",
+    q_parts_price_dispersion,
+    f"""
+    WITH lines AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+             CAST(floor(l_extendedprice * 100.0 / l_quantity) AS BIGINT)
+               AS unit_cents
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    pm AS (
+      SELECT l_partkey, month,
+             MIN(unit_cents) AS lo, MAX(unit_cents) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_part_months,
+             CAST(SUM(CASE WHEN (hi - lo) * 1000000 // lo
+                                >= {_DISPERSION_FLAG_PPM}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dispersed,
+             CAST(MAX((hi - lo) * 1000000 // lo) AS BIGINT)
+               AS max_dispersion_ppm
+      FROM pm
+    )
+    SELECT n_part_months, dispersed,
+           dispersed * 1000000 // n_part_months AS dispersed_ppm,
+           max_dispersion_ppm
+    FROM agg
+    """,
+)

@@ -2896,3 +2896,52 @@ register(
     LIMIT {_PREFIX_TOPK}
     """,
 )
+
+
+# ---- dedup idempotence audit ---------------------------------------------------------
+# The property audit a curation pipeline runs after changing ANY
+# dedup code: applying exact dedup to its own survivors must remove
+# nothing.  Both passes run for real (fingerprint -> keep min doc_id
+# per group -> re-fingerprint survivors); the oracle recomputes the
+# same two passes, so a canonicalization bug (unstable tie-break,
+# fingerprint drift between passes) fails the driver gate.
+
+
+def q_doc_dedup_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.fingerprint("text").alias("fp"))
+    survivors = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    pass2 = survivors.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    n0 = fp.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n1 = survivors.agg(F.count("*").cast("bigint").alias("n_after_1"))
+    n2 = pass2.agg(F.count("*").cast("bigint").alias("n_after_2"))
+    return (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n_docs",
+            "n_after_1",
+            "n_after_2",
+            F.expr("n_after_1 = n_after_2").alias("idempotent"),
+        )
+    )
+
+
+register(
+    "doc_dedup_idempotence",
+    q_doc_dedup_idempotence,
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    survivors AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY 1),
+    pass2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM survivors GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS n_after_1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass2) AS n_after_2,
+           (SELECT COUNT(*) FROM survivors) = (SELECT COUNT(*) FROM pass2)
+             AS idempotent
+    """,
+)
