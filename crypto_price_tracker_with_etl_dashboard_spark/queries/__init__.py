@@ -202,9 +202,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-45 five (doc_dedup_idempotence,
 # events_dormancy_histogram, parts_price_dispersion,
 # events_neyman_allocation, prices_spread_volume_corr)
+# and the batch-46 five (events_poststrat_lift, trade_rich_club,
+# doc_hapax_share, emb_norm_audit, prices_streaks)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (213 total candidates - 8
-# r7 debuts = 205 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (218 total candidates - 8
+# r7 debuts = 210 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -637,6 +639,15 @@ ROTATION_POOL: list[str] = [
     "doc_dedup_idempotence", "events_dormancy_histogram",
     "parts_price_dispersion", "events_neyman_allocation",
     "prices_spread_volume_corr",
+    # --- r6-built batch 46, same debut-candidate status: the post-
+    #     stratified lift (fourth causal estimator — removes the mix
+    #     confound the Simpson screen detects), the bipartite
+    #     rich-club density (do hubs trade with each other?), hapax
+    #     vocabulary share, the embedding norm audit (are vectors
+    #     unit-norm? exact milli order statistics), and up/down
+    #     streak extremes. ---
+    "events_poststrat_lift", "trade_rich_club", "doc_hapax_share",
+    "emb_norm_audit", "prices_streaks",
 ]
 
 

@@ -3135,7 +3135,10 @@ register(
 # stratify at a fixed 5-events/user activity cut.  A reversal flags
 # the readout as mix-confounded.  One user shuffle; 1-row report.
 
-_SIMPSON_ACTIVITY_CUT = 5
+# 66 = the corpus's median per-user event count at every shipped SF
+# (a cut of 5 left the light stratum empty — everyone is "heavy" at
+# ~65 events/user, which silently degenerated the strata)
+_SIMPSON_ACTIVITY_CUT = 66
 
 
 def q_events_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3582,3 +3585,134 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---- post-stratified experiment lift ----------------------------------------------
+# The fourth causal estimator beside the z-test, CUPED and DiD:
+# post-stratification reweights each activity stratum's per-arm
+# conversion by the stratum's population share, removing the mix
+# confound events_simpson_check detects.  Per-stratum rates stay
+# exact integer cross-products scaled to ppm; the weighted adjusted
+# rates are one shared double chain over exact counts.
+
+_PSTRAT_CUT = _SIMPSON_ACTIVITY_CUT  # shared stratification cut
+
+
+def q_events_poststrat_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        lcg_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    tagged = users.select(
+        lcg_bucket("user_id", 2).alias("arm"),
+        (F.col("n_events") > _PSTRAT_CUT).cast("int").alias("heavy"),
+        "y",
+    )
+    cells = tagged.groupBy("arm", "heavy").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("conv"),
+    )
+    flat = cells.agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == a) & (F.col("heavy") == h), F.col(c))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}_{a}{h}")
+            for c in ("n", "conv")
+            for a in (0, 1)
+            for h in (0, 1)
+        ]
+    )
+    # stratum weights from the POOLED population (light = n_00+n_10,
+    # heavy = n_01+n_11); adjusted rate per arm = sum_h w_h * rate_ah
+    adj = lambda a: (  # noqa: E731
+        f"(CAST(n_00 + n_10 AS DOUBLE) * CAST(conv_{a}0 AS DOUBLE)"
+        f" / CAST(n_{a}0 AS DOUBLE)"
+        f" + CAST(n_01 + n_11 AS DOUBLE) * CAST(conv_{a}1 AS DOUBLE)"
+        f" / CAST(n_{a}1 AS DOUBLE))"
+        f" / CAST(n_00 + n_01 + n_10 + n_11 AS DOUBLE)"
+    )
+    raw = lambda a: (  # noqa: E731
+        f"CAST(conv_{a}0 + conv_{a}1 AS DOUBLE)"
+        f" / CAST(n_{a}0 + n_{a}1 AS DOUBLE)"
+    )
+    return flat.filter(
+        F.expr("n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0")
+    ).select(
+        F.expr("n_00 + n_01").alias("n_arm_a"),
+        F.expr("n_10 + n_11").alias("n_arm_b"),
+        F.expr(f"CAST(floor(({raw(1)} - {raw(0)}) * 1000000.0) AS BIGINT)").alias(
+            "raw_lift_ppm"
+        ),
+        F.expr(f"CAST(floor(({adj(1)} - {adj(0)}) * 1000000.0) AS BIGINT)").alias(
+            "adjusted_lift_ppm"
+        ),
+    )
+
+
+def _poststrat_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        sql_lcg_bucket,
+    )
+
+    cols = []
+    for c in ("n", "conv"):
+        for a in (0, 1):
+            for h in (0, 1):
+                cols.append(
+                    f"CAST(SUM(CASE WHEN arm = {a} AND heavy = {h}"
+                    f" THEN {c} ELSE 0 END) AS BIGINT) AS {c}_{a}{h}"
+                )
+
+    def adj(a: int) -> str:
+        return (
+            f"(CAST(n_00 + n_10 AS DOUBLE) * CAST(conv_{a}0 AS DOUBLE)"
+            f" / CAST(n_{a}0 AS DOUBLE)"
+            f" + CAST(n_01 + n_11 AS DOUBLE) * CAST(conv_{a}1 AS DOUBLE)"
+            f" / CAST(n_{a}1 AS DOUBLE))"
+            f" / CAST(n_00 + n_01 + n_10 + n_11 AS DOUBLE)"
+        )
+
+    def raw(a: int) -> str:
+        return (
+            f"CAST(conv_{a}0 + conv_{a}1 AS DOUBLE)"
+            f" / CAST(n_{a}0 + n_{a}1 AS DOUBLE)"
+        )
+
+    return f"""
+    WITH users AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tagged AS (
+      SELECT {sql_lcg_bucket('user_id', 2)} AS arm,
+             CASE WHEN n_events > {_PSTRAT_CUT} THEN 1 ELSE 0 END AS heavy,
+             y
+      FROM users
+    ),
+    cells AS (
+      SELECT arm, heavy, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS conv
+      FROM tagged GROUP BY 1, 2
+    ),
+    flat AS (SELECT {', '.join(cols)} FROM cells)
+    SELECT n_00 + n_01 AS n_arm_a,
+           n_10 + n_11 AS n_arm_b,
+           CAST(floor(({raw(1)} - {raw(0)}) * 1000000.0) AS BIGINT)
+             AS raw_lift_ppm,
+           CAST(floor(({adj(1)} - {adj(0)}) * 1000000.0) AS BIGINT)
+             AS adjusted_lift_ppm
+    FROM flat
+    WHERE n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0
+    """
+
+
+register("events_poststrat_lift", q_events_poststrat_lift, _poststrat_sql())

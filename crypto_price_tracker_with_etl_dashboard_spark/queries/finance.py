@@ -3009,3 +3009,111 @@ register(
     q_prices_spread_volume_corr,
     _spread_volume_sql(),
 )
+
+
+# ---- up/down streaks -----------------------------------------------------------------
+# The momentum-persistence read: each symbol's longest run of
+# consecutive up days and down days (gaps-and-islands on the sign of
+# the daily change — flat days break both streaks).  Exact integer
+# day counts; shares the per-symbol daily-close shuffle.
+
+
+def q_prices_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    signed = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.when(F.col("close") > F.col("__prev"), 1)
+            .when(F.col("close") < F.col("__prev"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            F.row_number().over(wd).alias("rn"),
+        )
+    )
+    runs = (
+        signed.filter(F.col("sgn") != 0)
+        .withColumn(
+            "grp",
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("symbol", "sgn").orderBy("day")
+            ),
+        )
+        .groupBy("symbol", "sgn", "grp")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return (
+        runs.groupBy("symbol")
+        .agg(
+            F.max(F.when(F.col("sgn") == 1, F.col("len")))
+            .cast("bigint")
+            .alias("max_up_streak"),
+            F.max(F.when(F.col("sgn") == -1, F.col("len")))
+            .cast("bigint")
+            .alias("max_down_streak"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_streaks",
+    q_prices_streaks,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    signed AS (
+      SELECT symbol, day,
+             CASE WHEN close > prev THEN 1
+                  WHEN close < prev THEN -1 ELSE 0 END AS sgn,
+             row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    runs AS (
+      SELECT symbol, sgn, CAST(COUNT(*) AS BIGINT) AS len
+      FROM (
+        SELECT symbol, sgn,
+               rn - row_number() OVER (PARTITION BY symbol, sgn ORDER BY day)
+                 AS grp
+        FROM signed WHERE sgn <> 0
+      ) GROUP BY symbol, sgn, grp
+    )
+    SELECT symbol,
+           CAST(MAX(CASE WHEN sgn = 1 THEN len END) AS BIGINT)
+             AS max_up_streak,
+           CAST(MAX(CASE WHEN sgn = -1 THEN len END) AS BIGINT)
+             AS max_down_streak
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+)

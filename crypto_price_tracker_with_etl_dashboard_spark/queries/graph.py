@@ -944,3 +944,100 @@ def _degree_ccdf_sql() -> str:
 
 
 register("trade_degree_ccdf", q_trade_degree_ccdf, _degree_ccdf_sql())
+
+
+# ---- rich-club coefficient -----------------------------------------------------------
+# Do the hubs trade with EACH OTHER?  The rich-club density phi(k):
+# among suppliers/customers of degree >= k, the share of possible
+# intra-club trade relations that exist.  Exact integers: club
+# membership from the degree table, realized edges by joining the
+# aggregated pair list against the club on both endpoints, possible
+# edges = n_s * n_c (the graph is bipartite — supplier-customer
+# pairs only).  |thresholds| output rows.
+
+_RICH_CLUB_KS = (10, 20, 50)
+
+
+def q_trade_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count("*").alias("__w"))
+        .select("l_suppkey", "o_custkey")
+    )
+    sdeg = pairs.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("sdeg")
+    )
+    cdeg = pairs.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("cdeg")
+    )
+    parts = []
+    for k in _RICH_CLUB_KS:
+        s_club = sdeg.filter(F.col("sdeg") >= k).select("l_suppkey")
+        c_club = cdeg.filter(F.col("cdeg") >= k).select("o_custkey")
+        ns = s_club.agg(F.count("*").cast("bigint").alias("n_s"))
+        nc = c_club.agg(F.count("*").cast("bigint").alias("n_c"))
+        realized = (
+            pairs.join(s_club, "l_suppkey")
+            .join(c_club, "o_custkey")
+            .agg(F.count("*").cast("bigint").alias("realized"))
+        )
+        parts.append(
+            ns.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(realized))
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_s",
+                "n_c",
+                "realized",
+                F.expr(
+                    "CASE WHEN n_s * n_c > 0"
+                    " THEN realized * 1000000 div (n_s * n_c) END"
+                ).alias("density_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
+
+
+def _rich_club_sql() -> str:
+    selects = []
+    for k in _RICH_CLUB_KS:
+        selects.append(f"""
+      SELECT CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sdeg WHERE sdeg >= {k})
+               AS n_s,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cdeg WHERE cdeg >= {k})
+               AS n_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+              JOIN sdeg s ON p.l_suppkey = s.l_suppkey AND s.sdeg >= {k}
+              JOIN cdeg c ON p.o_custkey = c.o_custkey AND c.cdeg >= {k})
+               AS realized""")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH pairs AS (
+      SELECT l_suppkey, o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    sdeg AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS sdeg
+      FROM pairs GROUP BY 1
+    ),
+    cdeg AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cdeg
+      FROM pairs GROUP BY 1
+    )
+    SELECT k, n_s, n_c, realized,
+           CASE WHEN n_s * n_c > 0
+                THEN realized * 1000000 // (n_s * n_c) END AS density_ppm
+    FROM ({union}
+    ) ORDER BY k
+    """
+
+
+register("trade_rich_club", q_trade_rich_club, _rich_club_sql())

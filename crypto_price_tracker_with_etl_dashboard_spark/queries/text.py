@@ -2945,3 +2945,58 @@ register(
              AS idempotent
     """,
 )
+
+
+# ---- hapax share (vocabulary health) ---------------------------------------------------
+# The corpus-health read beside the Zipf check: what share of each
+# source's vocabulary occurs exactly once?  A healthy natural corpus
+# runs 40-60% hapax legomena; far less means templated text, far
+# more means noise/OCR junk.  One (source, term) agg with map-side
+# partials; |sources| output rows.
+
+
+def q_doc_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "source", F.explode_outer(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "hapax",
+            F.expr("hapax * 1000000 div vocab_size").alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "doc_hapax_share",
+    q_doc_hapax_share,
+    f"""
+    WITH terms AS (
+      SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM terms WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS hapax_ppm
+    FROM vocab GROUP BY 1 ORDER BY 1
+    """,
+)

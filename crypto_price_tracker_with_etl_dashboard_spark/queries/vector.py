@@ -2704,3 +2704,101 @@ def _pq_code_balance_sql() -> str:
 
 
 register("emb_pq_code_balance", q_emb_pq_code_balance, _pq_code_balance_sql())
+
+
+# ---- embedding norm audit ---------------------------------------------------------
+# The preprocessing gate every cosine consumer assumes: ARE the
+# embeddings unit-norm?  Norms quantize to exact milli integers (the
+# sqrt of an exact dot product is correctly rounded, then floored),
+# bucketed through the count-bucket order-statistic trick for exact
+# min/median/max, plus the share within 1% of unit norm.  One
+# zero-shuffle norm projection + a small bucket agg.
+
+_NORM_EXPR = (
+    f"CAST(floor(sqrt(aggregate(transform(embedding,"
+    f" v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),"
+    f" CAST(0.0 AS DOUBLE), (a, x) -> a + x)) * 1000.0) AS BIGINT)"
+)
+
+
+def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(F.expr(_NORM_EXPR).alias("norm_milli"))
+    per = norms.groupBy("norm_milli").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("norm_milli").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    med = cum.filter(F.expr("cum >= (n + 1) div 2")).agg(
+        F.min("norm_milli").alias("median_norm_milli"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )
+    ext = per.agg(
+        F.min("norm_milli").alias("min_norm_milli"),
+        F.max("norm_milli").alias("max_norm_milli"),
+        F.sum(
+            F.when(
+                (F.col("norm_milli") >= 990) & (F.col("norm_milli") <= 1010),
+                F.col("c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("unit_like"),
+    )
+    return (
+        med.crossJoin(F.broadcast(ext))
+        .select(
+            "n_vectors",
+            "min_norm_milli",
+            "median_norm_milli",
+            "max_norm_milli",
+            F.expr("unit_like * 1000000 div n_vectors").alias("unit_norm_ppm"),
+        )
+    )
+
+
+register(
+    "emb_norm_audit",
+    q_emb_norm_audit,
+    f"""
+    WITH norms AS (
+      SELECT CAST(floor(sqrt(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * 1000.0)
+             AS BIGINT) AS norm_milli
+      FROM embeddings
+    ),
+    per AS (
+      SELECT norm_milli, CAST(COUNT(*) AS BIGINT) AS c
+      FROM norms GROUP BY 1
+    ),
+    cum AS (
+      SELECT norm_milli, c,
+             CAST(SUM(c) OVER (ORDER BY norm_milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM per
+    ),
+    med AS (
+      SELECT MIN(norm_milli) AS median_norm_milli,
+             CAST(MAX(n) AS BIGINT) AS n_vectors
+      FROM cum WHERE cum >= (n + 1) // 2
+    ),
+    ext AS (
+      SELECT MIN(norm_milli) AS min_norm_milli,
+             MAX(norm_milli) AS max_norm_milli,
+             CAST(SUM(CASE WHEN norm_milli BETWEEN 990 AND 1010
+                           THEN c ELSE 0 END) AS BIGINT) AS unit_like
+      FROM per
+    )
+    SELECT n_vectors, min_norm_milli, median_norm_milli, max_norm_milli,
+           unit_like * 1000000 // n_vectors AS unit_norm_ppm
+    FROM med CROSS JOIN ext
+    """,
+)

@@ -72,7 +72,7 @@ def test_simpson_hand_reversal(spark, monkeypatch):
 
     def add_user(uid, heavy, converted):
         nonlocal eid
-        n = 10 if heavy else 1
+        n = 70 if heavy else 1  # the stratification cut sits at 66
         for i in range(n):
             eid += 1
             rows.append((eid, t0, uid, "view", 1.0, "{}"))
