@@ -57,3 +57,22 @@ def burst_alerts(
             "n_events",
         )
     )
+
+
+def streaming_freshness(events: DataFrame, key: str = "event_type",
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming twin of the batch freshness monitor
+    (queries/behavior.py::q_events_freshness_report's per-type leg):
+    the live ``max(ts) per key`` table, maintained as a bounded
+    (|keys| rows FOREVER) watermark-free max-aggregate — the
+    streaming_hll discipline: max is associative, commutative and
+    idempotent, so the snapshot equals the batch aggregate over
+    everything ingested REGARDLESS of micro-batch boundaries or
+    at-least-once replays.  Staleness vs the stream head is a
+    per-read join the consumer does on the tiny snapshot (the head is
+    itself just the max of this table)."""
+    df = events
+    return df.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+    )

@@ -1205,3 +1205,52 @@ def test_streaming_hll_equals_batch_and_survives_duplicates(spark, tmp_path):
         hll_registers(spark.createDataFrame(b1, "k bigint"), "k")
     ).collect()[0]["n_estimate"]
     assert est == est_clean
+
+
+def test_streaming_freshness_equals_batch_and_survives_replay(spark, tmp_path):
+    """The streaming freshness snapshot (max ts per type) is a
+    bounded watermark-free aggregate; after a replayed micro-batch
+    the last_ts column still equals the batch aggregate over the
+    distinct stream (max-idempotence), while the count column — like
+    any counting aggregate — honestly reflects at-least-once
+    delivery.  The staleness the batch query derives from last_ts is
+    therefore replay-proof."""
+    import datetime as dt
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.alerts import (
+        streaming_freshness,
+    )
+
+    pdir = str(tmp_path / "fresh_stream")
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [
+        (i, t0 + dt.timedelta(minutes=i), "view" if i % 2 == 0 else "purchase")
+        for i in range(40)
+    ]
+    b2 = b1[:10]  # pure replay
+    schema = "event_id bigint, ts timestamp, event_type string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        streaming_freshness(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fresh_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        streamed = {
+            r["event_type"]: r["last_ts"]
+            for r in spark.sql("SELECT * FROM fresh_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["event_type"]: r["last_ts"]
+        for r in streaming_freshness(spark.createDataFrame(b1, schema)).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 2
