@@ -204,9 +204,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # events_neyman_allocation, prices_spread_volume_corr)
 # and the batch-46 five (events_poststrat_lift, trade_rich_club,
 # doc_hapax_share, emb_norm_audit, prices_streaks)
+# and the batch-47 five (trade_edge_retention,
+# events_experiment_report, doc_dedup_savings, events_variance_anova,
+# media_aspect_profile)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (218 total candidates - 8
-# r7 debuts = 210 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (223 total candidates - 8
+# r7 debuts = 215 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -648,6 +651,15 @@ ROTATION_POOL: list[str] = [
     #     streak extremes. ---
     "events_poststrat_lift", "trade_rich_club", "doc_hapax_share",
     "emb_norm_audit", "prices_streaks",
+    # --- r6-built batch 47, same debut-candidate status: quarter-
+    #     over-quarter trade-edge retention (the churn side of graph
+    #     growth), the one-row experiment readout composing the four
+    #     certified estimators (SRM / Simpson / post-strat lift /
+    #     Welch), dedup storage savings, the between-vs-within user
+    #     ANOVA (eta^2), and the image aspect-ratio profile through
+    #     the real BMP header parse. ---
+    "trade_edge_retention", "events_experiment_report",
+    "doc_dedup_savings", "events_variance_anova", "media_aspect_profile",
 ]
 
 

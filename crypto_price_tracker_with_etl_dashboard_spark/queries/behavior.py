@@ -3716,3 +3716,174 @@ def _poststrat_sql() -> str:
 
 
 register("events_poststrat_lift", q_events_poststrat_lift, _poststrat_sql())
+
+
+# ---- one-row experiment readout --------------------------------------------------
+# The doc_curation_funnel pattern applied to experimentation: ONE row
+# a reviewer reads before trusting any lift — validity (SRM),
+# mix-confounding (Simpson reversal), the proportion lift raw and
+# post-stratified, and the continuous-metric Welch verdict — each
+# column computed by the already-certified query it names, so the
+# report can never disagree with its parts.
+
+
+def q_events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srm = q_events_srm_check(spark, sf_dir).select(
+        "n_users", "srm_detected"
+    )
+    simpson = q_events_simpson_check(spark, sf_dir).select(
+        F.col("simpson_reversal")
+    )
+    lifts = q_events_poststrat_lift(spark, sf_dir).select(
+        "raw_lift_ppm", "adjusted_lift_ppm"
+    )
+    welch = q_events_value_ab_welch(spark, sf_dir).select(
+        F.col("t_milli").alias("spend_t_milli"),
+        F.col("significant").alias("spend_significant"),
+    )
+    return (
+        srm.crossJoin(F.broadcast(simpson))
+        .crossJoin(F.broadcast(lifts))
+        .crossJoin(F.broadcast(welch))
+        .select(
+            "n_users",
+            "srm_detected",
+            "simpson_reversal",
+            "raw_lift_ppm",
+            "adjusted_lift_ppm",
+            "spend_t_milli",
+            "spend_significant",
+            F.expr("NOT srm_detected AND NOT simpson_reversal").alias(
+                "readout_valid"
+            ),
+        )
+    )
+
+
+def _experiment_report_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import ORACLE_SQL
+
+    srm = ORACLE_SQL["events_srm_check"]
+    simpson = ORACLE_SQL["events_simpson_check"]
+    lifts = ORACLE_SQL["events_poststrat_lift"]
+    welch = ORACLE_SQL["events_value_ab_welch"]
+    return f"""
+    WITH srm AS ({srm}),
+    simpson AS ({simpson}),
+    lifts AS ({lifts}),
+    welch AS ({welch})
+    SELECT srm.n_users, srm.srm_detected, simpson.simpson_reversal,
+           lifts.raw_lift_ppm, lifts.adjusted_lift_ppm,
+           welch.t_milli AS spend_t_milli,
+           welch.significant AS spend_significant,
+           NOT srm.srm_detected AND NOT simpson.simpson_reversal
+             AS readout_valid
+    FROM srm CROSS JOIN simpson CROSS JOIN lifts CROSS JOIN welch
+    """
+
+
+register(
+    "events_experiment_report",
+    q_events_experiment_report,
+    _experiment_report_sql(),
+)
+
+
+# ---- between/within user variance decomposition ---------------------------------------
+# The one-way ANOVA read on event values: how much of the variance is
+# BETWEEN users (stable user-level differences) vs WITHIN a user's
+# own events?  eta^2 = SS_between / SS_total from exact cent moments
+# — high eta^2 says user-level features carry signal, low says events
+# are individually noisy.  One user agg + one 1-row fold; the ratio
+# is a shared double chain.
+
+
+def q_events_variance_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT)"
+                " * CAST(round(value * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ss"),
+    )
+    # SS_between needs sum over users of s^2/m (double, per-user exact
+    # ints); quantized to micro-units before summing (order-proof)
+    mom = per_user.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / CAST(m AS DOUBLE) * 1000000.0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("grp_q"),
+    )
+    eta = (
+        "(CAST(grp_q AS DOUBLE) / 1000000.0"
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(sst AS DOUBLE)"
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return mom.filter(
+        F.expr(
+            "n >= 2 AND CAST(sst AS DOUBLE)"
+            " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) > 0"
+        )
+    ).select(
+        "k",
+        "n",
+        F.expr(f"CAST(floor(({eta}) * 1000000.0) AS BIGINT)").alias(
+            "eta2_ppm"
+        ),
+    )
+
+
+def _anova_sql() -> str:
+    eta = (
+        "(CAST(grp_q AS DOUBLE) / 1000000.0"
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(sst AS DOUBLE)"
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(ss) AS BIGINT) AS sst,
+             CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(m AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS grp_q
+      FROM per_user
+    )
+    SELECT k, n,
+           CAST(floor(({eta}) * 1000000.0) AS BIGINT) AS eta2_ppm
+    FROM mom
+    WHERE n >= 2 AND CAST(sst AS DOUBLE)
+      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) > 0
+    """
+
+
+register("events_variance_anova", q_events_variance_anova, _anova_sql())

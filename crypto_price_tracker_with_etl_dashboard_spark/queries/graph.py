@@ -1041,3 +1041,95 @@ def _rich_club_sql() -> str:
 
 
 register("trade_rich_club", q_trade_rich_club, _rich_club_sql())
+
+
+# ---- quarter-over-quarter edge retention ------------------------------------------
+# The churn side of trade_graph_growth: of the trade relations active
+# in quarter Q, how many are still active in Q+1?  Active = at least
+# one lineitem that quarter; retention is an exact pair-set
+# intersection via self-join on the (pair, quarter) table shifted one
+# quarter.  Output is |quarter pairs| rows.
+
+
+def q_trade_edge_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    pq = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            "o_custkey",
+            F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("q"),
+        )
+        .distinct()
+    )
+    cur = pq.select("l_suppkey", "o_custkey", F.col("q").alias("quarter"))
+    nxt = pq.select(
+        "l_suppkey",
+        "o_custkey",
+        F.add_months(F.col("q"), -3).alias("quarter"),
+    )
+    per_q = cur.groupBy("quarter").agg(
+        F.count("*").cast("bigint").alias("active_edges")
+    )
+    retained = (
+        cur.join(nxt, ["l_suppkey", "o_custkey", "quarter"], "left_semi")
+        .groupBy("quarter")
+        .agg(F.count("*").cast("bigint").alias("retained_edges"))
+    )
+    last_q = pq.agg(F.max("q").alias("max_q"))
+    return (
+        per_q.join(retained, "quarter", "left")
+        .crossJoin(F.broadcast(last_q))
+        .filter(F.col("quarter") < F.col("max_q"))  # last quarter has no next
+        .select(
+            "quarter",
+            "active_edges",
+            F.coalesce("retained_edges", F.lit(0).cast("bigint")).alias(
+                "retained_edges"
+            ),
+            F.expr(
+                "COALESCE(retained_edges, CAST(0 AS BIGINT)) * 1000000"
+                " div active_edges"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("quarter")
+    )
+
+
+register(
+    "trade_edge_retention",
+    q_trade_edge_retention,
+    """
+    WITH pq AS (
+      SELECT DISTINCT l_suppkey, o_custkey,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per_q AS (
+      SELECT q AS quarter, CAST(COUNT(*) AS BIGINT) AS active_edges
+      FROM pq GROUP BY 1
+    ),
+    retained AS (
+      SELECT a.q AS quarter, CAST(COUNT(*) AS BIGINT) AS retained_edges
+      FROM pq a
+      WHERE EXISTS (
+        SELECT 1 FROM pq b
+        WHERE b.l_suppkey = a.l_suppkey AND b.o_custkey = a.o_custkey
+          AND b.q = a.q + INTERVAL 3 MONTH
+      )
+      GROUP BY 1
+    ),
+    last_q AS (SELECT MAX(q) AS max_q FROM pq)
+    SELECT quarter, active_edges,
+           COALESCE(retained_edges, CAST(0 AS BIGINT)) AS retained_edges,
+           COALESCE(retained_edges, CAST(0 AS BIGINT)) * 1000000
+             // active_edges AS retention_ppm
+    FROM per_q LEFT JOIN retained USING (quarter)
+    CROSS JOIN last_q
+    WHERE quarter < max_q
+    ORDER BY quarter
+    """,
+)

@@ -664,3 +664,64 @@ register(
     FROM sums ORDER BY media_id
     """,
 )
+
+
+# ---- image aspect-ratio profile ---------------------------------------------------
+# The curation screen on image geometry: the distribution of aspect
+# ratios (milli w/h) through the REAL BMP header parse, with the
+# extreme-ratio share (>2:1 either way) that usually marks banners
+# and scrollbars rather than content.  Decode plumbing identical to
+# media_image_decode; |distinct ratios| output rows.
+
+
+def q_media_aspect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        decode_images,
+        synth_images,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_images(docs.select(F.col("doc_id").alias("media_id")))
+    decoded = decode_images(media).filter(F.col("width").isNotNull())
+    ratios = decoded.select(
+        F.expr("CAST(width AS BIGINT) * 1000 div CAST(height AS BIGINT)").alias(
+            "aspect_milli"
+        )
+    )
+    total = ratios.agg(F.count("*").cast("bigint").alias("n_images"))
+    return (
+        ratios.groupBy("aspect_milli")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "aspect_milli",
+            "n",
+            F.expr("n * 1000000 div n_images").alias("share_ppm"),
+            F.expr("aspect_milli > 2000 OR aspect_milli < 500").alias(
+                "extreme"
+            ),
+        )
+        .orderBy("aspect_milli")
+    )
+
+
+register(
+    "media_aspect_profile",
+    q_media_aspect_profile,
+    """
+    WITH params AS (
+      SELECT doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    ratios AS (
+      SELECT CAST(w AS BIGINT) * 1000 // CAST(h AS BIGINT) AS aspect_milli
+      FROM params
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_images FROM ratios)
+    SELECT aspect_milli, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) * 1000000 // n_images AS share_ppm,
+           aspect_milli > 2000 OR aspect_milli < 500 AS extreme
+    FROM ratios CROSS JOIN total
+    GROUP BY aspect_milli, n_images ORDER BY aspect_milli
+    """,
+)

@@ -3000,3 +3000,69 @@ register(
     FROM vocab GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- dedup storage savings -------------------------------------------------------------
+# The capacity read on exact dedup: how many characters (and docs)
+# does keep-one-per-fingerprint actually save?  Savings count every
+# group member beyond the canonical min-doc_id survivor; exact
+# integer sums; 1-row report.
+
+
+def q_doc_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        T.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    tagged = fp.withColumn(
+        "keep", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+    )
+    return tagged.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.expr("CAST(keep = 0 AS BIGINT)")).cast("bigint").alias(
+            "docs_removed"
+        ),
+        F.sum(F.when(F.col("keep") == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_removed"),
+    ).select(
+        "n_docs",
+        "docs_removed",
+        "total_chars",
+        "chars_removed",
+        F.expr("chars_removed * 1000000 div total_chars").alias(
+            "savings_ppm"
+        ),
+    )
+
+
+register(
+    "doc_dedup_savings",
+    q_doc_dedup_savings,
+    """
+    WITH fp AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    tagged AS (
+      SELECT n_chars,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS keep
+      FROM fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_removed,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_removed,
+           CAST(SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(n_chars) AS BIGINT) AS savings_ppm
+    FROM tagged
+    """,
+)
