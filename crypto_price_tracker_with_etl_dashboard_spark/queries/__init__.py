@@ -207,9 +207,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-47 five (trade_edge_retention,
 # events_experiment_report, doc_dedup_savings, events_variance_anova,
 # media_aspect_profile)
+# and the batch-48 five (parts_one_time_share, emb_effective_dim,
+# events_markov_fanout, orders_first_vs_repeat,
+# doc_source_vocab_overlap)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (223 total candidates - 8
-# r7 debuts = 215 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (228 total candidates - 8
+# r7 debuts = 220 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -660,6 +663,14 @@ ROTATION_POOL: list[str] = [
     #     the real BMP header parse. ---
     "trade_edge_retention", "events_experiment_report",
     "doc_dedup_savings", "events_variance_anova", "media_aspect_profile",
+    # --- r6-built batch 48, same debut-candidate status: one-time
+    #     parts long-tail share, the participation-ratio effective
+    #     dimensionality (representation-collapse smell), Markov
+    #     effective fan-out (how deterministic is each journey
+    #     state?), first-vs-repeat order value, and top-100
+    #     vocabulary overlap per source pair. ---
+    "parts_one_time_share", "emb_effective_dim", "events_markov_fanout",
+    "orders_first_vs_repeat", "doc_source_vocab_overlap",
 ]
 
 

@@ -3887,3 +3887,70 @@ def _anova_sql() -> str:
 
 
 register("events_variance_anova", q_events_variance_anova, _anova_sql())
+
+
+# ---- Markov effective fan-out ---------------------------------------------------
+# How PREDICTABLE is each journey state?  The inverse-Simpson
+# effective number of next-steps per from-state over the
+# events_markov transition counts (the exact-integer diversity the
+# user-level query uses): eff = (sum c)^2 / sum c^2 in ppm — eff ~ 1
+# means the next event is nearly deterministic, eff ~ |types| means
+# anything can follow.  One (from, to) lead-window agg; |types| rows.
+
+
+def q_events_markov_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_state"),
+            F.col("next_type").alias("to_state"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        trans.groupBy("from_state")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_transitions"),
+            F.count("*").cast("bigint").alias("n_successors"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("ss"),
+        )
+        .select(
+            "from_state",
+            "n_transitions",
+            "n_successors",
+            F.expr(
+                "n_transitions * n_transitions * 1000000 div ss"
+            ).alias("eff_successors_ppm"),
+        )
+        .orderBy("from_state")
+    )
+
+
+register(
+    "events_markov_fanout",
+    q_events_markov_fanout,
+    """
+    WITH trans AS (
+      SELECT event_type AS from_state, next_type AS to_state,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events WHERE user_id IS NOT NULL
+      ) WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_state,
+           CAST(SUM(c) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_successors,
+           CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) * 1000000
+             // CAST(SUM(c * c) AS BIGINT) AS eff_successors_ppm
+    FROM trans GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -2901,3 +2901,140 @@ register(
     FROM agg
     """,
 )
+
+
+# ---- one-time parts share ---------------------------------------------------------
+# The long-tail inventory read: how much of the catalog (and its
+# revenue) sits in parts ordered exactly once?  Exact integer
+# counts/cents; one partkey agg + a 1-row fold.
+
+
+def q_parts_one_time_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.expr("CAST(n_lines = 1 AS BIGINT)")).cast("bigint").alias(
+            "one_time_parts"
+        ),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.when(F.col("n_lines") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("one_time_cents"),
+    ).select(
+        "n_parts",
+        "one_time_parts",
+        F.expr("one_time_parts * 1000000 div n_parts").alias(
+            "one_time_part_ppm"
+        ),
+        F.expr("one_time_cents * 1000000 div total_cents").alias(
+            "one_time_rev_ppm"
+        ),
+    )
+
+
+register(
+    "parts_one_time_share",
+    q_parts_one_time_share,
+    """
+    WITH per AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_lines = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS one_time_parts,
+           CAST(SUM(CASE WHEN n_lines = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS one_time_part_ppm,
+           CAST(SUM(CASE WHEN n_lines = 1 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(cents) AS BIGINT) AS one_time_rev_ppm
+    FROM per
+    """,
+)
+
+
+# ---- first-order vs repeat-order value ---------------------------------------------
+# Commerce behavior: do customers' FIRST orders differ in value from
+# their later ones?  First = min orderdate per customer (ties -> min
+# orderkey); exact cents; one custkey window + a 1-row fold with the
+# ratio in ppm.
+
+
+def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    tagged = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_first"),
+    )
+    return tagged.agg(
+        F.sum(F.expr("CAST(is_first = 1 AS BIGINT)")).cast("bigint").alias(
+            "n_first"
+        ),
+        F.sum(F.when(F.col("is_first") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("first_cents"),
+        F.sum(F.expr("CAST(is_first = 0 AS BIGINT)")).cast("bigint").alias(
+            "n_repeat"
+        ),
+        F.sum(F.when(F.col("is_first") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("repeat_cents"),
+    ).filter(F.expr("n_first > 0 AND n_repeat > 0")).select(
+        "n_first",
+        "n_repeat",
+        F.expr("first_cents div n_first").alias("mean_first_cents"),
+        F.expr("repeat_cents div n_repeat").alias("mean_repeat_cents"),
+        F.expr(
+            "(repeat_cents div n_repeat) * 1000000"
+            " div (first_cents div n_first)"
+        ).alias("repeat_vs_first_ppm"),
+    )
+
+
+register(
+    "orders_first_vs_repeat",
+    q_orders_first_vs_repeat,
+    """
+    WITH tagged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN is_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(SUM(CASE WHEN is_first = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS first_cents,
+             CAST(SUM(CASE WHEN is_first = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+             CAST(SUM(CASE WHEN is_first = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS repeat_cents
+      FROM tagged
+    )
+    SELECT n_first, n_repeat,
+           first_cents // n_first AS mean_first_cents,
+           repeat_cents // n_repeat AS mean_repeat_cents,
+           (repeat_cents // n_repeat) * 1000000
+             // (first_cents // n_first) AS repeat_vs_first_ppm
+    FROM agg WHERE n_first > 0 AND n_repeat > 0
+    """,
+)

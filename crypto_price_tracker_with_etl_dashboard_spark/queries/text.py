@@ -3066,3 +3066,82 @@ register(
     FROM tagged
     """,
 )
+
+
+# ---- source vocabulary overlap ----------------------------------------------------
+# Which feeds write alike?  Jaccard similarity of the top-100 term
+# sets per unordered source pair — the vocabulary-level sibling of
+# doc_source_pair_dups (which needs actual near-dup documents; this
+# detects stylistic/domain overlap even without shared docs).  Exact
+# integers: per-source top-100 by (count desc, term asc) via a
+# per-source window over the (source, term) agg, then a posting-style
+# term self-join bounded by |sources|^2 pairs.
+
+_VOCAB_TOPK = 100
+
+
+def q_doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "source", F.explode_outer(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    )
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _VOCAB_TOPK)
+        .select("source", "term")
+    )
+    pairs = (
+        top.alias("a")
+        .join(top.alias("b"), "term")
+        .filter(F.expr("a.source < b.source"))
+        .groupBy(
+            F.expr("a.source").alias("source_a"),
+            F.expr("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "shared",
+        F.expr(f"shared * 1000000 div ({2 * _VOCAB_TOPK} - shared)").alias(
+            "jaccard_ppm"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+register(
+    "doc_source_vocab_overlap",
+    q_doc_source_vocab_overlap,
+    f"""
+    WITH terms AS (
+      SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM terms WHERE term <> '' GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, term FROM (
+        SELECT source, term,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, term ASC) AS rnk
+        FROM counts
+      ) WHERE rnk <= {_VOCAB_TOPK}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared,
+           CAST(COUNT(*) AS BIGINT) * 1000000
+             // ({2 * _VOCAB_TOPK} - COUNT(*)) AS jaccard_ppm
+    FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

@@ -2802,3 +2802,88 @@ register(
     FROM med CROSS JOIN ext
     """,
 )
+
+
+# ---- effective dimensionality (participation ratio) ----------------------------------
+# The embedding-health scalar dim_stats points at: the participation
+# ratio PR = (sum of per-dim variances)^2 / sum of squared variances
+# — how many dimensions the representation EFFECTIVELY uses (PR = d
+# for isotropic, PR -> 1 for rank-collapse, the classic
+# representation-collapse smell).  Per-dim variances are
+# decimal-exact (the dim_stats moments) rounded to micro integers
+# BEFORE the cross-dim sums (the order-proof Neyman discipline); the
+# final ratio is one shared double chain, milli-floored.
+
+
+def q_emb_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count("v").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,10)")).alias("__s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,10)")).alias("__sq"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n")
+    ex2 = F.col("__sq").cast("double") / F.col("n")
+    var_q = F.floor(
+        (ex2 - mean * mean) * F.col("n") / (F.col("n") - 1) * 1000000.0
+    ).cast("bigint")
+    per_dim = stats.select(var_q.alias("vq"))
+    mom = per_dim.agg(
+        F.count("*").cast("bigint").alias("d"),
+        F.sum("vq").cast("bigint").alias("sv"),
+        F.sum(F.expr("vq * vq")).cast("bigint").alias("svv"),
+    )
+    pr = (
+        "(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE)"
+    )
+    return mom.filter(F.expr("svv > 0")).select(
+        "d",
+        F.expr(f"CAST(floor(({pr}) * 1000.0) AS BIGINT)").alias(
+            "effective_dim_milli"
+        ),
+        F.expr(
+            f"CAST(floor(({pr}) * 1000000.0 / CAST(d AS DOUBLE)) AS BIGINT)"
+        ).alias("isotropy_ppm"),
+    )
+
+
+register(
+    "emb_effective_dim",
+    q_emb_effective_dim,
+    f"""
+    WITH cells AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, COUNT(v) AS n,
+             SUM(CAST(v AS DECIMAL(38,10))) AS s,
+             SUM(CAST(v * v AS DECIMAL(38,10))) AS sq
+      FROM cells GROUP BY 1
+    ),
+    per_dim AS (
+      SELECT CAST(floor((CAST(sq AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                        * n / (n - 1) * 1000000.0) AS BIGINT) AS vq
+      FROM stats
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(vq) AS BIGINT) AS sv,
+             CAST(SUM(vq * vq) AS BIGINT) AS svv
+      FROM per_dim
+    )
+    SELECT d,
+           CAST(floor(((CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / CAST(svv AS DOUBLE)) * 1000.0) AS BIGINT)
+             AS effective_dim_milli,
+           CAST(floor(((CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / CAST(svv AS DOUBLE)) * 1000000.0
+                      / CAST(d AS DOUBLE)) AS BIGINT) AS isotropy_ppm
+    FROM mom WHERE svv > 0
+    """,
+)
