@@ -210,9 +210,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-48 five (parts_one_time_share, emb_effective_dim,
 # events_markov_fanout, orders_first_vs_repeat,
 # doc_source_vocab_overlap)
+# and the batch-49 five (doc_mixed_lang_screen, doc_length_profile,
+# orders_deseasonalized_trend, events_k_anonymity, emb_exact_dups)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (228 total candidates - 8
-# r7 debuts = 220 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (233 total candidates - 8
+# r7 debuts = 225 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -671,6 +673,15 @@ ROTATION_POOL: list[str] = [
     #     vocabulary overlap per source pair. ---
     "parts_one_time_share", "emb_effective_dim", "events_markov_fanout",
     "orders_first_vs_repeat", "doc_source_vocab_overlap",
+    # --- r6-built batch 49, same debut-candidate status: the mixed-
+    #     language half-foreign screen (code-switching/concatenation
+    #     bugs), per-language length profile (count-bucket order
+    #     statistics), deseasonalized order trend (index-adjusted OLS
+    #     slope), the behavioral k-anonymity privacy audit, and
+    #     exact-duplicate vector detection (micro-quantized
+    #     fingerprints — portable where float formatting is not). ---
+    "doc_mixed_lang_screen", "doc_length_profile",
+    "orders_deseasonalized_trend", "events_k_anonymity", "emb_exact_dups",
 ]
 
 

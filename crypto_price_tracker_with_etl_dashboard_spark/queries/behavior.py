@@ -3954,3 +3954,113 @@ register(
     FROM trans GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- behavioral k-anonymity audit --------------------------------------------------
+# The privacy read a training-data pipeline owes its users: how many
+# are UNIQUELY identifiable by a coarse behavioral quasi-identifier
+# (activity decile band x dominant event type x peak-activity hour
+# band)?  k = users sharing the quasi-id; the report counts k=1
+# (unique) and k<5 users.  All exact integers; deterministic
+# dominant-type/peak-band tie-breaks (count desc, value asc).
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    top_type = (
+        per_type.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    per_band = ev.groupBy(
+        "user_id", F.expr("hour(ts) div 6").alias("band")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("band").asc()
+    )
+    peak_band = (
+        per_band.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("band").alias("peak_band"))
+    )
+    activity = ev.groupBy("user_id").agg(
+        F.expr("CAST(COUNT(*) div 10 AS BIGINT)").alias("act_band")
+    )
+    qid = activity.join(top_type, "user_id").join(peak_band, "user_id")
+    groups = qid.groupBy("act_band", "top_type", "peak_band").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    return groups.agg(
+        F.sum("k").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_quasi_ids"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "unique_users"
+        ),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("under_k5_users"),
+    ).select(
+        "n_users",
+        "n_quasi_ids",
+        "unique_users",
+        F.expr("unique_users * 1000000 div n_users").alias("unique_ppm"),
+        F.expr("under_k5_users * 1000000 div n_users").alias("under_k5_ppm"),
+    )
+
+
+register(
+    "events_k_anonymity",
+    q_events_k_anonymity,
+    """
+    WITH per_type AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    top_type AS (
+      SELECT user_id, event_type AS top_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type ASC) AS rnk
+        FROM per_type
+      ) WHERE rnk = 1
+    ),
+    per_band AS (
+      SELECT user_id, hour(ts) // 6 AS band, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    peak_band AS (
+      SELECT user_id, band AS peak_band FROM (
+        SELECT user_id, band,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, band ASC) AS rnk
+        FROM per_band
+      ) WHERE rnk = 1
+    ),
+    activity AS (
+      SELECT user_id, CAST(COUNT(*) // 10 AS BIGINT) AS act_band
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    groups AS (
+      SELECT act_band, top_type, peak_band, CAST(COUNT(*) AS BIGINT) AS k
+      FROM activity
+      JOIN top_type USING (user_id)
+      JOIN peak_band USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(k) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_quasi_ids,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unique_users,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(k) AS BIGINT) AS unique_ppm,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(k) AS BIGINT) AS under_k5_ppm
+    FROM groups
+    """,
+)

@@ -3038,3 +3038,97 @@ register(
     FROM agg WHERE n_first > 0 AND n_repeat > 0
     """,
 )
+
+
+# ---- deseasonalized order trend ---------------------------------------------------
+# The composition the seasonal index exists for: divide each month's
+# order count by its calendar-month index, then fit the OLS slope of
+# the ADJUSTED series against the month number — underlying growth
+# with the seasonal wave removed.  The index recomputes the certified
+# orders_monthly_seasonal_index arithmetic inline; the adjusted
+# series is exact milli integers; the slope is one shared double
+# chain over exact sums.
+
+
+def q_orders_deseasonalized_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("m")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    idx = (
+        monthly.groupBy(F.month("m").alias("moy"))
+        .agg(F.sum("c").cast("bigint").alias("n_orders"))
+    )
+    tot = idx.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    idx = idx.crossJoin(F.broadcast(tot)).select(
+        "moy", F.expr("n_orders * 12 * 1000000 div total").alias("index_ppm")
+    )
+    adj = (
+        monthly.withColumn("moy", F.month("m"))
+        .join(F.broadcast(idx), "moy")
+        .select(
+            "m",
+            F.expr("c * 1000000000 div index_ppm").alias("adj_milli"),
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("m")).cast("bigint"))
+    )
+    mom = adj.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("adj_milli").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * adj_milli")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mom.filter(F.expr("n >= 3")).select(
+        "n",
+        F.expr(f"CAST(floor({slope}) AS BIGINT)").alias(
+            "slope_milli_per_month"
+        ),
+    )
+
+
+register(
+    "orders_deseasonalized_trend",
+    q_orders_deseasonalized_trend,
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(month(m) AS BIGINT) AS moy,
+             CAST(SUM(c) AS BIGINT) * 12 * 1000000
+               // (SELECT CAST(SUM(c) AS BIGINT) FROM monthly) AS index_ppm
+      FROM monthly GROUP BY 1
+    ),
+    adj AS (
+      SELECT m, c * 1000000000 // index_ppm AS adj_milli,
+             CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+      FROM monthly JOIN idx ON month(m) = moy
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS sx,
+             CAST(SUM(adj_milli) AS BIGINT) AS sy,
+             CAST(SUM(t * adj_milli) AS BIGINT) AS sxy,
+             CAST(SUM(t * t) AS BIGINT) AS sxx
+      FROM adj
+    )
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                AS BIGINT) AS slope_milli_per_month
+    FROM mom WHERE n >= 3
+    """,
+)

@@ -3145,3 +3145,172 @@ register(
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+# ---- mixed-language (half-foreign) screen ------------------------------------------
+# The code-switching / concatenation-bug gate doc_langid can't see:
+# a document whose DECLARED language's marker words all sit in one
+# half of the text is likely two documents glued together.  Each
+# half's marker hits use the same exact array-intersect the langid
+# family certifies (the character midpoint may split one word — an
+# accepted heuristic, identical in both engines); flagged = one half
+# silent (0 hits) while the other is clearly in-language (>= 2).
+# Per-source report.
+
+
+def q_doc_mixed_lang_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    halves = docs.select(
+        "source",
+        "lang",
+        F.expr("substr(text, 1, n_chars div 2)").alias("left_t"),
+        F.expr("substr(text, n_chars div 2 + 1)").alias("right_t"),
+    )
+    hl = None
+    hr = None
+    for lang in T.LANG_MARKERS:
+        l_hits = T.marker_hits("left_t", lang)
+        r_hits = T.marker_hits("right_t", lang)
+        hl = (
+            F.when(F.col("lang") == lang, l_hits)
+            if hl is None
+            else hl.when(F.col("lang") == lang, l_hits)
+        )
+        hr = (
+            F.when(F.col("lang") == lang, r_hits)
+            if hr is None
+            else hr.when(F.col("lang") == lang, r_hits)
+        )
+    scored = halves.select(
+        "source",
+        F.coalesce(hl, F.lit(0)).alias("hits_left"),
+        F.coalesce(hr, F.lit(0)).alias("hits_right"),
+    ).withColumn(
+        "flagged",
+        (
+            ((F.col("hits_left") == 0) & (F.col("hits_right") >= 2))
+            | ((F.col("hits_right") == 0) & (F.col("hits_left") >= 2))
+        ).cast("int"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "flagged",
+            F.expr("flagged * 1000000 div n_docs").alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixed_lang_sql() -> str:
+    toks = lambda col: f"string_split({col}, ' ')"  # noqa: E731
+    cases_l, cases_r = [], []
+    for lang, markers in T.LANG_MARKERS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in markers) + "]"
+        cases_l.append(
+            f"WHEN lang = '{lang}'"
+            f" THEN len(list_intersect({toks('left_t')}, {arr}))"
+        )
+        cases_r.append(
+            f"WHEN lang = '{lang}'"
+            f" THEN len(list_intersect({toks('right_t')}, {arr}))"
+        )
+    return f"""
+    WITH halves AS (
+      SELECT source, lang,
+             substr(text, 1, n_chars // 2) AS left_t,
+             substr(text, n_chars // 2 + 1) AS right_t
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             COALESCE(CASE {' '.join(cases_l)} END, 0) AS hits_left,
+             COALESCE(CASE {' '.join(cases_r)} END, 0) AS hits_right
+      FROM halves
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (hits_left = 0 AND hits_right >= 2)
+                           OR (hits_right = 0 AND hits_left >= 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           CAST(SUM(CASE WHEN (hits_left = 0 AND hits_right >= 2)
+                           OR (hits_right = 0 AND hits_left >= 2)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS flagged_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+    """
+
+
+register("doc_mixed_lang_screen", q_doc_mixed_lang_screen, _mixed_lang_sql())
+
+
+# ---- per-language length profile ---------------------------------------------------
+# The curation read behind per-language token budgets: exact
+# min/lower-median/max document length (chars) per language via the
+# count-bucket order-statistic trick — no percentile interpolation,
+# no per-language sort.  One (lang, n_chars) agg; |langs| rows.
+
+
+def q_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", F.col("n_chars").cast("bigint").alias("len")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    med = cum.filter(F.expr("cum >= (n + 1) div 2")).groupBy("lang").agg(
+        F.min("len").alias("median_chars"),
+        F.max("n").cast("bigint").alias("n_docs"),
+    )
+    ext = per.groupBy("lang").agg(
+        F.min("len").alias("min_chars"), F.max("len").alias("max_chars")
+    )
+    return (
+        med.join(ext, "lang")
+        .select("lang", "n_docs", "min_chars", "median_chars", "max_chars")
+        .orderBy("lang")
+    )
+
+
+register(
+    "doc_length_profile",
+    q_doc_length_profile,
+    """
+    WITH per AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS len,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, len, c,
+             CAST(SUM(c) OVER (PARTITION BY lang ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM per
+    ),
+    med AS (
+      SELECT lang, MIN(len) AS median_chars, CAST(MAX(n) AS BIGINT) AS n_docs
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    ext AS (
+      SELECT lang, MIN(len) AS min_chars, MAX(len) AS max_chars
+      FROM per GROUP BY 1
+    )
+    SELECT lang, n_docs, min_chars, median_chars, max_chars
+    FROM med JOIN ext USING (lang)
+    ORDER BY lang
+    """,
+)

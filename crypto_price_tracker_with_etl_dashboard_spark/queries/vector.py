@@ -2887,3 +2887,67 @@ register(
     FROM mom WHERE svv > 0
     """,
 )
+
+
+# ---- exact-duplicate vectors ---------------------------------------------------------
+# The embedding-pipeline bug detector: bitwise-identical vectors
+# (a stuck feature extractor, a default-value fallback, a repeated
+# upstream row) found by fingerprinting the micro-quantized
+# components — integer strings, so the md5 is engine-portable where
+# raw float formatting is not.  One digest shuffle; 1-row report.
+
+
+def q_emb_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda v: F.round(v.cast("double") * 1000000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            )
+        ).alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(F.count("*").cast("bigint").alias("copies"))
+    return groups.agg(
+        F.sum("copies").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.max("copies").alias("max_copies"),
+    ).select(
+        "n_vectors",
+        "n_unique",
+        F.expr("n_vectors - n_unique").alias("n_duplicates"),
+        F.expr("(n_vectors - n_unique) * 1000000 div n_vectors").alias(
+            "dup_ppm"
+        ),
+        "max_copies",
+    )
+
+
+register(
+    "emb_exact_dups",
+    q_emb_exact_dups,
+    """
+    WITH fp AS (
+      SELECT md5(array_to_string(list_transform(embedding,
+               v -> CAST(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                         AS VARCHAR)), ',')) AS fp
+      FROM embeddings
+    ),
+    groups AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS copies FROM fp GROUP BY 1
+    )
+    SELECT CAST(SUM(copies) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(copies) AS BIGINT) - CAST(COUNT(*) AS BIGINT)
+             AS n_duplicates,
+           (CAST(SUM(copies) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000
+             // CAST(SUM(copies) AS BIGINT) AS dup_ppm,
+           MAX(copies) AS max_copies
+    FROM groups
+    """,
+)
