@@ -212,9 +212,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # doc_source_vocab_overlap)
 # and the batch-49 five (doc_mixed_lang_screen, doc_length_profile,
 # orders_deseasonalized_trend, events_k_anonymity, emb_exact_dups)
+# and the batch-50 five (orders_quarter_end_loading,
+# doc_term_burstiness, orders_total_reconciliation,
+# events_alert_threshold_sweep, prices_golden_cross)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (233 total candidates - 8
-# r7 debuts = 225 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (238 total candidates - 8
+# r7 debuts = 230 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -682,6 +685,16 @@ ROTATION_POOL: list[str] = [
     #     fingerprints — portable where float formatting is not). ---
     "doc_mixed_lang_screen", "doc_length_profile",
     "orders_deseasonalized_trend", "events_k_anonymity", "emb_exact_dups",
+    # --- r6-built batch 50, same debut-candidate status: quarter-end
+    #     loading forensics (binomial z as integer cross-mult),
+    #     Church-Gale term burstiness (VMR over the dense doc grid),
+    #     invoice-total reconciliation (does o_totalprice equal its
+    #     line charges?), the alert threshold sweep, and golden/death
+    #     cross counts (cross-multiplied frame sums, means never
+    #     materialize). ---
+    "orders_quarter_end_loading", "doc_term_burstiness",
+    "orders_total_reconciliation", "events_alert_threshold_sweep",
+    "prices_golden_cross",
 ]
 
 

@@ -4064,3 +4064,77 @@ register(
     FROM groups
     """,
 )
+
+
+# ---- alert threshold sweep ---------------------------------------------------------
+# The ops-tuning read for the burst alert: how many (user, 10-min
+# window) cells would fire at each candidate threshold?  One tumbling
+# window agg, conditional counts at three thresholds — the
+# emb_neardup_sweep discipline applied to alert tuning, so the pager
+# budget is chosen from data instead of folklore.
+
+_ALERT_SWEEP_THRESHOLDS = (5, 10, 20)
+
+
+def q_events_alert_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = ev.groupBy(
+        "user_id", F.window("ts", "10 minutes").alias("w")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    parts = []
+    for t in _ALERT_SWEEP_THRESHOLDS:
+        parts.append(
+            cells.agg(
+                F.lit(t).cast("bigint").alias("threshold"),
+                F.sum(F.expr(f"CAST(n >= {t} AS BIGINT)"))
+                .cast("bigint")
+                .alias("alert_cells"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    total = cells.agg(F.count("*").cast("bigint").alias("n_cells"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_cells",
+            "alert_cells",
+            F.expr("alert_cells * 1000000 div n_cells").alias("alert_ppm"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _alert_sweep_sql() -> str:
+    selects = []
+    for t in _ALERT_SWEEP_THRESHOLDS:
+        selects.append(
+            f"""
+      SELECT CAST({t} AS BIGINT) AS threshold,
+             CAST(SUM(CASE WHEN n >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+               AS alert_cells
+      FROM cells"""
+        )
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH cells AS (
+      SELECT user_id, time_bucket(INTERVAL 10 MINUTE, ts) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT threshold, n_cells, alert_cells,
+           alert_cells * 1000000 // n_cells AS alert_ppm
+    FROM ({union}
+    ) CROSS JOIN total
+    ORDER BY threshold
+    """
+
+
+register(
+    "events_alert_threshold_sweep",
+    q_events_alert_threshold_sweep,
+    _alert_sweep_sql(),
+)

@@ -3117,3 +3117,121 @@ register(
     FROM runs GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- golden/death cross counts --------------------------------------------------------
+# The moving-average crossover events behind trend-following rules:
+# per symbol, how many times the 5-day mean crossed ABOVE the 20-day
+# mean (golden) and below (death)?  Means never materialize — the
+# comparison cross-multiplies the exact integer cent frame sums
+# (sma5_sum * 20 vs sma20_sum * 5), so the sign series is bit-exact;
+# crossings are sign transitions between consecutive full-window
+# days.  One per-symbol window pass.
+
+_GC_FAST = 5
+_GC_SLOW = 20
+
+
+def q_prices_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.expr("CAST(round(current_price * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    framed = daily.select(
+        "symbol",
+        "day",
+        F.sum("cents").over(wd.rowsBetween(-(_GC_FAST - 1), 0)).alias("s5"),
+        F.sum("cents").over(wd.rowsBetween(-(_GC_SLOW - 1), 0)).alias("s20"),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("rn") >= _GC_SLOW)
+    signed = framed.select(
+        "symbol",
+        "day",
+        F.when(
+            F.expr(f"s5 * {_GC_SLOW} > s20 * {_GC_FAST}"), 1
+        )
+        .when(F.expr(f"s5 * {_GC_SLOW} < s20 * {_GC_FAST}"), -1)
+        .otherwise(0)
+        .alias("d"),
+    )
+    trans = signed.select(
+        "symbol",
+        "d",
+        F.lag("d").over(wd).alias("prev_d"),
+    ).filter(F.col("prev_d").isNotNull())
+    return (
+        trans.groupBy("symbol")
+        .agg(
+            F.sum(
+                F.expr("CAST(prev_d <= 0 AND d = 1 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("golden_crosses"),
+            F.sum(
+                F.expr("CAST(prev_d >= 0 AND d = -1 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("death_crosses"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_golden_cross",
+    q_prices_golden_cross,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day,
+             CAST(round(current_price * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    framed AS (
+      SELECT symbol, day,
+             SUM(cents) OVER (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN {_GC_FAST - 1} PRECEDING AND CURRENT ROW) AS s5,
+             SUM(cents) OVER (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN {_GC_SLOW - 1} PRECEDING AND CURRENT ROW) AS s20,
+             row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+      FROM daily
+    ),
+    signed AS (
+      SELECT symbol, day,
+             CASE WHEN s5 * {_GC_SLOW} > s20 * {_GC_FAST} THEN 1
+                  WHEN s5 * {_GC_SLOW} < s20 * {_GC_FAST} THEN -1
+                  ELSE 0 END AS d
+      FROM framed WHERE rn >= {_GC_SLOW}
+    ),
+    trans AS (
+      SELECT symbol, d,
+             lag(d) OVER (PARTITION BY symbol ORDER BY day) AS prev_d
+      FROM signed
+    )
+    SELECT symbol,
+           CAST(SUM(CASE WHEN prev_d <= 0 AND d = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS golden_crosses,
+           CAST(SUM(CASE WHEN prev_d >= 0 AND d = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS death_crosses
+    FROM trans WHERE prev_d IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -3132,3 +3132,152 @@ register(
     FROM mom WHERE n >= 3
     """,
 )
+
+
+# ---- quarter-end loading screen -----------------------------------------------------
+# The revenue-integrity forensic beside Benford: does order volume
+# pile into each quarter's FINAL WEEK (pull-forward / channel
+# stuffing)?  Expected last-7-day share under uniformity is 7/91; the
+# binomial z-test reduces to integer cross-multiplication:
+# z^2 >= 3.8416  <=>  (91x - 7n)^2 * 10000 >= 3.8416e4 * 7 * 84 * n
+# (= 22588608 * n, with p = 7/91 and q = 84/91 cleared of
+# denominators).  Exact integer day arithmetic; |quarters| rows.
+
+
+def q_orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter"),
+        (
+            F.datediff(
+                F.add_months(
+                    F.to_date(F.date_trunc("quarter", "o_orderdate")), 3
+                ),
+                F.to_date("o_orderdate"),
+            )
+            <= 7
+        ).cast("int").alias("last_week"),
+    )
+    return (
+        tagged.groupBy("quarter")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("last_week").cast("bigint").alias("last_week_orders"),
+        )
+        .select(
+            "quarter",
+            "n_orders",
+            "last_week_orders",
+            F.expr("last_week_orders * 1000000 div n_orders").alias(
+                "last_week_ppm"
+            ),
+            F.expr(
+                "(91 * last_week_orders - 7 * n_orders)"
+                " * (91 * last_week_orders - 7 * n_orders) * 10000"
+                " >= 22588608 * n_orders"
+            ).alias("loading_detected"),
+        )
+        .orderBy("quarter")
+    )
+
+
+register(
+    "orders_quarter_end_loading",
+    q_orders_quarter_end_loading,
+    """
+    WITH tagged AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                    + INTERVAL 3 MONTH) <= 7
+                  THEN 1 ELSE 0 END AS last_week
+      FROM orders
+    )
+    SELECT quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(last_week) AS BIGINT) AS last_week_orders,
+           CAST(SUM(last_week) AS BIGINT) * 1000000 // COUNT(*)
+             AS last_week_ppm,
+           (91 * CAST(SUM(last_week) AS BIGINT) - 7 * COUNT(*))
+             * (91 * CAST(SUM(last_week) AS BIGINT) - 7 * COUNT(*)) * 10000
+             >= 22588608 * COUNT(*) AS loading_detected
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# ---- invoice-total reconciliation ----------------------------------------------------
+# The accounting integrity check: does o_totalprice equal the sum of
+# its line charges ext*(1-disc)*(1+tax)?  Both sides in per-term-
+# rounded integer cents; mismatch = |delta| > 1 cent per line (the
+# rounding slack).  TPC-H defines totalprice as exactly this sum —
+# whether the synthetic generator honors it is precisely what an
+# ingest gate must find out.  One orderkey-co-partitioned join; 1-row
+# report plus the worst absolute delta.
+
+
+def q_orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("line_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    j = orders.join(charges, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("total_cents"),
+        "line_cents",
+        "n_lines",
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(abs(total_cents - line_cents) > n_lines AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("mismatched"),
+        F.max(F.expr("abs(total_cents - line_cents)")).alias(
+            "max_delta_cents"
+        ),
+    ).select(
+        "n_orders",
+        "mismatched",
+        F.expr("mismatched * 1000000 div n_orders").alias("mismatch_ppm"),
+        "max_delta_cents",
+    )
+
+
+register(
+    "orders_total_reconciliation",
+    q_orders_total_reconciliation,
+    """
+    WITH charges AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+               AS line_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             line_cents, n_lines
+      FROM orders JOIN charges ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(total_cents - line_cents) > n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) AS mismatched,
+           CAST(SUM(CASE WHEN abs(total_cents - line_cents) > n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*) AS mismatch_ppm,
+           CAST(MAX(abs(total_cents - line_cents)) AS BIGINT)
+             AS max_delta_cents
+    FROM j
+    """,
+)

@@ -3314,3 +3314,84 @@ register(
     ORDER BY lang
     """,
 )
+
+
+# ---- term burstiness ---------------------------------------------------------------
+# Church & Gale's clumping read: content words CLUMP (a doc that
+# mentions a term once mentions it again), function words spread
+# evenly.  Variance-to-mean ratio of per-document counts (including
+# zeros — the dense doc grid, via total-doc count) for the corpus's
+# top-20 terms, from exact integer moments; VMR ~ 1 is Poisson
+# (non-bursty), above is clumped.  One (term) agg + broadcast doc
+# count; 20 output rows.
+
+_BURST_TOPK = 20
+
+
+def q_doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode_outer(T.tokens("text")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    mom = per_doc.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("ss"),
+    )
+    # zero cells contribute 0 to s and ss; mean/var use the FULL grid
+    vmr = (
+        "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE))"
+        " / (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    )
+    return (
+        mom.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("s").desc(), F.col("term").asc())
+        .limit(_BURST_TOPK)
+        .select(
+            "term",
+            "df",
+            "s",
+            F.expr(f"CAST(floor(({vmr}) * 1000.0) AS BIGINT)").alias(
+                "vmr_milli"
+            ),
+        )
+        .orderBy(F.col("s").desc(), F.col("term").asc())
+    )
+
+
+register(
+    "doc_term_burstiness",
+    q_doc_term_burstiness,
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+      ) WHERE term <> '' GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM per_doc GROUP BY 1
+    )
+    SELECT term, df, s,
+           CAST(floor((((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE))
+                       / (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                      * 1000.0) AS BIGINT) AS vmr_milli
+    FROM mom CROSS JOIN n
+    ORDER BY s DESC, term ASC
+    LIMIT {_BURST_TOPK}
+    """,
+)
