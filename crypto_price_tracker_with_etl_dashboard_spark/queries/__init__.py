@@ -215,9 +215,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-50 five (orders_quarter_end_loading,
 # doc_term_burstiness, orders_total_reconciliation,
 # events_alert_threshold_sweep, prices_golden_cross)
+# and the batch-51 five (events_mann_kendall, media_size_outliers,
+# supply_lead_time_trend, events_new_user_share, orders_aov_trend)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (238 total candidates - 8
-# r7 debuts = 230 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (243 total candidates - 8
+# r7 debuts = 235 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -695,6 +697,13 @@ ROTATION_POOL: list[str] = [
     "orders_quarter_end_loading", "doc_term_burstiness",
     "orders_total_reconciliation", "events_alert_threshold_sweep",
     "prices_golden_cross",
+    # --- r6-built batch 51, same debut-candidate status: the
+    #     Mann-Kendall nonparametric trend test (all-integer verdict
+    #     over the O(days^2) day-pair grid), payload-size outliers,
+    #     the quarterly lead-time trendline, new-user traffic share
+    #     by week, and the AOV trend. ---
+    "events_mann_kendall", "media_size_outliers", "supply_lead_time_trend",
+    "events_new_user_share", "orders_aov_trend",
 ]
 
 

@@ -4138,3 +4138,130 @@ register(
     q_events_alert_threshold_sweep,
     _alert_sweep_sql(),
 )
+
+
+# ---- Mann-Kendall trend test --------------------------------------------------------
+# The nonparametric is-traffic-trending test (Mann 1945, Kendall):
+# S = sum over all day pairs of sign(c_j - c_i), j > i — monotone
+# growth pushes S toward +n(n-1)/2 with NO distributional assumption
+# and NO floats anywhere: the variance identity var(S) =
+# n(n-1)(2n+5)/18 clears to the integer verdict
+# 18 * S^2 * 10000 >= 38416 * n(n-1)(2n+5).  The pair stage is a
+# self-join over the DAY-level aggregate (O(days^2) pairs — bounded
+# by the calendar, never by event volume).
+
+
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("S")
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(n))
+        .filter(F.col("n") >= 8)
+        .select(
+            "n",
+            "S",
+            F.expr(
+                "18 * S * S * 10000 >= 38416 * n * (n - 1) * (2 * n + 5)"
+            ).alias("trend_detected"),
+            F.expr(
+                "CASE WHEN S > 0 THEN 1 WHEN S < 0 THEN -1 ELSE 0 END"
+            ).cast("bigint").alias("direction"),
+        )
+    )
+
+
+register(
+    "events_mann_kendall",
+    q_events_mann_kendall,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS S
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+    SELECT n, S,
+           18 * S * S * 10000 >= 38416 * n * (n - 1) * (2 * n + 5)
+             AS trend_detected,
+           CAST(CASE WHEN S > 0 THEN 1 WHEN S < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS direction
+    FROM s CROSS JOIN n
+    WHERE n >= 8
+    """,
+)
+
+
+# ---- new-user event share by week ----------------------------------------------------
+# How much of each week's traffic comes from users in their FIRST
+# week?  The acquisition-dependence read growth accounting implies
+# but never weights by volume.  One user shuffle for first-week tags,
+# one week agg; |weeks| rows.
+
+
+def q_events_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    tagged = ev.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        (
+            F.to_date(F.date_trunc("week", "ts"))
+            == F.min(F.to_date(F.date_trunc("week", "ts"))).over(w)
+        ).cast("int").alias("is_new"),
+    )
+    return (
+        tagged.groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_new").cast("bigint").alias("new_user_events"),
+        )
+        .select(
+            "week",
+            "n_events",
+            "new_user_events",
+            F.expr("new_user_events * 1000000 div n_events").alias(
+                "new_share_ppm"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+register(
+    "events_new_user_share",
+    q_events_new_user_share,
+    """
+    WITH tagged AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CASE WHEN CAST(date_trunc('week', ts) AS DATE)
+                    = MIN(CAST(date_trunc('week', ts) AS DATE))
+                      OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_new) AS BIGINT) AS new_user_events,
+           CAST(SUM(is_new) AS BIGINT) * 1000000 // COUNT(*)
+             AS new_share_ppm
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+)

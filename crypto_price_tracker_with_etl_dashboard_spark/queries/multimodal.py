@@ -725,3 +725,90 @@ register(
     GROUP BY aspect_milli, n_images ORDER BY aspect_milli
     """,
 )
+
+
+# ---- payload-size outliers -----------------------------------------------------------
+# Multimodal intake QA: per media type, the exact median payload size
+# (count-bucket order statistic over byte lengths) and how many
+# payloads exceed 3x the median — truncated or runaway blobs both
+# surface here before any decode cost is paid.  length(content) needs
+# no parsing; one (type, size) agg.
+
+
+def q_media_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    media = media_from_documents(fan_out(load_table(spark, sf_dir, "documents")))
+    sizes = media.select(
+        "media_type", F.length("content").cast("bigint").alias("n_bytes")
+    )
+    per = sizes.groupBy("media_type", "n_bytes").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("media_type")
+        .orderBy("n_bytes")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("media_type"))
+    )
+    med = cum.filter(F.expr("cum >= (n + 1) div 2")).groupBy("media_type").agg(
+        F.min("n_bytes").alias("median_bytes"),
+        F.max("n").cast("bigint").alias("n_media"),
+    )
+    return (
+        sizes.join(F.broadcast(med), "media_type")
+        .groupBy("media_type", "median_bytes", "n_media")
+        .agg(
+            F.sum(F.expr("CAST(n_bytes > 3 * median_bytes AS BIGINT)"))
+            .cast("bigint")
+            .alias("oversized")
+        )
+        .select(
+            "media_type",
+            "n_media",
+            "median_bytes",
+            "oversized",
+            F.expr("oversized * 1000000 div n_media").alias("oversized_ppm"),
+        )
+        .orderBy("media_type")
+    )
+
+
+register(
+    "media_size_outliers",
+    q_media_size_outliers,
+    f"""
+    WITH {MEDIA_CTE_SQL.strip()},
+    sizes AS (
+      SELECT media_type, CAST(strlen(content_text) AS BIGINT) AS n_bytes
+      FROM media
+    ),
+    per AS (
+      SELECT media_type, n_bytes, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sizes GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT media_type, n_bytes, c,
+             CAST(SUM(c) OVER (PARTITION BY media_type ORDER BY n_bytes
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY media_type) AS BIGINT) AS n
+      FROM per
+    ),
+    med AS (
+      SELECT media_type, MIN(n_bytes) AS median_bytes,
+             CAST(MAX(n) AS BIGINT) AS n_media
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    )
+    SELECT s.media_type, n_media, median_bytes,
+           CAST(SUM(CASE WHEN s.n_bytes > 3 * median_bytes
+                         THEN 1 ELSE 0 END) AS BIGINT) AS oversized,
+           CAST(SUM(CASE WHEN s.n_bytes > 3 * median_bytes
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // n_media
+             AS oversized_ppm
+    FROM sizes s JOIN med ON s.media_type = med.media_type
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)

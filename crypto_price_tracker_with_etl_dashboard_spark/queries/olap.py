@@ -3281,3 +3281,83 @@ register(
     FROM j
     """,
 )
+
+
+# ---- average order value trend ---------------------------------------------------
+# Is the AVERAGE ORDER getting bigger?  Quarterly AOV in exact cents
+# (integer division of cent sums) plus the OLS slope across quarters
+# — the revenue-quality companion to order-count trends.
+
+
+def q_orders_aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_q = orders.groupBy(
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    aov = per_q.select(
+        "quarter",
+        F.expr("cents div n_orders").alias("aov_cents"),
+    ).withColumn(
+        "t", F.row_number().over(Window.orderBy("quarter")).cast("bigint")
+    )
+    mom = aov.agg(
+        F.count("*").cast("bigint").alias("n_quarters"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("aov_cents").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * aov_cents")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n_quarters AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n_quarters AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mom.filter(F.expr("n_quarters >= 3")).select(
+        "n_quarters",
+        F.expr(f"CAST(floor(({slope}) * 1000.0) AS BIGINT)").alias(
+            "slope_millicents_per_q"
+        ),
+    )
+
+
+register(
+    "orders_aov_trend",
+    q_orders_aov_trend,
+    """
+    WITH per_q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    aov AS (
+      SELECT quarter, cents // n_orders AS aov_cents,
+             CAST(row_number() OVER (ORDER BY quarter) AS BIGINT) AS t
+      FROM per_q
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_quarters,
+             CAST(SUM(t) AS BIGINT) AS sx,
+             CAST(SUM(aov_cents) AS BIGINT) AS sy,
+             CAST(SUM(t * aov_cents) AS BIGINT) AS sxy,
+             CAST(SUM(t * t) AS BIGINT) AS sxx
+      FROM aov
+    )
+    SELECT n_quarters,
+           CAST(floor(((CAST(n_quarters AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_quarters AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * 1000.0) AS BIGINT) AS slope_millicents_per_q
+    FROM mom WHERE n_quarters >= 3
+    """,
+)

@@ -1180,3 +1180,105 @@ register(
     ORDER BY sourcing
     """,
 )
+
+
+# ---- lead-time trend ---------------------------------------------------------------
+# Is fulfillment getting faster?  Quarterly exact lower-median lead
+# time (the supply_lead_time count-bucket discipline, bucketed by
+# quarter instead of nation) plus the OLS slope of the medians
+# against the quarter index — the supply-chain SLO trendline.
+
+
+def q_supply_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_lead = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lead"),
+        )
+        .groupBy("quarter", "lead")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("quarter")
+        .orderBy("lead")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_lead.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("quarter"))
+    )
+    med = (
+        cum.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("quarter")
+        .agg(F.min("lead").alias("med_days"))
+        .withColumn(
+            "t",
+            F.row_number().over(Window.orderBy("quarter")).cast("bigint"),
+        )
+    )
+    mom = med.agg(
+        F.count("*").cast("bigint").alias("n_quarters"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("med_days").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * med_days")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n_quarters AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n_quarters AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mom.filter(F.expr("n_quarters >= 3")).select(
+        "n_quarters",
+        F.expr(f"CAST(floor(({slope}) * 1000.0) AS BIGINT)").alias(
+            "slope_milli_days_per_q"
+        ),
+    )
+
+
+register(
+    "supply_lead_time_trend",
+    q_supply_lead_time_trend,
+    """
+    WITH per_lead AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lead,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT quarter, lead, c,
+             CAST(SUM(c) OVER (PARTITION BY quarter ORDER BY lead
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY quarter) AS BIGINT) AS n
+      FROM per_lead
+    ),
+    med AS (
+      SELECT quarter, MIN(lead) AS med_days,
+             CAST(row_number() OVER (ORDER BY quarter) AS BIGINT) AS t
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY quarter
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_quarters,
+             CAST(SUM(t) AS BIGINT) AS sx,
+             CAST(SUM(med_days) AS BIGINT) AS sy,
+             CAST(SUM(t * med_days) AS BIGINT) AS sxy,
+             CAST(SUM(t * t) AS BIGINT) AS sxx
+      FROM med
+    )
+    SELECT n_quarters,
+           CAST(floor(((CAST(n_quarters AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_quarters AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * 1000.0) AS BIGINT) AS slope_milli_days_per_q
+    FROM mom WHERE n_quarters >= 3
+    """,
+)
