@@ -217,9 +217,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # events_alert_threshold_sweep, prices_golden_cross)
 # and the batch-51 five (events_mann_kendall, media_size_outliers,
 # supply_lead_time_trend, events_new_user_share, orders_aov_trend)
+# and the batch-52 five (prices_variance_break,
+# trade_preferential_attachment, customer_debt_cohort,
+# events_activity_streaks, supplier_lead_variability)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (243 total candidates - 8
-# r7 debuts = 235 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (248 total candidates - 8
+# r7 debuts = 240 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -704,6 +707,15 @@ ROTATION_POOL: list[str] = [
     #     by week, and the AOV trend. ---
     "events_mann_kendall", "media_size_outliers", "supply_lead_time_trend",
     "events_new_user_share", "orders_aov_trend",
+    # --- r6-built batch 52, same debut-candidate status: the
+    #     variance-break (volatility regime) F-test, the
+    #     preferential-attachment network-formation test, the
+    #     negative-balance credit cohort, activity-streak histogram
+    #     (habit formation), and the supplier lead-time IQR
+    #     variability league. ---
+    "prices_variance_break", "trade_preferential_attachment",
+    "customer_debt_cohort", "events_activity_streaks",
+    "supplier_lead_variability",
 ]
 
 

@@ -4265,3 +4265,69 @@ register(
     FROM tagged GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- activity-streak histogram ----------------------------------------------------
+# Engagement intensity: each user's LONGEST run of consecutive
+# active days (gaps-and-islands on the distinct-day spine), bucketed
+# 1..6 and 7+ — the habit-formation curve behind DAU targets.  One
+# user shuffle; |buckets| rows.
+
+
+def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        ud.withColumn("rn", F.row_number().over(wd))
+        .withColumn("grp", F.expr("date_sub(day, rn)"))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    best = runs.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    bucket = F.when(F.col("max_streak") >= 7, F.lit(7)).otherwise(
+        F.col("max_streak")
+    )
+    total = best.agg(F.count("*").cast("bigint").alias("n_users"))
+    return (
+        best.groupBy(bucket.cast("bigint").alias("streak_days"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "streak_days",
+            "n",
+            F.expr("n * 1000000 div n_users").alias("share_ppm"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+register(
+    "events_activity_streaks",
+    q_events_activity_streaks,
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM (
+        SELECT user_id,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INT) AS grp
+        FROM ud
+      ) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM best)
+    SELECT CASE WHEN max_streak >= 7 THEN CAST(7 AS BIGINT)
+                ELSE max_streak END AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) * 1000000 // n_users AS share_ppm
+    FROM best CROSS JOIN total
+    GROUP BY 1, n_users ORDER BY 1
+    """,
+)

@@ -3235,3 +3235,158 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- variance break (regime shift) test --------------------------------------------
+# The volatility-regime complement to CUSUM's mean-shift detection:
+# split each symbol's return history in half and compare variances
+# with an F-ratio — a 2x jump says the risk model calibrated on the
+# first half is stale.  Both variances come from exact integer
+# moments; the ratio is one shared double chain; the flag trips at
+# F >= 2 or <= 0.5 via the same expression.
+
+_VBREAK_MIN_DAYS = 20
+
+
+def q_prices_variance_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("symbol")))
+        .filter(F.col("n") >= _VBREAK_MIN_DAYS)
+    )
+    halves = rets.withColumn(
+        "h", F.expr("CAST(rn > n div 2 AS INT)")
+    )
+    mom = halves.groupBy("symbol").agg(
+        *[
+            agg
+            for h in (0, 1)
+            for agg in (
+                F.sum(F.expr(f"CAST(h = {h} AS BIGINT)"))
+                .cast("bigint")
+                .alias(f"n{h}"),
+                F.sum(F.when(F.col("h") == h, F.col("r")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s{h}"),
+                F.sum(F.when(F.col("h") == h, F.expr("r * r")).otherwise(0))
+                .cast("bigint")
+                .alias(f"ss{h}"),
+            )
+        ]
+    )
+    var = lambda h: (  # noqa: E731
+        f"(CAST(ss{h} AS DOUBLE) - CAST(s{h} AS DOUBLE) * CAST(s{h} AS DOUBLE)"
+        f" / CAST(n{h} AS DOUBLE)) / (CAST(n{h} AS DOUBLE) - 1.0)"
+    )
+    f_ratio = f"({var(1)}) / ({var(0)})"
+    return (
+        mom.filter(
+            F.expr(
+                f"n0 >= 2 AND n1 >= 2 AND ({var(0)}) > 0 AND ({var(1)}) > 0"
+            )
+        )
+        .select(
+            "symbol",
+            F.expr("n0 + n1").alias("n"),
+            F.expr(f"CAST(floor(({f_ratio}) * 1000.0) AS BIGINT)").alias(
+                "f_ratio_milli"
+            ),
+            F.expr(
+                f"({f_ratio}) >= 2.0 OR ({f_ratio}) <= 0.5"
+            ).alias("regime_shift"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def _variance_break_sql() -> str:
+    var = lambda h: (  # noqa: E731
+        f"(CAST(ss{h} AS DOUBLE) - CAST(s{h} AS DOUBLE) * CAST(s{h} AS DOUBLE)"
+        f" / CAST(n{h} AS DOUBLE)) / (CAST(n{h} AS DOUBLE) - 1.0)"
+    )
+    f_ratio = f"({var(1)}) / ({var(0)})"
+    half_cols = []
+    for h in (0, 1):
+        half_cols += [
+            f"CAST(SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END) AS BIGINT) AS n{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN r ELSE 0 END) AS BIGINT) AS s{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN r * r ELSE 0 END) AS BIGINT)"
+            f" AS ss{h}",
+        ]
+    return f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, r, rn, n FROM (
+        SELECT symbol,
+               GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+                 CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r,
+               row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+        FROM (
+          SELECT symbol, day, close,
+                 lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+          FROM daily
+        ) WHERE prev IS NOT NULL
+      ) WHERE n >= {_VBREAK_MIN_DAYS}
+    ),
+    halves AS (
+      SELECT symbol, r, CASE WHEN rn > n // 2 THEN 1 ELSE 0 END AS h
+      FROM rets
+    ),
+    mom AS (
+      SELECT symbol, {', '.join(half_cols)}
+      FROM halves GROUP BY 1
+    )
+    SELECT symbol, n0 + n1 AS n,
+           CAST(floor(({f_ratio}) * 1000.0) AS BIGINT) AS f_ratio_milli,
+           ({f_ratio}) >= 2.0 OR ({f_ratio}) <= 0.5 AS regime_shift
+    FROM mom
+    WHERE n0 >= 2 AND n1 >= 2 AND ({var(0)}) > 0 AND ({var(1)}) > 0
+    ORDER BY symbol
+    """
+
+
+register("prices_variance_break", q_prices_variance_break, _variance_break_sql())

@@ -1133,3 +1133,102 @@ register(
     ORDER BY quarter
     """,
 )
+
+
+# ---- preferential-attachment test ---------------------------------------------------
+# Network formation: do NEW trade relations attach to already-
+# well-connected suppliers?  For every quarter after the first, the
+# mean prior degree (exact milli) of the suppliers gaining new edges
+# vs the mean prior degree over ALL suppliers active before that
+# quarter — a ratio > 1 is the rich-get-richer signature behind the
+# degree CCDF's heavy tail.
+
+
+def q_trade_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    pq = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.min(
+                F.to_date(F.date_trunc("quarter", "o_orderdate"))
+            ).alias("first_q")
+        )
+    )
+    quarters = pq.select(F.col("first_q").alias("q")).distinct()
+    # prior degree of supplier s before quarter q = edges first seen
+    # in any earlier quarter
+    prior = (
+        pq.join(quarters, pq.first_q < quarters.q)
+        .groupBy("q", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    gainers = pq.select("l_suppkey", F.col("first_q").alias("q")).distinct()
+    gainer_deg = gainers.join(prior, ["q", "l_suppkey"]).groupBy("q").agg(
+        F.count("*").cast("bigint").alias("n_gainers"),
+        F.sum("deg").cast("bigint").alias("gainer_deg_sum"),
+    )
+    all_deg = prior.groupBy("q").agg(
+        F.count("*").cast("bigint").alias("n_prior"),
+        F.sum("deg").cast("bigint").alias("prior_deg_sum"),
+    )
+    return (
+        gainer_deg.join(all_deg, "q")
+        .select(
+            F.col("q").alias("quarter"),
+            "n_gainers",
+            F.expr("gainer_deg_sum * 1000 div n_gainers").alias(
+                "gainer_mean_deg_milli"
+            ),
+            F.expr("prior_deg_sum * 1000 div n_prior").alias(
+                "all_mean_deg_milli"
+            ),
+            F.expr(
+                "(gainer_deg_sum * 1000 div n_gainers) * 1000000"
+                " div (prior_deg_sum * 1000 div n_prior)"
+            ).alias("attachment_ratio_ppm"),
+        )
+        .orderBy("quarter")
+    )
+
+
+register(
+    "trade_preferential_attachment",
+    q_trade_preferential_attachment,
+    """
+    WITH pq AS (
+      SELECT l_suppkey, o_custkey,
+             MIN(CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS first_q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    quarters AS (SELECT DISTINCT first_q AS q FROM pq),
+    prior AS (
+      SELECT quarters.q, pq.l_suppkey, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM pq JOIN quarters ON pq.first_q < quarters.q
+      GROUP BY 1, 2
+    ),
+    gainers AS (SELECT DISTINCT l_suppkey, first_q AS q FROM pq),
+    gainer_deg AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n_gainers,
+             CAST(SUM(deg) AS BIGINT) AS gainer_deg_sum
+      FROM gainers JOIN prior USING (q, l_suppkey)
+      GROUP BY 1
+    ),
+    all_deg AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n_prior,
+             CAST(SUM(deg) AS BIGINT) AS prior_deg_sum
+      FROM prior GROUP BY 1
+    )
+    SELECT q AS quarter, n_gainers,
+           gainer_deg_sum * 1000 // n_gainers AS gainer_mean_deg_milli,
+           prior_deg_sum * 1000 // n_prior AS all_mean_deg_milli,
+           (gainer_deg_sum * 1000 // n_gainers) * 1000000
+             // (prior_deg_sum * 1000 // n_prior) AS attachment_ratio_ppm
+    FROM gainer_deg JOIN all_deg USING (q)
+    ORDER BY quarter
+    """,
+)

@@ -3361,3 +3361,74 @@ register(
     FROM mom WHERE n_quarters >= 3
     """,
 )
+
+
+# ---- negative-balance cohort -----------------------------------------------------
+# Credit-risk behavior: do customers in debt (negative account
+# balance) order differently?  Two-row comparison — cohort size,
+# order rate (milli orders/customer) and revenue per customer in
+# exact cents — the underwriting read on the customer book.
+
+
+def q_customer_debt_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        F.when(F.col("c_acctbal") < 0, "1-debt").otherwise("2-credit").alias(
+            "cohort"
+        ),
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+        F.coalesce("cents", F.lit(0).cast("bigint")).alias("cents"),
+    )
+    return (
+        base.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("orders_total"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+        .select(
+            "cohort",
+            "n_customers",
+            F.expr("orders_total * 1000 div n_customers").alias(
+                "orders_per_cust_milli"
+            ),
+            F.expr("cents_total div n_customers").alias("cents_per_cust"),
+        )
+        .orderBy("cohort")
+    )
+
+
+register(
+    "customer_debt_cohort",
+    q_customer_debt_cohort,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN '1-debt' ELSE '2-credit' END
+               AS cohort,
+             COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+             COALESCE(cents, CAST(0 AS BIGINT)) AS cents
+      FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) * 1000 // COUNT(*)
+             AS orders_per_cust_milli,
+           CAST(SUM(cents) AS BIGINT) // COUNT(*) AS cents_per_cust
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)

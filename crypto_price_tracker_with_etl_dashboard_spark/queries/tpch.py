@@ -1282,3 +1282,96 @@ register(
     FROM mom WHERE n_quarters >= 3
     """,
 )
+
+
+# ---- supplier lead-time variability league --------------------------------------------
+# Reliability, not speed: the suppliers whose order-to-ship latency
+# swings the most, ranked by exact IQR (p75 - p25 via the
+# count-bucket order statistics).  A supplier can have a great median
+# and a terrible IQR — this is the one planners actually derate.
+# Top-10 by IQR desc, then name.
+
+_LEAD_VAR_TOPN = 10
+_LEAD_VAR_MIN_LINES = 20
+
+
+def q_supplier_lead_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    per_lead = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lead"),
+        )
+        .groupBy("l_suppkey", "lead")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("lead")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_lead.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("l_suppkey"))
+    )
+    p25 = cum.filter(F.expr("cum >= (n + 3) div 4")).groupBy("l_suppkey").agg(
+        F.min("lead").alias("p25"), F.max("n").cast("bigint").alias("n_lines")
+    )
+    p75 = cum.filter(F.expr("cum >= (n * 3 + 3) div 4")).groupBy(
+        "l_suppkey"
+    ).agg(F.min("lead").alias("p75"))
+    return (
+        p25.join(p75, "l_suppkey")
+        .filter(F.col("n_lines") >= _LEAD_VAR_MIN_LINES)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_name").alias("supplier"),
+            "n_lines",
+            "p25",
+            "p75",
+            (F.col("p75") - F.col("p25")).alias("iqr_days"),
+        )
+        .orderBy(F.col("iqr_days").desc(), F.col("supplier").asc())
+        .limit(_LEAD_VAR_TOPN)
+    )
+
+
+register(
+    "supplier_lead_variability",
+    q_supplier_lead_variability,
+    f"""
+    WITH per_lead AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lead,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_suppkey, lead, c,
+             CAST(SUM(c) OVER (PARTITION BY l_suppkey ORDER BY lead
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY l_suppkey) AS BIGINT) AS n
+      FROM per_lead
+    ),
+    p25 AS (
+      SELECT l_suppkey, MIN(lead) AS p25, CAST(MAX(n) AS BIGINT) AS n_lines
+      FROM cum WHERE cum >= (n + 3) // 4 GROUP BY 1
+    ),
+    p75 AS (
+      SELECT l_suppkey, MIN(lead) AS p75
+      FROM cum WHERE cum >= (n * 3 + 3) // 4 GROUP BY 1
+    )
+    SELECT s_name AS supplier, n_lines, p25, p75, p75 - p25 AS iqr_days
+    FROM p25 JOIN p75 USING (l_suppkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_lines >= {_LEAD_VAR_MIN_LINES}
+    ORDER BY iqr_days DESC, supplier ASC
+    LIMIT {_LEAD_VAR_TOPN}
+    """,
+)
