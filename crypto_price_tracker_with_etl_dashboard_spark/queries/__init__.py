@@ -220,9 +220,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-52 five (prices_variance_break,
 # trade_preferential_attachment, customer_debt_cohort,
 # events_activity_streaks, supplier_lead_variability)
+# and the batch-53 five (orders_priority_slas, orders_peak_to_mean,
+# doc_vocab_coverage_curve, emb_ivf_list_purity,
+# prices_beta_stability)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (248 total candidates - 8
-# r7 debuts = 240 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (253 total candidates - 8
+# r7 debuts = 245 remaining; at ~8 debuts/round that cohort carries
 # through ~r29 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -716,6 +719,14 @@ ROTATION_POOL: list[str] = [
     "prices_variance_break", "trade_preferential_attachment",
     "customer_debt_cohort", "events_activity_streaks",
     "supplier_lead_variability",
+    # --- r6-built batch 53, same debut-candidate status: per-
+    #     priority shipping SLA medians with the priority-inversion
+    #     flag, peak-to-mean capacity ratio, the vocabulary coverage
+    #     curve (which feeds add words vs volume), IVF list label
+    #     purity, and split-half beta stability. ---
+    "orders_priority_slas", "orders_peak_to_mean",
+    "doc_vocab_coverage_curve", "emb_ivf_list_purity",
+    "prices_beta_stability",
 ]
 
 

@@ -3390,3 +3390,187 @@ def _variance_break_sql() -> str:
 
 
 register("prices_variance_break", q_prices_variance_break, _variance_break_sql())
+
+
+# ---- beta stability ------------------------------------------------------------------
+# Is the hedge ratio stale?  CAPM beta against the equal-weight
+# market estimated separately on each HALF of the history; a drift
+# beyond +-0.5 says yesterday's hedge book is mis-sized.  Betas are
+# one shared double chain over exact integer moments per half;
+# milli-floored.
+
+_BSTAB_MIN_DAYS = 20
+
+
+def _beta_expr(h: int) -> str:
+    return (
+        f"(CAST(n{h} AS DOUBLE) * CAST(sxy{h} AS DOUBLE)"
+        f" - CAST(sx{h} AS DOUBLE) * CAST(sy{h} AS DOUBLE))"
+        f" / (CAST(n{h} AS DOUBLE) * CAST(sxx{h} AS DOUBLE)"
+        f" - CAST(sx{h} AS DOUBLE) * CAST(sx{h} AS DOUBLE))"
+    )
+
+
+def q_prices_beta_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        prices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol",
+            F.to_date("timestamp").alias("day"),
+            F.col("current_price").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    rets = (
+        daily.withColumn("__prev", F.lag("close").over(wd))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("__prev"))
+                        * 1000000.0
+                        / F.col("__prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    market = rets.groupBy("day").agg(
+        F.floor(F.sum("r").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("m")
+    )
+    joined = (
+        rets.join(F.broadcast(market), "day")
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("symbol")))
+        .filter(F.col("n") >= _BSTAB_MIN_DAYS)
+        .withColumn("h", F.expr("CAST(rn > n div 2 AS INT)"))
+    )
+    aggs = []
+    for h in (0, 1):
+        aggs += [
+            F.sum(F.expr(f"CAST(h = {h} AS BIGINT)")).cast("bigint").alias(f"n{h}"),
+            F.sum(F.when(F.col("h") == h, F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sx{h}"),
+            F.sum(F.when(F.col("h") == h, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sy{h}"),
+            F.sum(F.when(F.col("h") == h, F.expr("m * r")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxy{h}"),
+            F.sum(F.when(F.col("h") == h, F.expr("m * m")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxx{h}"),
+        ]
+    mom = joined.groupBy("symbol").agg(*aggs)
+    guard = (
+        "n0 >= 2 AND n1 >= 2"
+        " AND CAST(n0 AS DOUBLE) * sxx0 - CAST(sx0 AS DOUBLE) * sx0 > 0"
+        " AND CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1 > 0"
+    )
+    drift = f"({_beta_expr(1)}) - ({_beta_expr(0)})"
+    return (
+        mom.filter(F.expr(guard))
+        .select(
+            "symbol",
+            F.expr(f"CAST(floor(({_beta_expr(0)}) * 1000.0) AS BIGINT)").alias(
+                "beta_first_milli"
+            ),
+            F.expr(f"CAST(floor(({_beta_expr(1)}) * 1000.0) AS BIGINT)").alias(
+                "beta_second_milli"
+            ),
+            F.expr(
+                f"abs({drift}) >= 0.5"
+            ).alias("beta_drift"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def _beta_stability_sql() -> str:
+    half_cols = []
+    for h in (0, 1):
+        half_cols += [
+            f"CAST(SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END) AS BIGINT) AS n{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN m ELSE 0 END) AS BIGINT) AS sx{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN r ELSE 0 END) AS BIGINT) AS sy{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN m * r ELSE 0 END) AS BIGINT)"
+            f" AS sxy{h}",
+            f"CAST(SUM(CASE WHEN h = {h} THEN m * m ELSE 0 END) AS BIGINT)"
+            f" AS sxx{h}",
+        ]
+    guard = (
+        "n0 >= 2 AND n1 >= 2"
+        " AND CAST(n0 AS DOUBLE) * sxx0 - CAST(sx0 AS DOUBLE) * sx0 > 0"
+        " AND CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1 > 0"
+    )
+    drift = f"({_beta_expr(1)}) - ({_beta_expr(0)})"
+    return f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day, current_price AS close
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, CAST(timestamp AS DATE)
+          ORDER BY timestamp DESC, event_id DESC
+        ) AS rn
+        FROM prices WHERE current_price > 0
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT symbol, day,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT symbol, day, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL
+    ),
+    market AS (
+      SELECT day,
+             CAST(floor(CAST(SUM(r) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM rets GROUP BY 1
+    ),
+    joined AS (
+      SELECT symbol, r, m,
+             CASE WHEN rn > n // 2 THEN 1 ELSE 0 END AS h
+      FROM (
+        SELECT rets.symbol, rets.r, market.m,
+               row_number() OVER (PARTITION BY rets.symbol
+                                  ORDER BY rets.day) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY rets.symbol) AS BIGINT) AS n
+        FROM rets JOIN market USING (day)
+      ) WHERE n >= {_BSTAB_MIN_DAYS}
+    ),
+    mom AS (
+      SELECT symbol, {', '.join(half_cols)}
+      FROM joined GROUP BY 1
+    )
+    SELECT symbol,
+           CAST(floor(({_beta_expr(0)}) * 1000.0) AS BIGINT)
+             AS beta_first_milli,
+           CAST(floor(({_beta_expr(1)}) * 1000.0) AS BIGINT)
+             AS beta_second_milli,
+           abs(({_beta_expr(1)}) - ({_beta_expr(0)})) >= 0.5 AS beta_drift
+    FROM mom
+    WHERE {guard}
+    ORDER BY symbol
+    """
+
+
+register("prices_beta_stability", q_prices_beta_stability, _beta_stability_sql())

@@ -3432,3 +3432,76 @@ register(
     FROM base GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# ---- peak-to-mean capacity ratio ----------------------------------------------------
+# Capacity planning's first number: daily order volume's exact p99
+# and max against the mean — how much headroom does peak day demand
+# in a system sized for the average?  Count-bucket order statistics
+# over the daily totals; 1-row report.
+
+
+def q_orders_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = daily.groupBy("c").agg(F.count("*").cast("bigint").alias("days"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.withColumn("cum", F.sum("days").over(wcum)).withColumn(
+        "n", F.sum("days").over(Window.partitionBy())
+    )
+    p99 = cum.filter(F.expr("cum >= (n * 99 + 99) div 100")).agg(
+        F.min("c").alias("p99_daily"), F.max("n").cast("bigint").alias("n_days")
+    )
+    ext = daily.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").alias("max_daily"),
+    )
+    return (
+        p99.crossJoin(F.broadcast(ext))
+        .select(
+            "n_days",
+            F.expr("total div n_days").alias("mean_daily"),
+            "p99_daily",
+            "max_daily",
+            F.expr("p99_daily * n_days * 1000 div total").alias(
+                "p99_to_mean_milli"
+            ),
+        )
+    )
+
+
+register(
+    "orders_peak_to_mean",
+    q_orders_peak_to_mean,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    per AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS days FROM daily GROUP BY 1),
+    cum AS (
+      SELECT c, days,
+             CAST(SUM(days) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(days) OVER () AS BIGINT) AS n
+      FROM per
+    ),
+    p99 AS (
+      SELECT MIN(c) AS p99_daily, CAST(MAX(n) AS BIGINT) AS n_days
+      FROM cum WHERE cum >= (n * 99 + 99) // 100
+    ),
+    ext AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS max_daily FROM daily
+    )
+    SELECT n_days, total // n_days AS mean_daily, p99_daily, max_daily,
+           p99_daily * n_days * 1000 // total AS p99_to_mean_milli
+    FROM p99 CROSS JOIN ext
+    """,
+)

@@ -3395,3 +3395,77 @@ register(
     LIMIT {_BURST_TOPK}
     """,
 )
+
+
+# ---- vocabulary coverage curve ----------------------------------------------------
+# Corpus planning: adding sources in a fixed (alphabetical) order,
+# how fast does vocabulary coverage saturate?  Each term is credited
+# to its alphabetically-FIRST source; the running total over the
+# |sources| spine is the coverage curve that says which feeds add
+# words and which only add volume.  One (term -> min source) agg +
+# a |sources|-row cumulative window.
+
+
+def q_doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "source", F.explode_outer(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    first_src = terms.groupBy("term").agg(F.min("source").alias("source"))
+    new_per_src = first_src.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("new_terms")
+    )
+    all_src = terms.select("source").distinct()
+    per = all_src.join(new_per_src, "source", "left").select(
+        "source",
+        F.coalesce("new_terms", F.lit(0).cast("bigint")).alias("new_terms"),
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    total = first_src.agg(F.count("*").cast("bigint").alias("vocab"))
+    return (
+        per.withColumn("cum_vocab", F.sum("new_terms").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "new_terms",
+            "cum_vocab",
+            F.expr("cum_vocab * 1000000 div vocab").alias("coverage_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "doc_vocab_coverage_curve",
+    q_doc_vocab_coverage_curve,
+    f"""
+    WITH terms AS (
+      SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    clean AS (SELECT source, term FROM terms WHERE term <> ''),
+    first_src AS (
+      SELECT term, MIN(source) AS source FROM clean GROUP BY 1
+    ),
+    new_per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM first_src GROUP BY 1
+    ),
+    per AS (
+      SELECT s.source, COALESCE(new_terms, CAST(0 AS BIGINT)) AS new_terms
+      FROM (SELECT DISTINCT source FROM clean) s
+      LEFT JOIN new_per USING (source)
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM first_src)
+    SELECT source, new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab,
+           CAST(SUM(new_terms) OVER (ORDER BY source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             * 1000000 // vocab AS coverage_ppm
+    FROM per CROSS JOIN total
+    ORDER BY source
+    """,
+)

@@ -1375,3 +1375,102 @@ register(
     LIMIT {_LEAD_VAR_TOPN}
     """,
 )
+
+
+# ---- per-priority shipping SLA medians --------------------------------------------
+# The fairness audit on fulfillment: exact median lead time per order
+# priority (count-bucket order statistics) plus a PRIORITY-INVERSION
+# flag — true when some nominally-higher priority class ships slower
+# at the median than a lower one (ordering by the priority prefix,
+# '1-URGENT' < '5-LOW').
+
+
+def q_orders_priority_slas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_lead = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lead"),
+        )
+        .groupBy("o_orderpriority", "lead")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lead")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_lead.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("o_orderpriority"))
+    )
+    med = cum.filter(F.expr("cum >= (n + 1) div 2")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.min("lead").alias("med_days"),
+        F.max("n").cast("bigint").alias("n_lines"),
+    )
+    # inversion: any pair where the lexicographically-earlier (more
+    # urgent) priority has a strictly larger median — |priorities|^2
+    # comparisons over a 5-row table
+    a = med.select(
+        F.col("o_orderpriority").alias("pa"), F.col("med_days").alias("ma")
+    )
+    b = med.select(
+        F.col("o_orderpriority").alias("pb"), F.col("med_days").alias("mb")
+    )
+    inv = (
+        a.join(b, F.expr("pa < pb AND ma > mb"))
+        .agg(F.count("*").cast("bigint").alias("inversions"))
+    )
+    return (
+        med.crossJoin(F.broadcast(inv))
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "med_days",
+            (F.col("inversions") > 0).alias("priority_inversion"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "orders_priority_slas",
+    q_orders_priority_slas,
+    """
+    WITH per_lead AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lead,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, lead, c,
+             CAST(SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lead
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      FROM per_lead
+    ),
+    med AS (
+      SELECT o_orderpriority, MIN(lead) AS med_days,
+             CAST(MAX(n) AS BIGINT) AS n_lines
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    inv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS inversions
+      FROM med a JOIN med b
+        ON a.o_orderpriority < b.o_orderpriority
+       AND a.med_days > b.med_days
+    )
+    SELECT o_orderpriority, n_lines, med_days,
+           inversions > 0 AS priority_inversion
+    FROM med CROSS JOIN inv
+    ORDER BY o_orderpriority
+    """,
+)

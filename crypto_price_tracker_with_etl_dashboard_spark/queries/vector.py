@@ -2951,3 +2951,115 @@ register(
     FROM groups
     """,
 )
+
+
+# ---- IVF list label purity ---------------------------------------------------------
+# The classification-usefulness read on the coarse quantizer the
+# list-balance audit doesn't give: per IVF list, the share of members
+# whose label matches the list's dominant label.  With the label-
+# seeded quantizer this should be near 1.0 — a low-purity list says
+# the coarse space doesn't separate the classes and IVF probing will
+# leak neighbors.  Reuses the cached _ivf_index assignment; ties on
+# the dominant label break to the smallest.
+
+
+def q_emb_ivf_list_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_index(spark, sf_dir, emb).select(
+        F.col("label").alias("clabel"), "centroid"
+    )
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, centroid,"
+            " (v, c) -> (CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(wassign))
+        .filter(F.col("__rn") == 1)
+    )
+    per = assigned.groupBy(
+        F.col("clabel").alias("list_id"), F.col("label").alias("member_label")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("c").desc(), F.col("member_label").asc()
+    )
+    tot = per.groupBy("list_id").agg(F.sum("c").cast("bigint").alias("size"))
+    dom = (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("list_id", F.col("member_label").alias("dominant_label"),
+                F.col("c").alias("dominant_n"))
+    )
+    return (
+        dom.join(tot, "list_id")
+        .select(
+            "list_id",
+            "size",
+            "dominant_label",
+            F.expr("dominant_n * 1000000 div size").alias("purity_ppm"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def _ivf_list_purity_sql() -> str:
+    # the same unrolled decimal-exact per-label centroid + assignment
+    # the emb_ivf_list_balance oracle uses, then a purity window
+    return f"""
+    WITH dims AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS mean_v
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS clabel, list(mean_v ORDER BY pos) AS centroid
+      FROM dims GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, label, clabel FROM (
+        SELECT e.vec_id, e.label, c.clabel,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_km_sqdist('e.embedding', 'c.centroid')}, 6)
+                          ASC, c.clabel ASC) AS rnk
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ),
+    per AS (
+      SELECT clabel AS list_id, label AS member_label,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT list_id, CAST(SUM(c) AS BIGINT) AS size FROM per GROUP BY 1
+    ),
+    dom AS (
+      SELECT list_id, member_label AS dominant_label, c AS dominant_n FROM (
+        SELECT list_id, member_label, c,
+               row_number() OVER (PARTITION BY list_id
+                                  ORDER BY c DESC, member_label ASC) AS rnk
+        FROM per
+      ) WHERE rnk = 1
+    )
+    SELECT list_id, size, dominant_label,
+           dominant_n * 1000000 // size AS purity_ppm
+    FROM dom JOIN tot USING (list_id)
+    ORDER BY list_id
+    """
+
+
+register("emb_ivf_list_purity", q_emb_ivf_list_purity, _ivf_list_purity_sql())
