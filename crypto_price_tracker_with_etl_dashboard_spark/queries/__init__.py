@@ -223,10 +223,12 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # and the batch-53 five (orders_priority_slas, orders_peak_to_mean,
 # doc_vocab_coverage_curve, emb_ivf_list_purity,
 # prices_beta_stability)
+# and the batch-54 five (trade_components, media_audio_loudness,
+# doc_char_gini, emb_distance_histogram, region_revenue_trend)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (253 total candidates - 8
-# r7 debuts = 245 remaining; at ~8 debuts/round that cohort carries
-# through ~r29 — pick each round's debuts so the rotation still
+# and debut across r8+ via NEW_THIS_ROUND (258 total candidates - 8
+# r7 debuts = 250 remaining; at ~8 debuts/round that cohort carries
+# through ~r30 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
 
@@ -727,6 +729,15 @@ ROTATION_POOL: list[str] = [
     "orders_priority_slas", "orders_peak_to_mean",
     "doc_vocab_coverage_curve", "emb_ivf_list_purity",
     "prices_beta_stability",
+    # --- r6-built batch 54, same debut-candidate status: repeat-trade
+    #     connected components (the WCC certification on a SECOND,
+    #     relationally-derived graph — w>=2 keeps it sparse), audio
+    #     RMS/crest loudness through the real WAV kernel, the log-free
+    #     character-Gini diversity screen, the pairwise cosine-distance
+    #     histogram (representation contrast; mod-sampled pairs), and
+    #     the region revenue YoY trend. ---
+    "trade_components", "media_audio_loudness", "doc_char_gini",
+    "emb_distance_histogram", "region_revenue_trend",
 ]
 
 

@@ -1232,3 +1232,67 @@ register(
     ORDER BY quarter
     """,
 )
+
+
+# ---- repeat-trade connected components --------------------------------------
+# The WCC certification the dup-cluster family has (doc_dup_clusters)
+# on a SECOND, relationally-derived graph: supplier<->customer pairs
+# that traded at least _WCC_MIN_W times in the first order year form
+# "repeat relationships"; their connected components are trading
+# blocs.  Spark side reuses the adaptive pointer-jumping operator
+# (operators/components.py — O(log n) rounds, three node-id shuffles
+# per round); the oracle walks the transitive closure with a
+# recursive CTE (fine at oracle scale; |walk| <= |V|*|comp width|).
+# The w >= 2 cut is what keeps the graph sparse — the full bipartite
+# trade graph is one giant component and certifies nothing.
+
+_WCC_MIN_W = 2
+
+
+def q_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("w") >= _WCC_MIN_W)
+    cc = connected_components(edges, src="src", dst="dst")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("CAST(node % 2 = 0 AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_suppliers"),
+            F.sum(F.expr("CAST(node % 2 = 1 AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_customers"),
+        )
+        .orderBy("component")
+    )
+
+
+register(
+    "trade_components",
+    q_trade_components,
+    f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    strong AS (
+      SELECT src, dst FROM edges WHERE w >= {_WCC_MIN_W}
+    ),
+    walk(n, m) AS (
+      SELECT src, dst FROM strong
+      UNION
+      SELECT w.n, e.dst FROM walk w JOIN strong e ON w.m = e.src
+    ),
+    comp AS (
+      SELECT n, least(n, MIN(m)) AS component FROM walk GROUP BY n
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(SUM(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)

@@ -812,3 +812,73 @@ register(
     GROUP BY 1, 2, 3 ORDER BY 1
     """,
 )
+
+
+# ---- audio RMS loudness / crest factor ---------------------------------------
+# The level-normalization screen next to the clipping gate: tracks
+# whose RMS is far below full scale waste dynamic range (quantization
+# noise dominates after normalization), and a high crest factor
+# (peak/RMS) flags impulsive content.  The kernel (wav_loudness_stats)
+# ships THREE exact integers per track through the REAL stdlib wave
+# parse — sum of squared deviations from the 8-bit midpoint, peak
+# deviation, count — and RMS/crest are each ONE correctly-rounded
+# IEEE sqrt downstream (the prices_roll_spread portability argument).
+# The oracle reproduces the integers from the (i*k) % 256 synthesis
+# closed form without parsing WAV, then applies the IDENTICAL derived
+# expressions.  Corrupt blobs degrade to NULL and are filtered.
+
+_LOUD_RMS = "CAST(floor(sqrt(CAST(dev_sq_sum AS DOUBLE) / n_samples) * 1000) AS BIGINT)"
+_LOUD_CREST = (
+    "CASE WHEN dev_sq_sum > 0 THEN CAST(floor(CAST(peak_dev AS DOUBLE) * 1000"
+    " / sqrt(CAST(dev_sq_sum AS DOUBLE) / n_samples)) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+
+def q_media_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        audio_loudness_screen,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synth_audio(docs.select(F.col("doc_id").alias("media_id")))
+    return (
+        audio_loudness_screen(media)
+        .filter(F.col("n_samples").isNotNull())
+        .select(
+            "media_id",
+            "n_samples",
+            "peak_dev",
+            F.expr(_LOUD_RMS).alias("rms_milli"),
+            F.expr(_LOUD_CREST).alias("crest_milli"),
+        )
+        .orderBy("media_id")
+    )
+
+
+register(
+    "media_audio_loudness",
+    q_media_audio_loudness,
+    f"""
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 + 1        AS k,
+             (doc_id % 30 + 1) * 400 AS n
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    stats AS (
+      SELECT media_id,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(list_sum(list_transform(range(0, n),
+               i -> ((i * k) % 256 - 128) * ((i * k) % 256 - 128)))
+               AS BIGINT) AS dev_sq_sum,
+             CAST(list_max(list_transform(range(0, n),
+               i -> abs((i * k) % 256 - 128))) AS BIGINT) AS peak_dev
+      FROM params
+    )
+    SELECT media_id, n_samples, peak_dev,
+           {_LOUD_RMS} AS rms_milli,
+           {_LOUD_CREST} AS crest_milli
+    FROM stats ORDER BY media_id
+    """,
+)

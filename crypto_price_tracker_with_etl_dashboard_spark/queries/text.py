@@ -3469,3 +3469,82 @@ register(
     ORDER BY source
     """,
 )
+
+
+# ---- character-distribution Gini diversity -----------------------------------
+# The log-free twin of character entropy: Gini impurity
+# 1 - sum(p_c^2) over the 26-letter distribution of each document.
+# Degenerate generators (one stuck key, base64 blobs, repeated
+# boilerplate) collapse toward 0; natural prose sits high.  Entropy
+# itself needs ln(), which is NOT correctly rounded across engines —
+# the Gini form is exact integer arithmetic end to end (counts via
+# 26 replace() passes, ppm via integer division), so the row hashes
+# match bit-for-bit.  Zero-shuffle column expressions on both sides.
+
+_GINI_LO = 97
+_GINI_HI = 122  # inclusive: 'a'..'z'
+
+
+def q_doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        f"transform(sequence({_GINI_LO}, {_GINI_HI}),"
+        " i -> CAST(length(lt) - length(replace(lt, chr(i), '')) AS BIGINT))"
+    )
+    return (
+        docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .select("doc_id", F.expr(counts).alias("cnts"))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(cnts, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("n_letters"),
+            F.expr(
+                "aggregate(cnts, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ).alias("sum_sq"),
+            F.expr("CAST(size(filter(cnts, x -> x > 0)) AS BIGINT)").alias(
+                "distinct_letters"
+            ),
+        )
+        .filter(F.col("n_letters") > 0)
+        .select(
+            "doc_id",
+            "n_letters",
+            "distinct_letters",
+            F.expr(
+                "1000000 - sum_sq * 1000000 div (n_letters * n_letters)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_char_gini",
+    q_doc_char_gini,
+    f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id,
+             list_transform(range({_GINI_LO}, {_GINI_HI} + 1),
+               i -> CAST(length(lt) - length(replace(lt, chr(CAST(i AS INT)), ''))
+                    AS BIGINT)) AS cnts
+      FROM base
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(list_sum(cnts) AS BIGINT) AS n_letters,
+             CAST(list_sum(list_transform(cnts, x -> x * x)) AS BIGINT) AS sum_sq,
+             CAST(len(list_filter(cnts, x -> x > 0)) AS BIGINT)
+               AS distinct_letters
+      FROM cnt
+    )
+    SELECT doc_id, n_letters, distinct_letters,
+           1000000 - sum_sq * 1000000 // (n_letters * n_letters) AS gini_ppm
+    FROM stats WHERE n_letters > 0 ORDER BY doc_id
+    """,
+)

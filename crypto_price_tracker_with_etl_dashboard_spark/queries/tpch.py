@@ -1474,3 +1474,75 @@ register(
     ORDER BY o_orderpriority
     """,
 )
+
+
+# ---- region revenue trend ------------------------------------------------------
+# The region-level rollup missing between the nation trade balance
+# (per-nation totals) and the brand share-shift (YoY movers): yearly
+# discounted revenue per supplier region with a year-over-year growth
+# rate.  Revenue is the fixed-point exact dsum, so both engines see
+# the IDENTICAL double and the derived ppm growth is one identical
+# float expression; the lag window is partitioned by region (no
+# partitionless window).  All three dimensions broadcast — the only
+# shuffle is the 35-group aggregate on the fact table.
+
+_RRT_YOY = (
+    "CASE WHEN prev_rev > 0 THEN"
+    " CAST(floor((revenue - prev_rev) * 1000000.0 / prev_rev) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+
+def q_region_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    yearly = (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("l_shipdate").alias("year"),
+        )
+        .agg(dsum(_revenue(), "revenue"))
+    )
+    w = Window.partitionBy("region").orderBy("year")
+    return (
+        yearly.withColumn("prev_rev", F.lag("revenue").over(w))
+        .select(
+            "region",
+            "year",
+            "revenue",
+            F.expr(_RRT_YOY).alias("yoy_ppm"),
+        )
+        .orderBy("region", "year")
+    )
+
+
+register(
+    "region_revenue_trend",
+    q_region_revenue_trend,
+    f"""
+    WITH yearly AS (
+      SELECT r.r_name AS region, CAST(year(l.l_shipdate) AS INTEGER) AS "year",
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT region, "year", revenue,
+             lag(revenue) OVER (PARTITION BY region ORDER BY "year")
+               AS prev_rev
+      FROM yearly
+    )
+    SELECT region, "year", revenue, {_RRT_YOY} AS yoy_ppm
+    FROM lagged ORDER BY region, "year"
+    """,
+)

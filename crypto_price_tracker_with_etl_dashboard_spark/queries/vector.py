@@ -3063,3 +3063,107 @@ def _ivf_list_purity_sql() -> str:
 
 
 register("emb_ivf_list_purity", q_emb_ivf_list_purity, _ivf_list_purity_sql())
+
+
+# ---- pairwise cosine-distance histogram --------------------------------------
+# The representation-contrast read: the distribution of pairwise
+# cosine distances over a deterministic vector sample.  A collapsed
+# embedding space piles all pairs into the first bands; a healthy one
+# spreads them (complement to emb_effective_dim, which reads collapse
+# from variance, and emb_norm_audit, which reads scale).  Sampling is
+# a MOD FILTER pushed to the scan, so the pair stage is
+# |sample|^2/2 regardless of corpus size — at 100 TB widen
+# _DHIST_MOD ~ sqrt(|corpus|) to hold the pair budget constant; the
+# sample side is broadcast, the corpus is never shuffled.  Banding
+# happens on the 6dp-ROUNDED cosine (the certified fold), so a
+# last-ulp summation difference cannot flip a band edge.
+
+_DHIST_MOD = 11
+_DHIST_RES = 3
+_DHIST_BANDS = 20  # distance 1-cos in [0, 2] at 0.1 per band
+
+
+def q_emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms are O(sample) one-pass; the O(pairs) stage then folds ONE
+    # array per pair (dot) instead of three — same float grouping as
+    # cosine() (dot/(norm*norm)), so bit-equal to the oracle's
+    # dot/(sqrt*sqrt) form (see _pair_cosine).
+    sample = emb.filter(F.col("vec_id") % _DHIST_MOD == _DHIST_RES).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "embedding",
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("a_norm"),
+    )
+    other = sample.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_vec").alias("b_vec"),
+        F.col("a_norm").alias("b_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a_vec", "b_vec", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = sample.join(
+        F.broadcast(other), F.col("a_id") < F.col("b_id")
+    ).select(
+        F.round(dot / (F.col("a_norm") * F.col("b_norm")), 6).alias("cos_r")
+    )
+    banded = pairs.select(
+        F.expr(
+            f"least(CAST({_DHIST_BANDS - 1} AS BIGINT),"
+            " greatest(CAST(0 AS BIGINT),"
+            " CAST(floor((1.0 - cos_r) * 10) AS BIGINT)))"
+        ).alias("band")
+    )
+    hist = banded.groupBy("band").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    total = hist.agg(F.sum("n_pairs").cast("bigint").alias("n_total"))
+    return (
+        hist.join(F.broadcast(total))
+        .select(
+            "band",
+            "n_pairs",
+            F.expr("n_pairs * 1000000 div n_total").alias("share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+register(
+    "emb_distance_histogram",
+    q_emb_distance_histogram,
+    f"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_DHIST_MOD} = {_DHIST_RES}
+    ),
+    pairs AS (
+      SELECT {_sql_cosine('a.embedding', 'b.embedding')} AS cos_r
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    ),
+    banded AS (
+      SELECT least(CAST({_DHIST_BANDS - 1} AS BIGINT),
+                   greatest(CAST(0 AS BIGINT),
+                            CAST(floor((1.0 - cos_r) * 10) AS BIGINT))) AS band
+      FROM pairs
+    ),
+    hist AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM banded GROUP BY band
+    ),
+    total AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM hist)
+    SELECT band, n_pairs, n_pairs * 1000000 // n_total AS share_ppm
+    FROM hist CROSS JOIN total ORDER BY band
+    """,
+)

@@ -916,3 +916,62 @@ def image_border_screen(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, BORDER_STATS_SCHEMA)
+
+
+LOUDNESS_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("dev_sq_sum", LongType(), True),
+        StructField("peak_dev", LongType(), True),
+    ]
+)
+
+
+def wav_loudness_stats(content: Optional[bytes]) -> tuple:
+    """Loudness sufficient statistics for 8-bit unsigned PCM: the
+    exact integer sum of squared deviations from the 128 midpoint and
+    the peak absolute deviation.  RMS/crest are derived DOWNSTREAM in
+    one column expression each (single correctly-rounded sqrt), so
+    the kernel ships three integers per track, never the samples.
+    Parsed with the same stdlib ``wave`` path as :func:`wav_decode`;
+    undecodable payloads degrade to NULLs."""
+    import io
+    import wave
+
+    if content is None:
+        return (None, None, None)
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                return (None, None, None)
+            raw = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.uint8
+            )
+    except Exception:
+        return (None, None, None)
+    dev = raw.astype(np.int64) - 128
+    return (
+        int(raw.size),
+        int((dev * dev).sum()),
+        int(np.abs(dev).max()) if raw.size else None,
+    )
+
+
+def audio_loudness_screen(media: DataFrame) -> DataFrame:
+    """Per-payload loudness stats via the decode_audio mapInPandas
+    shape (narrow map, binary dropped after the kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_loudness_stats(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [s[0] for s in stats],
+                    "dev_sq_sum": [s[1] for s in stats],
+                    "peak_dev": [s[2] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(kernel, LOUDNESS_STATS_SCHEMA)

@@ -354,3 +354,25 @@ def test_ahash_images_spark_path(spark):
     for i in (1, 2, 388):
         assert out[i] == bmp_ahash16(synth_bmp_bytes(i))
     assert out[97] is None  # corrupt id degrades per row
+
+
+def test_wav_loudness_stats_closed_form():
+    """The loudness kernel's integers must equal the synthesis
+    closed form: samples of blob k are (i*k) % 256, deviations taken
+    from the 128 midpoint."""
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.multimodal import (
+        synth_wav_bytes,
+        wav_loudness_stats,
+    )
+
+    mid = 5
+    n, ssq, peak = wav_loudness_stats(synth_wav_bytes(mid))
+    k, exp_n = mid % 251 + 1, (mid % 30 + 1) * 400
+    devs = [((i * k) % 256) - 128 for i in range(exp_n)]
+    assert n == exp_n
+    assert ssq == sum(d * d for d in devs)
+    assert peak == max(abs(d) for d in devs)
+    # corrupt / undecodable payloads degrade to NULLs, same contract
+    # as wav_clip_stats
+    assert wav_loudness_stats(None) == (None, None, None)
+    assert wav_loudness_stats(b"not a wav") == (None, None, None)
