@@ -225,9 +225,11 @@ ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
 # prices_beta_stability)
 # and the batch-54 five (trade_components, media_audio_loudness,
 # doc_char_gini, emb_distance_histogram, region_revenue_trend)
+# and the batch-55 three (events_type_cooccurrence,
+# events_user_hhi_weekly, orders_priority_mix_drift)
 # stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (258 total candidates - 8
-# r7 debuts = 250 remaining; at ~8 debuts/round that cohort carries
+# and debut across r8+ via NEW_THIS_ROUND (261 total candidates - 8
+# r7 debuts = 253 remaining; at ~8 debuts/round that cohort carries
 # through ~r30 — pick each round's debuts so the rotation still
 # reaches its oldest stale block).
 _ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
@@ -738,6 +740,14 @@ ROTATION_POOL: list[str] = [
     #     the region revenue YoY trend. ---
     "trade_components", "media_audio_loudness", "doc_char_gini",
     "emb_distance_histogram", "region_revenue_trend",
+    # --- r6-built batch 55, same debut-candidate status: daily-basket
+    #     event-type co-occurrence lift (the log-free PMI surrogate at
+    #     the user-day grain), the weekly user-concentration HHI with
+    #     effective-user reciprocal (whale/bot dominance monitor), and
+    #     the order-priority mix-drift audit (integer ppm shares, no
+    #     order-dependent chi-square float sum). ---
+    "events_type_cooccurrence", "events_user_hhi_weekly",
+    "orders_priority_mix_drift",
 ]
 
 

@@ -4331,3 +4331,159 @@ register(
     GROUP BY 1, n_users ORDER BY 1
     """,
 )
+
+
+# ---- daily-basket event-type co-occurrence lift --------------------------------
+# The market-basket read on the events stream: do two event types
+# co-occur in the same (user, day) basket more often than chance?
+# Lifetime baskets are degenerate here (every active user eventually
+# emits every type), so the basket is the user-DAY — the same grain
+# the session family uses.  Lift is the all-integer cross-multiplied
+# ratio co*n/(nA*nB) in ppm (the log-free PMI surrogate; 1e6 =
+# independence).  One (user, day, type) distinct + one self-join on
+# the basket key: the pair stage is |baskets| x types^2, never
+# |events|^2.
+
+def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    baskets = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    # 1-row total kept IN-PLAN (broadcast cross join), not a driver
+    # count: one job, and the plan stays pure dataflow.
+    n = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_total"))
+    )
+    sizes = baskets.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_type")
+    )
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    co = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("co_baskets"))
+    )
+    return (
+        co.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_a")).withColumnRenamed("n_type", "n_a"),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_b")).withColumnRenamed("n_type", "n_b"),
+            "type_b",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "co_baskets",
+            F.expr(
+                "co_baskets * n_total * 1000000 div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+register(
+    "events_type_cooccurrence",
+    q_events_type_cooccurrence,
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM (SELECT DISTINCT user_id, day FROM baskets)
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM baskets GROUP BY 1
+    ),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS co_baskets
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, co_baskets,
+           co_baskets * n.n_total * 1000000 // (sa.n_type * sb.n_type)
+             AS lift_ppm
+    FROM co
+    JOIN sizes sa ON co.type_a = sa.event_type
+    JOIN sizes sb ON co.type_b = sb.event_type
+    CROSS JOIN n
+    ORDER BY type_a, type_b
+    """,
+)
+
+
+# ---- weekly user-concentration HHI ---------------------------------------------
+# The whale/bot dominance monitor: per week, the Herfindahl index of
+# event volume across users (ppm) and its reciprocal — the effective
+# number of users actually generating the traffic.  A week where a
+# few accounts dominate shows eff_users collapsing long before any
+# per-user cap trips.  All integer: sum(cnt^2) and total^2 are exact
+# BIGINTs, shares never materialize as floats.  One (week, user)
+# aggregate + one week aggregate.
+
+def q_events_user_hhi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    return (
+        per_user.groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum(F.expr("cnt * cnt")).cast("bigint").alias("sum_sq"),
+        )
+        .select(
+            "week",
+            "n_users",
+            "n_events",
+            F.expr("sum_sq * 1000000 div (n_events * n_events)").alias(
+                "hhi_ppm"
+            ),
+            F.expr("n_events * n_events * 1000 div sum_sq").alias(
+                "eff_users_milli"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+register(
+    "events_user_hhi_weekly",
+    q_events_user_hhi_weekly,
+    """
+    WITH per_user AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT week,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(cnt) AS BIGINT) AS n_events,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM per_user GROUP BY 1
+    )
+    SELECT week, n_users, n_events,
+           sum_sq * 1000000 // (n_events * n_events) AS hhi_ppm,
+           n_events * n_events * 1000 // sum_sq AS eff_users_milli
+    FROM wk ORDER BY week
+    """,
+)

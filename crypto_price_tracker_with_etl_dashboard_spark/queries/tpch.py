@@ -1546,3 +1546,80 @@ register(
     FROM lagged ORDER BY region, "year"
     """,
 )
+
+
+# ---- order-priority mix drift ----------------------------------------------------
+# The composition-drift audit on the order stream: does any year's
+# priority mix deviate from the all-time mix?  A procurement system
+# whose URGENT share creeps up is a different workload than its SLA
+# models assume (the mix-shift cousin of orders_quarter_end_loading's
+# timing forensics).  Shares are integer ppm (cnt*1e6 div total) on
+# both engines; drift is their exact difference — no chi-square
+# float sum whose cell order could differ.  Two scan-bound
+# aggregates, 35 output rows.
+
+_PMIX_FLAG_PPM = 20_000  # |drift| >= 2 percentage points
+
+
+def q_orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.year("o_orderdate").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wy = Window.partitionBy("year")
+    wp = Window.partitionBy("priority")
+    ww = Window.partitionBy()
+    # the windows are over the 35-row AGGREGATE, not the fact table —
+    # partitionless is fine at this cardinality
+    return (
+        cells.withColumn("year_total", F.sum("cnt").over(wy).cast("bigint"))
+        .withColumn("prio_total", F.sum("cnt").over(wp).cast("bigint"))
+        .withColumn("grand_total", F.sum("cnt").over(ww).cast("bigint"))
+        .select(
+            "year",
+            "priority",
+            "cnt",
+            F.expr("cnt * 1000000 div year_total").alias("share_ppm"),
+            F.expr(
+                "cnt * 1000000 div year_total"
+                " - prio_total * 1000000 div grand_total"
+            ).alias("drift_ppm"),
+            F.expr(
+                "abs(cnt * 1000000 div year_total"
+                f" - prio_total * 1000000 div grand_total) >= {_PMIX_FLAG_PPM}"
+            ).alias("flagged"),
+        )
+        .orderBy("year", "priority")
+    )
+
+
+register(
+    "orders_priority_mix_drift",
+    q_orders_priority_mix_drift,
+    f"""
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS "year",
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT "year", priority, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY "year") AS BIGINT) AS year_total,
+             CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT) AS prio_total,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS grand_total
+      FROM cells
+    )
+    SELECT "year", priority, cnt,
+           cnt * 1000000 // year_total AS share_ppm,
+           cnt * 1000000 // year_total - prio_total * 1000000 // grand_total
+             AS drift_ppm,
+           abs(cnt * 1000000 // year_total
+               - prio_total * 1000000 // grand_total) >= {_PMIX_FLAG_PPM}
+             AS flagged
+    FROM tot ORDER BY "year", priority
+    """,
+)
