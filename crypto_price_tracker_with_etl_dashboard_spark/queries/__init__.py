@@ -46,223 +46,98 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 #
 # WINDOW ROTATION POLICY (round 3 onward): the window is
 #
-#   FIXED_CORE (30)  — reference parity (7) + the training-data
-#                      pipeline surface (23): certified EVERY round.
-#   debuts + rotation (20)
+#   FIXED_CORE       — reference parity (7) + the training-data
+#                      pipeline surface: certified EVERY round.
+#                      30 through r5, slimmed 30->26 mid-r6 and
+#                      26->22 in r7 (always-green zero-shuffle
+#                      members whose operator family stays covered
+#                      move into the pool; r6/r7 verdict ask).
+#   debuts + rotation
 #                    — queries NEW this round debut at the head (new
 #                      work must always earn driver evidence in its
-#                      own round), then the next slots of
-#                      ROTATION_POOL, a documented cycle over the 44
-#                      relational / OLAP / TPC-H / time-series
-#                      queries.  The cursor advances 20 per round
-#                      (ROTATION_ROUND below, bumped each round), so
-#                      every pool query re-earns a driver row at
-#                      least every 3 rounds; everything stays
-#                      registered and keeps running in bench.py and
-#                      tools/check_oracle.py (which checks ALL
+#                      own round, r2 rule), then the next slots of
+#                      ROTATION_POOL.  The cursor starts where the
+#                      previous round STOPPED (_ROTATION_STARTS
+#                      records actual consumption; a round with d
+#                      debuts consumes 50 - |FIXED_CORE| - d slots).
+#                      Everything stays registered and runs in
+#                      bench.py and tools/check_oracle.py (ALL
 #                      queries, not just the window) every round.
 #
-# Rotation cursor: each round starts where the previous one STOPPED
-# (the r3 policy's "(round-3)*20" formula assumed 20 rotating slots,
-# but a round with d debuts consumes only 20-d — r3 had 2 debuts and
-# consumed pool[0:18], so a fixed-stride cursor would have skipped
-# pool[18:20] (q21, q22) for two rounds).  _ROTATION_STARTS records
-# the actual consumption history; append the next start each round.
-#   round 3: start 0,  consumed 18 (2 debuts) -> pool[0:18]
-#   round 4: start 18, 6 debuts -> pool[18:32]
-#     (relational/OLAP families: sessionize, as-of/range join,
-#      pivot/unpivot, rollup — all absent from r3)
-#   round 5: the six r4 debuts joined the pool AT the cursor position
-#     (they were just driver-certified in r4, so they slot into the
-#     already-consumed region and re-certify after a full cycle);
-#     the cursor skips past them: start 32 + 6 = 38.  With 4 debuts
-#     the 16 rotating slots are pool[38:52] + pool[0:2] — exactly the
-#     r2-stale dozen (cube/semi/anti/set-ops/json/distinct/quantiles/
-#     q1/q3/q12), the r3 debuts (display_snapshot, media_audio_decode),
-#     q11_important_stock, and emb_ann_lsh — the ONE query whose full
-#     DuckDB oracle (landed r4, cdf09b1) has never had a driver row
-#     (r4 verdict ask #1: cap debuts at 4 so the wrap reaches it).
+# Per-round consumption history, the full batch ledger (which round
+# built each query batch, what it certifies), and the uncertified-
+# queue burn-down live in COVERAGE.md ("Rotation & certification
+# ledger").  Only the live cursor arithmetic is kept here.
+#
+# r7 (this round): the four r6 debuts joined the pool AT the r7
+# cursor (index 26, the move every debut cohort makes — they are
+# r6-certified, so they sit in the consumed region and re-certify
+# after a full loop); the cursor skips past them: start 26 + 4 = 30.
+# FIXED_CORE slimmed 26 -> 22 (doc_simhash, doc_langid,
+# doc_pack_chunks, emb_label_centroids — all r6-certified — moved to
+# the pool after the r5-certified region, in staleness order), which
+# funds FOUR extra debut slots: r7 debuts TWELVE never-certified
+# candidates (the eight the r6 verdict named plus prices_ema_macd,
+# doc_simhash_neardup — verdict ask #5's highest-leverage pair —
+# trade_pagerank and events_heavy_hitters).  Rotation slots =
+# 50 - 22 - 12 = 16 = pool[30:46] — EXACTLY the r4-certified stale
+# block (events_tumbling_5min .. emb_kmeans), leaving no driver row
+# older than r5 anywhere.
+#
+# r8 PLAN: insert the twelve r7 debuts at the cursor (index 46,
+# before doc_token_bpe) and set _ROTATION_STARTS[8] = 58.  With 12
+# debuts the 16 rotation slots are pool[58:74] — the r5-certified
+# doc_token_bpe/doc_fingerprint/doc_winnow/doc_hash_split +
+# events_cube .. media_audio_decode region (the oldest evidence
+# left).  Keep debuts at >= builds so the uncertified queue keeps
+# shrinking (burn-down ledger in COVERAGE.md).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 6  # bump each round; indexes _ROTATION_STARTS
-# r5 consumed pool[38:52] + wrap pool[0:2], so the next unconsumed
-# index is 2; the four r5 debuts joined the pool AT that cursor (the
-# same move r4's debuts made), so r6 starts at 2 + 4 = 6.
-# FIXED_CORE was slimmed 30 -> 26 mid-r6 (four always-green
-# zero-shuffle text/sampling queries — doc_token_bpe, doc_fingerprint,
-# doc_winnow, doc_hash_split, all r5-certified — moved into the pool's
-# r5-certified region), so with 4 r6 debuts the rotation takes TWENTY
-# slots: pool[6:26] = the 16 r3-stale TPC-H rows (q2, q4-q10,
-# q13-q20; the r5 verdict's ask #2) PLUS q21, q22,
-# top_orders_per_customer, segment_order_stats (r4-certified) — the
-# slimming lets r6 clear four extra stale rows.
-# r7 PLAN (95 debut candidates are queued at the pool tail, all
-# check_oracle-certified at sf0.01 AND sf0.1 in r6): insert the four
-# r6 debuts at the cursor (index 26, before events_tumbling_5min) and
-# set _ROTATION_STARTS[7] = 30.  The r4-certified stale block
-# (events_tumbling_5min .. emb_kmeans) is SIXTEEN queries — pool
-# indices 26..41 today, 30..45 after the insertion — so r7 debuts
-# exactly EIGHT candidates (prices_vwap_hourly .. events_profile):
-# rotation slots = 50 - 26 - 8 = 16 = pool[30:46], exactly the stale
-# block, leaving nothing older than r5.  The remaining EIGHTY-SEVEN
-# candidates (events_top_paths, events_markov, doc_bigram_topk, the
-# batch-3 eight: prices_ema_macd, doc_simhash_neardup,
-# events_grouping_sets, events_histogram, events_heavy_hitters,
-# emb_dim_stats, trade_pagerank, prices_trend, the batch-4/5
-# fifteen: events_triangles, doc_fuzzy_join, emb_hard_negatives,
-# emb_rp_project, events_communities, media_image_ahash,
-# events_zorder_code, orders_basket_affinity,
-# events_robust_outliers, orders_merge_upsert, doc_bigram_coverage,
-# events_hopping_10m, events_interarrival, events_user_forest,
-# tpch_integrity, and the batch-6 eight: prices_bollinger,
-# prices_stochastic, prices_corr_matrix, doc_token_drift,
-# doc_quality_percentile, events_seasonality, events_wow_trending,
-# events_split_leakage, and the batch-7..14 twenty-four:
-# events_attribution, events_burst_detect, events_value_gini,
-# emb_split_drift, prices_twap_daily, orders_rfm_segments,
-# events_eqdepth_histogram, events_bloom_prefilter, doc_containment,
-# events_kcore, emb_kcenter_sample, events_weighted_median,
-# events_incremental_agg, events_ab_lift, prices_jump_detect,
-# doc_langid_confusion, emb_maxsim_topk, orders_cohort_ltv,
-# prices_heikin_ashi, events_cuped_lift, events_holt_forecast,
-# doc_curation_funnel, orders_pareto_report, doc_lsh_calibration)
-# and the batch-15 five (events_survival_km, trade_bfs_hops,
-# events_hll_distinct, prices_lead_lag, doc_hybrid_rrf)
-# and the batch-16 five (trade_cheapest_path, emb_matryoshka_recall,
-# orders_benford_audit, events_ks_split, events_winsorize)
-# and the batch-17 five (events_dau_mau, prices_sharpe,
-# lineitem_quantity_model, events_cusum_drift,
-# events_type_hour_assoc)
-# and the batch-18 five (emb_pca_power, events_conversion_latency,
-# orders_duplicate_payments, doc_cv_folds, doc_rake_keyphrases)
-# and the batch-19 four (trade_ppr, orders_incremental_join,
-# doc_vocab_growth, events_item_cf)
-# and the batch-20 five (events_seq_pairs, doc_incremental_dedup,
-# doc_winnow_overlap, prices_atr, trade_closeness)
-# and the batch-21 five (trade_hits, prices_obv, doc_chi2_terms,
-# doc_global_shuffle, emb_ivf_recall)
-# and the batch-22 five (emb_binary_topk, emb_mmr_rerank,
-# prices_backtest_naive, orders_backlog_series, events_rolling_wau)
-# and the batch-23 five (media_audio_vad, prices_donchian,
-# trade_assortativity, doc_readability, emb_knn_outliers)
-# and the batch-24 five (doc_ngram_novelty, events_bot_screen,
-# prices_volume_profile, emb_centroid_margin,
-# orders_customer_migration)
-# and the batch-25 five (media_image_histogram,
-# trade_neighbor_jaccard, orders_aging_report,
-# doc_boilerplate_screen, orders_supplier_herfindahl)
-# and the batch-26 five (prices_var_historical, events_bounce_rate,
-# doc_sentence_dedup, events_sequence_violations,
-# doc_dup_cluster_stats)
-# and the batch-27 four (prices_garch_vol, events_did_lift,
-# doc_dedup_by_source, emb_ivf_list_balance)
-# and the batch-28 four (emb_binary_recall, prices_amihud,
-# orders_benford_by_segment, events_top_user_churn)
-# and the batch-29 four (doc_lsh_pr_audit, emb_filtered_topk,
-# orders_repeat_intervals, events_position_attribution)
-# and the batch-30 four (prices_beta, events_slo_burn,
-# doc_sampling_plan, parts_abc_xyz)
-# and the batch-31 four (events_community_modularity,
-# events_stump_split, prices_pair_spread,
-# lineitem_discount_elasticity)
-# and the batch-32 four (events_growth_accounting,
-# events_markov_stationary, emb_cluster_separation,
-# prices_weekday_effect)
-# and the batch-33 five (events_user_diversity, events_key_skew,
-# doc_zipf_check, orders_revenue_recognition, prices_variance_ratio)
-# and the batch-34 five (nation_trade_balance, supply_lead_time,
-# events_mde_power, parts_price_index, prices_underwater_spells)
-# and the batch-35 five (events_peak_concurrency,
-# prices_momentum_deciles, prices_kelly, events_hll_overlap,
-# supplier_scorecard)
-# and the batch-36 five (events_srm_check, events_depth_conversion,
-# prices_roll_spread, events_seasonal_residuals, media_binary_dedup)
-# and the batch-37 five (trade_bottleneck_path, media_scene_cuts,
-# doc_source_pair_dups, prices_tail_ratio, events_value_ab_welch)
-# and the batch-38 four (parts_sourcing_depth,
-# media_audio_clipping, prices_var_exceedances,
-# parts_brand_share_shift)
-# and the batch-39 five (doc_simhash_bit_balance, prices_gap_report,
-# customer_balance_activity_corr, media_image_border,
-# orders_monthly_seasonal_index)
-# and the batch-40 five (prices_corr_clusters, lineitem_domain_audit,
-# doc_dup_length_bias, events_session_fatigue,
-# prices_round_clustering)
-# and the batch-41 five (emb_adc_recall, emb_neardup_sweep,
-# events_simpson_check, events_freshness_report,
-# prices_extreme_timing)
-# and the batch-42 five (emb_storage_budget, trade_graph_growth,
-# parts_price_realization, prices_ljung_box, doc_chars_per_token)
-# and the batch-43 five (events_perceptron, prices_higher_moments,
-# emb_pq_code_balance, doc_cross_lang_dups, parts_return_rates)
-# and the batch-44 five (prices_idio_vol_share, trade_degree_ccdf,
-# doc_prefix_clusters, orders_split_shipments,
-# customer_repeat_by_segment)
-# and the batch-45 five (doc_dedup_idempotence,
-# events_dormancy_histogram, parts_price_dispersion,
-# events_neyman_allocation, prices_spread_volume_corr)
-# and the batch-46 five (events_poststrat_lift, trade_rich_club,
-# doc_hapax_share, emb_norm_audit, prices_streaks)
-# and the batch-47 five (trade_edge_retention,
-# events_experiment_report, doc_dedup_savings, events_variance_anova,
-# media_aspect_profile)
-# and the batch-48 five (parts_one_time_share, emb_effective_dim,
-# events_markov_fanout, orders_first_vs_repeat,
-# doc_source_vocab_overlap)
-# and the batch-49 five (doc_mixed_lang_screen, doc_length_profile,
-# orders_deseasonalized_trend, events_k_anonymity, emb_exact_dups)
-# and the batch-50 five (orders_quarter_end_loading,
-# doc_term_burstiness, orders_total_reconciliation,
-# events_alert_threshold_sweep, prices_golden_cross)
-# and the batch-51 five (events_mann_kendall, media_size_outliers,
-# supply_lead_time_trend, events_new_user_share, orders_aov_trend)
-# and the batch-52 five (prices_variance_break,
-# trade_preferential_attachment, customer_debt_cohort,
-# events_activity_streaks, supplier_lead_variability)
-# and the batch-53 five (orders_priority_slas, orders_peak_to_mean,
-# doc_vocab_coverage_curve, emb_ivf_list_purity,
-# prices_beta_stability)
-# and the batch-54 five (trade_components, media_audio_loudness,
-# doc_char_gini, emb_distance_histogram, region_revenue_trend)
-# and the batch-55 three (events_type_cooccurrence,
-# events_user_hhi_weekly, orders_priority_mix_drift)
-# stay at the pool tail
-# and debut across r8+ via NEW_THIS_ROUND (261 total candidates - 8
-# r7 debuts = 253 remaining; at ~8 debuts/round that cohort carries
-# through ~r30 — pick each round's debuts so the rotation still
-# reaches its oldest stale block).
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6}
+ROTATION_ROUND = 7  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30}
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
     "latest_snapshot", "history_slice", "topk_other", "market_share",
     "distinct_symbols", "ingest_normalize", "prices_ohlc_5min",
-    # deduplication family (6)
-    "doc_exact_dedup", "doc_minhash_lsh", "doc_ngram_jaccard", "doc_simhash",
+    # deduplication family (5; doc_simhash rotated r7 — zero-shuffle
+    # bit expression, and the banded-Hamming join built on it debuts
+    # this round as doc_simhash_neardup)
+    "doc_exact_dedup", "doc_minhash_lsh", "doc_ngram_jaccard",
     "doc_dup_clusters", "doc_decontaminate",
-    # text-analysis family (3; doc_token_bpe / doc_fingerprint /
-    # doc_winnow rotated into the pool r6 — always-green zero-shuffle
-    # column expressions whose operator families stay covered here by
-    # doc_quality / doc_langid / doc_top_terms)
-    "doc_quality", "doc_langid", "doc_top_terms",
-    # sampling / packing family (3; doc_hash_split rotated r6, same
-    # rationale — stratified/pack/cap keep the family certified)
-    "doc_stratified_sample", "doc_pack_chunks",
-    "events_per_user_cap",
-    # similarity-search family (5)
+    # text-analysis family (2; doc_langid rotated r7 — always-green
+    # zero-shuffle column expression, family covered by doc_quality /
+    # doc_top_terms; doc_token_bpe / doc_fingerprint / doc_winnow
+    # rotated r6 on the same rationale)
+    "doc_quality", "doc_top_terms",
+    # sampling / packing family (2; doc_pack_chunks rotated r7 —
+    # deterministic bucketed prefix sums, always green; doc_hash_split
+    # rotated r6 — stratified sample + per-user cap keep the family)
+    "doc_stratified_sample", "events_per_user_cap",
+    # similarity-search family (4; emb_label_centroids rotated r7 —
+    # broadcast centroid attach, family covered by the 4 here plus
+    # the emb_semdedup / emb_knn_classify debuts)
     "emb_cosine_topk", "emb_ann_recall", "emb_ivf_topk",
-    "emb_cosine_neardup", "emb_label_centroids",
+    "emb_cosine_neardup",
     # multimodal family (2)
     "media_decode", "media_frame_sample",
 ]
 
 # Queries registered for the FIRST time this round: they debut inside
 # the window (r2 verdict: new operators must not land outside the
-# correctness gate), then join ROTATION_POOL next round.
+# correctness gate), then join ROTATION_POOL next round.  The twelve
+# r7 debuts are the r6-built candidates the r6 verdict named (asks
+# #1/#5): financial indicators, funnel, SemDeDup, kNN-classify,
+# behavior outliers/profile, the Arrow-streamed EMA/MACD integer
+# recursion, SimHash banded-Hamming near-dup, PageRank, and the
+# count-min heavy hitters.
 NEW_THIS_ROUND: list[str] = [
-    "emb_ivfadc_topk", "emb_gemm_audit", "events_salted_join",
-    "orders_bucketed_join",
+    "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown",
+    "events_funnel", "emb_semdedup", "emb_knn_classify",
+    "events_value_outliers", "events_profile",
+    "prices_ema_macd", "doc_simhash_neardup",
+    "trade_pagerank", "events_heavy_hitters",
 ]
 
 ROTATION_POOL: list[str] = [
@@ -281,6 +156,12 @@ ROTATION_POOL: list[str] = [
     "q20_heavy_shippers", "q21_last_shipper", "q22_idle_balance",
     # --- remaining time-series / window-shape queries ---
     "top_orders_per_customer", "segment_order_stats",
+    # --- r6 debuts: joined the pool at the (r7) cursor position, so
+    #     they sit in the consumed region and recycle a full loop on ---
+    "emb_ivfadc_topk", "emb_gemm_audit", "events_salted_join",
+    "orders_bucketed_join",
+    # --- the r4-certified stale block: r7 rotation = pool[30:46] =
+    #     exactly these sixteen ---
     "events_tumbling_5min", "prices_change_points",
     # --- relational / OLAP operator families (in the r2 window) ---
     "events_sessionize", "events_asof_join", "events_range_join",
@@ -305,37 +186,20 @@ ROTATION_POOL: list[str] = [
     "q1_pricing_summary", "q3_shipping_priority", "q12_delay_priority",
     # --- r3 debuts, joined the pool in r4 ---
     "display_snapshot", "media_audio_decode",
-    # --- r6-built, r7 DEBUT CANDIDATES: registered OUTSIDE the r6
-    #     window (its rotation arithmetic is fully committed to the
-    #     r3-stale TPC-H block) but APPENDED here so check_oracle.py
-    #     and bench.py exercise them this round.  r7 must MOVE these
-    #     six into NEW_THIS_ROUND (debut-in-window rule) and then
-    #     re-insert them into the pool in r8 — see the r7 cursor note
-    #     above (_ROTATION_STARTS).  Financial indicators + funnel +
-    #     SemDeDup + kNN-classify: queries/finance.py,
-    #     timeseries.py::q_events_funnel, vector.py::q_emb_semdedup /
-    #     q_emb_knn_classify. ---
-    "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown",
-    "events_funnel", "emb_semdedup", "emb_knn_classify",
-    # --- r6-built batch 2, same r7-debut-candidate status: behavior
-    #     analytics (queries/behavior.py — z-score outliers with exact
-    #     distributed variance, Deequ-style one-pass column profile,
-    #     top user journey paths, Markov transitions) and corpus
-    #     bigram counts (queries/text.py::q_doc_bigram_topk). ---
-    "events_value_outliers", "events_profile", "events_top_paths",
-    "events_markov", "doc_bigram_topk",
-    # --- r6-built batch 3, same debut-candidate status (r8 per the
-    #     cursor note): the recursive-EMA/MACD sequential fold (the
-    #     first certified Arrow-streamed stateful recursion —
-    #     operators/indicators.py::ema_macd), SimHash banded-Hamming
-    #     near-dup join, GROUPING SETS, fixed-width histogram,
-    #     count-min-sketch heavy hitters (functions/sketch.py), and
-    #     per-dimension embedding feature stats. ---
-    "prices_ema_macd", "doc_simhash_neardup", "events_grouping_sets",
-    "events_histogram", "events_heavy_hitters", "emb_dim_stats",
-    # --- fixed-point PageRank over the supplier<->customer trade
-    #     graph (operators/pagerank.py, unrolled-CTE oracle) ---
-    "trade_pagerank",
+    # --- slimmed out of FIXED_CORE in r7 (r6-certified there every
+    #     round through r6; always-green zero-shuffle / broadcast-
+    #     attach members whose families stay covered) — placed after
+    #     the r5-certified region so rotation re-reaches them in
+    #     staleness order ---
+    "doc_simhash", "doc_langid", "doc_pack_chunks", "emb_label_centroids",
+    # --- everything below is the r6-built, never-driver-certified
+    #     candidate queue (burn-down ledger in COVERAGE.md; all
+    #     check_oracle-certified at sf0.01 AND sf0.1).  Future rounds
+    #     MOVE each round's debut picks into NEW_THIS_ROUND
+    #     (debut-in-window rule), then re-insert them into the pool
+    #     at the next round's cursor.  Twelve moved out in r7. ---
+    "events_top_paths", "events_markov", "doc_bigram_topk",
+    "events_grouping_sets", "events_histogram", "emb_dim_stats",
     # --- per-series OLS trend from exact fixed-point sums ---
     "prices_trend",
     # --- r6-built batch 4, same debut-candidate status: degree-
