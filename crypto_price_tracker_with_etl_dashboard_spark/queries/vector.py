@@ -3071,25 +3071,34 @@ register("emb_ivf_list_purity", q_emb_ivf_list_purity, _ivf_list_purity_sql())
 # embedding space piles all pairs into the first bands; a healthy one
 # spreads them (complement to emb_effective_dim, which reads collapse
 # from variance, and emb_norm_audit, which reads scale).  Sampling is
-# a MOD FILTER pushed to the scan, so the pair stage is
-# |sample|^2/2 regardless of corpus size — at 100 TB widen
-# _DHIST_MOD ~ sqrt(|corpus|) to hold the pair budget constant; the
-# sample side is broadcast, the corpus is never shuffled.  Banding
-# happens on the 6dp-ROUNDED cosine (the certified fold), so a
-# last-ulp summation difference cannot flip a band edge.
+# a MOD FILTER pushed to the scan, and the modulus is DERIVED from
+# the corpus count (m = max(1, count // _DHIST_TARGET), the same
+# integer arithmetic on both engines — one cheap count scan), so
+# |sample| ~ _DHIST_TARGET and the pair budget ~ _DHIST_TARGET^2/2
+# are CORPUS-INVARIANT: at 100 TB the modulus widens automatically
+# instead of the r6 fixed _DHIST_MOD=11 whose pair stage grew
+# O(|corpus|^2) (r6 verdict, ask #3).  The residue clamps to m-1 so
+# tiny corpora (m <= 3) still sample non-empty.  The sample side is
+# broadcast, the corpus is never shuffled.  Banding happens on the
+# 6dp-ROUNDED cosine (the certified fold), so a last-ulp summation
+# difference cannot flip a band edge.
 
-_DHIST_MOD = 11
+_DHIST_TARGET = 100  # corpus-invariant sample size (~4950 pairs)
 _DHIST_RES = 3
 _DHIST_BANDS = 20  # distance 1-cos in [0, 2] at 0.1 per band
 
 
 def q_emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # One count action derives the modulus (parquet metadata scan);
+    # mirrored by the oracle's scalar subquery.
+    mod = max(1, emb.count() // _DHIST_TARGET)
+    res = min(_DHIST_RES, mod - 1)
     # norms are O(sample) one-pass; the O(pairs) stage then folds ONE
     # array per pair (dot) instead of three — same float grouping as
     # cosine() (dot/(norm*norm)), so bit-equal to the oracle's
     # dot/(sqrt*sqrt) form (see _pair_cosine).
-    sample = emb.filter(F.col("vec_id") % _DHIST_MOD == _DHIST_RES).select(
+    sample = emb.filter(F.col("vec_id") % mod == res).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
         F.sqrt(
@@ -3145,9 +3154,12 @@ register(
     "emb_distance_histogram",
     q_emb_distance_histogram,
     f"""
-    WITH sample AS (
-      SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {_DHIST_MOD} = {_DHIST_RES}
+    WITH m AS (
+      SELECT GREATEST(1, COUNT(*) // {_DHIST_TARGET}) AS mod FROM embeddings
+    ),
+    sample AS (
+      SELECT vec_id, embedding FROM embeddings, m
+      WHERE vec_id % m.mod = LEAST({_DHIST_RES}, m.mod - 1)
     ),
     pairs AS (
       SELECT {_sql_cosine('a.embedding', 'b.embedding')} AS cos_r
