@@ -4385,8 +4385,18 @@ def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "co_baskets",
+            # Widened to DECIMAL(38,0) (HUGEINT on the oracle side):
+            # co_baskets * n_total * 1e6 overflows BIGINT once
+            # co*n exceeds ~9.2e12 (a few million baskets), and Spark
+            # with ANSI off would wrap silently where DuckDB raises
+            # (r6 advice).  The 128-bit-wide product is exact to
+            # ~1e38; the QUOTIENT (what div returns as BIGINT) is
+            # <= 1e6 * n_total / n_b, safe for any real corpus.
             F.expr(
-                "co_baskets * n_total * 1000000 div (n_a * n_b)"
+                "(CAST(co_baskets AS DECIMAL(38,0))"
+                " * CAST(n_total AS DECIMAL(38,0)) * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0))"
+                " * CAST(n_b AS DECIMAL(38,0)))"
             ).alias("lift_ppm"),
         )
         .orderBy("type_a", "type_b")
@@ -4418,7 +4428,8 @@ register(
       GROUP BY 1, 2
     )
     SELECT type_a, type_b, co_baskets,
-           co_baskets * n.n_total * 1000000 // (sa.n_type * sb.n_type)
+           CAST(CAST(co_baskets AS HUGEINT) * n.n_total * 1000000
+                // (CAST(sa.n_type AS HUGEINT) * sb.n_type) AS BIGINT)
              AS lift_ppm
     FROM co
     JOIN sizes sa ON co.type_a = sa.event_type

@@ -950,11 +950,17 @@ def wav_loudness_stats(content: Optional[bytes]) -> tuple:
             )
     except Exception:
         return (None, None, None)
+    if raw.size == 0:
+        # A valid zero-frame WAV must degrade to full NULLs: a
+        # (0, 0, None) row would pass downstream isNotNull() filters
+        # and feed sqrt(0/0)=NaN, where Spark's non-ANSI NaN->BIGINT
+        # cast and DuckDB diverge (r6 advice).
+        return (None, None, None)
     dev = raw.astype(np.int64) - 128
     return (
         int(raw.size),
         int((dev * dev).sum()),
-        int(np.abs(dev).max()) if raw.size else None,
+        int(np.abs(dev).max()),
     )
 
 
