@@ -612,6 +612,16 @@ ROTATION_POOL: list[str] = [
     #     order-dependent chi-square float sum). ---
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
+    # --- r7-built batch 56, r8+ debut candidates: keep-best dedup
+    #     survivor selection (the RefinedWeb keep-longest rule over
+    #     the certified LSH->components clusters), the bigram-LM OOV
+    #     quality score (log-free CCNet-style model-based filtering:
+    #     train-split bigram vocabulary, valid-split ppm OOV), and
+    #     the rolling 7-day WAU from mergeable per-day HLL sketches
+    #     (the sliding-distinct shape that never rescans the fact
+    #     table). ---
+    "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
+    "events_hll_rolling_wau",
 ]
 
 

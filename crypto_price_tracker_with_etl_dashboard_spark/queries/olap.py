@@ -3505,3 +3505,96 @@ register(
     FROM p99 CROSS JOIN ext
     """,
 )
+
+
+# ---- rolling 7-day WAU via HLL register merges ---------------------------------
+# Batch 56.  The mergeable-sketch answer to the sliding distinct
+# count: one 64-register HLL sketch per DAY (the persisted artifact
+# at 100 TB — map-side combinable, <= days x 64 rows ever shuffled),
+# then each day's trailing-7-day WAU is a register-wise MAX over the
+# window's daily sketches.  The exact twin (events_rolling_wau)
+# re-expands every (user, day) contribution; this one never touches
+# the fact table again once the daily sketches exist — the shape that
+# survives when the exact contribution expansion no longer fits.
+# The 7x day-offset EXPLODE turns the range join into an equi-join on
+# the day key (no theta join anywhere); phantom days (offsets landing
+# on days with no data) are dropped by a semi join against the day
+# spine.  Arithmetic is the certified HLL discipline: exact dyadic
+# 2^-rho sums, floor at the end.
+
+def q_events_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), "user_id", "day"
+    )
+    spine = regs.select("day").distinct()
+    merged = (
+        regs.select(
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6))")
+            ).alias("day"),
+            "bucket",
+            "max_rho",
+        )
+        .join(spine, "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.max("max_rho").alias("rho"))
+    )
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("rho"))).alias("__zp"),
+            F.count("*").alias("__filled"),
+        )
+        .select(
+            "day",
+            F.floor(
+                F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                / (F.col("__zp") + (F.lit(HLL_M) - F.col("__filled")))
+            )
+            .cast("bigint")
+            .alias("wau_hll"),
+            F.col("__filled").cast("bigint").alias("registers_filled"),
+        )
+        .orderBy("day")
+    )
+
+
+def _hll_rolling_wau_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        sql_hll_hash,
+        sql_hll_rho,
+    )
+
+    h = sql_hll_hash("user_id")
+    return f"""
+    WITH regs AS (
+      SELECT CAST(ts AS DATE) AS day, ({h}) % {HLL_M} AS bucket,
+             MAX({sql_hll_rho(f"(({h}) // {HLL_M})")}) AS max_rho
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT day FROM regs),
+    merged AS (
+      SELECT s.day, r.bucket, MAX(r.max_rho) AS rho
+      FROM spine s JOIN regs r ON r.day BETWEEN s.day - 6 AND s.day
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(floor({HLL_ALPHA * HLL_M * HLL_M}
+                      / (SUM(1.0 / (CAST(1 AS BIGINT) << rho))
+                         + ({HLL_M} - COUNT(*)))) AS BIGINT) AS wau_hll,
+           CAST(COUNT(*) AS BIGINT) AS registers_filled
+    FROM merged GROUP BY day ORDER BY day
+    """
+
+
+register("events_hll_rolling_wau", q_events_hll_rolling_wau, _hll_rolling_wau_sql())

@@ -3565,3 +3565,217 @@ register(
     FROM stats WHERE n_letters > 0 ORDER BY doc_id
     """,
 )
+
+
+# ---- keep-best dedup survivor selection --------------------------------------
+# Batch 56.  The decision step a real dedup pipeline runs AFTER
+# clustering: inside every near-dup cluster (the certified
+# minhash-LSH -> connected-components chain of doc_dup_clusters),
+# keep the member with the most tokens — the RefinedWeb/C4
+# "keep-longest" rule — and report what the cluster sheds.  Token
+# counts are exact integers (whitespace split, the _SQL_TOKS
+# contract), ties break to the lowest doc_id.  Scale shape: the
+# cluster map covers ONLY pair-connected docs (tiny vs corpus), so
+# it broadcasts onto the token table; the per-cluster argmax is a
+# WindowGroupLimit over cluster-sized groups.
+
+def q_doc_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).filter(F.col("est_jaccard") >= _CLUSTER_MIN_EST_J)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    toks = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    members = toks.join(F.broadcast(cc), "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("node")
+    )
+    return (
+        members.withColumn("rnk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max(F.when(F.col("rnk") == 1, F.col("node")))
+            .cast("bigint")
+            .alias("survivor_id"),
+            F.max(F.when(F.col("rnk") == 1, F.col("n_tokens")))
+            .cast("bigint")
+            .alias("survivor_tokens"),
+            F.sum(
+                F.when(F.col("rnk") != 1, F.col("n_tokens")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_docs",
+            "survivor_id",
+            "survivor_tokens",
+            "tokens_dropped",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_sql()}
+    ),
+    strong AS (
+      SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_EST_J}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM strong
+      UNION SELECT doc_b, doc_a FROM strong
+    ),
+    walk(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
+    ),
+    comp AS (
+      SELECT n, least(n, MIN(m)) AS component FROM walk GROUP BY n
+    ),
+    toks AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT comp.component, comp.n AS node, t.n_tokens,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY t.n_tokens DESC, comp.n ASC) AS rnk
+      FROM comp JOIN toks t ON comp.n = t.doc_id
+    )
+    SELECT component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rnk = 1 THEN node END) AS BIGINT)
+             AS survivor_id,
+           CAST(MAX(CASE WHEN rnk = 1 THEN n_tokens END) AS BIGINT)
+             AS survivor_tokens,
+           CAST(SUM(CASE WHEN rnk <> 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_dropped
+    FROM ranked GROUP BY component ORDER BY cluster_id
+    """
+
+
+register("doc_keep_best_dedup", q_doc_keep_best_dedup, _keep_best_sql())
+
+
+# ---- bigram-LM out-of-vocabulary quality score --------------------------------
+# Batch 56.  The log-free surrogate of CCNet-style model-based
+# quality filtering: train a count-based bigram "language model" on
+# the deterministic train split (the lcg split every split-family
+# query shares) and score each VALID-split document by the ppm of
+# its bigram occurrences unseen in training — high OOV share flags
+# boilerplate, code, or off-distribution text exactly where
+# perplexity would, without ln()'s portability problem.  All
+# integers: occurrence counts, ppm integer division.  Scale shape:
+# the train vocabulary is one distinct on the bigram key; the probe
+# is one equi-join keyed on bigram + one doc_id aggregate — three
+# shuffles, no broadcast of corpus-sized state.
+
+_LM_FLAG_PPM = 500_000  # flag docs with a majority of unseen bigrams
+
+
+def q_doc_ngram_lm_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", hasher=lcg_bucket
+    )
+    bigrams = (
+        "CASE WHEN size(tk) >= 2 THEN"
+        " transform(sequence(1, size(tk) - 1),"
+        " i -> concat(tk[i - 1], ' ', tk[i]))"
+        " ELSE array() END"
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            "split",
+            F.expr("filter(split(text, ' '), t -> t <> '')").alias("tk"),
+        )
+        .select("doc_id", "split", F.explode_outer(F.expr(bigrams)).alias("bg"))
+    )
+    train_vocab = (
+        bg.filter(F.col("split") == "train").select("bg").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    valid = bg.filter(F.col("split") == "valid")
+    return (
+        valid.join(train_vocab, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CAST(bg IS NOT NULL AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.sum(F.expr("CAST(bg IS NOT NULL AND __seen IS NULL AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_bigrams").alias("oov_ppm"),
+            F.expr(f"n_oov * 1000000 div n_bigrams >= {_LM_FLAG_PPM}").alias(
+                "flagged"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_ngram_lm_hit_rate",
+    q_doc_ngram_lm_hit_rate,
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {sql_lcg_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {sql_lcg_bucket('doc_id')} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split,
+             list_filter({_SQL_TOKS}, t -> t <> '') AS tk
+      FROM labeled
+    ),
+    bg AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM toks
+    ),
+    train_vocab AS (
+      SELECT DISTINCT bg FROM bg WHERE split = 'train'
+    ),
+    scored AS (
+      SELECT v.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM bg v LEFT JOIN train_vocab t ON v.bg = t.bg
+      WHERE v.split = 'valid'
+      GROUP BY v.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+           n_oov * 1000000 // n_bigrams AS oov_ppm,
+           n_oov * 1000000 // n_bigrams >= {_LM_FLAG_PPM} AS flagged
+    FROM scored WHERE n_bigrams > 0 ORDER BY doc_id
+    """,
+)
