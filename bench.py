@@ -279,6 +279,13 @@ HEADLINE = [
     "events_markov_stationary",
     "emb_cluster_separation",
     "prices_weekday_effect",
+    # round-7 batch 56 (r8+ debut candidates): benched from their
+    # build round so budgets anchor early.  Batches 33-55 stay out of
+    # HEADLINE to hold suite time under the driver's stdout/timeout
+    # envelope; their budgets anchor at their debut round instead.
+    "doc_keep_best_dedup",
+    "doc_ngram_lm_hit_rate",
+    "events_hll_rolling_wau",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -90,3 +90,27 @@ def test_hll_rolling_wau_tracks_exact(spark):
             # deliberately omits the non-portable ln() linear-count
             # branch): ~13% standard error, assert a generous band
             assert abs(r["wau_hll"] - truth) <= int(truth * 0.4)
+
+
+def test_keep_best_broadcasts_cluster_map(spark):
+    """The cluster map (pair-connected docs only) must broadcast onto
+    the token table — a shuffle join here would reshuffle the corpus
+    for a tiny build side."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        q_doc_keep_best_dedup,
+    )
+
+    plan = q_doc_keep_best_dedup(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_rolling_wau_no_nested_loop(spark):
+    """The day-offset explode must keep the window merge an equi-join:
+    no theta join (BNLJ/cartesian) anywhere in the plan."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.olap import (
+        q_events_hll_rolling_wau,
+    )
+
+    plan = q_events_hll_rolling_wau(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
