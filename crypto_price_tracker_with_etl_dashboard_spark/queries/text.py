@@ -3483,12 +3483,15 @@ register(
 #
 # Spark side is a SINGLE pass over each document (r6 verdict ask #4;
 # the r6 shape re-scanned every document 26 times via
-# length - length(replace(lt, chr(i), ''))): lower the text once,
-# map chars to ascii codes, keep a-z, sort the small-int array, then
-# ONE fold over the sorted runs accumulates sum(run^2) and the
-# distinct-letter count in integer arithmetic.  The DuckDB oracle
-# keeps the 26-replace form — same exact output, so the certified
-# hash is unchanged.
+# length - length(replace(lt, chr(i), ''))): ONE compiled-regex pass
+# strips everything but a-z (interpreted HOF lambdas were measured
+# 2x slower than the JVM regex for the same filtering), the
+# letters-only string splits and sorts, then ONE fold over the
+# sorted runs accumulates sum(run^2) and the distinct-letter count
+# in integer arithmetic.  The DuckDB oracle keeps the 26-replace
+# form — same exact output, so the certified hash is unchanged
+# (equivalence re-checked at sf0.01/sf0.1/sf1: zero differing rows;
+# sf1 14.96 s (r6) -> 4.4 s).
 
 _GINI_LO = 97
 _GINI_HI = 122  # inclusive: 'a'..'z'
@@ -3498,15 +3501,17 @@ def q_doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    codes = (
-        f"array_sort(filter(transform(split(lower(text), ''),"
-        f" c -> ascii(c)), x -> x >= {_GINI_LO} AND x <= {_GINI_HI}))"
-    )
-    # Run-length fold over the sorted codes: (prev, run, ss, d);
-    # the finish lambda closes the last run.
+    # letters materializes in its own projection (single regex pass)
+    # and letterless docs filter out BEFORE the split: split('', '')
+    # is [''] (size 1), which would otherwise smuggle a bogus
+    # n_letters=1 row past the n_letters > 0 gate.
+    codes = "array_sort(split(letters, ''))"
+    # Run-length fold over the sorted chars: (prev, run, ss, d);
+    # the finish lambda closes the last run.  prev starts '' — no
+    # letter equals it, so the first element always opens a run.
     fold = (
         "aggregate(codes,"
-        " named_struct('prev', -1, 'run', CAST(0 AS BIGINT),"
+        " named_struct('prev', '', 'run', CAST(0 AS BIGINT),"
         "  'ss', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT)),"
         " (acc, x) -> IF(x = acc.prev,"
         "  named_struct('prev', acc.prev, 'run', acc.run + 1L,"
@@ -3519,13 +3524,19 @@ def q_doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  'd', acc.d + IF(acc.run > 0L, 1L, 0L)))"
     )
     return (
-        docs.select("doc_id", F.expr(codes).alias("codes"))
+        docs.select(
+            "doc_id",
+            F.expr("regexp_replace(lower(text), '[^a-z]', '')").alias(
+                "letters"
+            ),
+        )
+        .filter(F.length("letters") > 0)
+        .select("doc_id", F.expr(codes).alias("codes"))
         .select(
             "doc_id",
             F.expr("CAST(size(codes) AS BIGINT)").alias("n_letters"),
             F.expr(fold).alias("st"),
         )
-        .filter(F.col("n_letters") > 0)
         .select(
             "doc_id",
             "n_letters",
