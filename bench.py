@@ -286,6 +286,9 @@ HEADLINE = [
     "doc_keep_best_dedup",
     "doc_ngram_lm_hit_rate",
     "events_hll_rolling_wau",
+    # round-7 batch 57
+    "media_frame_dups",
+    "events_abandonment",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

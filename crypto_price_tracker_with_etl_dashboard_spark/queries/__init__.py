@@ -622,6 +622,14 @@ ROTATION_POOL: list[str] = [
     #     table). ---
     "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
     "events_hll_rolling_wau",
+    # --- r7-built batch 57, r8+ debut candidates: cross-video
+    #     duplicate-frame detection (frame-level dedup between the
+    #     payload-checksum and whole-image granularities — explode ->
+    #     fingerprint -> one bounded shuffle) and view-to-purchase
+    #     abandonment (the forward conditional-min "next matching
+    #     event" window — one user-key shuffle, no self/range
+    #     join). ---
+    "media_frame_dups", "events_abandonment",
 ]
 
 

@@ -4498,3 +4498,85 @@ register(
     FROM wk ORDER BY week
     """,
 )
+
+
+# ---- view-to-purchase abandonment (forward-window anti-conversion) --------------
+# Batch 57.  The remarketing read the funnel family lacks: per VIEW
+# EVENT (not per user), did a purchase by the same user follow within
+# the window?  The operator shape being certified is the forward
+# conditional-min window — min(purchase ts) over ROWS strictly after
+# the current event in (ts, event_id) order — which answers "next
+# matching event" for ANY pair of types in one user-key shuffle, no
+# self-join, no range join.  A view with no purchase in
+# (view, view + 60 min] is abandoned.  Timestamps compare at exact
+# microseconds; counts and ppm are integers.
+
+_ABANDON_WINDOW_MIN = 60
+
+
+def q_events_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = (
+        ev.withColumn("next_purchase", nxt)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(next_purchase IS NOT NULL AND next_purchase <="
+                f" ts + INTERVAL {_ABANDON_WINDOW_MIN} MINUTES AS BIGINT)"
+            ).alias("converted"),
+        )
+    )
+    return (
+        views.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "day",
+            "n_views",
+            "n_converted",
+            F.expr("(n_views - n_converted) * 1000000 div n_views").alias(
+                "abandon_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_abandonment",
+    q_events_abandonment,
+    f"""
+    WITH nxt AS (
+      SELECT ts, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase
+      FROM events
+    ),
+    views AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(next_purchase IS NOT NULL AND next_purchase <=
+                  ts + INTERVAL {_ABANDON_WINDOW_MIN} MINUTE AS BIGINT)
+               AS converted
+      FROM nxt WHERE event_type = 'view'
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((COUNT(*) - SUM(converted)) * 1000000 // COUNT(*) AS BIGINT)
+             AS abandon_ppm
+    FROM views GROUP BY day ORDER BY day
+    """,
+)

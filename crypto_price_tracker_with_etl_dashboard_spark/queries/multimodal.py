@@ -882,3 +882,90 @@ register(
     FROM stats ORDER BY media_id
     """,
 )
+
+
+# ---- cross-video duplicate-frame detection -------------------------------------
+# Batch 57.  Frame-level dedup across videos — the granularity
+# between payload checksums (media_binary_dedup: whole files) and
+# per-image aHash (media_image_ahash: whole stills): sample frames
+# off every video (the certified frame_sample_plan explode), compute
+# a compact per-frame perceptual fingerprint, and group the corpus by
+# fingerprint to find frames shared by >= 2 DISTINCT videos — intro
+# cards, watermarks, freeze frames, re-uploads.  The frame feature is
+# the scene-cuts stub-codec discipline (deterministic md5-derived
+# value standing in for a real pHash; the certified shape — explode
+# -> fingerprint -> one map-side-combinable shuffle on the
+# fingerprint key -> bounded output <= 2^bits rows — is the real
+# one).  dedupable_frames = n_frames - n_videos is the storage the
+# keep-one-per-video policy reclaims.
+
+_FRAME_FP_HEX = 3  # 12-bit fingerprint space
+
+
+def q_media_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(fan_out(load_table(spark, sf_dir, "documents")))
+    frames = frame_sample_plan(
+        media.filter(F.col("media_type") == "video"), every_ms=1000
+    )
+    feat = frames.join(
+        media.select("media_id", F.col("content").cast("string").alias("__txt")),
+        "media_id",
+    ).select(
+        "media_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("__txt"), F.col("frame_idx"))),
+                1,
+                _FRAME_FP_HEX,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("phash"),
+    )
+    return (
+        feat.groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.count_distinct("media_id").cast("bigint").alias("n_videos"),
+        )
+        .filter(F.col("n_videos") >= 2)
+        .select(
+            "phash",
+            "n_frames",
+            "n_videos",
+            F.expr("n_frames - n_videos").alias("dedupable_frames"),
+        )
+        .orderBy("phash")
+    )
+
+
+register(
+    "media_frame_dups",
+    q_media_frame_dups,
+    f"""
+    WITH {MEDIA_CTE_SQL.strip()},
+    frames AS (
+      SELECT media_id, content_text,
+             CAST(unnest(range(0, greatest(CAST(duration_ms / 1000 AS BIGINT),
+                                           1))) AS INT) AS frame_idx
+      FROM media WHERE media_type = 'video'
+    ),
+    feat AS (
+      SELECT media_id,
+             ('0x' || substr(md5(content_text || '#' || frame_idx), 1,
+                             {_FRAME_FP_HEX}))::BIGINT AS phash
+      FROM frames
+    ),
+    grp AS (
+      SELECT phash,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_videos
+      FROM feat GROUP BY phash
+    )
+    SELECT phash, n_frames, n_videos,
+           n_frames - n_videos AS dedupable_frames
+    FROM grp WHERE n_videos >= 2 ORDER BY phash
+    """,
+)
