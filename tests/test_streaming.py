@@ -1254,3 +1254,166 @@ def test_streaming_freshness_equals_batch_and_survives_replay(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming abandonment twin (batch: queries/behavior.py::events_abandonment)
+# ---------------------------------------------------------------------------
+
+
+def test_abandonment_fold_unit():
+    """Kernel semantics without a stream: expiry before resolution,
+    purchase converts the whole unexpired pending list, state carries
+    unresolved views across batches."""
+    import pandas as pd
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.abandonment import (
+        make_abandonment_fn,
+    )
+
+    fn = make_abandonment_fn(window_min=1)  # 60 s window
+    state = _FakeState()
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t, unit="s") for t, _et, _e in rows],
+                "event_type": [et for _t, et, _e in rows],
+                "event_id": [e for _t, _et, e in rows],
+            }
+        )
+
+    # view@0, view@30, purchase@50 -> both convert (within 60 s)
+    out = list(fn((7,), iter([batch([(0, "view", 1), (30, "view", 2), (50, "purchase", 3)])]), state))
+    verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+    assert verdicts == [(1, True), (2, True)]
+    assert state.get == ([], [])
+
+    # view@100; then a click@200 expires it (window closed at 160)
+    out = list(fn((7,), iter([batch([(100, "view", 4)])]), state))
+    assert out == []
+    assert state.get == ([100_000_000], [4])
+    out = list(fn((7,), iter([batch([(200, "click", 5)])]), state))
+    verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+    assert verdicts == [(4, False)]
+
+    # boundary: purchase exactly at view_ts + window converts
+    out = list(fn((7,), iter([batch([(300, "view", 6), (360, "purchase", 7)])]), state))
+    verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+    assert verdicts == [(6, True)]
+    # ...but one microsecond past does not
+    out = list(fn((7,), iter([batch([(400, "view", 8)])]), state))
+    assert out == []
+    late = batch([(460, "purchase", 9)])
+    late.loc[0, "ts"] = pd.Timestamp(460_000_001, unit="us")
+    out = list(fn((7,), iter([late]), state))
+    verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+    assert verdicts == [(8, False)]
+
+
+def test_streaming_abandonment_matches_batch_verdicts(spark, tmp_path):
+    """After in-order micro-batches, the streamed per-view verdicts
+    equal the batch forward-window computed over the concatenated
+    input, for every view whose window a later event has closed."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.abandonment import (
+        streaming_abandonment,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(user, minute, eid, et):
+        return (user, t0 + dt.timedelta(minutes=minute), eid, et)
+
+    batch1 = [
+        ev(1, 0, 1, "view"),
+        ev(1, 20, 2, "purchase"),   # converts view 1
+        ev(2, 0, 3, "view"),
+        ev(2, 90, 4, "click"),      # expires view 3 (window 60)
+        ev(1, 30, 5, "view"),       # pending at end of batch 1
+    ]
+    batch2 = [
+        ev(1, 80, 6, "purchase"),   # converts view 5 (80 <= 30+60)
+        ev(2, 100, 7, "view"),
+        ev(2, 300, 8, "click"),     # expires view 7
+        ev(1, 300, 9, "click"),     # nothing pending for user 1
+    ]
+
+    pdir = str(tmp_path / "events_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(pdir)
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        streaming_abandonment(stream, window_min=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("abandon_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        streamed = {
+            r["event_id"]: (r["user_id"], r["view_ts"], r["converted"])
+            for r in spark.sql("SELECT * FROM abandon_stream_test").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch forward-window verdicts over the concatenated input
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    verdicts = (
+        all_events.withColumn(
+            "next_purchase",
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "horizon",
+            F.max("ts").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.expr(
+                "next_purchase IS NOT NULL"
+                " AND next_purchase <= ts + INTERVAL 60 MINUTES"
+            ).alias("converted"),
+            F.expr("horizon > ts + INTERVAL 60 MINUTES OR (next_purchase"
+                   " IS NOT NULL AND next_purchase <= ts + INTERVAL 60"
+                   " MINUTES)").alias("resolved"),
+        )
+        .collect()
+    )
+    expected = {
+        r["event_id"]: (r["user_id"], r["view_ts"], r["converted"])
+        for r in verdicts
+        if r["resolved"]
+    }
+    assert expected  # the fixture resolves every view
+    assert streamed == expected
