@@ -289,6 +289,9 @@ HEADLINE = [
     # round-7 batch 57
     "media_frame_dups",
     "events_abandonment",
+    # round-7 batch 58
+    "doc_dup_transitivity",
+    "lineitem_join_blowup",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -630,6 +630,13 @@ ROTATION_POOL: list[str] = [
     #     event" window — one user-key shuffle, no self/range
     #     join). ---
     "media_frame_dups", "events_abandonment",
+    # --- r7-built batch 58, r8+ debut candidates: the near-dup pair
+    #     transitivity audit (wedge-closure rate over the certified
+    #     LSH pair graph — decides CC vs pairwise dedup policy) and
+    #     the join-blowup pre-flight estimator (predicted self-join
+    #     cardinality from the key histogram — the broadcast / salt /
+    #     bucket decision input, no join executed). ---
+    "doc_dup_transitivity", "lineitem_join_blowup",
 ]
 
 

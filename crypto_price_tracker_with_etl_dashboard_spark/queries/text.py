@@ -3790,3 +3790,94 @@ register(
     FROM scored WHERE n_bigrams > 0 ORDER BY doc_id
     """,
 )
+
+
+# ---- near-dup pair transitivity audit ------------------------------------------
+# Batch 58.  Dedup observability the cluster-size histogram cannot
+# give: how TRANSITIVE is the certified LSH pair set?  Every wedge
+# a~m~z whose closing edge a~z is absent is a chaining hazard — the
+# connected-components step will merge a and z anyway, and a LOW
+# closure rate means clusters are unions of chains, not cliques
+# (exactly when keep-one-per-cluster over-deletes).  One number
+# decides whether the CC policy (doc_dup_clusters / keep_best) or a
+# pairwise policy (doc_containment-style) fits the corpus.  The
+# wedge stage is sum(deg^2) over the PAIR GRAPH (already
+# output-bounded by the LSH band join), never the corpus.
+
+def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+        .filter(F.col("est_jaccard") >= _CLUSTER_MIN_EST_J)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    wedges = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .filter(F.col("e1.u") < F.col("e2.v"))
+        .select(F.col("e1.u").alias("x"), F.col("e2.v").alias("z"))
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("z")
+        ).withColumn("__c", F.lit(1)),
+        ["x", "z"],
+        "left",
+    )
+    n_pairs = pairs.select(F.count("*").cast("bigint").alias("n_pairs"))
+    return (
+        closed.agg(
+            F.count("*").cast("bigint").alias("n_wedges"),
+            F.sum(F.expr("CAST(__c IS NOT NULL AS BIGINT)"))
+            .cast("bigint")
+            .alias("n_closed"),
+        )
+        .join(F.broadcast(n_pairs))
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN n_closed * 1000000 div n_wedges END"
+            ).alias("closure_ppm"),
+        )
+    )
+
+
+register(
+    "doc_dup_transitivity",
+    q_doc_dup_transitivity,
+    f"""
+    WITH pairs AS (
+      {_minhash_sql()}
+    ),
+    strong AS (
+      SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_EST_J}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM strong
+      UNION ALL SELECT doc_b, doc_a FROM strong
+    ),
+    wedges AS (
+      SELECT e1.u AS x, e2.v AS z
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+    ),
+    closed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+             CAST(SUM(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_closed
+      FROM wedges w
+      LEFT JOIN strong s ON w.x = s.doc_a AND w.z = s.doc_b
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM strong)
+    SELECT n_pairs, n_wedges, n_closed,
+           CASE WHEN n_wedges > 0
+                THEN n_closed * 1000000 // n_wedges END AS closure_ppm
+    FROM closed CROSS JOIN np
+    """,
+)

@@ -1623,3 +1623,100 @@ register(
     FROM tot ORDER BY "year", priority
     """,
 )
+
+
+# ---- join-blowup pre-flight estimator ---------------------------------------------
+# Batch 58.  The decision tool you run BEFORE a 100 TB self-join:
+# predict the output cardinality of lineitem JOIN lineitem ON
+# l_partkey (the "compare suppliers of the same part" pattern) from
+# the key histogram alone — sum(cnt^2) over keys — without executing
+# the join.  The report gives the exact predicted rows, the blowup
+# factor vs the input (milli), and the top-5 hot keys with their ppm
+# contribution: precisely the inputs to the broadcast / salt /
+# bucket decision (operators/skew.py, operators/bucketing.py) and
+# the two-sided complement of events_key_skew's one-table histogram.
+# One map-side-combinable key aggregate; summaries are 1-row
+# broadcasts.  All integer (DECIMAL(38,0)/HUGEINT sums: cnt^2 over
+# billions of keys exceeds BIGINT long before the join itself is
+# even representable).
+
+_BLOWUP_TOP = 5
+
+
+def q_lineitem_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hist = lineitem.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    totals = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt"))
+        .cast("decimal(38,0)")
+        .alias("predicted_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top = (
+        hist.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(_BLOWUP_TOP)
+        .withColumn(
+            "rank",
+            # window over the already-limited 5-row relation only
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+            ),
+        )
+    )
+    return (
+        top.join(F.broadcast(totals))
+        .select(
+            "rank",
+            "l_partkey",
+            "cnt",
+            F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * cnt AS BIGINT)").alias(
+                "key_pairs"
+            ),
+            F.expr("CAST(predicted_rows AS BIGINT)").alias("predicted_rows"),
+            F.expr(
+                "CAST(predicted_rows * 1000 div n_rows AS BIGINT)"
+            ).alias("blowup_milli"),
+            F.expr(
+                "CAST(CAST(cnt AS DECIMAL(38,0)) * cnt * 1000000"
+                " div predicted_rows AS BIGINT)"
+            ).alias("contribution_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+register(
+    "lineitem_join_blowup",
+    q_lineitem_join_blowup,
+    f"""
+    WITH hist AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS predicted_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM hist
+    ),
+    top AS (
+      SELECT l_partkey, cnt,
+             row_number() OVER (ORDER BY cnt DESC, l_partkey ASC) AS rank
+      FROM hist
+      ORDER BY cnt DESC, l_partkey ASC LIMIT {_BLOWUP_TOP}
+    )
+    SELECT rank, l_partkey, cnt,
+           CAST(CAST(cnt AS HUGEINT) * cnt AS BIGINT) AS key_pairs,
+           CAST(predicted_rows AS BIGINT) AS predicted_rows,
+           CAST(predicted_rows * 1000 // n_rows AS BIGINT) AS blowup_milli,
+           CAST(CAST(cnt AS HUGEINT) * cnt * 1000000 // predicted_rows
+                AS BIGINT) AS contribution_ppm
+    FROM top CROSS JOIN totals
+    ORDER BY rank
+    """,
+)
