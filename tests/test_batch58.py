@@ -53,3 +53,23 @@ def test_join_blowup_matches_python_histogram(spark):
         assert r["predicted_rows"] == predicted
         assert r["blowup_milli"] == predicted * 1000 // n_rows
         assert r["contribution_ppm"] == cnt * cnt * 1_000_000 // predicted
+
+
+def test_batch58_plan_pins(spark):
+    """No theta joins in the wedge stage (the pair graph joins on the
+    shared node, an equi-join); the blowup estimator never executes
+    the predicted join (exactly one data-sized hash exchange — the
+    key histogram)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        q_doc_dup_transitivity,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.tpch import (
+        q_lineitem_join_blowup,
+    )
+
+    tplan = q_doc_dup_transitivity(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in tplan
+    bplan = q_lineitem_join_blowup(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bplan
+    assert "SortMergeJoin" not in bplan  # summaries attach by broadcast
+    assert bplan.count("Exchange hashpartitioning") <= 2  # histogram (+AQE top-5 sort path), never the join
