@@ -292,6 +292,11 @@ HEADLINE = [
     # round-7 batch 58
     "doc_dup_transitivity",
     "lineitem_join_blowup",
+    # round-8 batch 59 (r9+ debut candidates)
+    "doc_lsh_bucket_profile",
+    "prices_overnight_intraday",
+    "prices_vol_signature",
+    "emb_pq_subspace_distortion",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -292,26 +292,29 @@ def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
 _BANDED_CACHE: dict[str, DataFrame] = {}
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
-) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH banding.
+# Band buckets larger than this never join: a bucket of n docs
+# yields n(n-1)/2 candidate pairs, so one million-way identical-
+# boilerplate cluster (routine in web-scale corpora) would emit
+# ~5e11 pairs from a single bucket.  Docs that populate such
+# buckets are trivially catchable by exact_dedup upstream; skipped
+# buckets are observable via minhash_lsh_bucket_overflow.  The
+# default ceiling sits far above the max bucket observed at the
+# certified SFs (sf0.01/sf0.1/sf1), so oracle parity is unaffected.
+MAX_BAND_BUCKET = 512
 
-    signature (num_hashes mins) -> bands of rows=num_hashes/bands ->
-    band key = md5(concat(band slice)).  Docs sharing any band key
-    become candidates; candidates are scored by signature agreement
-    (estimated Jaccard).  Plan shape: one narrow ZERO-SHUFFLE map to
-    build signatures (tokens -> shingles -> 60-bit hashes -> family
-    mins, each stage a materialized projection so nothing is
-    re-evaluated inside HOF lambdas), one explode to (band_idx,
-    band_key, id), one shuffle join on the band key, one distinct —
-    no all-pairs stage and no signature shuffle.
-    """
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """The shared LSH banding pipeline: (id, sig, band_idx, band_key)
+    rows, cached with the per-app eviction described inline.  Used by
+    minhash_lsh_pairs (the join) and minhash_lsh_bucket_overflow (the
+    observability report)."""
     from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
 
     # Band arithmetic must divide evenly: bands > num_hashes gives
@@ -380,6 +383,43 @@ def minhash_lsh_pairs(
     if prev is not None:
         prev.unpersist()
     _BANDED_CACHE[app_id] = banded
+    return banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket_size: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    signature (num_hashes mins) -> bands of rows=num_hashes/bands ->
+    band key = md5(concat(band slice)).  Docs sharing any band key
+    become candidates; candidates are scored by signature agreement
+    (estimated Jaccard).  Plan shape: one narrow ZERO-SHUFFLE map to
+    build signatures (tokens -> shingles -> 60-bit hashes -> family
+    mins, each stage a materialized projection so nothing is
+    re-evaluated inside HOF lambdas), one explode to (band_idx,
+    band_key, id), one shuffle join on the band key, one distinct —
+    no all-pairs stage and no signature shuffle.
+
+    ``max_bucket_size`` bounds the per-bucket pair blowup: band
+    buckets holding more docs are skipped (the bucket-count window
+    shares the join's band-key partitioning, so the guard adds no
+    extra exchange of its own).  Pass ``None`` to disable.
+    """
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes, bands)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        banded = banded.withColumn(
+            "__bn",
+            F.count("*").over(Window.partitionBy("band_idx", "band_key")),
+        ).filter(F.col("__bn") <= max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     # estimated Jaccard = fraction of agreeing signature positions
@@ -401,6 +441,31 @@ def minhash_lsh_pairs(
             (agree / F.lit(num_hashes)).cast("double").alias("est_jaccard"),
         )
         .distinct()
+    )
+
+
+def minhash_lsh_bucket_overflow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket_size: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """The band buckets minhash_lsh_pairs SKIPPED at this ceiling:
+    one row per oversized (band_idx, band_key) with the doc count and
+    the smallest member id as a probe handle.  Docs landing here are
+    near-identical en masse — route them through exact_dedup, which
+    handles any group size in one hash-groupBy."""
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes, bands)
+    return (
+        banded.groupBy("band_idx", "band_key")
+        .agg(
+            F.count("*").cast("bigint").alias("bucket_n"),
+            F.min(id_col).alias("sample_" + id_col),
+        )
+        .filter(F.col("bucket_n") > max_bucket_size)
     )
 
 

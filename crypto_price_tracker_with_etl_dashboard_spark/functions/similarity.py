@@ -778,6 +778,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    keep_subspace_dists: bool = False,
 ) -> DataFrame:
     """PQ-encode every vector: per subspace the nearest codeword
     (ties -> lowest cid) via the same broadcast fold as
@@ -788,7 +789,10 @@ def pq_encode(
     mse the exact reconstruction error sum(d_s)/dim with the d_s
     added in subspace order (the oracle adds them in the same
     order).  ``keep_cols`` carries extra columns (e.g. the IVF list
-    label) through the encode unchanged."""
+    label) through the encode unchanged; ``keep_subspace_dists``
+    additionally emits the raw per-subspace squared distances as a
+    ``dists`` array<double> (the subspace-distortion audit's
+    input)."""
     dsub = dim // m
     books = _pq_packed_books(cents)
     vec = F.col(vec_col)
@@ -807,11 +811,17 @@ def pq_encode(
     mse = F.lit(0.0)
     for s in range(m):
         mse = mse + F.col(f"_b{s}")["d"]
+    extra = (
+        [F.array(*[F.col(f"_b{s}")["d"] for s in range(m)]).alias("dists")]
+        if keep_subspace_dists
+        else []
+    )
     return staged.select(
         id_col,
         *keep_cols,
         F.array(*[F.col(f"_b{s}")["cid"] for s in range(m)]).alias("codes"),
         (mse / dim).alias("mse"),
+        *extra,
     )
 
 

@@ -3574,3 +3574,217 @@ def _beta_stability_sql() -> str:
 
 
 register("prices_beta_stability", q_prices_beta_stability, _beta_stability_sql())
+
+
+# ---- overnight vs intraday return decomposition ------------------------------
+# Batch 59.  The classic market-microstructure split: per symbol-day,
+# the OPEN (first tick) and CLOSE (last tick) partition each day's
+# move into the overnight gap (prev close -> open) and the intraday
+# drift (open -> close) — on equities the overnight leg famously
+# carries most of the premium, and this readout answers whether the
+# 24/7 synthetic feed shows the same asymmetry.  First/last ticks key
+# on event_id (ts-monotone in this corpus — the OHLC candles CTE's
+# documented contract, reference.py OHLC_CANDLES_CTE_SQL); returns
+# are the weekday-effect convention: floor ppm, clamped to +/-1e6.
+# Plan: one (symbol, day) hash agg with arg_min/arg_max semantics,
+# one symbol-key lag window, one symbol agg — O(symbols x days)
+# intermediate, O(symbols) output; nothing corpus-sized shuffles
+# twice.
+
+def q_prices_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    daily = prices.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(
+        F.expr("min_by(current_price, event_id)").alias("open"),
+        F.expr("max_by(current_price, event_id)").alias("close"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+
+    def _ppm(num, den):
+        return F.greatest(
+            F.lit(-1000000).cast("bigint"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.floor(num * 1000000.0 / den).cast("bigint"),
+            ),
+        )
+
+    rets = (
+        daily.withColumn("prev_close", F.lag("close").over(wd))
+        .filter(F.col("prev_close").isNotNull())
+        .select(
+            "symbol",
+            _ppm(F.col("open") - F.col("prev_close"), F.col("prev_close")).alias(
+                "o_r"
+            ),
+            _ppm(F.col("close") - F.col("open"), F.col("open")).alias("i_r"),
+        )
+    )
+    return (
+        rets.groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.floor(F.sum("o_r").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("overnight_mean_ppm"),
+            F.floor(F.sum("i_r").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("intraday_mean_ppm"),
+            F.sum(F.expr("CAST(abs(o_r) > abs(i_r) AS BIGINT)"))
+            .cast("bigint")
+            .alias("overnight_dominant_days"),
+        )
+        .orderBy("symbol")
+    )
+
+
+register(
+    "prices_overnight_intraday",
+    q_prices_overnight_intraday,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    daily AS (
+      SELECT symbol, CAST(timestamp AS DATE) AS day,
+             arg_min(current_price, event_id) AS open,
+             arg_max(current_price, event_id) AS close
+      FROM prices WHERE current_price > 0
+      GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT symbol,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((open - prev_close) * 1000000.0 / prev_close)
+                    AS BIGINT))) AS o_r,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - open) * 1000000.0 / open) AS BIGINT))) AS i_r
+      FROM (
+        SELECT symbol, day, open, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev_close
+        FROM daily
+      ) WHERE prev_close IS NOT NULL
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(floor(CAST(SUM(o_r) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS overnight_mean_ppm,
+           CAST(floor(CAST(SUM(i_r) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS intraday_mean_ppm,
+           CAST(SUM(CASE WHEN abs(o_r) > abs(i_r) THEN 1 ELSE 0 END) AS BIGINT)
+             AS overnight_dominant_days
+    FROM rets GROUP BY symbol ORDER BY symbol
+    """,
+)
+
+
+# ---- realized-volatility signature plot ---------------------------------------
+# Batch 59.  Microstructure's sampling-frequency diagnostic: realized
+# variance RV(dt) = sum r^2 over returns sampled every dt, plotted
+# against dt.  For a semimartingale RV is flat in dt; microstructure
+# noise inflates it at fine dt (bid-ask bounce) — the signature
+# decides the sampling interval every downstream vol estimate should
+# use.  Resampling takes the LAST tick per (scale, symbol, bucket)
+# keyed on event_id (the OHLC ts-monotone contract); returns are
+# clamped floor-ppm between consecutive NON-EMPTY buckets, and sums
+# of squares stay exact BIGINTs (|r| <= 1e6 -> r^2 <= 1e12; 1e6
+# observations of headroom).  Plan: ONE tick scan exploded x|scales|,
+# one (scale, symbol, bucket) hash agg, one (scale, symbol) lag
+# window, one final agg — O(symbols x |scales|) output.
+
+_SIG_SCALES = (3600, 21600, 86400)  # 1h / 6h / 1d in seconds
+
+
+def q_prices_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_events(spark, sf_dir).filter(F.col("current_price") > 0)
+    # unix_timestamp = whole seconds (floor for positive epochs);
+    # dividing by scale >= 3600 makes it bucket-identical to the
+    # oracle's fractional epoch(ts) / scale floor (behavior.py:579's
+    # certified truncation argument)
+    t = prices.select(
+        "symbol",
+        "current_price",
+        "event_id",
+        F.unix_timestamp(F.col("timestamp")).alias("es"),
+        F.explode(
+            F.array(*[F.lit(s).cast("bigint") for s in _SIG_SCALES])
+        ).alias("scale"),
+    )
+    bucketed = t.groupBy(
+        "scale",
+        "symbol",
+        F.floor(F.col("es") / F.col("scale")).alias("bucket"),
+    ).agg(F.expr("max_by(current_price, event_id)").alias("close"))
+    w = Window.partitionBy("scale", "symbol").orderBy("bucket")
+    rets = (
+        bucketed.withColumn("prev", F.lag("close").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "scale",
+            "symbol",
+            F.greatest(
+                F.lit(-1000000).cast("bigint"),
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.floor(
+                        (F.col("close") - F.col("prev"))
+                        * 1000000.0
+                        / F.col("prev")
+                    ).cast("bigint"),
+                ),
+            ).alias("r"),
+        )
+    )
+    return (
+        rets.groupBy("scale", "symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(F.expr("r * r")).cast("bigint").alias("rv_ppm2"),
+            F.floor(
+                F.sum(F.abs(F.col("r"))).cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mean_abs_ppm"),
+        )
+        .orderBy("symbol", "scale")
+    )
+
+
+register(
+    "prices_vol_signature",
+    q_prices_vol_signature,
+    f"""
+    WITH {PRICES_CTE_SQL.strip().rstrip(',')},
+    t AS (
+      SELECT symbol, current_price, event_id, epoch(timestamp) AS es,
+             unnest([{", ".join(f"CAST({s} AS BIGINT)" for s in _SIG_SCALES)}])
+               AS scale
+      FROM prices WHERE current_price > 0
+    ),
+    bucketed AS (
+      SELECT scale, symbol, CAST(floor(es / scale) AS BIGINT) AS bucket,
+             arg_max(current_price, event_id) AS close
+      FROM t GROUP BY 1, 2, 3
+    ),
+    rets AS (
+      SELECT scale, symbol,
+             GREATEST(CAST(-1000000 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor((close - prev) * 1000000.0 / prev) AS BIGINT))) AS r
+      FROM (
+        SELECT scale, symbol, close,
+               lag(close) OVER (PARTITION BY scale, symbol ORDER BY bucket)
+                 AS prev
+        FROM bucketed
+      ) WHERE prev IS NOT NULL
+    )
+    SELECT scale, symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(r * r) AS BIGINT) AS rv_ppm2,
+           CAST(floor(CAST(SUM(abs(r)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_abs_ppm
+    FROM rets GROUP BY scale, symbol ORDER BY symbol, scale
+    """,
+)

@@ -275,7 +275,10 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
 
 
-def _minhash_sql() -> str:
+def _banded_cte_sql() -> str:
+    """The sh/hashed/sigs/banded CTE chain mirroring
+    functions/dedup.py::_banded_signatures — the shared prefix of
+    _minhash_sql (pairs) and the bucket-profile oracle."""
     from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
         _MERSENNE_P,
         minhash_params,
@@ -299,8 +302,7 @@ def _minhash_sql() -> str:
         % (b, " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
         for b in range(_BANDS)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
     ),
     hashed AS (
@@ -314,7 +316,12 @@ def _minhash_sql() -> str:
     banded AS (
       SELECT doc_id, sig, unnest([{band_structs}],  recursive := true)
       FROM sigs
-    )
+    )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {_banded_cte_sql()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_filter(range(1, {_NUM_HASHES} + 1),
                     i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {_NUM_HASHES} AS est_jaccard
@@ -3586,9 +3593,11 @@ register(
 # "keep-longest" rule — and report what the cluster sheds.  Token
 # counts are exact integers (whitespace split, the _SQL_TOKS
 # contract), ties break to the lowest doc_id.  Scale shape: the
-# cluster map covers ONLY pair-connected docs (tiny vs corpus), so
-# it broadcasts onto the token table; the per-cluster argmax is a
-# WindowGroupLimit over cluster-sized groups.
+# cluster map covers only pair-connected docs — small vs the corpus
+# but PROPORTIONAL to it (dup rate x corpus), so the attach is a
+# plain equi-join on node (AQE broadcasts it only when measured
+# small); the per-cluster argmax is a WindowGroupLimit over
+# cluster-sized groups.
 
 def q_doc_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_price_tracker_with_etl_dashboard_spark.operators.components import (
@@ -3604,7 +3613,14 @@ def q_doc_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    members = toks.join(F.broadcast(cc), "node")
+    # NO broadcast hint on cc: it has one row per pair-connected doc,
+    # so its size scales with the corpus DUP RATE (20-30% on web
+    # corpora = billions of rows at 100 TB) — a forced broadcast
+    # bypasses AQE's size check and OOMs executors.  As a plain
+    # equi-join, AQE broadcasts it when it is actually small and
+    # falls back to one shuffle of two narrow 2-column projections
+    # on `node` otherwise.
+    members = toks.join(cc, "node")
     w = Window.partitionBy("component").orderBy(
         F.desc("n_tokens"), F.asc("node")
     )
@@ -3801,8 +3817,18 @@ register(
 # (exactly when keep-one-per-cluster over-deletes).  One number
 # decides whether the CC policy (doc_dup_clusters / keep_best) or a
 # pairwise policy (doc_containment-style) fits the corpus.  The
-# wedge stage is sum(deg^2) over the PAIR GRAPH (already
-# output-bounded by the LSH band join), never the corpus.
+# wedge stage enumerates pairs from each CENTER node's adjacency
+# list after a deterministic per-node degree cap (neighbors ranked
+# by a portable md5 hash of the edge, keep the first
+# _WEDGE_DEG_CAP), so it is bounded by nodes x cap^2 — LINEAR in the
+# pair graph even when one million-way boilerplate cluster makes raw
+# sum(deg^2) cubic.  Nodes that lost neighbors to the cap are
+# reported in n_capped_nodes (closure_ppm is then a deterministic
+# wedge SAMPLE, which is all an audit needs).
+
+_WEDGE_DEG_CAP = 16
+_WEDGE_CACHE: dict[str, DataFrame] = {}
+
 
 def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3814,11 +3840,38 @@ def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # deterministic neighbor sample: rank each node's neighbors by
+    # the portable edge hash (same expression in the DuckDB twin),
+    # tie-broken by neighbor id
+    edge_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("u"), F.col("v"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = edges.withColumn("h", edge_h).withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("u").orderBy("h", "v")),
+    )
+    # three consumers in one action (both wedge arms + the cap
+    # count): cache with the module-standard per-app eviction so
+    # repeated calls don't stack pair-graph copies
+    ranked = ranked.cache()
+    app_id = spark.sparkContext.applicationId
+    prev = _WEDGE_CACHE.get(app_id)
+    if prev is not None:
+        prev.unpersist()
+    _WEDGE_CACHE[app_id] = ranked
+    capped = ranked.filter(F.col("rnk") <= _WEDGE_DEG_CAP).select("u", "v")
+    n_capped = ranked.filter(F.col("rnk") > _WEDGE_DEG_CAP).agg(
+        F.count_distinct("u").cast("bigint").alias("n_capped_nodes")
+    )
+    # wedges x-m-z from the CENTER's capped adjacency: both arms are
+    # degree-capped, so |wedges| <= nodes * cap^2
     wedges = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .filter(F.col("e1.u") < F.col("e2.v"))
-        .select(F.col("e1.u").alias("x"), F.col("e2.v").alias("z"))
+        capped.alias("c1")
+        .join(capped.alias("c2"), F.col("c1.u") == F.col("c2.u"))
+        .filter(F.col("c1.v") < F.col("c2.v"))
+        .select(F.col("c1.v").alias("x"), F.col("c2.v").alias("z"))
     )
     closed = wedges.join(
         pairs.select(
@@ -3836,6 +3889,7 @@ def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_closed"),
         )
         .join(F.broadcast(n_pairs))
+        .join(F.broadcast(n_capped))
         .select(
             "n_pairs",
             "n_wedges",
@@ -3844,6 +3898,7 @@ def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_wedges > 0"
                 " THEN n_closed * 1000000 div n_wedges END"
             ).alias("closure_ppm"),
+            "n_capped_nodes",
         )
     )
 
@@ -3862,10 +3917,24 @@ register(
       SELECT doc_a AS u, doc_b AS v FROM strong
       UNION ALL SELECT doc_b, doc_a FROM strong
     ),
+    ranked AS (
+      SELECT u, v,
+             row_number() OVER (
+               PARTITION BY u
+               ORDER BY ('0x' || substr(md5(concat(u, '|', v)), 1, 8))::BIGINT,
+                        v
+             ) AS rnk
+      FROM edges
+    ),
+    capped AS (SELECT u, v FROM ranked WHERE rnk <= {_WEDGE_DEG_CAP}),
+    caps AS (
+      SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_capped_nodes
+      FROM ranked WHERE rnk > {_WEDGE_DEG_CAP}
+    ),
     wedges AS (
-      SELECT e1.u AS x, e2.v AS z
-      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
-      WHERE e1.u < e2.v
+      SELECT c1.v AS x, c2.v AS z
+      FROM capped c1 JOIN capped c2 ON c1.u = c2.u
+      WHERE c1.v < c2.v
     ),
     closed AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
@@ -3877,7 +3946,68 @@ register(
     np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM strong)
     SELECT n_pairs, n_wedges, n_closed,
            CASE WHEN n_wedges > 0
-                THEN n_closed * 1000000 // n_wedges END AS closure_ppm
-    FROM closed CROSS JOIN np
+                THEN n_closed * 1000000 // n_wedges END AS closure_ppm,
+           n_capped_nodes
+    FROM closed CROSS JOIN np CROSS JOIN caps
+    """,
+)
+
+
+# ---- LSH band-bucket profile --------------------------------------------------
+# Batch 59.  Index health for the banding layer every LSH query sits
+# on: per band — bucket count, docs banded, the LARGEST bucket, the
+# candidate-pair bill sum(n*(n-1)/2) the band would hand the join,
+# and how many buckets the r8 MAX_BAND_BUCKET ceiling would skip.
+# This is the observability twin of the ceiling in
+# functions/dedup.py::minhash_lsh_pairs: max_bucket tells you how
+# close the corpus sits to the guard (65 at sf1 vs 512), and
+# candidate_pairs is the join-blowup pre-flight at the band grain
+# (lineitem_join_blowup's shape applied to the dedup pipeline).
+# Scale: banding is the certified zero-shuffle map; bucket counting
+# is one shuffle on the band key (the join's own partitioning);
+# output is |bands| rows.
+
+def q_doc_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    banded = D._banded_signatures(
+        docs, "doc_id", "text", 3, _NUM_HASHES, _BANDS
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        buckets.groupBy(F.col("band_idx").cast("bigint").alias("band_idx"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias(
+                "candidate_pairs"
+            ),
+            F.sum(
+                F.expr(f"CAST(n > {D.MAX_BAND_BUCKET} AS BIGINT)")
+            ).cast("bigint").alias("n_over_ceiling"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+register(
+    "doc_lsh_bucket_profile",
+    q_doc_lsh_bucket_profile,
+    f"""
+    WITH {_banded_cte_sql()},
+    buckets AS (
+      SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM banded GROUP BY band_idx, band_key
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(SUM(CASE WHEN n > {D.MAX_BAND_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_ceiling
+    FROM buckets GROUP BY band_idx ORDER BY band_idx
     """,
 )

@@ -3179,3 +3179,79 @@ register(
     FROM hist CROSS JOIN total ORDER BY band
     """,
 )
+
+
+# ---- PQ per-subspace distortion audit -----------------------------------------
+# Batch 59.  Index health at the SUBSPACE grain the per-vector mse
+# (emb_pq_quantize) and code-balance (emb_pq_code_balance) audits
+# both integrate away: which of the m codebooks carries the
+# reconstruction error?  A subspace with an outsized share means its
+# dimensions are poorly clustered (rotate, re-train, or give it more
+# codewords — the OPQ decision input).  Distances quantize to 6dp
+# micro units per vector (the emb_pq_quantize rounding contract:
+# engines agree on d to ~1e-10, so 1e-6 rounding is stable), then
+# sum exactly; the share division widens to DECIMAL(38,0)/HUGEINT
+# (sum_micro * 1e6 passes BIGINT at ~1e13 corpus micro units).
+# Plan: training's O(m*k)-row shuffles + ONE zero-shuffle encode
+# scan + a 4-row agg; output m rows.
+
+def q_emb_pq_subspace_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(
+        emb,
+        _pq_books(spark, sf_dir, emb),
+        m=_PQ_M,
+        dim=_DIM,
+        keep_subspace_dists=True,
+    )
+    sub = enc.select(
+        F.posexplode("dists").alias("subspace", "d")
+    ).select(
+        F.col("subspace").cast("bigint").alias("subspace"),
+        F.round(F.col("d") * 1000000).cast("bigint").alias("dm"),
+    )
+    agg = sub.groupBy("subspace").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("dm").cast("decimal(38,0)")).alias("__s"),
+        F.max("dm").cast("bigint").alias("max_micro"),
+    )
+    total = agg.agg(F.sum("__s").alias("__t"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "subspace",
+            "n_vecs",
+            F.expr("CAST(__s div n_vecs AS BIGINT)").alias("mean_micro"),
+            "max_micro",
+            F.expr("CAST((__s * 1000000) div __t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("subspace")
+    )
+
+
+register(
+    "emb_pq_subspace_distortion",
+    q_emb_pq_subspace_distortion,
+    f"""
+    WITH {_pq_train_ctes()},
+    sub AS (
+      {" UNION ALL ".join(
+          f"SELECT CAST({s} AS BIGINT) AS subspace,"
+          f" CAST(round(d * 1000000) AS BIGINT) AS dm FROM pqenc_{s}"
+          for s in range(_PQ_M)
+      )}
+    ),
+    agg AS (
+      SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(dm) AS HUGEINT) AS s,
+             CAST(MAX(dm) AS BIGINT) AS max_micro
+      FROM sub GROUP BY subspace
+    ),
+    tot AS (SELECT CAST(SUM(dm) AS HUGEINT) AS t FROM sub)
+    SELECT subspace, n_vecs,
+           CAST(s // n_vecs AS BIGINT) AS mean_micro,
+           max_micro,
+           CAST((s * 1000000) // t AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot ORDER BY subspace
+    """,
+)

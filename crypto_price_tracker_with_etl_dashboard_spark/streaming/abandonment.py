@@ -24,12 +24,18 @@ State model (per user): the pending views as two parallel arrays
 window, the same bound a watermark would enforce; everything older
 is resolved and gone.  Ordering contract (same as the EMA twin):
 within a micro-batch any arrival order is fine (rows sort by event
-time, ties by arrival order); across micro-batches events must not
-regress.  A view whose window is still open when the stream idles
-stays pending until the next event arrives — production feeds that
-need bounded emission latency should run with a processing-time
-timeout flush or close the day with a heartbeat event; the batch
-operator over at-rest data is the replay-safe source of truth.
+time, ties by event_id — the batch window's ORDER BY ts, event_id,
+so tie handling is deterministic and bit-identical to the oracle);
+across micro-batches events must not regress.  A view whose window
+is still open when the stream idles stays pending until the next
+event arrives — unless ``flush_timeout_min`` is set, which arms a
+PROCESSING-TIME timeout per user: after that much idle wall time the
+remaining pending views are emitted as abandoned and the state
+dropped.  The flush uses processing time as the event-time proxy a
+live feed justifies (no event in T minutes ≈ no purchase will
+qualify); on historical replay it can abandon a view whose purchase
+arrives later than T behind, so the batch operator over at-rest data
+stays the replay-safe source of truth.
 
 Scale shape: state is hash-partitioned by user in the state store;
 each micro-batch shuffles only its own rows; output is append-mode,
@@ -71,9 +77,15 @@ ABANDON_STATE_SCHEMA = StructType(
 )
 
 
-def make_abandonment_fn(window_min: int = 60):
+def make_abandonment_fn(
+    window_min: int = 60, flush_timeout_min: float | None = None
+):
     if window_min <= 0:
         raise ValueError(f"window_min must be positive, got {window_min}")
+    if flush_timeout_min is not None and flush_timeout_min <= 0:
+        raise ValueError(
+            f"flush_timeout_min must be positive, got {flush_timeout_min}"
+        )
     window_us = window_min * 60 * 1_000_000
 
     def fold(
@@ -82,22 +94,39 @@ def make_abandonment_fn(window_min: int = 60):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        if state.hasTimedOut:  # pragma: no cover - NoTimeout here
+        if state.hasTimedOut:
+            # bounded-latency flush: the stream sat idle past the
+            # processing-time deadline, so every still-pending view is
+            # declared abandoned (exactly-once holds: the state is
+            # dropped, so a later purchase finds nothing to convert).
+            ts_us, eids = state.get if state.exists else ([], [])
             state.remove()
+            if eids:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user] * len(eids),
+                        "view_ts": [pd.Timestamp(t * 1000) for t in ts_us],
+                        "event_id": list(eids),
+                        "converted": [False] * len(eids),
+                    }
+                )
             return
         rows = []
-        for i_pdf, pdf in enumerate(pdfs):
+        for pdf in pdfs:
             for i_row in range(len(pdf)):
                 t = pdf["ts"].iloc[i_row]
                 et = pdf["event_type"].iloc[i_row]
                 eid = pdf["event_id"].iloc[i_row]
-                if pd.isna(t) or et is None or pd.isna(eid):
+                if pd.isna(t) or pd.isna(et) or pd.isna(eid):
                     continue
                 # pandas Timestamp .value is ns since epoch
-                rows.append((t.value // 1000, i_pdf, i_row, str(et), int(eid)))
+                rows.append((t.value // 1000, str(et), int(eid)))
         if not rows:
             return
-        rows.sort(key=lambda r: (r[0], r[1], r[2]))
+        # (ts, event_id) — the batch twin's ORDER BY, so timestamp
+        # ties resolve identically regardless of physical arrival
+        # order inside the micro-batch (Spark guarantees none).
+        rows.sort(key=lambda r: (r[0], r[2]))
         if state.exists:
             ts_us, eids = state.get
             pending = list(zip(list(ts_us), list(eids)))
@@ -112,7 +141,7 @@ def make_abandonment_fn(window_min: int = 60):
                 out_conv.append(converted)
             del pending[:upto_idx]
 
-        for t_us, _b, _i, et, eid in rows:
+        for t_us, et, eid in rows:
             # expire views whose window closed before this event
             n_exp = 0
             while n_exp < len(pending) and pending[n_exp][0] + window_us < t_us:
@@ -122,7 +151,17 @@ def make_abandonment_fn(window_min: int = 60):
                 resolve(len(pending), True)
             elif et == "view":
                 pending.append((t_us, eid))
-        state.update(([p[0] for p in pending], [p[1] for p in pending]))
+        if flush_timeout_min is not None and not pending:
+            # nothing left to flush — drop the state so no timeout
+            # invocation fires for this user
+            if state.exists:
+                state.remove()
+        else:
+            state.update(([p[0] for p in pending], [p[1] for p in pending]))
+            if flush_timeout_min is not None:
+                # ProcessingTimeTimeout deadlines do not persist across
+                # invocations: re-arm on every call that leaves state
+                state.setTimeoutDuration(int(flush_timeout_min * 60 * 1000))
         if out_eid:
             yield pd.DataFrame(
                 {
@@ -139,12 +178,23 @@ def make_abandonment_fn(window_min: int = 60):
 def streaming_abandonment(
     events_stream: DataFrame,
     window_min: int = 60,
+    flush_timeout_min: float | None = None,
 ) -> DataFrame:
     """events stream (user_id, ts, event_id, event_type) ->
-    append-mode stream of per-view conversion verdicts."""
+    append-mode stream of per-view conversion verdicts.
+
+    ``flush_timeout_min`` (optional) bounds emission latency: a user
+    whose stream goes idle for that much PROCESSING time has their
+    pending views flushed as abandoned (see module docstring for the
+    replay caveat)."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if flush_timeout_min is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events_stream.select(
             F.col("user_id").cast("bigint").alias("user_id"),
@@ -154,10 +204,10 @@ def streaming_abandonment(
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_abandonment_fn(window_min),
+            make_abandonment_fn(window_min, flush_timeout_min),
             outputStructType=ABANDON_SCHEMA,
             stateStructType=ABANDON_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -214,3 +214,44 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert len(cont) == 1
     r = cont[0]
     assert (r["doc_a"], r["doc_b"], r["containment"]) == (1, 2, 1.0)
+
+
+def test_minhash_bucket_ceiling_skips_giant_cluster(spark):
+    """A band bucket above max_bucket_size is excluded from the pair
+    join (the O(n^2)-per-bucket guard) and surfaced by the overflow
+    report; smaller clusters are unaffected, and None disables the
+    ceiling entirely."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.dedup import (
+        minhash_lsh_bucket_overflow,
+    )
+
+    giant = [(i, BASE, "en") for i in range(1, 21)]          # 20 identical
+    small = [(100 + i, OTHER, "en") for i in range(3)]       # 3 identical
+    docs = spark.createDataFrame(giant + small, ["doc_id", "text", "lang"])
+
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10).collect()
+    # the 20-doc cluster's buckets (size 20 > 10) are skipped ...
+    assert all(r["doc_a"] >= 100 for r in capped)
+    # ... while the 3-doc cluster still pairs fully
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {
+        (100, 101), (100, 102), (101, 102)
+    }
+
+    # overflow report: every band of the giant cluster, none of the small
+    over = minhash_lsh_bucket_overflow(docs, max_bucket_size=10).collect()
+    assert len(over) == 8  # all 8 bands hold the same 20 identical docs
+    assert all(r["bucket_n"] == 20 and r["sample_doc_id"] == 1 for r in over)
+
+    # ceiling disabled -> the giant cluster pairs all-vs-all
+    full = minhash_lsh_pairs(docs, max_bucket_size=None).collect()
+    giant_pairs = {(r["doc_a"], r["doc_b"]) for r in full if r["doc_a"] < 100}
+    assert len(giant_pairs) == 20 * 19 // 2
+
+    # the default ceiling (512) sits far above the max bucket observed
+    # at the certified SFs (3 at sf0.01, 9 at sf0.1, 65 at sf1), so
+    # certified-query parity is unaffected; this fixture would need
+    # >512 identical docs to trip it.
+    dflt = minhash_lsh_pairs(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in dflt} == {
+        (r["doc_a"], r["doc_b"]) for r in full
+    }

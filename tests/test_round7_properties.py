@@ -72,8 +72,12 @@ class _FakeState:
 
 
 @settings(max_examples=200, deadline=None)
-@given(events=_events, splits=st.lists(st.integers(0, 30), max_size=4))
-def test_abandonment_fold_matches_reference_under_any_split(events, splits):
+@given(
+    events=_events,
+    splits=st.lists(st.integers(0, 30), max_size=4),
+    seed=st.randoms(use_true_random=False),
+)
+def test_abandonment_fold_matches_reference_under_any_split(events, splits, seed):
     from crypto_price_tracker_with_etl_dashboard_spark.streaming.abandonment import (
         make_abandonment_fn,
     )
@@ -92,6 +96,13 @@ def test_abandonment_fold_matches_reference_under_any_split(events, splits):
     state = _FakeState()
     streamed = {}
     for b in batches:
+        # PHYSICAL arrival order inside a micro-batch is arbitrary
+        # (Spark guarantees none into applyInPandasWithState): shuffle
+        # it so arrival order disagrees with event_id order on
+        # timestamp ties — the fold must still match the batch
+        # reference's (ts, event_id) tie handling.
+        b = list(b)
+        seed.shuffle(b)
         pdf = pd.DataFrame(
             {
                 "ts": [pd.Timestamp(t, unit="s") for t, _e, _i in b],

@@ -1417,3 +1417,141 @@ def test_streaming_abandonment_matches_batch_verdicts(spark, tmp_path):
     }
     assert expected  # the fixture resolves every view
     assert streamed == expected
+
+
+def test_abandonment_fold_tie_order_and_timeout_flush():
+    """(a) Timestamp ties resolve by event_id regardless of physical
+    arrival order inside the micro-batch (the batch twin's ORDER BY
+    ts, event_id); (b) the hasTimedOut branch emits every pending view
+    as abandoned exactly once and drops the state; (c) with a flush
+    timeout configured, an empty pending list removes the state so no
+    spurious timeout fires."""
+    import pandas as pd
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.abandonment import (
+        make_abandonment_fn,
+    )
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t, unit="s") for t, _et, _e in rows],
+                "event_type": [et for _t, et, _e in rows],
+                "event_id": [e for _t, _et, e in rows],
+            }
+        )
+
+    # (a) purchase (eid 1) and view (eid 2) share ts=100.  In
+    # (ts, event_id) order the purchase precedes the view, so the view
+    # must stay pending — even when the view arrives physically first.
+    fn = make_abandonment_fn(window_min=1)
+    state = _FakeState()
+    out = list(
+        fn((7,), iter([batch([(100, "view", 2), (100, "purchase", 1)])]), state)
+    )
+    assert out == []  # view pending, not converted by the earlier-eid purchase
+    assert state.get == ([100_000_000], [2])
+
+    # ...and the mirror order: view eid 1 then purchase eid 2 at the
+    # same ts converts, whichever arrives first physically.
+    for arrival in ([(100, "view", 1), (100, "purchase", 2)],
+                    [(100, "purchase", 2), (100, "view", 1)]):
+        fn2 = make_abandonment_fn(window_min=1)
+        s2 = _FakeState()
+        out = list(fn2((7,), iter([batch(arrival)]), s2))
+        verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+        assert verdicts == [(1, True)]
+
+    # (b) timed-out invocation flushes pending views as abandoned and
+    # removes the state
+    fn3 = make_abandonment_fn(window_min=1, flush_timeout_min=0.05)
+    s3 = _FakeState()
+    out = list(fn3((9,), iter([batch([(0, "view", 11), (10, "view", 12)])]), s3))
+    assert out == []
+    assert s3.get == ([0, 10_000_000], [11, 12])
+    s3.hasTimedOut = True
+    flushed = list(fn3((9,), iter([]), s3))
+    verdicts = list(zip(flushed[0]["event_id"], flushed[0]["converted"]))
+    assert verdicts == [(11, False), (12, False)]
+    assert list(flushed[0]["view_ts"]) == [
+        pd.Timestamp(0, unit="s"),
+        pd.Timestamp(10, unit="s"),
+    ]
+    assert not s3.exists
+
+    # (c) flush mode with nothing pending leaves no state behind
+    fn4 = make_abandonment_fn(window_min=1, flush_timeout_min=0.05)
+    s4 = _FakeState()
+    out = list(fn4((9,), iter([batch([(0, "view", 21), (30, "purchase", 22)])]), s4))
+    verdicts = list(zip(out[0]["event_id"], out[0]["converted"]))
+    assert verdicts == [(21, True)]
+    assert not s4.exists
+
+
+def test_streaming_abandonment_timeout_flush_bounded_latency(spark, tmp_path):
+    """With flush_timeout_min set, a pending view resolves (abandoned)
+    within roughly one processing-time timeout of the stream going
+    idle — no heartbeat event required."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.abandonment import (
+        streaming_abandonment,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    pdir = str(tmp_path / "events_stream_flush")
+    spark.createDataFrame(
+        [(1, t0, 1, "view")], schema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+
+    stream = spark.readStream.schema(schema).parquet(pdir)
+    # 0.05 min = 3 s processing-time flush.  NOTE: no
+    # processAllAvailable() anywhere — while a group-state timeout is
+    # armed the engine always has another batch to run, so
+    # processAllAvailable never latches quiescence (it blocks
+    # forever); an explicit 1 s trigger + sink polling is the
+    # supported way to observe a timeout-driven emission.
+    q = (
+        streaming_abandonment(stream, window_min=60, flush_timeout_min=0.05)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("abandon_flush_test")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # the view's 60-min EVENT-time window never closes on its own
+        # (no later event exists); only the processing-time flush can
+        # resolve it.  Poll bounded: expect the abandoned verdict
+        # within a few trigger cycles of the 3 s idle deadline.
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM abandon_flush_test").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert len(rows) == 1
+        assert rows[0]["event_id"] == 1
+        assert rows[0]["converted"] is False
+        assert rows[0]["view_ts"] == t0
+        assert rows[0]["user_id"] == 1
+    finally:
+        q.stop()
