@@ -297,6 +297,11 @@ HEADLINE = [
     "prices_overnight_intraday",
     "prices_vol_signature",
     "emb_pq_subspace_distortion",
+    # round-8 batch 60 (r9+ debut candidates)
+    "doc_eval_contamination",
+    "doc_weighted_sample",
+    "events_active_days_histogram",
+    "events_entry_exit",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -572,6 +572,71 @@ def contamination_report(
     )
 
 
+def eval_contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-side contamination coverage: for every EVALUATION
+    document, how many of its k-word shingles appear anywhere in the
+    training corpus — the mirror of :func:`contamination_report`
+    (which scores train docs).  This is the report that decides which
+    benchmark items to DROP before evaluating a model trained on
+    ``train`` (the GPT-3 appendix-C n-gram-overlap protocol).
+
+    Scale shape: eval is benchmark-sized, train is the 100 TB corpus,
+    so nothing train-sized may shuffle.  The eval distinct-shingle
+    set broadcasts onto a map-only semi-probe of the exploded train
+    scan; the survivors are drawn from at most |eval shingles|
+    distinct values, so the follow-up ``distinct`` ships <= that many
+    rows per task after map-side partial aggregation.  The matched
+    set (<= |eval shingles| rows) then broadcasts back onto the
+    per-eval-doc shingle explode.  The train corpus is scanned and
+    shingled exactly once, map-only end to end.
+
+    Returns (id, n_shingles, leaked, contamination in [0,1]); eval
+    docs shorter than k tokens (no shingles) are dropped.
+    """
+    from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
+
+    ev = eval_df.select(F.col(id_col), T.tokens(text_col).alias("_toks")).select(
+        id_col, shingles_from_tokens(F.col("_toks"), k).alias("_sh")
+    )
+    # explode_outer + isNotNull for the same Catalyst reason as
+    # contamination_report: plain explode infers a size()>0 filter
+    # that re-evaluates the shingle lambda below the exchange.
+    ev_exploded = ev.select(id_col, F.explode_outer("_sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    ev_distinct = ev_exploded.select("s").distinct()
+    tr_sh = (
+        train.select(T.tokens(text_col).alias("_toks"))
+        .select(F.explode_outer(shingles_from_tokens(F.col("_toks"), k)).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    matched = (
+        tr_sh.join(F.broadcast(ev_distinct), "s", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev_exploded.join(F.broadcast(matched), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("leaked"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "leaked",
+            (F.col("leaked") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+
+
 def simhash_hamming_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",

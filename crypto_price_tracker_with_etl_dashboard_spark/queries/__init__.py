@@ -60,12 +60,19 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 #
 # r8: the twelve r7 debuts joined the pool at the r8 cursor (index 46,
 # before doc_token_bpe — consumed region, so they re-certify after a
-# full loop).  Debuts rise 12 -> 16 (r7 verdict ask #2, funded by
-# cutting rotation 16 -> 12 now that the stale block is cleared):
-# the seven family heads the r7 shortlist named, the seven r7 builds
-# (batches 56-58), and two queue heads (events_triangles,
-# doc_fuzzy_join).  Rotation = pool[58:70] = doc_token_bpe ..
-# event_value_quantiles, the oldest (r5) evidence left.
+# full loop).  Debuts rise 12 -> 20 (r7 verdict ask #2, funded BOTH
+# ways it named: rotation cut 16 -> 12 now that the stale block is
+# cleared, AND FIXED_CORE slimmed 22 -> 18 — the dedup/text/simsearch
+# families keep 1-2 always-on representatives each, the parity core
+# stays whole; the four slimmed queries re-enter the pool at the r9
+# cursor so their evidence stays continuous).  The 20: the seven
+# family heads the r7 shortlist named, the seven r7 builds (batches
+# 56-58), two queue heads (events_triangles, doc_fuzzy_join), and the
+# four r8-built batch-59 queries (the r2 rule: new work earns driver
+# evidence in its own round).  Rotation = pool[58:70] = doc_token_bpe
+# .. event_value_quantiles, the oldest (r5) evidence left — the slice
+# committed in r7, untouched by the r8 insertions (all at index >= 70
+# or the tail).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
@@ -76,22 +83,22 @@ FIXED_CORE: list[str] = [
     # reference parity core (7)
     "latest_snapshot", "history_slice", "topk_other", "market_share",
     "distinct_symbols", "ingest_normalize", "prices_ohlc_5min",
-    # deduplication family (5)
-    "doc_exact_dedup", "doc_minhash_lsh", "doc_ngram_jaccard",
+    # deduplication family (4)
+    "doc_exact_dedup", "doc_minhash_lsh",
     "doc_dup_clusters", "doc_decontaminate",
-    # text-analysis family (2)
-    "doc_quality", "doc_top_terms",
+    # text-analysis family (1)
+    "doc_quality",
     # sampling / packing family (2)
     "doc_stratified_sample", "events_per_user_cap",
-    # similarity-search family (4)
-    "emb_cosine_topk", "emb_ann_recall", "emb_ivf_topk",
-    "emb_cosine_neardup",
+    # similarity-search family (2)
+    "emb_cosine_topk", "emb_ann_recall",
     # multimodal family (2)
     "media_decode", "media_frame_sample",
 ]
 
-# r8 debuts (16): the r7-verdict shortlist (7 family heads + 5 r7
-# builds) plus the two remaining r7 builds and two queue heads.
+# r8 debuts (20): the r7-verdict shortlist (7 family heads + 5 r7
+# builds), the two remaining r7 builds, two queue heads, and the
+# four r8-built batch-59 queries.
 NEW_THIS_ROUND: list[str] = [
     "events_top_paths", "events_markov", "doc_bigram_topk",
     "events_grouping_sets", "events_histogram", "emb_dim_stats",
@@ -100,6 +107,8 @@ NEW_THIS_ROUND: list[str] = [
     "events_hll_rolling_wau", "media_frame_dups", "events_abandonment",
     "doc_dup_transitivity", "lineitem_join_blowup",
     "events_triangles", "doc_fuzzy_join",
+    "doc_lsh_bucket_profile", "prices_overnight_intraday",
+    "prices_vol_signature", "emb_pq_subspace_distortion",
 ]
 
 # Names only — per-batch annotations live in COVERAGE.md's ledger.
@@ -127,6 +136,10 @@ ROTATION_POOL: list[str] = [
     "events_cube", "returned_orders_semi", "churned_customers_anti",
     "user_cohort_setops", "events_json_extract", "daily_distinct_users",
     "daily_approx_distinct_users", "event_value_quantiles",
+    # ex-FIXED_CORE (slimmed r8; r7 evidence — re-certify at the r9
+    # cursor, then age with the pool)
+    "doc_ngram_jaccard", "doc_top_terms", "emb_ivf_topk",
+    "emb_cosine_neardup",
     "event_value_quantiles_approx", "q1_pricing_summary",
     "q3_shipping_priority", "q12_delay_priority", "display_snapshot",
     "media_audio_decode", "doc_simhash", "doc_langid", "doc_pack_chunks",
@@ -220,9 +233,9 @@ ROTATION_POOL: list[str] = [
     "doc_char_gini", "emb_distance_histogram", "region_revenue_trend",
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
-    # r8-built batch 59 (r9+ debut candidates)
-    "doc_lsh_bucket_profile", "prices_overnight_intraday",
-    "prices_vol_signature", "emb_pq_subspace_distortion",
+    # r8-built batch 60 (r9+ debut candidates)
+    "doc_eval_contamination", "doc_weighted_sample",
+    "events_active_days_histogram", "events_entry_exit",
 ]
 
 def current_window() -> list[str]:

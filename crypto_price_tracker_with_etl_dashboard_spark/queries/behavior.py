@@ -4580,3 +4580,150 @@ register(
     FROM views GROUP BY day ORDER BY day
     """,
 )
+
+
+# ---- Active-days histogram / power-user curve (batch 60) --------------------
+# The L28-style engagement-depth curve: bucket users by how many
+# DISTINCT calendar days they were active across the table's 30-day
+# span, then histogram users per depth with an integer-ppm share.
+# The shape (monotone-decreasing vs "smile") is the canonical
+# habit-formation read on any activity stream.  Scale: one user-key
+# distinct-day agg (map-side combinable after the per-partition
+# to_date projection), one O(31)-row rollup, window total over the
+# 31-row histogram — nothing user-sized leaves the first exchange.
+
+def q_events_active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("active_days")
+    )
+    hist = per_user.groupBy("active_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return (
+        hist.withColumn(
+            "share_ppm",
+            F.expr("CAST((n_users * 1000000) DIV (SUM(n_users) OVER ()) AS BIGINT)"),
+        )
+        .orderBy("active_days")
+    )
+
+
+register(
+    "events_active_days_histogram",
+    q_events_active_days_histogram,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user GROUP BY active_days
+    )
+    SELECT active_days, n_users,
+           CAST((n_users * 1000000) // SUM(n_users) OVER () AS BIGINT)
+             AS share_ppm
+    FROM hist ORDER BY active_days
+    """,
+)
+
+
+# ---- Session entry/exit matrix (batch 60) -----------------------------------
+# Per 30-minute-gap session (the certified events_sessionize
+# convention), which event type OPENS it and which CLOSES it; the
+# (entry, exit) matrix is the landing-page/exit-page report that
+# drives funnel-entry placement.  Ties inside a session are broken by
+# event_id in BOTH directions, so the pick is total-ordered and
+# engine-portable.  Scale: ONE user-key exchange serves all three
+# window passes AND the (user, session) rollup (HashPartitioning on
+# user_id satisfies the wider clustering), then an O(types^2) rollup
+# with a window total over <= 25 rows.
+
+def q_events_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_asc = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_sess = (
+        sess.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+        )
+    )
+    hist = per_sess.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    return hist.withColumn(
+        "share_ppm",
+        F.expr("CAST((n_sessions * 1000000) DIV (SUM(n_sessions) OVER ()) AS BIGINT)"),
+    ).orderBy(F.col("n_sessions").desc(), "entry_type", "exit_type")
+
+
+register(
+    "events_entry_exit",
+    q_events_entry_exit,
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM sess
+    ),
+    per_sess AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    hist AS (
+      SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM per_sess GROUP BY entry_type, exit_type
+    )
+    SELECT entry_type, exit_type, n_sessions,
+           CAST((n_sessions * 1000000) // SUM(n_sessions) OVER () AS BIGINT)
+             AS share_ppm
+    FROM hist
+    """,
+)

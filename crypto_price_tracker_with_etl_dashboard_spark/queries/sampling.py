@@ -514,3 +514,88 @@ def _sampling_plan_sql() -> str:
 
 
 register("doc_sampling_plan", q_doc_sampling_plan, _sampling_plan_sql())
+
+
+# ---- Weight-proportional deterministic sampling (batch 60) ------------------
+# Poisson/Bernoulli sampling with per-doc inclusion probability
+# proportional to document LENGTH (chars as the token proxy):
+# p_i = min(1, n_target * w_i / W), the standard first-order
+# pps design — long documents carry more training tokens, so a
+# token-budgeted subsample wants them kept with higher probability,
+# the classic alternative to the uniform doc_stratified_sample.
+#
+# Determinism/exactness: p_i is computed in pure BIGINT ppm
+# arithmetic (w_i * n_target * 1e6 DIV W — no float division), and
+# the coin is the portable lcg hash over [0, 1e6), so Spark and
+# DuckDB pick the IDENTICAL sample.  Scale shape: one map-side-
+# combinable global SUM (1 row, broadcast back — the documented
+# scalar-attach pattern), then a map-only score-and-tag pass and one
+# O(sources) rollup.  Nothing corpus-sized shuffles.
+#
+# Overflow bound: w_i <= 2^20 chars, n_target <= 2^20 docs keeps
+# w_i * n_target * 1e6 < 2^60 inside BIGINT.
+
+_WS_TARGET_DOCS = 200
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").cast("bigint").alias("_w_total"))
+    scored = (
+        docs.crossJoin(F.broadcast(total))
+        .withColumn(
+            "p_ppm",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr(
+                    f"CAST((n_chars * {_WS_TARGET_DOCS} * 1000000)"
+                    " DIV _w_total AS BIGINT)"
+                ),
+            ),
+        )
+        .withColumn(
+            "sampled",
+            (lcg_bucket("doc_id", 1000000) < F.col("p_ppm")).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("sampled").cast("bigint").alias("n_sampled"),
+            F.sum(F.col("sampled") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("sampled_chars"),
+            F.sum("p_ppm").cast("bigint").alias("expected_ppm_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "doc_weighted_sample",
+    q_doc_weighted_sample,
+    f"""
+    WITH tot AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS _w_total FROM documents
+    ),
+    scored AS (
+      SELECT source, n_chars,
+             LEAST(CAST(1000000 AS BIGINT),
+                   (CAST(n_chars AS BIGINT) * {_WS_TARGET_DOCS} * 1000000)
+                     // _w_total) AS p_ppm,
+             {sql_lcg_bucket('doc_id', 1000000)} AS h
+      FROM documents, tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h < p_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN h < p_ppm THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars,
+           CAST(SUM(p_ppm) AS BIGINT) AS expected_ppm_sum
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)

@@ -610,6 +610,63 @@ register(
 )
 
 
+# ---- Eval-side contamination coverage (batch 60) ----------------------------
+# The benchmark-side mirror of doc_decontaminate: per EVAL (test-
+# split) document, what fraction of its 3-word shingles leaks from
+# the train split — the "drop this benchmark item" report (GPT-3
+# appendix-C protocol scores the eval set, not the train set).  Scale
+# shape flips with the roles: the train corpus is the 100 TB side, so
+# it is scanned map-only against a BROADCAST eval shingle set, and
+# only the matched shingles (<= |eval shingles| distinct values, a
+# benchmark-bounded set) ever reach an exchange.  See
+# functions/dedup.py::eval_contamination_report.
+
+def q_doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
+        hash_split,
+        lcg_bucket,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.sources.tables import fan_out
+
+    # lcg hasher so the DuckDB twin reproduces the split; production
+    # default is xxhash_bucket (not SQL-portable)
+    docs = hash_split(
+        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", hasher=lcg_bucket
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return D.eval_contamination_report(train, test).orderBy("doc_id")
+
+
+register(
+    "doc_eval_contamination",
+    q_doc_eval_contamination,
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {sql_lcg_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {sql_lcg_bucket('doc_id')} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, split, {_SQL_SHINGLES} AS s FROM labeled),
+    tr AS (SELECT DISTINCT unnest(s) AS u FROM sh WHERE split = 'train'),
+    ev_ex AS (SELECT doc_id, unnest(s) AS u FROM sh WHERE split = 'test'),
+    hits AS (
+      SELECT ev_ex.doc_id, COUNT(*) AS leaked
+      FROM ev_ex JOIN tr ON ev_ex.u = tr.u
+      GROUP BY ev_ex.doc_id
+    )
+    SELECT t.doc_id, len(t.s) AS n_shingles,
+           COALESCE(h.leaked, 0) AS leaked,
+           COALESCE(h.leaked, 0) / len(t.s) AS contamination
+    FROM sh t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.split = 'test' AND len(t.s) > 0
+    ORDER BY t.doc_id
+    """,
+)
+
+
 # ---- PII scrubbing (C4-style redaction) ------------------------------------
 # The synthetic corpus contains no natural PII, so the query injects
 # a deterministic closed-form payload per doc (email + IPv4 + phone,
