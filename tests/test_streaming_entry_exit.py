@@ -187,3 +187,67 @@ def test_entry_exit_fold_matches_reference_under_any_split(rows, splits, seed):
 
     want = _reference_sessions([(t, e, y) for t, e, y in ordered])
     assert sorted(emitted) == sorted(want)
+
+
+def test_streaming_entry_exit_state_survives_restart(spark, tmp_path):
+    """Stopping the stream and restarting from its checkpoint resumes
+    the open-session state exactly: the session spanning the restart
+    is emitted ONCE, with the entry recorded before the stop and the
+    exit from after it — state neither reset nor replayed."""
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.entry_exit import (
+        streaming_entry_exit,
+    )
+
+    pdir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions_out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def start():
+        # file sink, not memory: the memory sink rejects checkpoint
+        # recovery, and the parquet sink's manifest proves no session
+        # is duplicated or skipped across the restart
+        stream = spark.readStream.schema(_SCHEMA).parquet(pdir)
+        return (
+            streaming_entry_exit(stream, gap_seconds=1800)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    batch1 = [
+        (1, t0, 1, "view"),
+        (1, t0 + dt.timedelta(minutes=5), 2, "click"),
+    ]
+    spark.createDataFrame(batch1, _SCHEMA).coalesce(1).write.mode("append").parquet(pdir)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch2 = [
+        # within the gap of the checkpointed open session: extends it
+        (1, t0 + dt.timedelta(minutes=20), 3, "purchase"),
+        # beyond the gap: closes the restored session, opens a new one
+        (1, t0 + dt.timedelta(hours=3), 4, "view"),
+        # and a second gap-crossing event closes THAT one too
+        (1, t0 + dt.timedelta(hours=6), 5, "click"),
+    ]
+    spark.createDataFrame(batch2, _SCHEMA).coalesce(1).write.mode("append").parquet(pdir)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["session_start"]
+    )
+    assert [
+        (r["n_events"], r["entry_type"], r["exit_type"]) for r in rows
+    ] == [(3, "view", "purchase"), (1, "view", "view")]
+    assert rows[0]["session_start"] == t0
+    assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=20)
