@@ -8,8 +8,14 @@ corpus run applies them:
   4. near-dup clustering         (MinHash-LSH pairs -> connected
                                   components -> keep cluster min)
   5. benchmark decontamination   (broadcast eval shingles)
-  6. deterministic train/valid/test split (no RNG, repartition-proof)
-  7. sequence packing            (distributed prefix sum)
+  6. eval-side leak report       (which benchmark items to DROP from
+                                  the eval set itself — the GPT-3
+                                  appendix-C mirror of stage 5)
+  7. token-budgeted pps downsample (length-weighted inclusion in
+                                  exact BIGINT ppm — keeps the long
+                                  documents a token budget wants)
+  8. deterministic train/valid/test split (no RNG, repartition-proof)
+  9. sequence packing            (distributed prefix sum)
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
 (default /root/testdata/sf0.001; prints per-stage survivor counts
@@ -20,7 +26,8 @@ is ONE Catalyst plan per action, and each stage's scale shape is
 documented in SCALE.md's shuffle inventory.  The same composition
 certified piecewise by the driver-oracle rows (doc_quality,
 doc_exact_dedup, doc_minhash_lsh, doc_dup_clusters,
-doc_decontaminate, doc_hash_split, doc_pack_chunks).
+doc_decontaminate, doc_eval_contamination, doc_weighted_sample,
+doc_hash_split, doc_pack_chunks).
 """
 
 from __future__ import annotations
@@ -97,15 +104,39 @@ def curate(spark, sf_dir: str, *, min_tokens: int = 5, lang: str = "en",
     )
     stats["after_decontaminate"] = clean.count()
 
-    # 6. deterministic split — the hasher choice is pinned for the
+    # 6. the eval-side report: benchmark items whose shingles leak
+    #    from the surviving train corpus get DROPPED FROM EVAL (the
+    #    train side of this report is map-only — see
+    #    eval_contamination_report's scale note)
+    eval_leaks = D.eval_contamination_report(clean, eval_df).filter(
+        F.col("contamination") > max_contamination
+    )
+    stats["eval_items_to_drop"] = eval_leaks.count()
+
+    # 7. token-budgeted downsample: keep each doc with probability
+    #    proportional to its length (first-order pps), deterministic
+    #    under retries/AQE via the hash coin — production would use
+    #    xxhash64; target_docs sets the expected survivor count
+    target_docs = max(stats["after_decontaminate"] // 2, 1)
+    total = clean.agg(F.sum("n_chars").cast("bigint").alias("_w")).first()["_w"]
+    sampled = clean.filter(
+        xxhash_bucket("doc_id", 1_000_000)
+        < F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr(f"CAST((n_chars * {target_docs} * 1000000) DIV {total} AS BIGINT)"),
+        )
+    )
+    stats["after_pps_sample"] = sampled.count()
+
+    # 8. deterministic split — the hasher choice is pinned for the
     #    life of the dataset (hash_split docstring)
-    split = hash_split(clean, "doc_id", hasher=xxhash_bucket)
+    split = hash_split(sampled, "doc_id", hasher=xxhash_bucket)
     stats["split_sizes"] = {
         r["split"]: r["n"]
         for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
 
-    # 7. pack the train split into fixed-budget chunks
+    # 9. pack the train split into fixed-budget chunks
     train = split.filter(F.col("split") == "train")
     packed = pack_chunks(
         train.select("doc_id", "n_tokens"),
