@@ -262,6 +262,13 @@ def _apply_priority_order() -> None:
         )
     if len(window) != DRIVER_WINDOW:
         raise RuntimeError(f"window has {len(window)} names, expected {DRIVER_WINDOW}")
+    if len(set(window)) != DRIVER_WINDOW:
+        # a debut left in the pool's live slice (or a core/pool
+        # overlap) would otherwise dedupe silently below, shrinking
+        # the certified window to 49 and promoting an arbitrary next
+        # query into the driver's gate
+        dups = sorted({n for n in window if window.count(n) > 1})
+        raise RuntimeError(f"window contains duplicates: {dups}")
     ordered = {n: SPARK_QUERIES[n] for n in window}
     ordered.update((n, f) for n, f in SPARK_QUERIES.items() if n not in ordered)
     SPARK_QUERIES.clear()
