@@ -13,12 +13,13 @@ def test_training_data_pipeline_end_to_end(spark):
     split, packed, stats = curate(spark, SF_SMALL)
     order = [
         "input", "after_quality_lang", "after_exact_dedup",
-        "after_near_dedup", "after_decontaminate",
+        "after_near_dedup", "after_decontaminate", "after_pps_sample",
     ]
     counts = [stats[k] for k in order]
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
-    assert sum(stats["split_sizes"].values()) == stats["after_decontaminate"]
+    assert stats["eval_items_to_drop"] >= 0
+    assert sum(stats["split_sizes"].values()) == stats["after_pps_sample"]
     assert stats["train_chunks"] > 0
     # split column is total: every surviving row carries exactly one
     assert split.filter("split IS NULL").count() == 0
