@@ -1,8 +1,13 @@
-"""r8 debut plan audit: executedPlan sweep over all 20 r8 debuts +
-batch 60, flagging cartesian products, sort-merge joins on paths that
-should broadcast, Python eval nodes, and counting exchanges.
+"""Debut plan audit: executedPlan sweep flagging cartesian products,
+sort-merge joins on paths that should broadcast, Python eval nodes,
+and counting distinct exchange nodes.
 
-Usage: python tools/audit_plans_r8.py [sf_dir]
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+
+With no query names, audits the registry's current NEW_THIS_ROUND
+debuts — the per-round default (the r8 run also covered batch 60 by
+listing its four names explicitly; paste the verbatim output into
+BASELINE.md's round evidence section).
 """
 
 from __future__ import annotations
@@ -14,21 +19,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crypto_price_tracker_with_etl_dashboard_spark.session import get_spark
-
-NAMES = [
-    # r8 debuts (20)
-    "events_top_paths", "events_markov", "doc_bigram_topk",
-    "events_grouping_sets", "events_histogram", "emb_dim_stats",
-    "prices_trend", "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
-    "events_hll_rolling_wau", "media_frame_dups", "events_abandonment",
-    "doc_dup_transitivity", "lineitem_join_blowup",
-    "events_triangles", "doc_fuzzy_join",
-    "doc_lsh_bucket_profile", "prices_overnight_intraday",
-    "prices_vol_signature", "emb_pq_subspace_distortion",
-    # batch 60 (r8-built)
-    "doc_eval_contamination", "doc_weighted_sample",
-    "events_active_days_histogram", "events_entry_exit",
-]
 
 MARKS = [
     "CartesianProduct",
@@ -44,12 +34,19 @@ MARKS = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("plan-audit-r8", shuffle_partitions=32)
+    names = sys.argv[2:]
+    if not names:
+        from crypto_price_tracker_with_etl_dashboard_spark.queries import (
+            NEW_THIS_ROUND,
+        )
+
+        names = list(NEW_THIS_ROUND)
+    spark = get_spark("plan-audit", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     from __spark_entry__ import queries
 
     qs = queries()
-    for name in NAMES:
+    for name in names:
         df = qs[name](spark, sf_dir)
         df.count()  # force AQE final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
