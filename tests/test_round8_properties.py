@@ -203,3 +203,95 @@ def test_entry_exit_matches_sequential_reference(spark, rows, seed):
     finally:
         behavior.load_table = orig
     assert got == _reference_matrix(rows)
+
+
+# ---------------------------------------------------------------------------
+# Batch-59 overnight/intraday decomposition vs a sequential reference
+# ---------------------------------------------------------------------------
+
+_ticks = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # symbol index
+        st.integers(min_value=0, max_value=4),  # day
+        st.integers(min_value=0, max_value=86_399),  # second of day
+        st.integers(min_value=1, max_value=200_000),  # price in cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(ticks=_ticks)
+def test_overnight_intraday_matches_reference(spark, ticks):
+    import math
+
+    from pyspark.sql import Row
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import finance
+
+    rows = [
+        Row(
+            symbol=f"c{sym}",
+            current_price=cents / 100.0,
+            timestamp=datetime.datetime(2024, 1, 1 + day)
+            + datetime.timedelta(seconds=sec),
+            event_id=eid,
+        )
+        for eid, (sym, day, sec, cents) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, current_price double, timestamp timestamp, event_id long",
+    )
+    orig = finance.prices_from_events
+    finance.prices_from_events = lambda s, d: df
+    try:
+        got = {
+            r["symbol"]: (
+                r["n_days"],
+                r["overnight_mean_ppm"],
+                r["intraday_mean_ppm"],
+                r["overnight_dominant_days"],
+            )
+            for r in finance.q_prices_overnight_intraday(spark, "unused").collect()
+        }
+    finally:
+        finance.prices_from_events = orig
+
+    # sequential reference: per (symbol, day) open/close by event_id
+    # extremes, lag close, clamped floor-ppm legs, floored means
+    daily: dict[tuple[str, int], tuple] = {}
+    for eid, (sym, day, _sec, cents) in enumerate(ticks):
+        key = (f"c{sym}", day)
+        cur = daily.get(key)
+        if cur is None:
+            daily[key] = (eid, cents / 100.0, eid, cents / 100.0)
+        else:
+            omin, oprice, cmax, cprice = cur
+            if eid < omin:
+                omin, oprice = eid, cents / 100.0
+            if eid > cmax:
+                cmax, cprice = eid, cents / 100.0
+            daily[key] = (omin, oprice, cmax, cprice)
+
+    def ppm(num, den):
+        return max(-1_000_000, min(1_000_000, math.floor(num * 1_000_000.0 / den)))
+
+    want = {}
+    by_sym: dict[str, list] = {}
+    for (sym, day), (_a, o, _b, c) in sorted(daily.items()):
+        by_sym.setdefault(sym, []).append((day, o, c))
+    for sym, seq in by_sym.items():
+        rets = []
+        for (pd_, po, pc), (d, o, c) in zip(seq, seq[1:]):
+            rets.append((ppm(o - pc, pc), ppm(c - o, o)))
+        if rets:
+            n = len(rets)
+            want[sym] = (
+                n,
+                math.floor(sum(r[0] for r in rets) / n),
+                math.floor(sum(r[1] for r in rets) / n),
+                sum(1 for r in rets if abs(r[0]) > abs(r[1])),
+            )
+    assert got == want
