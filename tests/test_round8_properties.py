@@ -295,3 +295,74 @@ def test_overnight_intraday_matches_reference(spark, ticks):
                 sum(1 for r in rets if abs(r[0]) > abs(r[1])),
             )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch-59 volatility signature vs a sequential reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(ticks=_ticks)
+def test_vol_signature_matches_reference(spark, ticks):
+    import math
+
+    from pyspark.sql import Row
+
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import finance
+
+    rows = [
+        Row(
+            symbol=f"c{sym}",
+            current_price=cents / 100.0,
+            timestamp=datetime.datetime(2024, 1, 1 + day)
+            + datetime.timedelta(seconds=sec),
+            event_id=eid,
+        )
+        for eid, (sym, day, sec, cents) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, current_price double, timestamp timestamp, event_id long",
+    )
+    orig = finance.prices_from_events
+    finance.prices_from_events = lambda s, d: df
+    try:
+        got = {
+            (r["symbol"], r["scale"]): (r["n_obs"], r["rv_ppm2"], r["mean_abs_ppm"])
+            for r in finance.q_prices_vol_signature(spark, "unused").collect()
+        }
+    finally:
+        finance.prices_from_events = orig
+
+    # session timezone is UTC (engine default), so the reference
+    # epoch must be UTC too — not the host-local .timestamp()
+    epoch0 = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    want = {}
+    for scale in finance._SIG_SCALES:
+        # bucket close = price at the max event_id per (symbol, bucket)
+        closes: dict[tuple[str, int], tuple[int, float]] = {}
+        for eid, (sym, day, sec, cents) in enumerate(ticks):
+            es = epoch0 + (day * 86_400) + sec
+            key = (f"c{sym}", es // scale)
+            if key not in closes or eid > closes[key][0]:
+                closes[key] = (eid, cents / 100.0)
+        by_sym: dict[str, list] = {}
+        for (sym, bucket), (_eid, close) in sorted(closes.items()):
+            by_sym.setdefault(sym, []).append(close)
+        for sym, seq in by_sym.items():
+            rs = [
+                max(
+                    -1_000_000,
+                    min(1_000_000, math.floor((c - p) * 1_000_000.0 / p)),
+                )
+                for p, c in zip(seq, seq[1:])
+            ]
+            if rs:
+                want[(sym, scale)] = (
+                    len(rs),
+                    sum(r * r for r in rs),
+                    math.floor(sum(abs(r) for r in rs) / len(rs)),
+                )
+    assert got == want
