@@ -103,3 +103,17 @@ def test_risk_report_pipeline_end_to_end(spark):
     assert stats["n_symbols"] > 0
     # the dominant band histogram partitions the symbols
     assert sum(stats["dominant_band_histogram"].values()) == stats["n_symbols"]
+
+
+def test_growth_analytics_pipeline_end_to_end(spark):
+    from examples.growth_analytics_pipeline import run_growth_review
+
+    out = run_growth_review(spark, SF_SMALL)
+    assert 0 < out["median_dau_mau_ppm"] <= 1_000_000
+    assert out["power_users_10d_plus"] >= 0
+    assert out["cohort_rows"] > 0
+    assert out["growth_weeks"] > 0
+    assert out["top_entry_exit"] is not None
+    assert 0 <= out["diagonal_session_share_ppm"] <= 1_000_000
+    assert out["funnel_stages"] > 0
+    assert 0 <= out["overall_abandon_ppm"] <= 1_000_000
