@@ -51,6 +51,7 @@ def triangle_counts(
     src: str = "u",
     dst: str = "v",
     max_degree: int | None = None,
+    est_neighbor_cap: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -61,7 +62,7 @@ def triangle_counts(
 
     ``max_degree`` is the celebrity-node guard: when set, the count
     runs on the subgraph induced by nodes whose FULL-graph degree is
-    <= the cap (hub nodes are excluded from the output entirely).
+    <= the cap (hub nodes are excluded from the EXACT output).
     Degree orientation bounds each out-degree by O(sqrt(m)) for the
     *typical* node, but a densified core (every node a hub) still
     yields Theta(n^3) wedges — the standard production mitigation is
@@ -70,24 +71,53 @@ def triangle_counts(
     near-complete 1500-node graph OOMs an 8 GiB local heap at the
     wedge stage; capped, wedge volume is <= n * C(max_degree, 2).
 
-    Returns one row per (surviving) node that appears in the edge
-    list: ``(node, degree, triangles, cc_ppm)`` where ``cc_ppm`` is
-    the local clustering coefficient ``2*T / (d*(d-1))`` in
-    round-half-up parts-per-million (integer arithmetic, so the
-    DuckDB oracle reproduces it bit-for-bit; 0 for degree-1 nodes).
+    ``est_neighbor_cap`` (requires ``max_degree``; must be >= 2) is
+    the sampled-wedge estimator fallback for the nodes the cap drops
+    (r8 verdict "what's wrong" #1: on a dense graph every node is a
+    hub and the exact output is legitimately EMPTY — correct under
+    the subgraph semantics, but a user auditing a dense co-occurrence
+    graph deserves an estimate, not silence).  Each hub node keeps
+    its ``est_neighbor_cap`` lowest-md5-ranked neighbors (the
+    deterministic, engine-portable sampling rule of
+    queries/text.py::q_doc_dup_transitivity), its C(cap, 2) sampled
+    wedges are closure-checked against the FULL edge list, and the
+    hub's row reports the sampled closure rate — an unbiased
+    estimator of its true local clustering under md5-as-uniform
+    sampling.  Wedge volume is <= hubs * C(est_neighbor_cap, 2):
+    linear in nodes, never Theta(n^3).
+
+    Returns one row per node: ``(node, degree, triangles, cc_ppm,
+    n_sampled_wedges)``.  ``degree`` is always the FULL-graph degree.
+    ``n_sampled_wedges = 0`` marks an exact row: ``triangles`` /
+    ``cc_ppm`` are the exact subgraph count and round-half-up ppm
+    clustering coefficient ``2*T / (d*(d-1))`` (0 for degree-1
+    nodes).  ``n_sampled_wedges > 0`` marks a hub estimate:
+    ``cc_ppm`` is the round-half-up sampled closure rate,
+    ``triangles`` the implied count ``closed * ((d*(d-1)) div
+    (2*W))`` (floor per factor — bit-reproducible in any engine; the
+    per-factor floor keeps every intermediate within BIGINT for
+    degrees < ~3e9).  The column is omitted entirely when
+    ``est_neighbor_cap`` is None (the pre-r9 4-column shape).
+    Everything is integer arithmetic, so the DuckDB oracle reproduces
+    both row kinds bit-for-bit.
     """
+    if est_neighbor_cap is not None and max_degree is None:
+        raise ValueError("est_neighbor_cap requires max_degree")
+    if est_neighbor_cap is not None and est_neighbor_cap < 2:
+        raise ValueError("est_neighbor_cap must be >= 2 (a wedge needs 2 arms)")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     e.count()  # materialize BEFORE fan-out (first-action branches recompute)
 
     # explode, not union-of-projections: a union's branches each
     # re-read their upstream inside one action, doubling the pass
-    deg = (
+    deg_full = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+    deg = deg_full
     if max_degree is not None:
-        deg = deg.filter(F.col("deg") <= max_degree)
+        deg = deg_full.filter(F.col("deg") <= max_degree)
     deg = deg.cache()
     deg.count()  # feeds both orientation joins and the final join
 
@@ -110,7 +140,7 @@ def triangle_counts(
         .cache()
     )
     oriented.count()  # materialize; feeds the two wedge sides + closure
-    _hold(edges.sparkSession.sparkContext.applicationId, e, deg, oriented)
+    held = [e, deg, oriented]
 
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")
@@ -133,8 +163,7 @@ def triangle_counts(
         .agg(F.count("*").alias("triangles"))
     )
 
-    pairs = F.col("deg") * (F.col("deg") - F.lit(1))  # 2 * C(deg, 2)
-    return (
+    exact = (
         deg.join(per_node, "node", "left")
         .select(
             "node",
@@ -152,12 +181,149 @@ def triangle_counts(
             .alias("cc_ppm"),
         )
     )
+    if est_neighbor_cap is None:
+        _hold(edges.sparkSession.sparkContext.applicationId, *held)
+        return exact
+
+    # ---- sampled-wedge estimator for the capped (hub) nodes -----------------
+    hubs = (
+        deg_full.filter(F.col("deg") > max_degree).cache()
+    )  # O(hubs) rows; from the cached edge list, one extra node-key agg
+    # full adjacency of hub sources only: both edge directions, then
+    # the deterministic md5 neighbor rank (engine-portable: the DuckDB
+    # twin computes the identical hex-substring integer)
+    directed = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edge_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("u"), F.col("v"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    hub_adj = (
+        directed.join(hubs.select(F.col("node").alias("u")), "u")
+        .withColumn("h", edge_h)
+        .withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("u").orderBy("h", "v"))
+        )
+        .filter(F.col("rnk") <= est_neighbor_cap)
+        .select("u", "v")
+        .cache()
+    )
+    hub_adj.count()  # feeds both wedge arms
+    held += [hubs, hub_adj]
+    # sampled wedges (u; b, c), b < c by id — closure is checked
+    # against the FULL undirected edge list (u < v once), so hub-hub
+    # closures count too
+    swedges = (
+        hub_adj.alias("a1")
+        .join(hub_adj.alias("a2"), F.col("a1.u") == F.col("a2.u"))
+        .filter(F.col("a1.v") < F.col("a2.v"))
+        .select(
+            F.col("a1.u").alias("node"),
+            F.col("a1.v").alias("b"),
+            F.col("a2.v").alias("c"),
+        )
+    )
+    closer = e.select(
+        F.col("u").alias("b"), F.col("v").alias("c"), F.lit(1).alias("__c")
+    )
+    per_hub = (
+        swedges.join(closer, ["b", "c"], "left")
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("w"),
+            F.sum(F.expr("CAST(__c IS NOT NULL AS BIGINT)"))
+            .cast("bigint")
+            .alias("closed"),
+        )
+    )
+    est = hubs.join(per_hub, "node").select(
+        "node",
+        F.col("deg").alias("degree"),
+        # implied triangle count: closed/W of the d*(d-1)/2 wedges.
+        # Floor per factor keeps intermediates in BIGINT for d < ~3e9
+        # (closed * d * (d-1) would overflow first).
+        F.expr("closed * ((deg * (deg - 1)) div (2 * w))")
+        .cast("bigint")
+        .alias("triangles"),
+        # round-half-up sampled closure rate in ppm
+        F.expr(f"(2 * closed * {CC_SCALE} + w) div (2 * w)")
+        .cast("bigint")
+        .alias("cc_ppm"),
+        F.col("w").alias("n_sampled_wedges"),
+    )
+    _hold(edges.sparkSession.sparkContext.applicationId, *held)
+    return exact.withColumn(
+        "n_sampled_wedges", F.lit(0).cast("bigint")
+    ).unionByName(est)
 
 
-def sql_triangle_counts(edges_cte: str, max_degree: int | None = None) -> str:
+def sql_triangle_counts(
+    edges_cte: str,
+    max_degree: int | None = None,
+    est_neighbor_cap: int | None = None,
+) -> str:
     """DuckDB twin: ``edges_cte`` must define a CTE named ``edges``
-    with columns ``(u, v)``, u < v, each undirected edge once."""
+    with columns ``(u, v)``, u < v, each undirected edge once.
+    ``est_neighbor_cap`` mirrors the Spark estimator fallback: the
+    output gains the ``n_sampled_wedges`` column and one estimate row
+    per capped hub node (identical md5 neighbor ranking and integer
+    arithmetic)."""
+    if est_neighbor_cap is not None and max_degree is None:
+        raise ValueError("est_neighbor_cap requires max_degree")
     cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    est_ctes = ""
+    if est_neighbor_cap is not None:
+        est_ctes = f""",
+    hubs AS (
+      SELECT node, deg FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM edges
+          UNION ALL
+          SELECT v AS node FROM edges
+        ) GROUP BY node
+      ) WHERE deg > {max_degree}
+    ),
+    directed AS (
+      SELECT u, v FROM edges
+      UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    hub_adj AS (
+      SELECT u, v FROM (
+        SELECT d.u, d.v,
+               row_number() OVER (
+                 PARTITION BY d.u
+                 ORDER BY ('0x' || substr(md5(concat(d.u, '|', d.v)), 1, 8))::BIGINT,
+                          d.v
+               ) AS rnk
+        FROM directed d JOIN hubs h ON h.node = d.u
+      ) WHERE rnk <= {est_neighbor_cap}
+    ),
+    swedges AS (
+      SELECT a1.u AS node, a1.v AS b, a2.v AS c
+      FROM hub_adj a1 JOIN hub_adj a2 ON a1.u = a2.u AND a1.v < a2.v
+    ),
+    per_hub AS (
+      SELECT w.node,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS closed
+      FROM swedges w
+      LEFT JOIN edges e ON e.u = w.b AND e.v = w.c
+      GROUP BY w.node
+    ),
+    est AS (
+      SELECT h.node, h.deg AS degree,
+             CAST(p.closed * ((h.deg * (h.deg - 1)) // (2 * p.w))
+                  AS BIGINT) AS triangles,
+             CAST((2 * p.closed * {CC_SCALE} + p.w) // (2 * p.w)
+                  AS BIGINT) AS cc_ppm,
+             p.w AS n_sampled_wedges
+      FROM hubs h JOIN per_hub p ON p.node = h.node
+    )"""
     return f"""
     WITH {edges_cte},
     deg AS (
@@ -190,14 +356,23 @@ def sql_triangle_counts(edges_cte: str, max_degree: int | None = None) -> str:
         UNION ALL SELECT b FROM tri
         UNION ALL SELECT c FROM tri
       ) GROUP BY node
-    )
-    SELECT node, degree, triangles, cc_ppm FROM (
+    ){est_ctes}
+    SELECT node, degree, triangles, cc_ppm{
+        ", n_sampled_wedges" if est_neighbor_cap is not None else ""
+    } FROM (
       SELECT d.node AS node,
              d.deg AS degree,
              CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
              CAST(CASE WHEN d.deg < 2 THEN 0
                   ELSE (4 * COALESCE(p.triangles, 0) * {CC_SCALE}
                         + d.deg * (d.deg - 1)) // (2 * d.deg * (d.deg - 1))
-                  END AS BIGINT) AS cc_ppm
-      FROM deg d LEFT JOIN per_node p ON p.node = d.node
+                  END AS BIGINT) AS cc_ppm{
+        ", CAST(0 AS BIGINT) AS n_sampled_wedges"
+        if est_neighbor_cap is not None else ""
+    }
+      FROM deg d LEFT JOIN per_node p ON p.node = d.node{
+        " UNION ALL SELECT node, degree, triangles, cc_ppm,"
+        " n_sampled_wedges FROM est"
+        if est_neighbor_cap is not None else ""
+    }
     )"""

@@ -73,11 +73,20 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 # .. event_value_quantiles, the oldest (r5) evidence left — the slice
 # committed in r7, untouched by the r8 insertions (all at index >= 70
 # or the tail).
+#
+# r9: the twenty r8 debuts joined the pool at index 70 (the
+# pre-insert cursor), pushing the recorded start to 90 (same
+# arithmetic as r8's 46 + 12 = 58).  Debuts = the committed 20-name
+# shortlist + emb_kmeans_gemm (r8 verdict ask #2); rotation slims
+# 12 -> 11 to fund the extra debut (see NEW_THIS_ROUND note) and
+# covers pool[90:101] = the four ex-core r8 slims first, then the
+# oldest r5 block (event_value_quantiles_approx, q1, q3, q12,
+# display_snapshot, media_audio_decode) and doc_simhash (r6).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 8  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58}
+ROTATION_ROUND = 9  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90}
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -96,22 +105,30 @@ FIXED_CORE: list[str] = [
     "media_decode", "media_frame_sample",
 ]
 
-# r8 debuts (20): the r7-verdict shortlist (7 family heads + 5 r7
-# builds), the two remaining r7 builds, two queue heads, and the
-# four r8-built batch-59 queries.
+# r9 debuts (21): the committed 20-name shortlist (COVERAGE.md r9
+# picks — the four batch-60 builds, the five dedup-pipeline
+# composites, the two most expensive uncertified plans, and nine
+# family heads) plus emb_kmeans_gemm, the r8 verdict's ask #2 (the
+# GEMM production path earns a driver row; built this round, so the
+# r2 new-work rule puts it in the debut list).  The 21st slot is
+# funded by rotation 12 -> 11: the deferred name is doc_langid,
+# whose r6 evidence still meets the no-row-older-than-r6 bar.
 NEW_THIS_ROUND: list[str] = [
-    "events_top_paths", "events_markov", "doc_bigram_topk",
-    "events_grouping_sets", "events_histogram", "emb_dim_stats",
-    "prices_trend",
-    "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
-    "events_hll_rolling_wau", "media_frame_dups", "events_abandonment",
-    "doc_dup_transitivity", "lineitem_join_blowup",
-    "events_triangles", "doc_fuzzy_join",
-    "doc_lsh_bucket_profile", "prices_overnight_intraday",
-    "prices_vol_signature", "emb_pq_subspace_distortion",
+    "doc_eval_contamination", "doc_weighted_sample",
+    "events_active_days_histogram", "events_entry_exit",
+    "doc_dup_cluster_stats", "doc_lsh_pr_audit", "doc_lsh_calibration",
+    "doc_sentence_dedup", "doc_incremental_dedup",
+    "events_community_modularity", "trade_hits", "events_communities",
+    "events_hll_distinct", "emb_ivf_recall", "emb_mmr_rerank",
+    "emb_kcenter_sample", "media_audio_vad", "media_image_ahash",
+    "prices_bollinger", "prices_atr", "emb_kmeans_gemm",
 ]
 
 # Names only — per-batch annotations live in COVERAGE.md's ledger.
+# r9 edits: the 20 r8 debuts joined at index 70 (the r9 pre-insert
+# cursor — consumed region, so they re-certify after a full loop);
+# the 21 r9 debuts left the pool for NEW_THIS_ROUND and rejoin at
+# the r10 cursor.
 ROTATION_POOL: list[str] = [
     "q11_important_stock", "emb_ann_lsh", "emb_pq_quantize",
     "emb_pq_adc_topk", "doc_bm25_topk", "events_retention_cohorts",
@@ -136,30 +153,32 @@ ROTATION_POOL: list[str] = [
     "events_cube", "returned_orders_semi", "churned_customers_anti",
     "user_cohort_setops", "events_json_extract", "daily_distinct_users",
     "daily_approx_distinct_users", "event_value_quantiles",
-    # ex-FIXED_CORE (slimmed r8; r7 evidence — re-certify at the r9
-    # cursor, then age with the pool)
-    "doc_ngram_jaccard", "doc_top_terms", "emb_ivf_topk",
-    "emb_cosine_neardup",
+    "events_top_paths", "events_markov", "doc_bigram_topk",
+    "events_grouping_sets", "events_histogram", "emb_dim_stats",
+    "prices_trend", "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
+    "events_hll_rolling_wau", "media_frame_dups", "events_abandonment",
+    "doc_dup_transitivity", "lineitem_join_blowup", "events_triangles",
+    "doc_fuzzy_join", "doc_lsh_bucket_profile", "prices_overnight_intraday",
+    "prices_vol_signature", "emb_pq_subspace_distortion", "doc_ngram_jaccard",
+    "doc_top_terms", "emb_ivf_topk", "emb_cosine_neardup",
     "event_value_quantiles_approx", "q1_pricing_summary",
     "q3_shipping_priority", "q12_delay_priority", "display_snapshot",
     "media_audio_decode", "doc_simhash", "doc_langid", "doc_pack_chunks",
     "emb_label_centroids", "emb_hard_negatives", "emb_rp_project",
-    "events_communities", "media_image_ahash", "events_zorder_code",
-    "orders_basket_affinity", "events_robust_outliers",
+    "events_zorder_code", "orders_basket_affinity", "events_robust_outliers",
     "orders_merge_upsert", "doc_bigram_coverage", "events_hopping_10m",
     "events_interarrival", "events_user_forest", "tpch_integrity",
-    "prices_bollinger", "prices_stochastic", "prices_corr_matrix",
-    "doc_token_drift", "doc_quality_percentile", "events_seasonality",
-    "events_wow_trending", "events_split_leakage", "events_attribution",
-    "events_burst_detect", "events_value_gini", "emb_split_drift",
-    "prices_twap_daily", "orders_rfm_segments", "events_eqdepth_histogram",
+    "prices_stochastic", "prices_corr_matrix", "doc_token_drift",
+    "doc_quality_percentile", "events_seasonality", "events_wow_trending",
+    "events_split_leakage", "events_attribution", "events_burst_detect",
+    "events_value_gini", "emb_split_drift", "prices_twap_daily",
+    "orders_rfm_segments", "events_eqdepth_histogram",
     "events_bloom_prefilter", "doc_containment", "events_kcore",
-    "emb_kcenter_sample", "events_weighted_median", "events_incremental_agg",
-    "events_ab_lift", "prices_jump_detect", "doc_langid_confusion",
-    "emb_maxsim_topk", "orders_cohort_ltv", "prices_heikin_ashi",
-    "events_cuped_lift", "events_holt_forecast", "doc_curation_funnel",
-    "orders_pareto_report", "doc_lsh_calibration", "events_survival_km",
-    "trade_bfs_hops", "events_hll_distinct", "prices_lead_lag",
+    "events_weighted_median", "events_incremental_agg", "events_ab_lift",
+    "prices_jump_detect", "doc_langid_confusion", "emb_maxsim_topk",
+    "orders_cohort_ltv", "prices_heikin_ashi", "events_cuped_lift",
+    "events_holt_forecast", "doc_curation_funnel", "orders_pareto_report",
+    "events_survival_km", "trade_bfs_hops", "prices_lead_lag",
     "doc_hybrid_rrf", "trade_cheapest_path", "emb_matryoshka_recall",
     "orders_benford_audit", "events_ks_split", "events_winsorize",
     "events_dau_mau", "prices_sharpe", "lineitem_quantity_model",
@@ -167,29 +186,26 @@ ROTATION_POOL: list[str] = [
     "events_conversion_latency", "orders_duplicate_payments", "doc_cv_folds",
     "doc_rake_keyphrases", "trade_ppr", "orders_incremental_join",
     "doc_vocab_growth", "events_item_cf", "events_seq_pairs",
-    "doc_incremental_dedup", "doc_winnow_overlap", "prices_atr",
-    "trade_closeness", "trade_hits", "prices_obv", "doc_chi2_terms",
-    "doc_global_shuffle", "emb_ivf_recall", "emb_binary_topk",
-    "emb_mmr_rerank", "prices_backtest_naive", "orders_backlog_series",
-    "events_rolling_wau", "media_audio_vad", "prices_donchian",
+    "doc_winnow_overlap", "trade_closeness", "prices_obv", "doc_chi2_terms",
+    "doc_global_shuffle", "emb_binary_topk", "prices_backtest_naive",
+    "orders_backlog_series", "events_rolling_wau", "prices_donchian",
     "trade_assortativity", "doc_readability", "emb_knn_outliers",
     "doc_ngram_novelty", "events_bot_screen", "prices_volume_profile",
     "emb_centroid_margin", "orders_customer_migration",
     "media_image_histogram", "trade_neighbor_jaccard", "orders_aging_report",
     "doc_boilerplate_screen", "orders_supplier_herfindahl",
-    "prices_var_historical", "events_bounce_rate", "doc_sentence_dedup",
-    "events_sequence_violations", "doc_dup_cluster_stats",
-    "prices_garch_vol", "events_did_lift", "doc_dedup_by_source",
-    "emb_ivf_list_balance", "emb_binary_recall", "prices_amihud",
-    "orders_benford_by_segment", "events_top_user_churn", "doc_lsh_pr_audit",
+    "prices_var_historical", "events_bounce_rate",
+    "events_sequence_violations", "prices_garch_vol", "events_did_lift",
+    "doc_dedup_by_source", "emb_ivf_list_balance", "emb_binary_recall",
+    "prices_amihud", "orders_benford_by_segment", "events_top_user_churn",
     "emb_filtered_topk", "orders_repeat_intervals",
     "events_position_attribution", "prices_beta", "events_slo_burn",
-    "doc_sampling_plan", "parts_abc_xyz", "events_community_modularity",
-    "events_stump_split", "prices_pair_spread",
-    "lineitem_discount_elasticity", "events_growth_accounting",
-    "events_markov_stationary", "emb_cluster_separation",
-    "prices_weekday_effect", "events_user_diversity", "events_key_skew",
-    "doc_zipf_check", "orders_revenue_recognition", "prices_variance_ratio",
+    "doc_sampling_plan", "parts_abc_xyz", "events_stump_split",
+    "prices_pair_spread", "lineitem_discount_elasticity",
+    "events_growth_accounting", "events_markov_stationary",
+    "emb_cluster_separation", "prices_weekday_effect",
+    "events_user_diversity", "events_key_skew", "doc_zipf_check",
+    "orders_revenue_recognition", "prices_variance_ratio",
     "nation_trade_balance", "supply_lead_time", "events_mde_power",
     "parts_price_index", "prices_underwater_spells",
     "events_peak_concurrency", "prices_momentum_deciles", "prices_kelly",
@@ -199,12 +215,12 @@ ROTATION_POOL: list[str] = [
     "trade_bottleneck_path", "media_scene_cuts", "doc_source_pair_dups",
     "prices_tail_ratio", "events_value_ab_welch", "parts_sourcing_depth",
     "media_audio_clipping", "prices_var_exceedances",
-    "parts_brand_share_shift", "doc_simhash_bit_balance",
-    "prices_gap_report", "customer_balance_activity_corr",
-    "media_image_border", "orders_monthly_seasonal_index",
-    "prices_corr_clusters", "lineitem_domain_audit", "doc_dup_length_bias",
-    "events_session_fatigue", "prices_round_clustering", "emb_adc_recall",
-    "emb_neardup_sweep", "events_simpson_check", "events_freshness_report",
+    "parts_brand_share_shift", "doc_simhash_bit_balance", "prices_gap_report",
+    "customer_balance_activity_corr", "media_image_border",
+    "orders_monthly_seasonal_index", "prices_corr_clusters",
+    "lineitem_domain_audit", "doc_dup_length_bias", "events_session_fatigue",
+    "prices_round_clustering", "emb_adc_recall", "emb_neardup_sweep",
+    "events_simpson_check", "events_freshness_report",
     "prices_extreme_timing", "emb_storage_budget", "trade_graph_growth",
     "parts_price_realization", "prices_ljung_box", "doc_chars_per_token",
     "events_perceptron", "prices_higher_moments", "emb_pq_code_balance",
@@ -218,24 +234,20 @@ ROTATION_POOL: list[str] = [
     "events_experiment_report", "doc_dedup_savings", "events_variance_anova",
     "media_aspect_profile", "parts_one_time_share", "emb_effective_dim",
     "events_markov_fanout", "orders_first_vs_repeat",
-    "doc_source_vocab_overlap", "doc_mixed_lang_screen",
-    "doc_length_profile", "orders_deseasonalized_trend",
-    "events_k_anonymity", "emb_exact_dups", "orders_quarter_end_loading",
-    "doc_term_burstiness", "orders_total_reconciliation",
-    "events_alert_threshold_sweep", "prices_golden_cross",
-    "events_mann_kendall", "media_size_outliers", "supply_lead_time_trend",
-    "events_new_user_share", "orders_aov_trend", "prices_variance_break",
-    "trade_preferential_attachment", "customer_debt_cohort",
-    "events_activity_streaks", "supplier_lead_variability",
-    "orders_priority_slas", "orders_peak_to_mean",
-    "doc_vocab_coverage_curve", "emb_ivf_list_purity",
+    "doc_source_vocab_overlap", "doc_mixed_lang_screen", "doc_length_profile",
+    "orders_deseasonalized_trend", "events_k_anonymity", "emb_exact_dups",
+    "orders_quarter_end_loading", "doc_term_burstiness",
+    "orders_total_reconciliation", "events_alert_threshold_sweep",
+    "prices_golden_cross", "events_mann_kendall", "media_size_outliers",
+    "supply_lead_time_trend", "events_new_user_share", "orders_aov_trend",
+    "prices_variance_break", "trade_preferential_attachment",
+    "customer_debt_cohort", "events_activity_streaks",
+    "supplier_lead_variability", "orders_priority_slas",
+    "orders_peak_to_mean", "doc_vocab_coverage_curve", "emb_ivf_list_purity",
     "prices_beta_stability", "trade_components", "media_audio_loudness",
     "doc_char_gini", "emb_distance_histogram", "region_revenue_trend",
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
-    # r8-built batch 60 (r9+ debut candidates)
-    "doc_eval_contamination", "doc_weighted_sample",
-    "events_active_days_histogram", "events_entry_exit",
 ]
 
 def current_window() -> list[str]:

@@ -145,6 +145,15 @@ _MAX_CELL_USERS = 256
 # 10x event rate drives the co-occurrence graph toward complete) the
 # cap keeps the wedge stage bounded at n*C(cap,2) instead of Theta(n^3).
 _MAX_NODE_DEGREE = 512
+# Sampled-wedge estimator for the nodes the cap drops (r8 verdict
+# "what's wrong" #1): each hub keeps its 64 lowest-md5-ranked
+# neighbors, so the estimator's wedge volume is hubs * C(64, 2) ~
+# 2016 wedges/hub — on the densified sf1 replica (1500 hubs) that is
+# ~3M wedge rows where the exact path would need Theta(n^3) ~ 3.4e9.
+# At certified SFs no node exceeds 512, so the estimator contributes
+# zero rows and the only output change is the n_sampled_wedges=0
+# column.
+_EST_NEIGHBOR_CAP = 64
 
 
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -201,7 +210,9 @@ def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(
-        _cooccur_edges(spark, sf_dir), max_degree=_MAX_NODE_DEGREE
+        _cooccur_edges(spark, sf_dir),
+        max_degree=_MAX_NODE_DEGREE,
+        est_neighbor_cap=_EST_NEIGHBOR_CAP,
     ).orderBy(F.col("triangles").desc(), F.col("node").asc())
 
 
@@ -228,7 +239,11 @@ _TRI_EDGES_CTE = f"""cells AS (
 register(
     "events_triangles",
     q_events_triangles,
-    sql_triangle_counts(_TRI_EDGES_CTE, max_degree=_MAX_NODE_DEGREE)
+    sql_triangle_counts(
+        _TRI_EDGES_CTE,
+        max_degree=_MAX_NODE_DEGREE,
+        est_neighbor_cap=_EST_NEIGHBOR_CAP,
+    )
     + " ORDER BY triangles DESC, node ASC",
 )
 

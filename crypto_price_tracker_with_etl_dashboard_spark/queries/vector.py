@@ -3255,3 +3255,79 @@ register(
     FROM agg CROSS JOIN tot ORDER BY subspace
     """,
 )
+
+
+# ---- GEMM-primary k-means assignment (batch 61) ---------------------------------
+# The r8 verdict's ask #2: the Arrow GEMM batch path
+# (S.kmeans_assign_batch) is the documented 100 TB compute lever for
+# the assignment fold, but every certified query so far keeps the
+# interpreted fold as its PRIMARY path and the GEMM appears only in
+# the fold-vs-GEMM equivalence audit (emb_gemm_audit).  This query
+# flips that: the GEMM IS the primary path — every vector's cluster
+# comes out of the numpy matmul inside kmeans_assign_udf — and the
+# oracle mirrors the FOLD arithmetic (the same Lloyd unroll as
+# emb_kmeans).  The driver row therefore certifies end-to-end that
+# the production GEMM stage computes the certified fold's
+# assignments on the real corpus (zero near-tie flips), not just
+# that a pytest said so.  Centroids are one Lloyd update from the
+# k-lowest-id seeds — decimal-mean centroids, the hard case for
+# near-ties (same choice as emb_gemm_audit).
+#
+# Per-cluster outputs pin the actual assignment sets, not just
+# counts: min/max member id and a modular id fingerprint
+# (SUM(vec_id % 1000003) — each term < 2^20, so the BIGINT sum is
+# safe past 2^43 rows; a raw SUM(vec_id) would overflow at ~1e12
+# rows of 1e9-scale ids).
+
+def q_emb_kmeans_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-membership audit whose assignment stage is the Arrow
+    GEMM batch kernel (ArrowEvalPython in the executed plan — pinned
+    in tests/test_batch61.py): one zero-shuffle scan scoring every
+    vector against the broadcast-sized centroid matrix with a single
+    numpy matmul per Arrow batch, then ONE shuffle for the per-cid
+    rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    cents = S.kmeans_update(
+        S.kmeans_assign_batch(emb, seeds)
+    ).localCheckpoint(eager=True)
+    assigned = S.kmeans_assign_batch(emb, cents)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.max("vec_id").cast("bigint").alias("max_vec_id"),
+            F.sum(F.col("vec_id") % F.lit(1000003)).cast("bigint").alias(
+                "id_fingerprint"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+register(
+    "emb_kmeans_gemm",
+    q_emb_kmeans_gemm,
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ),{_km_assign_sql('seeds', 'a1')},{_km_update_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')}
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(SUM(vec_id % 1000003) AS BIGINT) AS id_fingerprint
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+)

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "crypto-etl-spark", shuffle_partitions: int | None
         # Arrow for the few pandas-UDF paths (similarity/multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr log-parseable: the stage progress bar
+        # writes carriage returns that interleave with harness PASS
+        # lines in captured logs (r8 verdict, "what's wrong" #3).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()

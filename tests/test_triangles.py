@@ -97,3 +97,68 @@ def test_rejects_nothing_but_counts_empty_graph(spark):
     """An empty edge list yields an empty result, not an error."""
     df = spark.createDataFrame([], "u long, v long")
     assert triangle_counts(df).count() == 0
+
+
+def test_estimator_emits_hub_rows_with_duckdb_parity(spark):
+    """max_degree=3 + est_neighbor_cap=2 on a wheel: the hub (degree
+    8) gets ONE estimate row built from its 2 md5-lowest neighbors'
+    single sampled wedge, exact rows gain n_sampled_wedges=0, and the
+    SQL twin reproduces every value bit-for-bit."""
+    # wheel: hub 0 joined to rim 1..8, rim cycle closes 8 triangles
+    edges = [(0, i) for i in range(1, 9)] + [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (1, 8),
+    ]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: (
+            r["degree"], r["triangles"], r["cc_ppm"], r["n_sampled_wedges"]
+        )
+        for r in triangle_counts(
+            df, max_degree=3, est_neighbor_cap=2
+        ).collect()
+    }
+    values = ", ".join(f"({u},{v})" for u, v in edges)
+    want = {
+        n: (d, t, c, w)
+        for n, d, t, c, w in duckdb.sql(
+            sql_triangle_counts(
+                f"edges AS (SELECT * FROM (VALUES {values}) t(u, v))",
+                max_degree=3,
+                est_neighbor_cap=2,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    # the hub is present (estimate row), rim nodes are exact
+    assert got[0][3] == 1  # C(2,2)=1 sampled wedge
+    assert all(got[i][3] == 0 for i in range(1, 9))
+    # hub estimate arithmetic: closed in {0,1}; triangles =
+    # closed * ((8*7) div 2) = closed * 28, cc_ppm = closed * 1e6
+    d, t, c, w = got[0]
+    assert d == 8 and t in (0, 28) and c in (0, CC_SCALE)
+    assert (t, c) in {(0, 0), (28, CC_SCALE)}
+
+
+def test_estimator_dense_graph_nonempty(spark):
+    """On K10 with max_degree=5 EVERY node is a hub: the pre-r9
+    behavior returned 0 rows; the estimator returns one row per node
+    with the exactly-right closure (a complete graph's sampled wedges
+    are ALL closed, so cc_ppm = 1e6 and triangles = C(9,2) sampled
+    through any 4-neighbor sample)."""
+    k10 = [(a, b) for a in range(10) for b in range(10) if a < b]
+    df = spark.createDataFrame(k10, ["u", "v"])
+    rows = triangle_counts(df, max_degree=5, est_neighbor_cap=4).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["degree"] == 9
+        assert r["n_sampled_wedges"] == 6  # C(4,2)
+        assert r["cc_ppm"] == CC_SCALE
+        assert r["triangles"] == 36  # 1 * ((9*8) div (2*6)) * 6 = 36 = C(9,2)
+
+
+def test_estimator_requires_max_degree(spark):
+    df = spark.createDataFrame([(0, 1)], ["u", "v"])
+    with pytest.raises(ValueError):
+        triangle_counts(df, est_neighbor_cap=4)
+    with pytest.raises(ValueError):
+        triangle_counts(df, max_degree=2, est_neighbor_cap=1)

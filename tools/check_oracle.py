@@ -53,11 +53,11 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {e}", flush=True)
             continue
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s) [no oracle]")
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s) [no oracle]", flush=True)
             continue
         t0 = time.time()
         try:
@@ -104,10 +104,12 @@ def main() -> int:
                 status = "; ".join(diffs)
         if status:
             failures.append(name)
-            print(f"FAIL {name}: {status}")
+            print(f"FAIL {name}: {status}", flush=True)
         else:
-            print(f"PASS {name}: {len(s)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+            # flush=True + showConsoleProgress=false (session.py) keep
+            # captured logs countable: `grep -c '^PASS'` == registry size.
+            print(f"PASS {name}: {len(s)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)", flush=True)
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS", flush=True)
     return 1 if failures else 0
 
 
