@@ -23,7 +23,12 @@ sys.path.insert(0, REPO)
 from crypto_price_tracker_with_etl_dashboard_spark.session import get_spark
 
 SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = os.path.join(REPO, ".scale", "sf1")
+# SPARK_GRAFT_BIG_DIR overrides the big side (e.g. .scale/sf10 for
+# the documents-only 100x spot-check; pair it with
+# SPARK_GRAFT_SF_DIR=.scale/sf1 to measure the sf1 -> sf10 decade).
+BIG = os.environ.get(
+    "SPARK_GRAFT_BIG_DIR", os.path.join(REPO, ".scale", "sf1")
+)
 
 # The 10 most expensive r2 bench queries + the dedup/decontamination
 # pair whose scale behavior (pair-join output, broadcast build side)

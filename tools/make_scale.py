@@ -23,6 +23,17 @@ Correctness is still gated exclusively on the driver's sf0.01 data;
 this dataset exists only for the scale table in BASELINE.md.
 
 Usage: python tools/make_scale.py [replicas=10]
+       python tools/make_scale.py --documents-sf100x
+
+The second form builds .scale/sf10/documents.parquet: 10 further
+replicas OF the sf1 documents (so 100x the driver's sf0.1 corpus),
+for the pair-bound dedup family's 100x spot-check (r8 verdict ask
+#7 — the output-bound claims rested on a single 10x point).  Each
+second-level replica gets its own salt token layer (every 5th word),
+so cross-replica docs are again NOT near-duplicates; doc_ids offset
+by i * 100M (first-level ids stay < 100M).  Only documents is built:
+the four target queries (doc_minhash_lsh, doc_ngram_jaccard,
+doc_dup_clusters, doc_keep_best_dedup) read nothing else.
 """
 
 from __future__ import annotations
@@ -46,7 +57,42 @@ OFF = 10_000_000
 EMB_DIM = 64
 
 
+def make_documents_sf10() -> None:
+    """10 further document replicas on top of .scale/sf1 (= 100x the
+    driver's sf0.1 corpus), salted per replica like the sf1 build."""
+    src = os.path.join(os.path.dirname(DST), "sf1", "documents.parquet")
+    if not os.path.exists(src):
+        raise SystemExit("build .scale/sf1 first (python tools/make_scale.py)")
+    dst_dir = os.path.join(os.path.dirname(DST), "sf10")
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    off2 = 100_000_000  # sf1 doc_ids are < 10 * OFF = 100M
+    parts = [
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        f" SELECT doc_id + {i} * {off2} AS doc_id,"
+        f" CASE WHEN {i} = 0 THEN text ELSE"
+        "   array_to_string(list_transform(string_split(text, ' '),"
+        f"     (w, j) -> CASE WHEN j % 5 = 0 THEN w || ' zten{i}q' ELSE w END), ' ')"
+        " END AS text,"
+        f" lang, source FROM '{src}')"
+        for i in range(10)
+    ]
+    union = " UNION ALL ".join(parts)
+    con.execute(
+        f"COPY ({union}) TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM '{dst_dir}/documents.parquet'"
+    ).fetchone()[0]
+    print(f"documents (sf10): {n} rows -> {dst_dir}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--documents-sf100x":
+        make_documents_sf10()
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # The embedding decorrelation rolls by (i % dim); replicas > dim
     # would alias replica i back onto replica 0's exact vectors and
