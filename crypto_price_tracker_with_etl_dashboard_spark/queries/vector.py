@@ -3331,3 +3331,48 @@ register(
     FROM a2 GROUP BY cid ORDER BY cid
     """,
 )
+
+
+# ---- GEMM-primary PQ encode (batch 62) ------------------------------------------
+# The second production batch kernel (pq_encode_batch — the r8
+# verdict's ask #2 named both GEMM twins; emb_kmeans_gemm certified
+# kmeans_assign_batch, this row certifies the PQ encoder).  Every
+# vector's m codes come out of the per-subspace numpy GEMMs inside
+# pq_codes_udf (ArrowEvalPython, pinned in tests/test_batch62.py);
+# the oracle re-derives the SAME codes through the exact SQL Lloyd
+# unroll (_pq_train_ctes — fold arithmetic), so a green driver row
+# asserts the 100 TB encode path reproduces the certified fold's
+# codes vector-by-vector (the positional base-k code_sum uniquely
+# identifies all m codes).  Codebooks come from the session-cached
+# certified trainer (_pq_books), shared with the whole PQ family.
+
+def q_emb_pq_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus with the Arrow GEMM batch kernel (one
+    zero-shuffle scan; m matmuls per Arrow batch against the
+    broadcast-sized codebooks) and emit each vector's positional
+    code checksum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode_batch(
+        emb, _pq_books(spark, sf_dir, emb), m=_PQ_M, dim=_DIM
+    )
+    code_sum = F.lit(0).cast("bigint")
+    for s in range(_PQ_M):
+        code_sum = code_sum + F.element_at(F.col("codes"), s + 1) * (_PQ_K ** s)
+    return enc.select("vec_id", code_sum.cast("bigint").alias("code_sum"))
+
+
+register(
+    "emb_pq_gemm",
+    q_emb_pq_gemm,
+    f"""
+    WITH {_pq_train_ctes()}
+    SELECT e0.vec_id,
+           CAST(e0.cid * {_PQ_K ** 0} + e1.cid * {_PQ_K ** 1}
+              + e2.cid * {_PQ_K ** 2} + e3.cid * {_PQ_K ** 3} AS BIGINT)
+             AS code_sum
+    FROM pqenc_0 e0
+    JOIN pqenc_1 e1 ON e1.vec_id = e0.vec_id
+    JOIN pqenc_2 e2 ON e2.vec_id = e0.vec_id
+    JOIN pqenc_3 e3 ON e3.vec_id = e0.vec_id
+    """,
+)
