@@ -304,8 +304,9 @@ HEADLINE = [
     "events_entry_exit",
     # round-9 batch 61 (debuts r9 — GEMM-primary k-means driver row)
     "emb_kmeans_gemm",
-    # round-9 batch 62 (r10+ debut candidates)
+    # round-9 batches 62-63 (r10+ debut candidates)
     "emb_pq_gemm",
+    "emb_maxsim_gemm",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

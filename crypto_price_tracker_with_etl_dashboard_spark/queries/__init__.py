@@ -248,8 +248,8 @@ ROTATION_POOL: list[str] = [
     "doc_char_gini", "emb_distance_histogram", "region_revenue_trend",
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
-    # r9-built batch 62 (r10+ debut candidates)
-    "emb_pq_gemm",
+    # r9-built batches 62-63 (r10+ debut candidates)
+    "emb_pq_gemm", "emb_maxsim_gemm",
 ]
 
 def current_window() -> list[str]:

@@ -3376,3 +3376,79 @@ register(
     JOIN pqenc_3 e3 ON e3.vec_id = e0.vec_id
     """,
 )
+
+
+# ---- GEMM-primary MaxSim retrieval (batch 63) ------------------------------------
+# The THIRD production batch kernel (maxsim_cos_ppm_udf — after
+# kmeans_assign_batch in batch 61 and pq_encode_batch in batch 62):
+# ColBERT-style late interaction where every (corpus row, query
+# token) cosine comes out of ONE numpy GEMM per Arrow batch, ppm-
+# quantized in-kernel to the SAME integer grid as the certified fold
+# (round(round(cos, 6) * 1e6)), so the downstream per-token MAX /
+# SUM / rank are identical integer ops and the oracle is the fold
+# SQL verbatim (_maxsim_sql).  The per-pair interpreted fold is the
+# documented compute bottleneck of this family at 100 TB; this row
+# makes the batch lever driver-certified end-to-end.
+
+def q_emb_maxsim_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim top-3 labels per query where the scoring stage is the
+    Arrow GEMM batch kernel (ArrowEvalPython — pinned in
+    tests/test_batch63.py): one zero-shuffle corpus scan emits all
+    t ppm cosines per row; posexplode_outer fans them out map-side
+    (outer + IS NOT NULL: the InferFiltersFromGenerate discipline for
+    computed arrays, here doubly important because re-evaluating the
+    generator would run the Python kernel twice); the per-token MAX
+    partial-aggregates map-side, so every exchange after the scan
+    carries only O(labels x tokens) aggregated rows."""
+    import numpy as np
+
+    from crypto_price_tracker_with_etl_dashboard_spark.functions._kmeans_udf import (
+        maxsim_cos_ppm_udf,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_tok = _MAXSIM_N_QUERIES * _MAXSIM_TOKENS
+    tok_rows = (
+        emb.filter(F.col("vec_id") < n_tok)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()  # O(t) rows by construction — the token set
+    )
+    tokens = np.array([list(r["embedding"]) for r in tok_rows], dtype=np.float64)
+    tok_ids = F.array(*[F.lit(int(r["vec_id"])) for r in tok_rows])
+    corpus = emb.filter(F.col("vec_id") >= n_tok)
+    per_pair = (
+        corpus.select(
+            "label",
+            maxsim_cos_ppm_udf(tokens)(F.col("embedding")).alias("__ppms"),
+        )
+        .select("label", F.posexplode_outer("__ppms").alias("__ti", "__cos_ppm"))
+        .filter(F.col("__cos_ppm").isNotNull())
+        .withColumn("token_id", F.element_at(tok_ids, F.col("__ti") + 1))
+    )
+    per_token = per_pair.groupBy(
+        (F.col("token_id") / _MAXSIM_TOKENS).cast("int").alias("query_id"),
+        "label",
+        "token_id",
+    ).agg(F.max("__cos_ppm").alias("__m"))
+    scored = per_token.groupBy("query_id", "label").agg(
+        F.sum("__m").cast("bigint").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("label").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "label", "score_ppm",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# The oracle is the certified fold SQL VERBATIM: the GEMM kernel
+# quantizes to the same integer grid, so any divergence (a .5e-6
+# boundary flip, a token-order bug, a label mixup) hash-mismatches.
+register("emb_maxsim_gemm", q_emb_maxsim_gemm, _maxsim_sql())
