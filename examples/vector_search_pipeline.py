@@ -98,10 +98,15 @@ def _kmeans_quantizer(emb, *, k: int, rounds: int):
         )
     )
     cents = seeds
+    # GEMM batch kernel on every assignment pass — the production
+    # path at corpus scale (driver-certified primary path of
+    # emb_kmeans_gemm: bit-identical to the interpreted fold,
+    # measured x1.3 at 10x data where the fold-trained variant is
+    # x4.2 — BASELINE.md batch 61)
     for _ in range(rounds):
-        assigned = S.kmeans_assign(emb, cents, DIM)
+        assigned = S.kmeans_assign_batch(emb, cents)
         cents = S.kmeans_update(assigned).localCheckpoint(eager=True)
-    assigned = S.kmeans_assign(emb, cents, DIM).select(
+    assigned = S.kmeans_assign_batch(emb, cents).select(
         "vec_id", "embedding", "cid"
     )
     return cents, assigned
