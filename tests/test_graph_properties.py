@@ -117,3 +117,47 @@ def test_fuzzy_pairs_match_bruteforce(spark, ks, max_dist):
         for r in fuzzy_key_pairs(df, max_dist=max_dist).collect()
     }
     assert got == want
+
+
+@settings(max_examples=EXAMPLES, deadline=None)
+@given(edge_sets, st.integers(min_value=1, max_value=3))
+def test_triangle_estimator_matches_duckdb_on_random_graphs(spark, edges, cap):
+    """With the sampled-wedge estimator enabled (est cap 2), the full
+    Spark output — exact rows AND hub estimate rows — must equal the
+    DuckDB twin bit-for-bit on arbitrary graphs and caps, and every
+    node of the graph must appear exactly once (the r9 fix: capped
+    hubs report estimates instead of vanishing)."""
+    import duckdb
+
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.triangles import (
+        sql_triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: (
+            r["degree"], r["triangles"], r["cc_ppm"], r["n_sampled_wedges"]
+        )
+        for r in triangle_counts(
+            df, max_degree=cap, est_neighbor_cap=2
+        ).collect()
+    }
+    values = ", ".join(f"({u},{v})" for u, v in edges)
+    want = {
+        n: (d, t, c, w)
+        for n, d, t, c, w in duckdb.sql(
+            sql_triangle_counts(
+                f"edges AS (SELECT * FROM (VALUES {values}) t(u, v))",
+                max_degree=cap,
+                est_neighbor_cap=2,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    assert set(got) == nodes  # nobody vanishes
+    for n, (d, t, c, w) in got.items():
+        if w > 0:
+            assert d > cap and 0 <= c <= CC_SCALE
+        else:
+            assert d <= cap
