@@ -82,11 +82,17 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 # covers pool[90:101] = the four ex-core r8 slims first, then the
 # oldest r5 block (event_value_quantiles_approx, q1, q3, q12,
 # display_snapshot, media_audio_decode) and doc_simhash (r6).
+#
+# r10: the 21 r9 debuts joined the pool at index 101 (the pre-insert
+# cursor), pushing the recorded start to 122 (= 101 + 21).  Debuts =
+# the committed 20-name COVERAGE.md shortlist; rotation returns to 12
+# slots and covers pool[122:134] = doc_langid (the r9-deferred name)
+# first, then doc_pack_chunks .. events_interarrival.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 9  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90}
+ROTATION_ROUND = 10  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90, 10: 122}
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -105,30 +111,28 @@ FIXED_CORE: list[str] = [
     "media_decode", "media_frame_sample",
 ]
 
-# r9 debuts (21): the committed 20-name shortlist (COVERAGE.md r9
-# picks — the four batch-60 builds, the five dedup-pipeline
-# composites, the two most expensive uncertified plans, and nine
-# family heads) plus emb_kmeans_gemm, the r8 verdict's ask #2 (the
-# GEMM production path earns a driver row; built this round, so the
-# r2 new-work rule puts it in the debut list).  The 21st slot is
-# funded by rotation 12 -> 11: the deferred name is doc_langid,
-# whose r6 evidence still meets the no-row-older-than-r6 bar.
+# r10 debuts (20): the committed COVERAGE.md r10 shortlist — the two
+# r9-built GEMM kernels (batches 62-63, the r2 new-work rule; with
+# r9's emb_kmeans_gemm they complete driver coverage of all three
+# production GEMM kernels), the MaxSim fold head certified side by
+# side with its kernel (r9 verdict ask #8), the two most expensive
+# tail-visible uncertified plans, and fifteen family heads across
+# still-uncertified families.
 NEW_THIS_ROUND: list[str] = [
-    "doc_eval_contamination", "doc_weighted_sample",
-    "events_active_days_histogram", "events_entry_exit",
-    "doc_dup_cluster_stats", "doc_lsh_pr_audit", "doc_lsh_calibration",
-    "doc_sentence_dedup", "doc_incremental_dedup",
-    "events_community_modularity", "trade_hits", "events_communities",
-    "events_hll_distinct", "emb_ivf_recall", "emb_mmr_rerank",
-    "emb_kcenter_sample", "media_audio_vad", "media_image_ahash",
-    "prices_bollinger", "prices_atr", "emb_kmeans_gemm",
+    "emb_pq_gemm", "emb_maxsim_gemm", "emb_maxsim_topk",
+    "events_markov_stationary", "trade_neighbor_jaccard", "prices_garch_vol",
+    "events_survival_km", "trade_bfs_hops", "doc_hybrid_rrf", "events_kcore",
+    "media_scene_cuts", "media_audio_loudness", "prices_corr_matrix",
+    "prices_stochastic", "events_dau_mau", "orders_rfm_segments",
+    "doc_vocab_growth", "events_item_cf", "events_attribution",
+    "events_seasonality",
 ]
 
 # Names only — per-batch annotations live in COVERAGE.md's ledger.
-# r9 edits: the 20 r8 debuts joined at index 70 (the r9 pre-insert
+# r10 edits: the 21 r9 debuts joined at index 101 (the r10 pre-insert
 # cursor — consumed region, so they re-certify after a full loop);
-# the 21 r9 debuts left the pool for NEW_THIS_ROUND and rejoin at
-# the r10 cursor.
+# the 20 r10 debuts left the pool for NEW_THIS_ROUND and rejoin at
+# the r11 cursor.
 ROTATION_POOL: list[str] = [
     "q11_important_stock", "emb_ann_lsh", "emb_pq_quantize",
     "emb_pq_adc_topk", "doc_bm25_topk", "events_retention_cohorts",
@@ -163,59 +167,60 @@ ROTATION_POOL: list[str] = [
     "doc_top_terms", "emb_ivf_topk", "emb_cosine_neardup",
     "event_value_quantiles_approx", "q1_pricing_summary",
     "q3_shipping_priority", "q12_delay_priority", "display_snapshot",
-    "media_audio_decode", "doc_simhash", "doc_langid", "doc_pack_chunks",
-    "emb_label_centroids", "emb_hard_negatives", "emb_rp_project",
-    "events_zorder_code", "orders_basket_affinity", "events_robust_outliers",
-    "orders_merge_upsert", "doc_bigram_coverage", "events_hopping_10m",
-    "events_interarrival", "events_user_forest", "tpch_integrity",
-    "prices_stochastic", "prices_corr_matrix", "doc_token_drift",
-    "doc_quality_percentile", "events_seasonality", "events_wow_trending",
-    "events_split_leakage", "events_attribution", "events_burst_detect",
+    "media_audio_decode", "doc_simhash", "doc_eval_contamination",
+    "doc_weighted_sample", "events_active_days_histogram",
+    "events_entry_exit", "doc_dup_cluster_stats", "doc_lsh_pr_audit",
+    "doc_lsh_calibration", "doc_sentence_dedup", "doc_incremental_dedup",
+    "events_community_modularity", "trade_hits", "events_communities",
+    "events_hll_distinct", "emb_ivf_recall", "emb_mmr_rerank",
+    "emb_kcenter_sample", "media_audio_vad", "media_image_ahash",
+    "prices_bollinger", "prices_atr", "emb_kmeans_gemm", "doc_langid",
+    "doc_pack_chunks", "emb_label_centroids", "emb_hard_negatives",
+    "emb_rp_project", "events_zorder_code", "orders_basket_affinity",
+    "events_robust_outliers", "orders_merge_upsert", "doc_bigram_coverage",
+    "events_hopping_10m", "events_interarrival", "events_user_forest",
+    "tpch_integrity", "doc_token_drift", "doc_quality_percentile",
+    "events_wow_trending", "events_split_leakage", "events_burst_detect",
     "events_value_gini", "emb_split_drift", "prices_twap_daily",
-    "orders_rfm_segments", "events_eqdepth_histogram",
-    "events_bloom_prefilter", "doc_containment", "events_kcore",
+    "events_eqdepth_histogram", "events_bloom_prefilter", "doc_containment",
     "events_weighted_median", "events_incremental_agg", "events_ab_lift",
-    "prices_jump_detect", "doc_langid_confusion", "emb_maxsim_topk",
-    "orders_cohort_ltv", "prices_heikin_ashi", "events_cuped_lift",
-    "events_holt_forecast", "doc_curation_funnel", "orders_pareto_report",
-    "events_survival_km", "trade_bfs_hops", "prices_lead_lag",
-    "doc_hybrid_rrf", "trade_cheapest_path", "emb_matryoshka_recall",
-    "orders_benford_audit", "events_ks_split", "events_winsorize",
-    "events_dau_mau", "prices_sharpe", "lineitem_quantity_model",
-    "events_cusum_drift", "events_type_hour_assoc", "emb_pca_power",
-    "events_conversion_latency", "orders_duplicate_payments", "doc_cv_folds",
-    "doc_rake_keyphrases", "trade_ppr", "orders_incremental_join",
-    "doc_vocab_growth", "events_item_cf", "events_seq_pairs",
-    "doc_winnow_overlap", "trade_closeness", "prices_obv", "doc_chi2_terms",
-    "doc_global_shuffle", "emb_binary_topk", "prices_backtest_naive",
-    "orders_backlog_series", "events_rolling_wau", "prices_donchian",
-    "trade_assortativity", "doc_readability", "emb_knn_outliers",
-    "doc_ngram_novelty", "events_bot_screen", "prices_volume_profile",
-    "emb_centroid_margin", "orders_customer_migration",
-    "media_image_histogram", "trade_neighbor_jaccard", "orders_aging_report",
-    "doc_boilerplate_screen", "orders_supplier_herfindahl",
-    "prices_var_historical", "events_bounce_rate",
-    "events_sequence_violations", "prices_garch_vol", "events_did_lift",
+    "prices_jump_detect", "doc_langid_confusion", "orders_cohort_ltv",
+    "prices_heikin_ashi", "events_cuped_lift", "events_holt_forecast",
+    "doc_curation_funnel", "orders_pareto_report", "prices_lead_lag",
+    "trade_cheapest_path", "emb_matryoshka_recall", "orders_benford_audit",
+    "events_ks_split", "events_winsorize", "prices_sharpe",
+    "lineitem_quantity_model", "events_cusum_drift", "events_type_hour_assoc",
+    "emb_pca_power", "events_conversion_latency", "orders_duplicate_payments",
+    "doc_cv_folds", "doc_rake_keyphrases", "trade_ppr",
+    "orders_incremental_join", "events_seq_pairs", "doc_winnow_overlap",
+    "trade_closeness", "prices_obv", "doc_chi2_terms", "doc_global_shuffle",
+    "emb_binary_topk", "prices_backtest_naive", "orders_backlog_series",
+    "events_rolling_wau", "prices_donchian", "trade_assortativity",
+    "doc_readability", "emb_knn_outliers", "doc_ngram_novelty",
+    "events_bot_screen", "prices_volume_profile", "emb_centroid_margin",
+    "orders_customer_migration", "media_image_histogram",
+    "orders_aging_report", "doc_boilerplate_screen",
+    "orders_supplier_herfindahl", "prices_var_historical",
+    "events_bounce_rate", "events_sequence_violations", "events_did_lift",
     "doc_dedup_by_source", "emb_ivf_list_balance", "emb_binary_recall",
     "prices_amihud", "orders_benford_by_segment", "events_top_user_churn",
     "emb_filtered_topk", "orders_repeat_intervals",
     "events_position_attribution", "prices_beta", "events_slo_burn",
     "doc_sampling_plan", "parts_abc_xyz", "events_stump_split",
     "prices_pair_spread", "lineitem_discount_elasticity",
-    "events_growth_accounting", "events_markov_stationary",
-    "emb_cluster_separation", "prices_weekday_effect",
-    "events_user_diversity", "events_key_skew", "doc_zipf_check",
-    "orders_revenue_recognition", "prices_variance_ratio",
+    "events_growth_accounting", "emb_cluster_separation",
+    "prices_weekday_effect", "events_user_diversity", "events_key_skew",
+    "doc_zipf_check", "orders_revenue_recognition", "prices_variance_ratio",
     "nation_trade_balance", "supply_lead_time", "events_mde_power",
     "parts_price_index", "prices_underwater_spells",
     "events_peak_concurrency", "prices_momentum_deciles", "prices_kelly",
     "events_hll_overlap", "supplier_scorecard", "events_srm_check",
     "events_depth_conversion", "prices_roll_spread",
     "events_seasonal_residuals", "media_binary_dedup",
-    "trade_bottleneck_path", "media_scene_cuts", "doc_source_pair_dups",
-    "prices_tail_ratio", "events_value_ab_welch", "parts_sourcing_depth",
-    "media_audio_clipping", "prices_var_exceedances",
-    "parts_brand_share_shift", "doc_simhash_bit_balance", "prices_gap_report",
+    "trade_bottleneck_path", "doc_source_pair_dups", "prices_tail_ratio",
+    "events_value_ab_welch", "parts_sourcing_depth", "media_audio_clipping",
+    "prices_var_exceedances", "parts_brand_share_shift",
+    "doc_simhash_bit_balance", "prices_gap_report",
     "customer_balance_activity_corr", "media_image_border",
     "orders_monthly_seasonal_index", "prices_corr_clusters",
     "lineitem_domain_audit", "doc_dup_length_bias", "events_session_fatigue",
@@ -244,12 +249,10 @@ ROTATION_POOL: list[str] = [
     "customer_debt_cohort", "events_activity_streaks",
     "supplier_lead_variability", "orders_priority_slas",
     "orders_peak_to_mean", "doc_vocab_coverage_curve", "emb_ivf_list_purity",
-    "prices_beta_stability", "trade_components", "media_audio_loudness",
-    "doc_char_gini", "emb_distance_histogram", "region_revenue_trend",
+    "prices_beta_stability", "trade_components", "doc_char_gini",
+    "emb_distance_histogram", "region_revenue_trend",
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
-    # r9-built batches 62-63 (r10+ debut candidates)
-    "emb_pq_gemm", "emb_maxsim_gemm",
 ]
 
 def current_window() -> list[str]:
