@@ -92,9 +92,14 @@ def maxsim_cos_ppm_udf(tokens: np.ndarray):
 
     Production batch twin of `queries/vector.py::q_emb_maxsim_topk`'s
     per-pair fold (the same lever as kmeans_assign_udf: the fold is
-    compute-bound interpreted arithmetic at 100 TB).  The double
-    rounding to 6dp absorbs GEMM-vs-fold summation-order noise
-    (~1e-16 relative) everywhere except exact .5e-6 boundaries;
+    compute-bound interpreted arithmetic at 100 TB).  Quantization is
+    an explicit half-AWAY-FROM-ZERO rule, sign(x) * floor(|x| * 1e6
+    + 0.5): Spark's F.round is BigDecimal HALF_UP (away from zero)
+    and DuckDB's round likewise, while np.round is half-to-even — at
+    an exact .5e-6 boundary the three would disagree, so the kernel
+    must not use np.round (r9 ADVICE.md).  The fold's double rounding
+    (6dp then *1e6) composes to exactly this single-step rule modulo
+    float64 product rounding (~1e-11 of a ppm step vs the boundary);
     the equivalence test pins zero mismatches on the real table.
     """
     t64 = np.ascontiguousarray(tokens, dtype=np.float64)
@@ -107,7 +112,9 @@ def maxsim_cos_ppm_udf(tokens: np.ndarray):
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         norms = np.sqrt((mat * mat).sum(axis=1))  # (n,)
         cos = (mat @ t64.T) / (norms[:, None] * t_norm[None, :])
-        ppm = np.round(np.round(cos, 6) * 1e6).astype(np.int64)
+        ppm = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(
+            np.int64
+        )
         return pd.Series(list(ppm))
 
     return score

@@ -105,6 +105,13 @@ def triangle_counts(
         raise ValueError("est_neighbor_cap requires max_degree")
     if est_neighbor_cap is not None and est_neighbor_cap < 2:
         raise ValueError("est_neighbor_cap must be >= 2 (a wedge needs 2 arms)")
+    if est_neighbor_cap is not None and max_degree < 1:
+        # max_degree = 0 would make a degree-1 node a "hub" with
+        # C(1,2) = 0 sampled wedges; the inner hubs-per_hub join below
+        # would then drop it, violating the one-row-per-node contract.
+        # With max_degree >= 1 every hub has deg >= 2 neighbors, the
+        # capped adjacency keeps >= 2 of them (cap >= 2), and w >= 1.
+        raise ValueError("est_neighbor_cap requires max_degree >= 1")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     e.count()  # materialize BEFORE fan-out (first-action branches recompute)
 

@@ -3361,19 +3361,19 @@ def q_emb_pq_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("vec_id", code_sum.cast("bigint").alias("code_sum"))
 
 
+# The join/sum terms are generated from range(_PQ_M), mirroring the
+# Spark side's loop, so a future _PQ_M change keeps query and oracle
+# synchronized instead of silently desynchronizing (r9 ADVICE.md).
 register(
     "emb_pq_gemm",
     q_emb_pq_gemm,
     f"""
     WITH {_pq_train_ctes()}
     SELECT e0.vec_id,
-           CAST(e0.cid * {_PQ_K ** 0} + e1.cid * {_PQ_K ** 1}
-              + e2.cid * {_PQ_K ** 2} + e3.cid * {_PQ_K ** 3} AS BIGINT)
-             AS code_sum
+           CAST({' + '.join(f'e{s}.cid * {_PQ_K ** s}' for s in range(_PQ_M))}
+                AS BIGINT) AS code_sum
     FROM pqenc_0 e0
-    JOIN pqenc_1 e1 ON e1.vec_id = e0.vec_id
-    JOIN pqenc_2 e2 ON e2.vec_id = e0.vec_id
-    JOIN pqenc_3 e3 ON e3.vec_id = e0.vec_id
+    {' '.join(f'JOIN pqenc_{s} e{s} ON e{s}.vec_id = e0.vec_id' for s in range(1, _PQ_M))}
     """,
 )
 

@@ -51,3 +51,41 @@ def test_real_r5_envelope_parses():
     base = bench._baseline_times()
     # media_audio_decode's only r5 record lives in the tail capture
     assert any(v for n, v in base.items() if n == "emb_pq_quantize")
+
+
+def test_merge_prior_min_and_breach_clearing():
+    """Per-query min, breach cleared when merged timing is back under
+    budget, session count incremented."""
+    timings = {"a": 2.0, "b": 1.0}
+    base = {"a": 1.0, "b": 1.0}
+    breaches = {"a": {"suite_sec": 2.0}}
+    prior = {"queries": {"a": 0.9, "b": 3.0}, "sf": 0.1, "merged_sessions": 1}
+    n = bench._merge_prior(timings, breaches, base, prior, sf=0.1, git_rev=None)
+    assert n == 2
+    assert timings == {"a": 0.9, "b": 1.0}
+    assert breaches == {}  # a's merged 0.9 <= BUDGET_FACTOR * 1.0
+
+
+def test_merge_prior_refuses_cross_sf_and_cross_rev():
+    import pytest
+
+    with pytest.raises(SystemExit, match="across scales"):
+        bench._merge_prior({}, {}, {}, {"sf": 0.01}, sf=0.1, git_rev=None)
+    with pytest.raises(SystemExit, match="across code versions"):
+        bench._merge_prior(
+            {}, {}, {}, {"sf": 0.1, "git_rev": "aaa"}, sf=0.1, git_rev="bbb"
+        )
+    # missing sf/rev in an old-format prior: tolerated (single-session
+    # artifacts predating the fields)
+    n = bench._merge_prior({}, {}, {}, {"queries": {}}, sf=0.1, git_rev="bbb")
+    assert n == 2
+
+
+def test_merge_prior_warns_on_prior_only_names(capsys):
+    timings = {"a": 1.0}
+    bench._merge_prior(
+        timings, {}, {}, {"sf": 0.1, "queries": {"gone": 0.5}}, sf=0.1,
+        git_rev=None,
+    )
+    assert "gone" in capsys.readouterr().err
+    assert "gone" not in timings

@@ -162,3 +162,8 @@ def test_estimator_requires_max_degree(spark):
         triangle_counts(df, est_neighbor_cap=4)
     with pytest.raises(ValueError):
         triangle_counts(df, max_degree=2, est_neighbor_cap=1)
+    # max_degree = 0 would make a degree-1 node a zero-wedge "hub"
+    # that the hubs-per_hub inner join silently drops, violating the
+    # one-row-per-node contract (r9 ADVICE.md)
+    with pytest.raises(ValueError, match="max_degree >= 1"):
+        triangle_counts(df, max_degree=0, est_neighbor_cap=4)
