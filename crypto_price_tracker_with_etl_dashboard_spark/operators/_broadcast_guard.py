@@ -1,0 +1,65 @@
+"""Size guard for the iterative graph family's O(nodes) broadcasts.
+
+PageRank / HITS / LPA / the modularity tag join all broadcast a
+per-node score/label table onto the one cached edge list each round —
+the right plan while nodes ≪ edges (the usual web/trade-graph shape:
+the 100 TB side is edges, and the node table is GBs, not TBs).  But a
+FORCED ``F.broadcast`` hint has no escape hatch: at billions of nodes
+it would OOM the driver and executors rather than degrade.  This is
+the ``MAX_BAND_BUCKET`` treatment from ``functions/dedup.py`` applied
+to broadcasts: past a node-count threshold the hint is DROPPED — the
+join still runs, planned by Catalyst/AQE (sort-merge or shuffled-hash
+on the equijoin keys; at production scale the bucketed co-located
+join is the intended physical shape) — and the decision is recorded
+in an observable per-application log so a binding guard is visible
+to tests and operators instead of silent.
+
+Callers pass the exact node count when it is already materialized
+(PageRank counts ``nodes`` anyway; HITS/LPA keep the node/neighbor
+table cached) or a cheap UPPER BOUND (the modularity tag join uses
+2·|edges|, free from the already-computed edge count) — a
+conservative bound only costs the compile-time hint, which AQE's
+runtime size check re-adds when the built side turns out small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A (node, score, aux) broadcast row costs ~100 B in the JVM
+# HashedRelation (object + hash-table overhead on ~24 B of data), so
+# 10M nodes ≈ 1 GB resident per executor — the practical ceiling for
+# a hint that every round of a 3-8 round recursion re-ships.  Far
+# above the node counts at every certified SF (sf0.01/sf0.1/sf1
+# graphs top out at ~1e5 nodes), so oracle parity is unaffected.
+MAX_BROADCAST_NODES = 10_000_000
+
+# applicationId -> list of {op, n_nodes, limit, hinted} decision
+# records (appId keying: id(session) values are reused after GC —
+# the _BANDED_CACHE convention).
+_GUARD_LOG: dict[str, list[dict]] = {}
+
+
+def guarded_broadcast(
+    df: DataFrame, n_nodes: int, *, op: str, limit: int | None = None
+) -> DataFrame:
+    """``F.broadcast(df)`` while ``n_nodes`` (exact count or upper
+    bound) fits under the threshold; past it, return ``df`` unhinted
+    and log the bind.  ``op`` names the call site in the log."""
+    lim = MAX_BROADCAST_NODES if limit is None else limit
+    hinted = n_nodes <= lim
+    app_id = df.sparkSession.sparkContext.applicationId
+    _GUARD_LOG.setdefault(app_id, []).append(
+        {"op": op, "n_nodes": int(n_nodes), "limit": int(lim), "hinted": hinted}
+    )
+    return F.broadcast(df) if hinted else df
+
+
+def guard_log(spark) -> list[dict]:
+    """Decision records for this Spark application (newest last)."""
+    return list(_GUARD_LOG.get(spark.sparkContext.applicationId, []))
+
+
+def clear_guard_log(spark) -> None:
+    _GUARD_LOG.pop(spark.sparkContext.applicationId, None)

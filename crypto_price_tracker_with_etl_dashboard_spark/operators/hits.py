@@ -44,6 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    guarded_broadcast,
+)
+
 UNIT = 10**6
 
 _HITS_CACHE: dict[str, list] = {}
@@ -94,13 +98,19 @@ def hits(
         .distinct()
         .cache()
     )
+    # materializes the node cache AND gates every per-round O(nodes)
+    # broadcast below (_broadcast_guard rationale)
+    n_nodes = nodes.count()
     h = nodes.select("node", F.lit(unit).cast("bigint").alias("h"))
     a = None
     for it in range(iters):
         # authority half-step: a_raw(v) = sum_{u->v} h(u) * w
         hr = h.select(F.col("node").alias("__hn"), F.col("h").alias("__hs"))
         a_raw = (
-            edges.join(F.broadcast(hr), F.col(src) == F.col("__hn"))
+            edges.join(
+                guarded_broadcast(hr, n_nodes, op="hits_hub"),
+                F.col(src) == F.col("__hn"),
+            )
             .select(
                 F.col(dst).alias("node"),
                 (F.col("__hs") * F.col(weight).cast("bigint")).alias("__c"),
@@ -108,14 +118,19 @@ def hits(
             .groupBy("node")
             .agg(F.sum("__c").alias("a"))
         )
-        a_full = nodes.join(F.broadcast(a_raw), "node", "left").select(
+        a_full = nodes.join(
+            guarded_broadcast(a_raw, n_nodes, op="hits_auth_total"), "node", "left"
+        ).select(
             "node", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
         )
         a = _l1_normalize(a_full, "a", unit)
         # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
         ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
         h_raw = (
-            edges.join(F.broadcast(ar), F.col(dst) == F.col("__an"))
+            edges.join(
+                guarded_broadcast(ar, n_nodes, op="hits_auth"),
+                F.col(dst) == F.col("__an"),
+            )
             .select(
                 F.col(src).alias("node"),
                 (F.col("__as") * F.col(weight).cast("bigint")).alias("__c"),
@@ -123,7 +138,9 @@ def hits(
             .groupBy("node")
             .agg(F.sum("__c").alias("h"))
         )
-        h_full = nodes.join(F.broadcast(h_raw), "node", "left").select(
+        h_full = nodes.join(
+            guarded_broadcast(h_raw, n_nodes, op="hits_hub_total"), "node", "left"
+        ).select(
             "node", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
         )
         h = _l1_normalize(h_full, "h", unit)
@@ -133,7 +150,7 @@ def hits(
     # the O(nodes) authority table broadcasts onto h (the same
     # ranks-fit-memory premise as every per-round join; pre-AQE the
     # two derived sides have unknown size and would sort-merge)
-    out = h.join(F.broadcast(a), "node").select(
+    out = h.join(guarded_broadcast(a, n_nodes, op="hits_final"), "node").select(
         "node",
         (F.col("h").cast("double") / unit).alias("hub"),
         (F.col("a").cast("double") / unit).alias("authority"),

@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    guarded_broadcast,
+)
+
 _LPA_CACHE: dict[str, list] = {}
 
 
@@ -68,10 +72,13 @@ def label_propagation(
     labels = nbr.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    # one cheap agg over the cached neighbor table; gates the
+    # per-round O(nodes) broadcast (_broadcast_guard rationale)
+    n_nodes = labels.count()
     for it in range(iters):
         l = labels.select(F.col("node").alias("__ln"), F.col("lbl").alias("__ll"))
         votes = (
-            nbr.join(F.broadcast(l), F.col("a") == F.col("__ln"))
+            nbr.join(guarded_broadcast(l, n_nodes, op="lpa"), F.col("a") == F.col("__ln"))
             .groupBy(F.col("b").alias("node"), F.col("__ll").alias("lbl"))
             .agg(F.count("*").alias("__c"))
         )

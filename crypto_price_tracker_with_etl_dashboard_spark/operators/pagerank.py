@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    guarded_broadcast,
+)
+
 UNIT = 10**9
 
 # Session-scoped cache of the previous invocation's materialized
@@ -134,7 +138,8 @@ def pagerank(
         # build — each round is a map-side join + one
         # O(nodes x tasks) partial aggregate
         contrib = edges.join(
-            F.broadcast(r), F.col(src) == F.col("__rnode")
+            guarded_broadcast(r, n, op="pagerank_rank"),
+            F.col(src) == F.col("__rnode"),
         ).select(
             F.col(dst).alias("node"),
             (
@@ -146,7 +151,9 @@ def pagerank(
             "node", F.expr("__num div __ow").alias("__c")
         )
         s = contrib.groupBy("node").agg(F.sum("__c").alias("__S"))
-        ranks = nodes.join(F.broadcast(s), "node", "left").select(
+        ranks = nodes.join(
+            guarded_broadcast(s, n, op="pagerank_sum"), "node", "left"
+        ).select(
             "node",
             (
                 base_col

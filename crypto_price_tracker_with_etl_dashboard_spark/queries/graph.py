@@ -40,6 +40,9 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.hierarchy import (
     resolve_forest,
     sql_resolve_forest,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    guarded_broadcast,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
     label_propagation,
     sql_label_propagation,
@@ -714,7 +717,12 @@ def q_events_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame
     m = edges.count()  # one scalar (edge count), the |nodes| discipline
     cu = comm.select(F.col("node").alias("u"), F.col("community").alias("cu"))
     cv = comm.select(F.col("node").alias("v"), F.col("community").alias("cv"))
-    tagged = edges.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    # 2*m bounds |nodes| for free (m is already counted); the guard
+    # drops the O(nodes) hint past MAX_BROADCAST_NODES instead of
+    # OOMing a forced broadcast (r9 verdict ask #2)
+    tagged = edges.join(
+        guarded_broadcast(cu, 2 * m, op="modularity_tag_u"), "u"
+    ).join(guarded_broadcast(cv, 2 * m, op="modularity_tag_v"), "v")
     e_in = (
         tagged.filter(F.col("cu") == F.col("cv"))
         .groupBy(F.col("cu").alias("community"))

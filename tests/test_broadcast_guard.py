@@ -1,0 +1,98 @@
+"""The iterative graph family's O(nodes) broadcast guard (r9 verdict
+ask #2): past MAX_BROADCAST_NODES the forced ``F.broadcast`` hint is
+DROPPED (Catalyst/AQE plans the equijoin) instead of OOMing, the bind
+is observable in the guard log, and — crucially — results are
+bit-identical either way, because the hint only picks the physical
+join strategy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+    _broadcast_guard as bg,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.operators.hits import hits
+from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
+    label_propagation,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.operators.pagerank import pagerank
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.fixture()
+def small_graph(spark):
+    # two triangles joined by a bridge: nontrivial communities/ranks
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    return spark.createDataFrame(edges, ["u", "v"])
+
+
+def test_lpa_hint_dropped_above_threshold_same_result(
+    spark, small_graph, monkeypatch
+):
+    bg.clear_guard_log(spark)
+    below = sorted(
+        label_propagation(small_graph, iters=2).collect(),
+        key=lambda r: r.node,
+    )
+    log = bg.guard_log(spark)
+    assert log and all(d["hinted"] for d in log if d["op"] == "lpa")
+    assert "ResolvedHint" in _analyzed(label_propagation(small_graph, iters=2))
+
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    bg.clear_guard_log(spark)
+    above_df = label_propagation(small_graph, iters=2)
+    # no broadcast hint anywhere in the plan once the guard binds
+    assert "ResolvedHint" not in _analyzed(above_df)
+    above = sorted(above_df.collect(), key=lambda r: r.node)
+    log = bg.guard_log(spark)
+    assert log and all(not d["hinted"] for d in log if d["op"] == "lpa")
+    assert [d["n_nodes"] for d in log if d["op"] == "lpa"] == [6, 6]
+    # the certified result is unchanged: the guard only drops a hint
+    assert below == above
+
+
+def test_pagerank_and_hits_guard_same_result(spark, small_graph, monkeypatch):
+    weighted = small_graph.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.lit(1).alias("w")
+    )
+    pr_below = sorted(pagerank(weighted, iters=2).collect())
+    hits_below_df = hits(weighted, iters=2)
+    hits_hints_below = _analyzed(hits_below_df).count("ResolvedHint")
+    hits_below = sorted(hits_below_df.collect())
+
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    bg.clear_guard_log(spark)
+    pr_above_df = pagerank(weighted, iters=2)
+    assert "ResolvedHint" not in _analyzed(pr_above_df)
+    pr_above = sorted(pr_above_df.collect())
+    hits_above_df = hits(weighted, iters=2)
+    # hits keeps its 1-row L1-total scalar-attach hints (bounded by
+    # construction) — only the O(nodes) hints must disappear
+    assert _analyzed(hits_above_df).count("ResolvedHint") < hits_hints_below
+    hits_above = sorted(hits_above_df.collect())
+
+    ops = {d["op"] for d in bg.guard_log(spark) if not d["hinted"]}
+    assert {"pagerank_rank", "pagerank_sum", "hits_hub", "hits_auth"} <= ops
+    assert pr_below == pr_above
+    assert hits_below == hits_above
+
+
+def test_modularity_query_guard_binds_and_matches(spark, monkeypatch):
+    """events_community_modularity (queries/graph.py tag join) above
+    vs below the threshold: identical certified rows."""
+    from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = SPARK_QUERIES["events_community_modularity"]
+    below = sorted(q(spark, sf).collect())
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    bg.clear_guard_log(spark)
+    above = sorted(q(spark, sf).collect())
+    binds = [d for d in bg.guard_log(spark) if not d["hinted"]]
+    assert {"modularity_tag_u", "modularity_tag_v"} <= {d["op"] for d in binds}
+    assert below == above
