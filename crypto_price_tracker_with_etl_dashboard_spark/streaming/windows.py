@@ -65,6 +65,7 @@ def vwap_windows(
     prices: DataFrame,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    partials: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``operators/indicators.py::vwap``: per-symbol
     volume-weighted average price on tumbling event-time windows.
@@ -75,7 +76,14 @@ def vwap_windows(
     fixed-point DECIMAL(38,0) partials (the sums are exact integers, so
     incremental micro-batch accumulation and one-shot batch
     aggregation cannot differ by even an ulp; pinned in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    ``partials=True`` additionally emits the exact DECIMAL(38,0)
+    accumulator columns (``pv``, ``v``) — the state the streaming
+    engine sums across micro-batches — for incremental consumers
+    that merge window partials themselves and for the
+    shuffled-arrival property tests, which pin that any split +
+    permutation of the input produces identical partials."""
     from crypto_price_tracker_with_etl_dashboard_spark.operators.exact import SCALE
 
     df = prices.filter(F.col("total_volume") > 0)
@@ -85,6 +93,9 @@ def vwap_windows(
         "decimal(38,0)"
     )
     v = F.round(F.col("total_volume") * SCALE).cast("decimal(38,0)")
+    extra = (
+        [F.col("__pv").alias("pv"), F.col("__v").alias("v")] if partials else []
+    )
     return (
         df.groupBy("symbol", F.window("timestamp", window).alias("w"))
         .agg(
@@ -98,5 +109,6 @@ def vwap_windows(
             F.col("w.end").alias("window_end"),
             "n_ticks",
             F.round(F.col("__pv").cast("double") / F.col("__v"), 6).alias("vwap"),
+            *extra,
         )
     )

@@ -24,6 +24,7 @@ this dataset exists only for the scale table in BASELINE.md.
 
 Usage: python tools/make_scale.py [replicas=10]
        python tools/make_scale.py --documents-sf100x
+       python tools/make_scale.py --graph-emb-sf100x
 
 The second form builds .scale/sf10/documents.parquet: 10 further
 replicas OF the sf1 documents (so 100x the driver's sf0.1 corpus),
@@ -89,9 +90,90 @@ def make_documents_sf10() -> None:
     print(f"documents (sf10): {n} rows -> {dst_dir}")
 
 
+def make_graph_emb_sf10() -> None:
+    """10 further replicas of the sf1 graph/embedding tables (= 100x
+    the driver's sf0.1) at .scale/sf10: lineitem + orders (the trade
+    graph), events (the co-occurrence graph), and embeddings — the r9
+    verdict's asks #3 (graph family second decade) and #7 (embedding
+    family second decade).
+
+    Keys offset by i * 100M (sf1 keys are < 10 * OFF = 100M), so the
+    ten replicas are DISJOINT subgraphs — node and edge counts scale
+    10x, the realistic more-users/more-suppliers shape (communities,
+    ranks, and cores are per-component quantities, so disjointness
+    changes no per-node semantics, only scale).
+
+    Embeddings decorrelate across second-level replicas with a
+    WALSH-HADAMARD SIGN MASK: replica i flips coordinate j's sign iff
+    popcount((j-1) & i) is odd.  Norm-preserving; for any two masks
+    m != m' the sign product (-1)^popcount(j & (m XOR m')) is +1 on
+    exactly half of 0..63 (a nonzero parity function is balanced), so
+    same-source cross-replica cosines are near-balanced sums of
+    +-x_j^2 ~ 0 — far below even semdedup's 0.3 threshold, avoiding
+    the artificial near-dup blowup a plain copy (or a second level of
+    rolls, which would alias with the sf1 rolls at i1 + i2 >= 64 or
+    collide at equal total lag) would inject.  Replica 0 is the sf1
+    row verbatim."""
+    src_dir = os.path.join(os.path.dirname(DST), "sf1")
+    if not os.path.exists(os.path.join(src_dir, "lineitem.parquet")):
+        raise SystemExit("build .scale/sf1 first (python tools/make_scale.py)")
+    dst_dir = os.path.join(os.path.dirname(DST), "sf10")
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    off2 = 100_000_000
+
+    def build10(table: str, select_tpl: str) -> None:
+        src = f"'{src_dir}/{table}.parquet'"
+        union = " UNION ALL ".join(
+            select_tpl.format(i=i, src=src) for i in range(10)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{dst_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst_dir}/{table}.parquet'"
+        ).fetchone()[0]
+        print(f"{table} (sf10): {n} rows")
+
+    build10(
+        "orders",
+        "SELECT o_orderkey + {i} * " + str(off2) + " AS o_orderkey,"
+        " o_custkey + {i} * " + str(off2) + " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src}",
+    )
+    build10(
+        "lineitem",
+        "SELECT l_orderkey + {i} * " + str(off2) + " AS l_orderkey,"
+        " l_partkey + {i} * " + str(off2) + " AS l_partkey,"
+        " l_suppkey + {i} * " + str(off2) + " AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM {src}",
+    )
+    build10(
+        "events",
+        "SELECT event_id + {i} * " + str(off2) + " AS event_id, ts,"
+        " user_id + {i} * " + str(off2) + " AS user_id,"
+        " event_type, value, props FROM {src}",
+    )
+    build10(
+        "embeddings",
+        "SELECT vec_id + {i} * " + str(off2) + " AS vec_id,"
+        " CASE WHEN {i} = 0 THEN embedding ELSE"
+        "   list_transform(embedding, (x, j) ->"
+        "     CASE WHEN bit_count((j - 1) & {i}) % 2 = 1 THEN -x ELSE x END)"
+        " END AS embedding,"
+        " label FROM {src}",
+    )
+    print("done ->", dst_dir)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--documents-sf100x":
         make_documents_sf10()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--graph-emb-sf100x":
+        make_graph_emb_sf10()
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # The embedding decorrelation rolls by (i % dim); replicas > dim
