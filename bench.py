@@ -307,6 +307,9 @@ HEADLINE = [
     # round-9 batches 62-63 (r10+ debut candidates)
     "emb_pq_gemm",
     "emb_maxsim_gemm",
+    # r10 batch 64
+    "doc_emb_consensus_dedup",
+    "events_graph_broadcast_audit",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

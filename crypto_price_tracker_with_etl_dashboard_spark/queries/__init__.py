@@ -253,6 +253,8 @@ ROTATION_POOL: list[str] = [
     "emb_distance_histogram", "region_revenue_trend",
     "events_type_cooccurrence", "events_user_hhi_weekly",
     "orders_priority_mix_drift",
+    # r10-built batch 64 (r11+ debut candidates)
+    "doc_emb_consensus_dedup", "events_graph_broadcast_audit",
 ]
 
 def current_window() -> list[str]:

@@ -1319,3 +1319,62 @@ register(
     FROM comp GROUP BY component ORDER BY component
     """,
 )
+
+
+# ---- broadcast-guard observability row (batch 64) --------------------------------
+# The iterative graph family's per-round O(nodes) broadcasts are now
+# gated by operators/_broadcast_guard.py (r9 verdict ask #2): past
+# MAX_BROADCAST_NODES the hint is dropped and Catalyst/AQE plans the
+# join.  This row is the driver-certified observability side of that
+# guard — the graph's size against the threshold, i.e. exactly the
+# decision every LPA/PageRank/HITS round makes — so an operator can
+# see WHICH regime a dataset is in from a certified query instead of
+# a log.  (The guard's behavioral contract — hint dropped above the
+# threshold, bit-identical results either way — is pinned in
+# tests/test_broadcast_guard.py; the decision log itself is
+# per-session state a SQL oracle cannot see.)
+#
+# Scale shape: one distinct-count over the exploded cached edge list
+# + one count — two aggregates, no joins.
+
+def q_events_graph_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+        MAX_BROADCAST_NODES,
+    )
+
+    edges = _cooccur_edges(spark, sf_dir)
+    nodes = edges.select(
+        F.explode(F.array("u", "v")).alias("node")
+    ).agg(F.count_distinct("node").cast("bigint").alias("n_nodes"))
+    counts = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return nodes.crossJoin(counts).select(
+        "n_nodes",
+        "n_edges",
+        F.lit(MAX_BROADCAST_NODES).cast("bigint").alias("broadcast_limit"),
+        (F.col("n_nodes") <= MAX_BROADCAST_NODES).cast("bigint").alias("hint_fits"),
+    )
+
+
+def _broadcast_audit_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+        MAX_BROADCAST_NODES,
+    )
+
+    return f"""
+    WITH {_TRI_EDGES_CTE},
+    nodes AS (
+      SELECT u AS node FROM edges UNION SELECT v FROM edges
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST({MAX_BROADCAST_NODES} AS BIGINT) AS broadcast_limit,
+           CAST((SELECT COUNT(*) FROM nodes) <= {MAX_BROADCAST_NODES} AS BIGINT)
+             AS hint_fits
+    """
+
+
+register(
+    "events_graph_broadcast_audit",
+    q_events_graph_broadcast_audit,
+    _broadcast_audit_sql(),
+)

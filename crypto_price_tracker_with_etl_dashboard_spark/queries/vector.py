@@ -3452,3 +3452,93 @@ def q_emb_maxsim_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantizes to the same integer grid, so any divergence (a .5e-6
 # boundary flip, a token-order bug, a label mixup) hash-mismatches.
 register("emb_maxsim_gemm", q_emb_maxsim_gemm, _maxsim_sql())
+
+
+# ---- Text x embedding consensus dedup (batch 64) ---------------------------------
+# Production dedup pipelines raise PRECISION by demanding agreement
+# between independent signals before dropping a document: a pair
+# flagged by the text channel (MinHash-LSH over shingles — surface
+# overlap) is confirmed against the semantic channel (embedding
+# cosine).  Boilerplate-heavy near-identical text agrees on both;
+# template pages with swapped entities pass LSH but fail cosine (or
+# vice versa) and survive.  This is a composition of two CERTIFIED
+# pipelines: the FIXED_CORE doc_minhash_lsh pair generator and the
+# maxsim-grid ppm cosine, joined on the candidate pairs only.
+#
+# Scale shape: the LSH side is the certified band-bucket join
+# (bounded by MAX_BAND_BUCKET, never all-pairs); attaching the two
+# embedding vectors is two equi-joins of the O(pairs) table against
+# the corpus — at 100 TB the pair table is the small side and AQE
+# picks the broadcast/shuffled-hash build accordingly (no forced
+# hint: pairs are bounded but not guaranteed broadcast-sized).  The
+# per-pair cosine is JVM-side zip_with/aggregate arithmetic — no
+# Python in the plan (pinned in tests/test_batch64.py).
+
+_CONSENSUS_COS_PPM = 300_000  # the semdedup family's 0.3, on the ppm grid
+_CONSENSUS_JACCARD = 0.5
+
+
+def q_doc_emb_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every LSH candidate pair scored on both channels: est_jaccard
+    (the certified 16-hash estimate, exact dyadic k/16 doubles) and
+    cos_ppm (the certified round(round(cos,6)*1e6) integer grid), plus
+    the consensus verdict both thresholds agree on."""
+    from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        _BANDS,
+        _NUM_HASHES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__eb"))
+    cos_ppm = F.round(
+        F.round(S.cosine(F.col("__ea"), F.col("__eb")), 6) * 1000000.0
+    ).cast("bigint")
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            cos_ppm.alias("cos_ppm"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "cos_ppm",
+            (
+                (F.col("est_jaccard") >= _CONSENSUS_JACCARD)
+                & (F.col("cos_ppm") >= _CONSENSUS_COS_PPM)
+            )
+            .cast("bigint")
+            .alias("consensus"),
+        )
+    )
+
+
+def _consensus_sql() -> str:
+    from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
+        _minhash_sql,
+    )
+
+    return f"""
+    SELECT doc_a, doc_b, est_jaccard, cos_ppm,
+           CAST(est_jaccard >= {_CONSENSUS_JACCARD}
+                AND cos_ppm >= {_CONSENSUS_COS_PPM} AS BIGINT) AS consensus
+    FROM (
+      SELECT l.doc_a, l.doc_b, l.est_jaccard,
+             CAST(round({_sql_cosine('ea.embedding', 'eb.embedding')}
+                        * 1000000.0) AS BIGINT) AS cos_ppm
+      FROM ({_minhash_sql()}) l
+      JOIN embeddings ea ON ea.vec_id = l.doc_a
+      JOIN embeddings eb ON eb.vec_id = l.doc_b
+    )
+    """
+
+
+register("doc_emb_consensus_dedup", q_doc_emb_consensus_dedup, _consensus_sql())

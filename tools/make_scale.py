@@ -150,9 +150,18 @@ def make_graph_emb_sf10() -> None:
         " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
         " l_returnflag, l_linestatus, l_shipdate FROM {src}",
     )
+    # ts shifts by i * 366 days: the co-occurrence graph cells are
+    # (props.k, hour), and neither is key-offset — without the shift
+    # all ten replicas land in the SAME cells, densifying each cell
+    # 10x and blowing the per-cell pair expansion up 100x (an
+    # adversarial quadratic, not a scale-up; it OOMed the first sf10
+    # run).  Shifted, the replicas occupy disjoint hour cells — 10x
+    # users AND 10x cells, the realistic growth shape, exactly like
+    # the key-offset trade graph.
     build10(
         "events",
-        "SELECT event_id + {i} * " + str(off2) + " AS event_id, ts,"
+        "SELECT event_id + {i} * " + str(off2) + " AS event_id,"
+        " ts + INTERVAL ({i} * 366) DAY AS ts,"
         " user_id + {i} * " + str(off2) + " AS user_id,"
         " event_type, value, props FROM {src}",
     )
