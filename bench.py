@@ -8,6 +8,14 @@
 Each query is executed once as a warm-up-free wall-clock run to a
 count() action (materializes the full result without driver-side
 collection overhead).
+
+Every run ALSO writes the complete record to ``BENCH_LAST.json`` at
+the repo root: the driver archives only a 2000-char stdout tail,
+which cannot hold the per-query dict past ~70 queries ("parsed":
+null in BENCH_r05+), so the fixed-name side file is the
+full-fidelity artifact — including for the driver's own run, whose
+BENCH_LAST.json is written by the same process the envelope
+truncates.
 """
 
 from __future__ import annotations

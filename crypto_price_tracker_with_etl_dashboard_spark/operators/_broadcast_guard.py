@@ -15,11 +15,12 @@ in an observable per-application log so a binding guard is visible
 to tests and operators instead of silent.
 
 Callers pass the exact node count when it is already materialized
-(PageRank counts ``nodes`` anyway; HITS/LPA keep the node/neighbor
-table cached) or a cheap UPPER BOUND (the modularity tag join uses
-2·|edges|, free from the already-computed edge count) — a
-conservative bound only costs the compile-time hint, which AQE's
-runtime size check re-adds when the built side turns out small.
+(PageRank needs ``nodes.count()`` for its teleport constants anyway)
+or a FREE upper bound derived from an already-materialized count
+(LPA uses |nbr| = 2·|edges|, HITS and the modularity tag join use
+2·|edges| — zero extra jobs) — a conservative bound only costs the
+compile-time hint, which AQE's runtime size check re-adds when the
+built side turns out small.
 """
 
 from __future__ import annotations

@@ -91,16 +91,19 @@ def hits(
     app_id = edges.sparkSession.sparkContext.applicationId
     for prev in _HITS_CACHE.pop(app_id, []):
         prev.unpersist()
-    edges.count()  # materialize once before the two-branch node union
+    # materialize once before the two-branch node union; 2x this is
+    # the guard's free node bound (see comment below)
+    n_nodes = 2 * edges.count()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .cache()
     )
-    # materializes the node cache AND gates every per-round O(nodes)
-    # broadcast below (_broadcast_guard rationale)
-    n_nodes = nodes.count()
+    # FREE upper bound for the broadcast guard: |nodes| <= 2 * |edges|
+    # (each edge names two endpoints), and the edge count was already
+    # materialized above — no extra count job; a conservative bound
+    # only risks dropping a hint AQE's runtime size check re-adds.
     h = nodes.select("node", F.lit(unit).cast("bigint").alias("h"))
     a = None
     for it in range(iters):

@@ -68,13 +68,16 @@ def label_propagation(
             )
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).cache()
-    nbr.count()
+    n_nodes = nbr.count()  # materializes the cache; also the guard's node bound
     labels = nbr.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    # one cheap agg over the cached neighbor table; gates the
-    # per-round O(nodes) broadcast (_broadcast_guard rationale)
-    n_nodes = labels.count()
+    # FREE upper bound for the broadcast guard: every node appears as
+    # an 'a' in the mirrored neighbor table at least once, so
+    # |nodes| <= |nbr| — no extra count job (the modularity 2*m
+    # discipline; an exact labels.count() cost one O(nodes) agg per
+    # call and a conservative bound only risks dropping a hint AQE's
+    # runtime size check re-adds).
     for it in range(iters):
         l = labels.select(F.col("node").alias("__ln"), F.col("lbl").alias("__ll"))
         votes = (

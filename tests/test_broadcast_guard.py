@@ -51,7 +51,9 @@ def test_lpa_hint_dropped_above_threshold_same_result(
     above = sorted(above_df.collect(), key=lambda r: r.node)
     log = bg.guard_log(spark)
     assert log and all(not d["hinted"] for d in log if d["op"] == "lpa")
-    assert [d["n_nodes"] for d in log if d["op"] == "lpa"] == [6, 6]
+    # the guard's node figure is the FREE |nbr| = 2*|edges| upper
+    # bound (14 for this 7-edge graph), not an extra count job
+    assert [d["n_nodes"] for d in log if d["op"] == "lpa"] == [14, 14]
     # the certified result is unchanged: the guard only drops a hint
     assert below == above
 
