@@ -23,8 +23,10 @@ partials + an argmax agg on node.  The argmax is max(struct(count,
 -label)) — an aggregate, NOT a row_number window, so partial
 aggregation applies and no global sort sneaks in.  Label lineage is
 truncated per round with localCheckpoint (the components.py lesson).
-For node counts beyond broadcast, swap the hint for bucketed
-co-located joins.
+Past MAX_BROADCAST_NODES the hint is DROPPED automatically
+(operators/_broadcast_guard.py — AQE plans the equijoin, or
+pre-bucket labels and the mirrored edges on the node key for a
+co-located round) and the bind is recorded in the guard log.
 """
 
 from __future__ import annotations

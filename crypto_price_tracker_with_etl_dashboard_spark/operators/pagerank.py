@@ -21,9 +21,11 @@ onto the cached edge list — the (large) edge side is shuffled ZERO
 times after its one build; each round costs one map-side join plus
 one hash aggregate on dst with map-side partials (O(nodes x tasks)
 exchange).  Correct while ranks fit executor memory (|nodes| <<
-|edges|, the usual link-graph shape); for node counts beyond
-broadcast, drop the two hints and pre-bucket edges and ranks on the
-key — the round becomes a co-located join, still no edge shuffle.
+|edges|, the usual link-graph shape); past MAX_BROADCAST_NODES the
+two hints are DROPPED automatically (operators/_broadcast_guard.py —
+AQE plans the equijoin; pre-bucketing edges and ranks on the key
+makes the round a co-located join, still no edge shuffle) and the
+bind is recorded in the observable guard log.
 Rank lineage is truncated each round with localCheckpoint (the
 connected-components lesson — an unpersisted iteration chain
 re-derives the whole prefix per round).  The driver holds exactly
