@@ -64,13 +64,17 @@ def streaming_freshness(events: DataFrame, key: str = "event_type",
     """Streaming twin of the batch freshness monitor
     (queries/behavior.py::q_events_freshness_report's per-type leg):
     the live ``max(ts) per key`` table, maintained as a bounded
-    (|keys| rows FOREVER) watermark-free max-aggregate — the
-    streaming_hll discipline: max is associative, commutative and
-    idempotent, so the snapshot equals the batch aggregate over
-    everything ingested REGARDLESS of micro-batch boundaries or
-    at-least-once replays.  Staleness vs the stream head is a
-    per-read join the consumer does on the tiny snapshot (the head is
-    itself just the max of this table)."""
+    (|keys| rows FOREVER) watermark-free aggregate.  ``last_ts`` has
+    the streaming_hll discipline: max is associative, commutative and
+    IDEMPOTENT, so it equals the batch aggregate over everything
+    ingested regardless of micro-batch boundaries or at-least-once
+    replays.  ``n_events`` is a COUNT — linear (any split/permutation
+    merges exactly) but NOT idempotent: a replayed batch double-counts
+    it, so treat it as a volume indicator under exactly-once delivery
+    (foreachBatch + idempotent sink), not a replay-proof invariant —
+    the distinction the freshness property test pins.  Staleness vs
+    the stream head is a per-read join the consumer does on the tiny
+    snapshot (the head is itself just the max of this table)."""
     df = events
     return df.groupBy(key).agg(
         F.count("*").cast("bigint").alias("n_events"),
