@@ -14,6 +14,16 @@ join is the intended physical shape) — and the decision is recorded
 in an observable per-application log so a binding guard is visible
 to tests and operators instead of silent.
 
+Scope: the ITERATIVE family (PageRank / HITS / LPA / the modularity
+tag join), where a forced hint re-ships the O(nodes) table every
+round and an OOM would be systematic.  One-shot analytics joins that
+broadcast a derived O(nodes) side exactly once (trade_assortativity's
+degree attach, trade_neighbor_jaccard's size attach) keep their plain
+hints: guarding them would cost an extra count job per query for a
+single-shot risk AQE's runtime re-plan already mitigates, and at the
+node counts where the guard binds those queries' aggregates dominate
+anyway.
+
 Callers pass the exact node count when it is already materialized
 (PageRank needs ``nodes.count()`` for its teleport constants anyway)
 or a FREE upper bound derived from an already-materialized count

@@ -5,8 +5,11 @@ corpus run applies them:
   1. quality + language screen   (functions/text.py, zero-shuffle)
   2. PII scrub                   (functions/text.py, zero-shuffle)
   3. exact dedup, keep lowest id (functions/dedup.py, 1 shuffle)
-  4. near-dup clustering         (MinHash-LSH pairs -> connected
-                                  components -> keep cluster min)
+  4. consensus near-dup clustering (MinHash-LSH pairs confirmed by
+                                  embedding cosine -> connected
+                                  components -> keep cluster min —
+                                  the doc_emb_consensus_dedup
+                                  pattern)
   5. benchmark decontamination   (broadcast eval shingles)
   6. eval-side leak report       (which benchmark items to DROP from
                                   the eval set itself — the GPT-3
@@ -25,7 +28,8 @@ Every stage is a lazy DataFrame transformation — the whole pipeline
 is ONE Catalyst plan per action, and each stage's scale shape is
 documented in SCALE.md's shuffle inventory.  The same composition
 certified piecewise by the driver-oracle rows (doc_quality,
-doc_exact_dedup, doc_minhash_lsh, doc_dup_clusters,
+doc_exact_dedup, doc_minhash_lsh, doc_emb_consensus_dedup,
+doc_dup_clusters,
 doc_decontaminate, doc_eval_contamination, doc_weighted_sample,
 doc_hash_split, doc_pack_chunks).
 """
@@ -40,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
+from crypto_price_tracker_with_etl_dashboard_spark.functions import similarity as S
 from crypto_price_tracker_with_etl_dashboard_spark.functions import text as T
 from crypto_price_tracker_with_etl_dashboard_spark.functions.sampling import (
     hash_split,
@@ -79,9 +84,25 @@ def curate(spark, sf_dir: str, *, min_tokens: int = 5, lang: str = "en",
     exact_kept = screened.join(keep_exact, "doc_id")
     stats["after_exact_dedup"] = exact_kept.count()
 
-    # 4. near-dup clustering: LSH candidate pairs -> connected
-    #    components -> drop every doc that is not its cluster's min
+    # 4. near-dup clustering with CONSENSUS confirmation (the
+    #    doc_emb_consensus_dedup pattern, batch 64): a pair must clear
+    #    the text channel (LSH jaccard) AND the semantic channel
+    #    (embedding cosine on the aligned doc_id/vec_id key space)
+    #    before it can merge two docs into one dedup cluster —
+    #    template pages with swapped entities pass LSH but fail
+    #    cosine and survive.  Then connected components -> drop every
+    #    doc that is not its cluster's min.
     pairs = D.minhash_lsh_pairs(exact_kept).filter(F.col("est_jaccard") >= 0.8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__eb"))
+    pairs = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .filter(S.cosine(F.col("__ea"), F.col("__eb")) >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    stats["consensus_pairs"] = pairs.count()
     comps = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
