@@ -90,6 +90,45 @@ def make_documents_sf10() -> None:
     print(f"documents (sf10): {n} rows -> {dst_dir}")
 
 
+def make_documents_sf100() -> None:
+    """10 further document replicas on top of .scale/sf10 (= 1000x
+    the driver's sf0.1 corpus, 5M docs): the THIRD decade for the
+    pair-bound dedup family.  Same salt discipline as the first two
+    levels — replica i2 of the second level injects ' zctN q'-style
+    tokens every 5th word at a THIRD layer, so cross-replica docs are
+    again not near-duplicates; doc_ids offset by i * 1e9 (sf10 ids
+    are < 1e9)."""
+    src = os.path.join(os.path.dirname(DST), "sf10", "documents.parquet")
+    if not os.path.exists(src):
+        raise SystemExit(
+            "build .scale/sf10 first (python tools/make_scale.py --documents-sf100x)"
+        )
+    dst_dir = os.path.join(os.path.dirname(DST), "sf100")
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    off3 = 1_000_000_000
+    parts = [
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        f" SELECT doc_id + CAST({i} AS BIGINT) * {off3} AS doc_id,"
+        f" CASE WHEN {i} = 0 THEN text ELSE"
+        "   array_to_string(list_transform(string_split(text, ' '),"
+        f"     (w, j) -> CASE WHEN j % 5 = 0 THEN w || ' zct{i}q' ELSE w END), ' ')"
+        " END AS text,"
+        f" lang, source FROM '{src}')"
+        for i in range(10)
+    ]
+    union = " UNION ALL ".join(parts)
+    con.execute(
+        f"COPY ({union}) TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM '{dst_dir}/documents.parquet'"
+    ).fetchone()[0]
+    print(f"documents (sf100): {n} rows -> {dst_dir}")
+
+
 def make_graph_emb_sf10() -> None:
     """10 further replicas of the sf1 graph/embedding tables (= 100x
     the driver's sf0.1) at .scale/sf10: lineitem + orders (the trade
@@ -183,6 +222,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--graph-emb-sf100x":
         make_graph_emb_sf10()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--documents-sf1000x":
+        make_documents_sf100()
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # The embedding decorrelation rolls by (i % dim); replicas > dim
