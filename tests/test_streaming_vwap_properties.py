@@ -81,3 +81,65 @@ def test_vwap_partials_merge_exactly_under_any_partition(
             merged[k] = (cn + n, cpv + pv, cv + v)
 
     assert merged == full
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),         # symbol
+            st.integers(1, 100_000),   # price cents
+            st.integers(0, 100),       # volume
+            st.integers(0, 29),        # minute (ties ACROSS rows allowed)
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    nparts=st.integers(1, 6),
+    seed=st.randoms(use_true_random=False),
+)
+def test_ohlc_tiebreak_is_arrival_order_invariant(spark, rows, nparts, seed):
+    """ohlc_candles with a tiebreak column: identical candles for any
+    input row order and any partitioning — min_by/max_by over the
+    (timestamp, tiebreak) struct is deterministic even with timestamp
+    ties, which is exactly why the twin demands the tiebreak column
+    (the reference stamps one timestamp per poll batch).  Volume uses
+    the exact fixed-point accumulator so sums cannot drift either."""
+    from crypto_price_tracker_with_etl_dashboard_spark.streaming.windows import (
+        ohlc_candles,
+    )
+
+    schema = (
+        "symbol string, current_price double, total_volume double,"
+        " timestamp timestamp, tiebreak bigint"
+    )
+
+    def run(rs, parts):
+        # the tiebreak is a UNIQUE per-row id (as event ids are in the
+        # real stream) riding with its row through any permutation —
+        # a duplicated (timestamp, tiebreak) key with different
+        # prices would be genuinely nondeterministic, which is the
+        # operator's documented input contract, not a test target
+        df = spark.createDataFrame(
+            [
+                ("ab"[s], c / 100.0, float(v), _T0 + dt.timedelta(minutes=m), tb)
+                for s, c, v, m, tb in rs
+            ],
+            schema,
+        ).repartition(parts)
+        return sorted(
+            (
+                r.symbol, r.window_start, r.open, r.high, r.low, r.close,
+                str(r.volume), r.n_ticks,
+            )
+            for r in ohlc_candles(
+                df, window="5 minutes", tiebreak_col="tiebreak",
+                exact_volume=True,
+            ).collect()
+        )
+
+    tagged = [(s_, c, v, m, i) for i, (s_, c, v, m) in enumerate(rows)]
+    want = run(tagged, 2)
+    shuffled = list(tagged)
+    seed.shuffle(shuffled)
+    assert run(shuffled, nparts) == want
