@@ -88,11 +88,20 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 # the committed 20-name COVERAGE.md shortlist; rotation returns to 12
 # slots and covers pool[122:134] = doc_langid (the r9-deferred name)
 # first, then doc_pack_chunks .. events_interarrival.
+#
+# r11: the 20 r10 debuts joined the pool at index 134 (the pre-insert
+# cursor), pushing the recorded start to 154 (= 134 + 20).  Debuts =
+# the committed 20-name COVERAGE.md shortlist (batch 64 first, r2
+# rule); rotation keeps 12 slots and covers pool[154:166] =
+# tpch_integrity .. events_incremental_agg — the oldest remaining
+# evidence (r6-r7 builds).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 10  # bump each round; indexes _ROTATION_STARTS
-_ROTATION_STARTS = {3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90, 10: 122}
+ROTATION_ROUND = 11  # bump each round; indexes _ROTATION_STARTS
+_ROTATION_STARTS = {
+    3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90, 10: 122, 11: 154,
+}
 
 FIXED_CORE: list[str] = [
     # reference parity core (7)
@@ -111,66 +120,65 @@ FIXED_CORE: list[str] = [
     "media_decode", "media_frame_sample",
 ]
 
-# r10 debuts (20): the committed COVERAGE.md r10 shortlist — the two
-# r9-built GEMM kernels (batches 62-63, the r2 new-work rule; with
-# r9's emb_kmeans_gemm they complete driver coverage of all three
-# production GEMM kernels), the MaxSim fold head certified side by
-# side with its kernel (r9 verdict ask #8), the two most expensive
-# tail-visible uncertified plans, and fifteen family heads across
-# still-uncertified families.
+# r11 debuts (20): the committed COVERAGE.md r11 shortlist — the two
+# r10-built batch-64 queries (the r2 new-work rule: consensus dedup +
+# the broadcast-guard audit row), then the most expensive tail-visible
+# uncertified plans (trade_ppr — the graph family's last uncertified
+# head — doc_curation_funnel, trade_closeness) and family heads across
+# still-uncertified families, cost-first per the r10 verdict ask #1.
 NEW_THIS_ROUND: list[str] = [
-    "emb_pq_gemm", "emb_maxsim_gemm", "emb_maxsim_topk",
-    "events_markov_stationary", "trade_neighbor_jaccard", "prices_garch_vol",
-    "events_survival_km", "trade_bfs_hops", "doc_hybrid_rrf", "events_kcore",
-    "media_scene_cuts", "media_audio_loudness", "prices_corr_matrix",
-    "prices_stochastic", "events_dau_mau", "orders_rfm_segments",
-    "doc_vocab_growth", "events_item_cf", "events_attribution",
-    "events_seasonality",
+    "doc_emb_consensus_dedup", "events_graph_broadcast_audit",
+    "trade_ppr", "doc_curation_funnel", "trade_closeness",
+    "events_user_forest", "doc_containment", "trade_cheapest_path",
+    "doc_winnow_overlap", "emb_pca_power", "emb_knn_outliers",
+    "parts_abc_xyz", "prices_heikin_ashi", "emb_binary_recall",
+    "prices_jump_detect", "doc_rake_keyphrases", "trade_assortativity",
+    "orders_pareto_report", "events_bloom_prefilter", "prices_lead_lag",
 ]
 
 # Names only — per-batch annotations live in COVERAGE.md's ledger.
-# r10 edits: the 21 r9 debuts joined at index 101 (the r10 pre-insert
+# r11 edits: the 20 r10 debuts joined at index 134 (the r11 pre-insert
 # cursor — consumed region, so they re-certify after a full loop);
-# the 20 r10 debuts left the pool for NEW_THIS_ROUND and rejoin at
-# the r11 cursor.
+# the 20 r11 debuts left the pool for NEW_THIS_ROUND and rejoin at
+# the r12 cursor.
 ROTATION_POOL: list[str] = [
-    "q11_important_stock", "emb_ann_lsh", "emb_pq_quantize",
-    "emb_pq_adc_topk", "doc_bm25_topk", "events_retention_cohorts",
-    "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_diversity",
-    "q17_small_quantity", "q18_large_volume", "q19_disjunctive_revenue",
-    "q20_heavy_shippers", "q21_last_shipper", "q22_idle_balance",
-    "top_orders_per_customer", "segment_order_stats", "emb_ivfadc_topk",
-    "emb_gemm_audit", "events_salted_join", "orders_bucketed_join",
-    "events_tumbling_5min", "prices_change_points", "events_sessionize",
-    "events_asof_join", "events_range_join", "events_moving_stats",
-    "events_daily_pivot", "events_unpivot", "prices_validity_intervals",
-    "orders_rollup", "media_image_decode", "doc_pii_scrub", "doc_repetition",
+    "q11_important_stock", "emb_ann_lsh", "emb_pq_quantize", "emb_pq_adc_topk",
+    "doc_bm25_topk", "events_retention_cohorts", "q2_min_cost_supplier",
+    "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_diversity", "q17_small_quantity",
+    "q18_large_volume", "q19_disjunctive_revenue", "q20_heavy_shippers",
+    "q21_last_shipper", "q22_idle_balance", "top_orders_per_customer",
+    "segment_order_stats", "emb_ivfadc_topk", "emb_gemm_audit",
+    "events_salted_join", "orders_bucketed_join", "events_tumbling_5min",
+    "prices_change_points", "events_sessionize", "events_asof_join",
+    "events_range_join", "events_moving_stats", "events_daily_pivot",
+    "events_unpivot", "prices_validity_intervals", "orders_rollup",
+    "media_image_decode", "doc_pii_scrub", "doc_repetition",
     "emb_scalar_quantize", "doc_mixture_sample", "emb_kmeans",
-    "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown",
-    "events_funnel", "emb_semdedup", "emb_knn_classify",
-    "events_value_outliers", "events_profile", "prices_ema_macd",
-    "doc_simhash_neardup", "trade_pagerank", "events_heavy_hitters",
-    "doc_token_bpe", "doc_fingerprint", "doc_winnow", "doc_hash_split",
-    "events_cube", "returned_orders_semi", "churned_customers_anti",
-    "user_cohort_setops", "events_json_extract", "daily_distinct_users",
-    "daily_approx_distinct_users", "event_value_quantiles",
-    "events_top_paths", "events_markov", "doc_bigram_topk",
-    "events_grouping_sets", "events_histogram", "emb_dim_stats",
-    "prices_trend", "doc_keep_best_dedup", "doc_ngram_lm_hit_rate",
-    "events_hll_rolling_wau", "media_frame_dups", "events_abandonment",
-    "doc_dup_transitivity", "lineitem_join_blowup", "events_triangles",
-    "doc_fuzzy_join", "doc_lsh_bucket_profile", "prices_overnight_intraday",
-    "prices_vol_signature", "emb_pq_subspace_distortion", "doc_ngram_jaccard",
-    "doc_top_terms", "emb_ivf_topk", "emb_cosine_neardup",
-    "event_value_quantiles_approx", "q1_pricing_summary",
-    "q3_shipping_priority", "q12_delay_priority", "display_snapshot",
-    "media_audio_decode", "doc_simhash", "doc_eval_contamination",
-    "doc_weighted_sample", "events_active_days_histogram",
-    "events_entry_exit", "doc_dup_cluster_stats", "doc_lsh_pr_audit",
-    "doc_lsh_calibration", "doc_sentence_dedup", "doc_incremental_dedup",
+    "prices_vwap_hourly", "prices_rsi", "prices_max_drawdown", "events_funnel",
+    "emb_semdedup", "emb_knn_classify", "events_value_outliers",
+    "events_profile", "prices_ema_macd", "doc_simhash_neardup",
+    "trade_pagerank", "events_heavy_hitters", "doc_token_bpe",
+    "doc_fingerprint", "doc_winnow", "doc_hash_split", "events_cube",
+    "returned_orders_semi", "churned_customers_anti", "user_cohort_setops",
+    "events_json_extract", "daily_distinct_users",
+    "daily_approx_distinct_users", "event_value_quantiles", "events_top_paths",
+    "events_markov", "doc_bigram_topk", "events_grouping_sets",
+    "events_histogram", "emb_dim_stats", "prices_trend", "doc_keep_best_dedup",
+    "doc_ngram_lm_hit_rate", "events_hll_rolling_wau", "media_frame_dups",
+    "events_abandonment", "doc_dup_transitivity", "lineitem_join_blowup",
+    "events_triangles", "doc_fuzzy_join", "doc_lsh_bucket_profile",
+    "prices_overnight_intraday", "prices_vol_signature",
+    "emb_pq_subspace_distortion", "doc_ngram_jaccard", "doc_top_terms",
+    "emb_ivf_topk", "emb_cosine_neardup", "event_value_quantiles_approx",
+    "q1_pricing_summary", "q3_shipping_priority", "q12_delay_priority",
+    "display_snapshot", "media_audio_decode", "doc_simhash",
+    "doc_eval_contamination", "doc_weighted_sample",
+    "events_active_days_histogram", "events_entry_exit",
+    "doc_dup_cluster_stats", "doc_lsh_pr_audit", "doc_lsh_calibration",
+    "doc_sentence_dedup", "doc_incremental_dedup",
     "events_community_modularity", "trade_hits", "events_communities",
     "events_hll_distinct", "emb_ivf_recall", "emb_mmr_rerank",
     "emb_kcenter_sample", "media_audio_vad", "media_image_ahash",
@@ -178,45 +186,48 @@ ROTATION_POOL: list[str] = [
     "doc_pack_chunks", "emb_label_centroids", "emb_hard_negatives",
     "emb_rp_project", "events_zorder_code", "orders_basket_affinity",
     "events_robust_outliers", "orders_merge_upsert", "doc_bigram_coverage",
-    "events_hopping_10m", "events_interarrival", "events_user_forest",
+    "events_hopping_10m", "events_interarrival",
+    # r10 debuts rejoined at the r11 pre-insert cursor (index 134)
+    "emb_pq_gemm", "emb_maxsim_gemm", "emb_maxsim_topk",
+    "events_markov_stationary", "trade_neighbor_jaccard", "prices_garch_vol",
+    "events_survival_km", "trade_bfs_hops", "doc_hybrid_rrf", "events_kcore",
+    "media_scene_cuts", "media_audio_loudness", "prices_corr_matrix",
+    "prices_stochastic", "events_dau_mau", "orders_rfm_segments",
+    "doc_vocab_growth", "events_item_cf", "events_attribution",
+    "events_seasonality",
+    # r11 rotation slice starts here (pool[154:166], _ROTATION_STARTS[11]=154)
     "tpch_integrity", "doc_token_drift", "doc_quality_percentile",
     "events_wow_trending", "events_split_leakage", "events_burst_detect",
     "events_value_gini", "emb_split_drift", "prices_twap_daily",
-    "events_eqdepth_histogram", "events_bloom_prefilter", "doc_containment",
-    "events_weighted_median", "events_incremental_agg", "events_ab_lift",
-    "prices_jump_detect", "doc_langid_confusion", "orders_cohort_ltv",
-    "prices_heikin_ashi", "events_cuped_lift", "events_holt_forecast",
-    "doc_curation_funnel", "orders_pareto_report", "prices_lead_lag",
-    "trade_cheapest_path", "emb_matryoshka_recall", "orders_benford_audit",
-    "events_ks_split", "events_winsorize", "prices_sharpe",
-    "lineitem_quantity_model", "events_cusum_drift", "events_type_hour_assoc",
-    "emb_pca_power", "events_conversion_latency", "orders_duplicate_payments",
-    "doc_cv_folds", "doc_rake_keyphrases", "trade_ppr",
-    "orders_incremental_join", "events_seq_pairs", "doc_winnow_overlap",
-    "trade_closeness", "prices_obv", "doc_chi2_terms", "doc_global_shuffle",
-    "emb_binary_topk", "prices_backtest_naive", "orders_backlog_series",
-    "events_rolling_wau", "prices_donchian", "trade_assortativity",
-    "doc_readability", "emb_knn_outliers", "doc_ngram_novelty",
+    "events_eqdepth_histogram", "events_weighted_median",
+    "events_incremental_agg", "events_ab_lift", "doc_langid_confusion",
+    "orders_cohort_ltv", "events_cuped_lift", "events_holt_forecast",
+    "emb_matryoshka_recall", "orders_benford_audit", "events_ks_split",
+    "events_winsorize", "prices_sharpe", "lineitem_quantity_model",
+    "events_cusum_drift", "events_type_hour_assoc",
+    "events_conversion_latency", "orders_duplicate_payments", "doc_cv_folds",
+    "orders_incremental_join", "events_seq_pairs", "prices_obv",
+    "doc_chi2_terms", "doc_global_shuffle", "emb_binary_topk",
+    "prices_backtest_naive", "orders_backlog_series", "events_rolling_wau",
+    "prices_donchian", "doc_readability", "doc_ngram_novelty",
     "events_bot_screen", "prices_volume_profile", "emb_centroid_margin",
     "orders_customer_migration", "media_image_histogram",
     "orders_aging_report", "doc_boilerplate_screen",
     "orders_supplier_herfindahl", "prices_var_historical",
     "events_bounce_rate", "events_sequence_violations", "events_did_lift",
-    "doc_dedup_by_source", "emb_ivf_list_balance", "emb_binary_recall",
-    "prices_amihud", "orders_benford_by_segment", "events_top_user_churn",
-    "emb_filtered_topk", "orders_repeat_intervals",
-    "events_position_attribution", "prices_beta", "events_slo_burn",
-    "doc_sampling_plan", "parts_abc_xyz", "events_stump_split",
+    "doc_dedup_by_source", "emb_ivf_list_balance", "prices_amihud",
+    "orders_benford_by_segment", "events_top_user_churn", "emb_filtered_topk",
+    "orders_repeat_intervals", "events_position_attribution", "prices_beta",
+    "events_slo_burn", "doc_sampling_plan", "events_stump_split",
     "prices_pair_spread", "lineitem_discount_elasticity",
     "events_growth_accounting", "emb_cluster_separation",
     "prices_weekday_effect", "events_user_diversity", "events_key_skew",
     "doc_zipf_check", "orders_revenue_recognition", "prices_variance_ratio",
     "nation_trade_balance", "supply_lead_time", "events_mde_power",
-    "parts_price_index", "prices_underwater_spells",
-    "events_peak_concurrency", "prices_momentum_deciles", "prices_kelly",
-    "events_hll_overlap", "supplier_scorecard", "events_srm_check",
-    "events_depth_conversion", "prices_roll_spread",
-    "events_seasonal_residuals", "media_binary_dedup",
+    "parts_price_index", "prices_underwater_spells", "events_peak_concurrency",
+    "prices_momentum_deciles", "prices_kelly", "events_hll_overlap",
+    "supplier_scorecard", "events_srm_check", "events_depth_conversion",
+    "prices_roll_spread", "events_seasonal_residuals", "media_binary_dedup",
     "trade_bottleneck_path", "doc_source_pair_dups", "prices_tail_ratio",
     "events_value_ab_welch", "parts_sourcing_depth", "media_audio_clipping",
     "prices_var_exceedances", "parts_brand_share_shift",
@@ -225,12 +236,12 @@ ROTATION_POOL: list[str] = [
     "orders_monthly_seasonal_index", "prices_corr_clusters",
     "lineitem_domain_audit", "doc_dup_length_bias", "events_session_fatigue",
     "prices_round_clustering", "emb_adc_recall", "emb_neardup_sweep",
-    "events_simpson_check", "events_freshness_report",
-    "prices_extreme_timing", "emb_storage_budget", "trade_graph_growth",
-    "parts_price_realization", "prices_ljung_box", "doc_chars_per_token",
-    "events_perceptron", "prices_higher_moments", "emb_pq_code_balance",
-    "doc_cross_lang_dups", "parts_return_rates", "prices_idio_vol_share",
-    "trade_degree_ccdf", "doc_prefix_clusters", "orders_split_shipments",
+    "events_simpson_check", "events_freshness_report", "prices_extreme_timing",
+    "emb_storage_budget", "trade_graph_growth", "parts_price_realization",
+    "prices_ljung_box", "doc_chars_per_token", "events_perceptron",
+    "prices_higher_moments", "emb_pq_code_balance", "doc_cross_lang_dups",
+    "parts_return_rates", "prices_idio_vol_share", "trade_degree_ccdf",
+    "doc_prefix_clusters", "orders_split_shipments",
     "customer_repeat_by_segment", "doc_dedup_idempotence",
     "events_dormancy_histogram", "parts_price_dispersion",
     "events_neyman_allocation", "prices_spread_volume_corr",
@@ -247,14 +258,11 @@ ROTATION_POOL: list[str] = [
     "supply_lead_time_trend", "events_new_user_share", "orders_aov_trend",
     "prices_variance_break", "trade_preferential_attachment",
     "customer_debt_cohort", "events_activity_streaks",
-    "supplier_lead_variability", "orders_priority_slas",
-    "orders_peak_to_mean", "doc_vocab_coverage_curve", "emb_ivf_list_purity",
-    "prices_beta_stability", "trade_components", "doc_char_gini",
-    "emb_distance_histogram", "region_revenue_trend",
-    "events_type_cooccurrence", "events_user_hhi_weekly",
-    "orders_priority_mix_drift",
-    # r10-built batch 64 (r11+ debut candidates)
-    "doc_emb_consensus_dedup", "events_graph_broadcast_audit",
+    "supplier_lead_variability", "orders_priority_slas", "orders_peak_to_mean",
+    "doc_vocab_coverage_curve", "emb_ivf_list_purity", "prices_beta_stability",
+    "trade_components", "doc_char_gini", "emb_distance_histogram",
+    "region_revenue_trend", "events_type_cooccurrence",
+    "events_user_hhi_weekly", "orders_priority_mix_drift",
 ]
 
 def current_window() -> list[str]:
