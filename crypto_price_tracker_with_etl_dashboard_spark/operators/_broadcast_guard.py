@@ -48,8 +48,15 @@ MAX_BROADCAST_NODES = 10_000_000
 
 # applicationId -> list of {op, n_nodes, limit, hinted} decision
 # records (appId keying: id(session) values are reused after GC —
-# the _BANDED_CACHE convention).
+# the _BANDED_CACHE convention).  Bounded two ways (r10 ADVICE): on
+# insert, records for OTHER application ids are evicted (the
+# _HITS_CACHE / _LPA_CACHE pop-on-entry convention — a finished
+# application's log would otherwise leak for the process lifetime),
+# and the live application's list is capped at _GUARD_LOG_MAX records
+# (oldest dropped), so a long-lived driver looping pagerank/hits/lpa
+# holds O(1) log memory without a manual clear_guard_log.
 _GUARD_LOG: dict[str, list[dict]] = {}
+_GUARD_LOG_MAX = 4096
 
 
 def guarded_broadcast(
@@ -61,9 +68,13 @@ def guarded_broadcast(
     lim = MAX_BROADCAST_NODES if limit is None else limit
     hinted = n_nodes <= lim
     app_id = df.sparkSession.sparkContext.applicationId
-    _GUARD_LOG.setdefault(app_id, []).append(
+    for stale in [k for k in _GUARD_LOG if k != app_id]:
+        _GUARD_LOG.pop(stale, None)
+    records = _GUARD_LOG.setdefault(app_id, [])
+    records.append(
         {"op": op, "n_nodes": int(n_nodes), "limit": int(lim), "hinted": hinted}
     )
+    del records[:-_GUARD_LOG_MAX]
     return F.broadcast(df) if hinted else df
 
 

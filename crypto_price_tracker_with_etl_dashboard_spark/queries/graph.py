@@ -1326,11 +1326,20 @@ register(
 # gated by operators/_broadcast_guard.py (r9 verdict ask #2): past
 # MAX_BROADCAST_NODES the hint is dropped and Catalyst/AQE plans the
 # join.  This row is the driver-certified observability side of that
-# guard — the graph's size against the threshold, i.e. exactly the
-# decision every LPA/PageRank/HITS round makes — so an operator can
-# see WHICH regime a dataset is in from a certified query instead of
-# a log.  (The guard's behavioral contract — hint dropped above the
-# threshold, bit-identical results either way — is pinned in
+# guard, reporting BOTH regimes a dataset can be in (r10 ADVICE):
+#   hint_fits  — the EXACT-count regime: n_nodes vs the limit, the
+#                decision PageRank makes (it materializes the exact
+#                node count for its teleport constants anyway);
+#   bound_fits — the FREE-upper-bound regime: 2*|edges| vs the limit,
+#                the bound LPA (|nbr| = 2|edges| mirrored rows), HITS
+#                and the modularity tag join actually pass, because
+#                for them an exact node count would cost an extra
+#                O(nodes) job per call.
+# In the band n_nodes <= limit < 2*|edges| the two columns diverge
+# (hint_fits=1, bound_fits=0) and every GUARDED round drops the hint
+# — the divergent band is pinned in tests/test_batch64.py.  (The
+# guard's behavioral contract — hint dropped above the threshold,
+# bit-identical results either way — is pinned in
 # tests/test_broadcast_guard.py; the decision log itself is
 # per-session state a SQL oracle cannot see.)
 #
@@ -1352,6 +1361,9 @@ def q_events_graph_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "n_edges",
         F.lit(MAX_BROADCAST_NODES).cast("bigint").alias("broadcast_limit"),
         (F.col("n_nodes") <= MAX_BROADCAST_NODES).cast("bigint").alias("hint_fits"),
+        (F.col("n_edges") * 2 <= MAX_BROADCAST_NODES)
+        .cast("bigint")
+        .alias("bound_fits"),
     )
 
 
@@ -1369,7 +1381,9 @@ def _broadcast_audit_sql() -> str:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
            CAST({MAX_BROADCAST_NODES} AS BIGINT) AS broadcast_limit,
            CAST((SELECT COUNT(*) FROM nodes) <= {MAX_BROADCAST_NODES} AS BIGINT)
-             AS hint_fits
+             AS hint_fits,
+           CAST((SELECT COUNT(*) FROM edges) * 2 <= {MAX_BROADCAST_NODES}
+                AS BIGINT) AS bound_fits
     """
 
 

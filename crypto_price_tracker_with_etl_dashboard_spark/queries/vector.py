@@ -3481,8 +3481,21 @@ _CONSENSUS_JACCARD = 0.5
 def q_doc_emb_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every LSH candidate pair scored on both channels: est_jaccard
     (the certified 16-hash estimate, exact dyadic k/16 doubles) and
-    cos_ppm (the certified round(round(cos,6)*1e6) integer grid), plus
-    the consensus verdict both thresholds agree on."""
+    cos_ppm (single-step half-away-from-zero quantization,
+    sign(cos)*floor(|cos|*1e6 + 0.5) — the maxsim_cos_ppm_udf rule,
+    expressed in Spark SQL so query and oracle share ONE rounding
+    rule; r10 ADVICE replaced the double-rounding
+    round(round(cos,6)*1e6)), plus the consensus verdict both
+    thresholds agree on.
+
+    The embedding attaches are LEFT joins (r10 ADVICE): a document
+    with no embedding row keeps its LSH pair visible with
+    cos_ppm NULL and consensus 0 (the semantic channel cannot
+    confirm, so the pair is not dropped) instead of silently
+    vanishing from the candidate set.  doc_id/vec_id are aligned in
+    the test corpus, so at certification SFs no NULL appears — the
+    contract matters for partial-coverage datasets.
+    """
     from crypto_price_tracker_with_etl_dashboard_spark.functions import dedup as D
     from crypto_price_tracker_with_etl_dashboard_spark.queries.text import (
         _BANDS,
@@ -3494,12 +3507,13 @@ def q_doc_emb_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__eb"))
-    cos_ppm = F.round(
-        F.round(S.cosine(F.col("__ea"), F.col("__eb")), 6) * 1000000.0
+    cos = S.cosine(F.col("__ea"), F.col("__eb"))
+    cos_ppm = (
+        F.signum(cos) * F.floor(F.abs(cos) * 1000000.0 + 0.5)
     ).cast("bigint")
     return (
-        pairs.join(ea, "doc_a")
-        .join(eb, "doc_b")
+        pairs.join(ea, "doc_a", "left")
+        .join(eb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
@@ -3511,12 +3525,13 @@ def q_doc_emb_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "est_jaccard",
             "cos_ppm",
-            (
-                (F.col("est_jaccard") >= _CONSENSUS_JACCARD)
-                & (F.col("cos_ppm") >= _CONSENSUS_COS_PPM)
-            )
-            .cast("bigint")
-            .alias("consensus"),
+            F.coalesce(
+                (
+                    (F.col("est_jaccard") >= _CONSENSUS_JACCARD)
+                    & (F.col("cos_ppm") >= _CONSENSUS_COS_PPM)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("consensus"),
         )
     )
 
@@ -3528,15 +3543,20 @@ def _consensus_sql() -> str:
 
     return f"""
     SELECT doc_a, doc_b, est_jaccard, cos_ppm,
-           CAST(est_jaccard >= {_CONSENSUS_JACCARD}
-                AND cos_ppm >= {_CONSENSUS_COS_PPM} AS BIGINT) AS consensus
+           CAST(COALESCE(est_jaccard >= {_CONSENSUS_JACCARD}
+                         AND cos_ppm >= {_CONSENSUS_COS_PPM}, FALSE)
+                AS BIGINT) AS consensus
     FROM (
-      SELECT l.doc_a, l.doc_b, l.est_jaccard,
-             CAST(round({_sql_cosine('ea.embedding', 'eb.embedding')}
-                        * 1000000.0) AS BIGINT) AS cos_ppm
-      FROM ({_minhash_sql()}) l
-      JOIN embeddings ea ON ea.vec_id = l.doc_a
-      JOIN embeddings eb ON eb.vec_id = l.doc_b
+      SELECT doc_a, doc_b, est_jaccard,
+             CAST(sign(cosv) * floor(abs(cosv) * 1000000.0 + 0.5)
+                  AS BIGINT) AS cos_ppm
+      FROM (
+        SELECT l.doc_a, l.doc_b, l.est_jaccard,
+               {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosv
+        FROM ({_minhash_sql()}) l
+        LEFT JOIN embeddings ea ON ea.vec_id = l.doc_a
+        LEFT JOIN embeddings eb ON eb.vec_id = l.doc_b
+      )
     )
     """
 

@@ -94,6 +94,22 @@ def curate(spark, sf_dir: str, *, min_tokens: int = 5, lang: str = "en",
     #    doc that is not its cluster's min.
     pairs = D.minhash_lsh_pairs(exact_kept).filter(F.col("est_jaccard") >= 0.8)
     emb = load_table(spark, sf_dir, "embeddings")
+    # The inner joins below assume full doc_id/vec_id coverage — a
+    # doc with no embedding row would silently lose its candidate
+    # pairs (exempting it from near-dup dedup), so ENFORCE coverage
+    # at load time instead of assuming it (r10 ADVICE).  On a
+    # partial-coverage corpus, left-join and treat a missing
+    # embedding as consensus=0 (the doc_emb_consensus_dedup pattern).
+    uncovered = (
+        exact_kept.select("doc_id")
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti")
+        .count()
+    )
+    if uncovered:
+        raise ValueError(
+            f"{uncovered} surviving docs have no embedding row; the "
+            "consensus stage would silently exempt them from dedup"
+        )
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__eb"))
     pairs = (

@@ -8,6 +8,7 @@ join strategy."""
 from __future__ import annotations
 
 import pytest
+from conftest import SF_SMALL
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators import (
@@ -84,12 +85,45 @@ def test_pagerank_and_hits_guard_same_result(spark, small_graph, monkeypatch):
     assert hits_below == hits_above
 
 
+def test_guard_log_prunes_other_applications_on_insert(spark, small_graph):
+    """Two sequential Spark applications must not cross-contaminate
+    the guard log (r10 verdict ask #8): the first insert under a new
+    applicationId evicts every other application's records — the
+    _HITS_CACHE pop-on-entry convention — so a finished application's
+    log cannot leak for the process lifetime."""
+    bg._GUARD_LOG["app-from-a-previous-session"] = [
+        {"op": "lpa", "n_nodes": 1, "limit": 1, "hinted": True}
+    ]
+    label_propagation(small_graph, iters=1).collect()
+    assert "app-from-a-previous-session" not in bg._GUARD_LOG
+    app_id = spark.sparkContext.applicationId
+    assert any(d["op"] == "lpa" for d in bg._GUARD_LOG.get(app_id, []))
+
+
+def test_guard_log_caps_per_app_length(spark, small_graph):
+    """The live application's record list is bounded at
+    _GUARD_LOG_MAX (oldest dropped) so a long-lived driver looping
+    graph operators holds O(1) log memory."""
+    app_id = spark.sparkContext.applicationId
+    bg.clear_guard_log(spark)
+    bg._GUARD_LOG[app_id] = [
+        {"op": f"filler-{i}", "n_nodes": 1, "limit": 1, "hinted": True}
+        for i in range(bg._GUARD_LOG_MAX)
+    ]
+    bg.guarded_broadcast(small_graph, 1, op="newest")
+    records = bg._GUARD_LOG[app_id]
+    assert len(records) == bg._GUARD_LOG_MAX
+    assert records[-1]["op"] == "newest"  # newest kept, oldest dropped
+    assert records[0]["op"] == "filler-1"
+    bg.clear_guard_log(spark)
+
+
 def test_modularity_query_guard_binds_and_matches(spark, monkeypatch):
     """events_community_modularity (queries/graph.py tag join) above
     vs below the threshold: identical certified rows."""
     from crypto_price_tracker_with_etl_dashboard_spark.queries import SPARK_QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     q = SPARK_QUERIES["events_community_modularity"]
     below = sorted(q(spark, sf).collect())
     monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
