@@ -7,12 +7,34 @@ the 100 TB side is edges, and the node table is GBs, not TBs).  But a
 FORCED ``F.broadcast`` hint has no escape hatch: at billions of nodes
 it would OOM the driver and executors rather than degrade.  This is
 the ``MAX_BAND_BUCKET`` treatment from ``functions/dedup.py`` applied
-to broadcasts: past a node-count threshold the hint is DROPPED — the
-join still runs, planned by Catalyst/AQE (sort-merge or shuffled-hash
-on the equijoin keys; at production scale the bucketed co-located
-join is the intended physical shape) — and the decision is recorded
-in an observable per-application log so a binding guard is visible
-to tests and operators instead of silent.
+to broadcasts: past a node-count threshold the forced-broadcast hint
+is REPLACED — and the decision is recorded in an observable
+per-application log so a binding guard is visible to tests and
+operators instead of silent.
+
+Above-threshold physical shape (r10 verdict ask #4 — previously the
+hint was dropped bare and Catalyst's sort-merge join re-shuffled the
+EDGE list, the 100 TB side, every iteration round): two pieces make
+the fallback co-located instead.
+
+1. ``guarded_broadcast`` returns the O(nodes) side with a
+   ``shuffle_hash`` hint: the per-round score table is the hash-build
+   side and the edge list STREAMS through the probe — no per-round
+   sort of the big side (a bare drop plans SMJ, which sorts the edge
+   partitions every round).
+2. The operators consult :func:`hint_will_fit` at build time and lay
+   their cached edge tables out with
+   :func:`colocate_for_guarded_joins` — one hash-partitioning on the
+   per-round equi-join key (LPA ``a``, PageRank ``src``, HITS ``src``
+   and ``dst``), paid ONCE.  ``InMemoryTableScan`` preserves that
+   outputPartitioning and ``localCheckpoint`` carries it across
+   rounds, so every round's join satisfies its edge-side distribution
+   requirement from the cache: ZERO Exchange on the edge side, only
+   the O(nodes) table shuffles per round
+   (``tests/test_broadcast_guard.py`` pins the plan both ways).
+   This is the in-memory equivalent of the bucketed-table layout in
+   ``operators/bucketing.py`` — at 100 TB the same effect comes from
+   writing the edge table bucketed on the node key at ingest.
 
 Scope: the ITERATIVE family (PageRank / HITS / LPA / the modularity
 tag join), where a forced hint re-ships the O(nodes) table every
@@ -59,12 +81,39 @@ _GUARD_LOG: dict[str, list[dict]] = {}
 _GUARD_LOG_MAX = 4096
 
 
+def hint_will_fit(n_nodes: int, limit: int | None = None) -> bool:
+    """The decision :func:`guarded_broadcast` will make for a table of
+    ``n_nodes`` rows (exact count or upper bound), WITHOUT logging it
+    — operators use this at build time to pick the co-located edge
+    layout before any per-round join exists."""
+    return n_nodes <= (MAX_BROADCAST_NODES if limit is None else limit)
+
+
+def colocate_for_guarded_joins(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition the (about-to-be-cached) edge-side table ONCE on
+    the per-round equi-join key(s), so every guarded round's join
+    reuses the cached layout with zero edge-side Exchange.  Partition
+    count pins to ``spark.sql.shuffle.partitions`` (an explicit
+    ``repartition`` is never AQE-coalesced, so the per-round O(nodes)
+    exchanges co-partition against it deterministically)."""
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
+    return df.repartition(n_part, *keys)
+
+
 def guarded_broadcast(
     df: DataFrame, n_nodes: int, *, op: str, limit: int | None = None
 ) -> DataFrame:
     """``F.broadcast(df)`` while ``n_nodes`` (exact count or upper
-    bound) fits under the threshold; past it, return ``df`` unhinted
-    and log the bind.  ``op`` names the call site in the log."""
+    bound) fits under the threshold; past it, return ``df`` hinted
+    ``shuffle_hash`` instead — the O(nodes) table becomes the
+    hash-BUILD side and the edge list streams (no per-round sort of
+    the big side; with the operator's co-located edge layout, no
+    per-round edge Exchange either) — and log the bind.  ``op`` names
+    the call site in the log.  Both hints only pick the physical join
+    strategy; results are bit-identical either way."""
     lim = MAX_BROADCAST_NODES if limit is None else limit
     hinted = n_nodes <= lim
     app_id = df.sparkSession.sparkContext.applicationId
@@ -75,7 +124,7 @@ def guarded_broadcast(
         {"op": op, "n_nodes": int(n_nodes), "limit": int(lim), "hinted": hinted}
     )
     del records[:-_GUARD_LOG_MAX]
-    return F.broadcast(df) if hinted else df
+    return F.broadcast(df) if hinted else df.hint("shuffle_hash")
 
 
 def guard_log(spark) -> list[dict]:

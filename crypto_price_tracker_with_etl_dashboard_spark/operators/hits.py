@@ -36,7 +36,12 @@ ZERO times after their build; each half-step is a map-side join plus
 one hash aggregate with map-side partials, and the L1 total is a
 1-row aggregate cross-joined back (never collected to the driver).
 Score lineage is truncated per round with localCheckpoint (the
-components.py lesson).
+components.py lesson).  Past MAX_BROADCAST_NODES the co-located
+fallback engages (operators/_broadcast_guard.py, r10 verdict ask #4):
+one cached edge layout per half-step key (src and dst — the two
+half-steps probe on different keys) plus the node table on node, and
+each half-step's shuffle_hash join streams its layout — still zero
+edge-side Exchange.
 """
 
 from __future__ import annotations
@@ -45,7 +50,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    colocate_for_guarded_joins,
     guarded_broadcast,
+    hint_will_fit,
 )
 
 UNIT = 10**6
@@ -104,13 +111,32 @@ def hits(
     # (each edge names two endpoints), and the edge count was already
     # materialized above — no extra count job; a conservative bound
     # only risks dropping a hint AQE's runtime size check re-adds.
+    if not hint_will_fit(n_nodes):
+        # The guard will drop the per-half-step score broadcasts: the
+        # two half-steps probe the edge list on DIFFERENT keys (hub
+        # step joins on src, authority step on dst), so keep one
+        # co-located cached layout per key — the dual-bucketing shape
+        # a production graph store writes at ingest — plus the node
+        # table on node.  Each half-step's shuffle_hash join then
+        # streams its edge layout with zero edge-side Exchange.
+        edges_by_src = colocate_for_guarded_joins(edges, src).cache()
+        edges_by_src.count()
+        edges_by_dst = colocate_for_guarded_joins(edges, dst).cache()
+        edges_by_dst.count()
+        nodes_co = colocate_for_guarded_joins(nodes, "node").cache()
+        nodes_co.count()
+        nodes.unpersist()
+        edges.unpersist()
+        nodes = nodes_co
+    else:
+        edges_by_src = edges_by_dst = edges
     h = nodes.select("node", F.lit(unit).cast("bigint").alias("h"))
     a = None
     for it in range(iters):
         # authority half-step: a_raw(v) = sum_{u->v} h(u) * w
         hr = h.select(F.col("node").alias("__hn"), F.col("h").alias("__hs"))
         a_raw = (
-            edges.join(
+            edges_by_src.join(
                 guarded_broadcast(hr, n_nodes, op="hits_hub"),
                 F.col(src) == F.col("__hn"),
             )
@@ -130,7 +156,7 @@ def hits(
         # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
         ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
         h_raw = (
-            edges.join(
+            edges_by_dst.join(
                 guarded_broadcast(ar, n_nodes, op="hits_auth"),
                 F.col(dst) == F.col("__an"),
             )
@@ -158,7 +184,7 @@ def hits(
         (F.col("h").cast("double") / unit).alias("hub"),
         (F.col("a").cast("double") / unit).alias("authority"),
     )
-    _HITS_CACHE[app_id] = [edges, nodes]
+    _HITS_CACHE[app_id] = [edges, edges_by_src, edges_by_dst, nodes]
     return out
 
 

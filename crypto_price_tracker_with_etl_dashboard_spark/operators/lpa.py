@@ -23,10 +23,12 @@ partials + an argmax agg on node.  The argmax is max(struct(count,
 -label)) — an aggregate, NOT a row_number window, so partial
 aggregation applies and no global sort sneaks in.  Label lineage is
 truncated per round with localCheckpoint (the components.py lesson).
-Past MAX_BROADCAST_NODES the hint is DROPPED automatically
-(operators/_broadcast_guard.py — AQE plans the equijoin, or
-pre-bucket labels and the mirrored edges on the node key for a
-co-located round) and the bind is recorded in the guard log.
+Past MAX_BROADCAST_NODES the broadcast swaps automatically to the
+co-located fallback (operators/_broadcast_guard.py, r10 verdict ask
+#4): the cached mirror is hash-partitioned on the per-round join key
+ONCE and each round's shuffle_hash join streams it — zero edge-side
+Exchange, only the O(nodes) label table shuffles per round — and the
+bind is recorded in the guard log.
 """
 
 from __future__ import annotations
@@ -35,7 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    colocate_for_guarded_joins,
     guarded_broadcast,
+    hint_will_fit,
 )
 
 _LPA_CACHE: dict[str, list] = {}
@@ -61,7 +65,7 @@ def label_propagation(
     app_id = edges.sparkSession.sparkContext.applicationId
     for prev in _LPA_CACHE.pop(app_id, []):
         prev.unpersist()
-    e.count()  # materialize before the mirror fan-out
+    n_edges = e.count()  # materialize before the mirror fan-out
     nbr = e.select(
         F.explode(
             F.array(
@@ -69,8 +73,18 @@ def label_propagation(
                 F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
             )
         ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).cache()
-    n_nodes = nbr.count()  # materializes the cache; also the guard's node bound
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # |nbr| = 2*|edges| exactly (each edge mirrors once) — the guard's
+    # free node bound, no extra count job
+    n_nodes = 2 * n_edges
+    if not hint_will_fit(n_nodes):
+        # the guard will drop the per-round broadcast: lay the cached
+        # mirror out hash-partitioned on the per-round join key ONCE,
+        # so every round's shuffle_hash join streams it with zero
+        # edge-side Exchange (only the O(nodes) label table shuffles)
+        nbr = colocate_for_guarded_joins(nbr, "a")
+    nbr = nbr.cache()
+    nbr.count()  # materializes the cache
     labels = nbr.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

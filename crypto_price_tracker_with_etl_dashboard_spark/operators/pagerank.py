@@ -22,10 +22,12 @@ times after its one build; each round costs one map-side join plus
 one hash aggregate on dst with map-side partials (O(nodes x tasks)
 exchange).  Correct while ranks fit executor memory (|nodes| <<
 |edges|, the usual link-graph shape); past MAX_BROADCAST_NODES the
-two hints are DROPPED automatically (operators/_broadcast_guard.py —
-AQE plans the equijoin; pre-bucketing edges and ranks on the key
-makes the round a co-located join, still no edge shuffle) and the
-bind is recorded in the observable guard log.
+co-located fallback engages automatically
+(operators/_broadcast_guard.py, r10 verdict ask #4): the edge list is
+hash-partitioned on src ONCE, the node table on node, and every
+round's shuffle_hash join streams the cached layouts — still zero
+edge-side Exchange per round — with the bind recorded in the
+observable guard log.
 Rank lineage is truncated each round with localCheckpoint (the
 connected-components lesson — an unpersisted iteration chain
 re-derives the whole prefix per round).  The driver holds exactly
@@ -42,7 +44,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+    colocate_for_guarded_joins,
     guarded_broadcast,
+    hint_will_fit,
 )
 
 UNIT = 10**9
@@ -99,13 +103,33 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if not hint_will_fit(n):
+        # The guard will drop the per-round rank broadcast: pay ONE
+        # hash-partitioning of the edge list on the per-round join
+        # key (src) and of the node table on node, so every round's
+        # shuffle_hash join streams the cached layouts with zero
+        # edge-side Exchange — only the O(nodes) rank table shuffles
+        # per round (the bucketed-table shape of operators/
+        # bucketing.py, held in memory).  The raw edge cache is
+        # released: nodes is already materialized and outw builds
+        # from the co-located copy (where its groupBy(src) is
+        # exchange-free too).
+        edges_rt = colocate_for_guarded_joins(edges, src).cache()
+        edges_rt.count()
+        nodes_co = colocate_for_guarded_joins(nodes, "node").cache()
+        nodes_co.count()
+        nodes.unpersist()
+        edges.unpersist()
+        nodes = nodes_co
+    else:
+        edges_rt = edges
     # out-weights live on the BROADCAST side, not on an enriched
     # edge copy: joining W onto the edge list materialized a second
     # edge-sized cache (~2s at sf0.1) the rank broadcast makes
     # redundant — per round the O(nodes) (rank, W) table is joined
     # map-side onto the one cached edge list.
     outw = (
-        edges.groupBy(src)
+        edges_rt.groupBy(src)
         .agg(F.sum(weight).cast("bigint").alias("__ow"))
         .select(F.col(src).alias("__onode"), "__ow")
         .cache()
@@ -139,7 +163,7 @@ def pagerank(
         # (100 TB-side) edge list is never shuffled after its one
         # build — each round is a map-side join + one
         # O(nodes x tasks) partial aggregate
-        contrib = edges.join(
+        contrib = edges_rt.join(
             guarded_broadcast(r, n, op="pagerank_rank"),
             F.col(src) == F.col("__rnode"),
         ).select(
@@ -174,7 +198,7 @@ def pagerank(
     out = ranks.select(
         "node", (F.col("pr").cast("double") / unit).alias("pagerank")
     )
-    _PR_CACHE[app_id] = [edges, nodes, outw]
+    _PR_CACHE[app_id] = [edges, edges_rt, nodes, outw]
     return out
 
 

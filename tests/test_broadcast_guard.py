@@ -1,11 +1,14 @@
 """The iterative graph family's O(nodes) broadcast guard (r9 verdict
 ask #2): past MAX_BROADCAST_NODES the forced ``F.broadcast`` hint is
-DROPPED (Catalyst/AQE plans the equijoin) instead of OOMing, the bind
-is observable in the guard log, and — crucially — results are
-bit-identical either way, because the hint only picks the physical
-join strategy."""
+swapped for a ``shuffle_hash`` hint and the cached edge layout is
+co-located on the per-round join key (r10 verdict ask #4) instead of
+OOMing, the bind is observable in the guard log, and — crucially —
+results are bit-identical either way, because the hints and the
+layout only pick the physical join strategy."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 from conftest import SF_SMALL
@@ -42,13 +45,17 @@ def test_lpa_hint_dropped_above_threshold_same_result(
     )
     log = bg.guard_log(spark)
     assert log and all(d["hinted"] for d in log if d["op"] == "lpa")
-    assert "ResolvedHint" in _analyzed(label_propagation(small_graph, iters=2))
+    assert "strategy=broadcast" in _analyzed(label_propagation(small_graph, iters=2))
 
     monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
     bg.clear_guard_log(spark)
     above_df = label_propagation(small_graph, iters=2)
-    # no broadcast hint anywhere in the plan once the guard binds
-    assert "ResolvedHint" not in _analyzed(above_df)
+    # no broadcast hint anywhere in the plan once the guard binds —
+    # the O(nodes) side carries a shuffle_hash hint instead (it
+    # becomes the hash-BUILD side; the edge list streams)
+    analyzed = _analyzed(above_df)
+    assert "strategy=broadcast" not in analyzed
+    assert "strategy=shuffle_hash" in analyzed
     above = sorted(above_df.collect(), key=lambda r: r.node)
     log = bg.guard_log(spark)
     assert log and all(not d["hinted"] for d in log if d["op"] == "lpa")
@@ -65,24 +72,100 @@ def test_pagerank_and_hits_guard_same_result(spark, small_graph, monkeypatch):
     )
     pr_below = sorted(pagerank(weighted, iters=2).collect())
     hits_below_df = hits(weighted, iters=2)
-    hits_hints_below = _analyzed(hits_below_df).count("ResolvedHint")
+    hits_hints_below = _analyzed(hits_below_df).count("strategy=broadcast")
     hits_below = sorted(hits_below_df.collect())
 
     monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
     bg.clear_guard_log(spark)
     pr_above_df = pagerank(weighted, iters=2)
-    assert "ResolvedHint" not in _analyzed(pr_above_df)
+    assert "strategy=broadcast" not in _analyzed(pr_above_df)
+    assert "strategy=shuffle_hash" in _analyzed(pr_above_df)
     pr_above = sorted(pr_above_df.collect())
     hits_above_df = hits(weighted, iters=2)
-    # hits keeps its 1-row L1-total scalar-attach hints (bounded by
-    # construction) — only the O(nodes) hints must disappear
-    assert _analyzed(hits_above_df).count("ResolvedHint") < hits_hints_below
+    # hits keeps its 1-row L1-total scalar-attach broadcast hints
+    # (bounded by construction) — only the O(nodes) hints must swap
+    assert _analyzed(hits_above_df).count("strategy=broadcast") < hits_hints_below
     hits_above = sorted(hits_above_df.collect())
 
     ops = {d["op"] for d in bg.guard_log(spark) if not d["hinted"]}
     assert {"pagerank_rank", "pagerank_sum", "hits_hub", "hits_auth"} <= ops
     assert pr_below == pr_above
     assert hits_below == hits_above
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Pin the SHJ fallback plan: AQE's runtime size check would
+    broadcast the tiny test-side anyway (also a no-edge-shuffle plan,
+    but not the one that exists at real above-threshold sizes)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _edge_side_ensure_exchanges(plan: str, keys: tuple[str, ...]) -> list[str]:
+    """Per-round ENSURE_REQUIREMENTS exchanges whose partitioning key
+    is an edge-side column — the re-shuffle-the-100TB-side pattern the
+    co-located layout must eliminate.  The one-time layout exchange is
+    tagged REPARTITION_BY_NUM and lives inside the cached relation, so
+    it never matches."""
+    pat = "|".join(re.escape(k) for k in keys)
+    return re.findall(
+        rf"Exchange hashpartitioning\((?:{pat})#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+        plan,
+    )
+
+
+def test_lpa_above_threshold_edge_side_never_reshuffled(
+    spark, small_graph, monkeypatch, no_auto_broadcast
+):
+    """r10 verdict ask #4: above the threshold, TWO consecutive LPA
+    rounds stream the co-located cached mirror through shuffle_hash
+    joins with ZERO Exchange on the edge side — only the O(nodes)
+    label table shuffles per round.  localCheckpoint is disabled so
+    the final plan holds both rounds."""
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = label_propagation(small_graph, iters=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2  # both rounds present
+    assert _edge_side_ensure_exchanges(plan, ("a",)) == []
+    # the per-round O(nodes) exchanges ARE there (the label side)
+    assert len(re.findall(r"Exchange hashpartitioning\(__ln#\d+", plan)) >= 2
+
+
+def test_pagerank_hits_above_threshold_edge_side_never_reshuffled(
+    spark, small_graph, monkeypatch, no_auto_broadcast
+):
+    """Same pin for the directed operators: pagerank streams its
+    src-partitioned layout, hits streams one layout per half-step key
+    (src for the hub step, dst for the authority step)."""
+    from pyspark.sql import DataFrame
+
+    weighted = small_graph.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.lit(1).alias("w")
+    )
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    pr = pagerank(weighted, iters=2)
+    pr.collect()
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert _edge_side_ensure_exchanges(plan, ("src",)) == []
+
+    h = hits(weighted, iters=2)
+    h.collect()
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert _edge_side_ensure_exchanges(plan, ("src", "dst")) == []
 
 
 def test_guard_log_prunes_other_applications_on_insert(spark, small_graph):
