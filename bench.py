@@ -318,6 +318,9 @@ HEADLINE = [
     # r10 batch 64
     "doc_emb_consensus_dedup",
     "events_graph_broadcast_audit",
+    # r11 batch 65
+    "events_ktruss",
+    "doc_idf_weighted_jaccard",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -263,6 +263,8 @@ ROTATION_POOL: list[str] = [
     "trade_components", "doc_char_gini", "emb_distance_histogram",
     "region_revenue_trend", "events_type_cooccurrence",
     "events_user_hhi_weekly", "orders_priority_mix_drift",
+    # r11-built batch 65 (r12+ debut candidates)
+    "events_ktruss", "doc_idf_weighted_jaccard",
 ]
 
 def current_window() -> list[str]:

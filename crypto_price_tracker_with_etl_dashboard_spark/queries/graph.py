@@ -36,6 +36,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
     kcore,
     sql_kcore,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators.ktruss import (
+    ktruss,
+    sql_ktruss,
+)
 from crypto_price_tracker_with_etl_dashboard_spark.operators.hierarchy import (
     resolve_forest,
     sql_resolve_forest,
@@ -1391,4 +1395,39 @@ register(
     "events_graph_broadcast_audit",
     q_events_graph_broadcast_audit,
     _broadcast_audit_sql(),
+)
+
+
+# ---- k-truss core extraction (batch 65) -------------------------------------
+# The edge-cohesion core of the co-occurrence graph: an edge survives
+# while it closes >= k-2 triangles with OTHER surviving edges — the
+# clique-ish backbone a degree-based k-core cannot isolate (a star
+# hub has high degree, zero support).  k = 3 (support >= 1): the
+# hour-cell co-occurrence graph is triangle-sparse by construction
+# (cells are small cliques, cross-cell triangles are rare), so k = 4
+# peels it EMPTY at every certified SF — the 3-truss is the level
+# that isolates a non-trivial backbone here.  Fixed 2-round peel
+# reporting each survivor's survival support (operators/ktruss.py),
+# so the DuckDB oracle unrolls CTE-for-CTE; pure integer support
+# counts, engine-exact.
+#
+# Scale shape: 2 triangle passes (one per peel), each the certified
+# degree-oriented O(m^1.5) wedge plan over a SHRINKING cached edge
+# set; all keys bigint, no floats.
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 2
+
+
+def q_events_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ktruss(
+        _cooccur_edges(spark, sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    ).orderBy(F.col("support").desc(), "u", "v")
+
+
+register(
+    "events_ktruss",
+    q_events_ktruss,
+    sql_ktruss(_TRI_EDGES_CTE, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    + " ORDER BY support DESC, u, v",
 )

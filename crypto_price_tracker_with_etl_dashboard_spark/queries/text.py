@@ -4068,3 +4068,124 @@ register(
     FROM buckets GROUP BY band_idx ORDER BY band_idx
     """,
 )
+
+
+# ---- IDF-weighted Jaccard near-dup rescoring (batch 65) ---------------------
+# Plain Jaccard counts every shared shingle equally, so boilerplate
+# ("all rights reserved...") inflates similarity between unrelated
+# docs while a shared RARE passage — the actual near-dup signal —
+# is diluted.  Production dedup weighs each shingle by rarity
+# (IDF) and scores sum_intersection(w) / sum_union(w).  Weights are
+# INTEGER idf surrogates, w = (1000 * n_docs_in_lang) div df — the
+# monotone-in-idf rational form, so every score is exact BIGINT
+# arithmetic on the ppm grid (no ln(), whose last-ulp behavior libm
+# does not pin cross-engine).
+#
+# Scale shape: the same inverted-index posting join as
+# doc_ngram_jaccard (shuffle on (lang, shingle), never all-pairs)
+# with the same stop-shingle df cap (<= _NGRAM_MAX_DF) bounding any
+# single posting key at C(100, 2) pairs; df/doc-total aggregates are
+# one extra shuffle each over the postings; the pair table then
+# attaches two O(1) totals per row.  Weight magnitudes: w <= 1000 *
+# n_docs, per-doc totals <= shingles/doc * w, and the ppm numerator
+# 1e6 * inter_w stays far inside BIGINT at any certified SF.
+
+_IDF_WJ_MIN_PPM = 100_000  # 0.1 on the ppm grid, the ngram_jaccard bar
+_IDF_W_SCALE = 1000
+
+
+def q_doc_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("__t"))
+    post = toks.select(
+        "lang",
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("__t"))).alias("shingle"),
+    )
+    dfreq = post.groupBy("lang", "shingle").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    ndocs = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    kept = (
+        post.join(dfreq.filter(F.col("df") <= _NGRAM_MAX_DF), ["lang", "shingle"])
+        .join(F.broadcast(ndocs), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            "shingle",
+            F.expr(f"({_IDF_W_SCALE} * n_docs) div df").alias("w"),
+        )
+    )
+    tot = kept.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("tw"))
+    a = kept.select(
+        "lang", "shingle", F.col("doc_id").alias("doc_a"), "w"
+    )
+    b = kept.select("lang", "shingle", F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").cast("bigint").alias("inter_w"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("__ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("__tb"))
+    wj = F.expr("(1000000 * inter_w) div (__ta + __tb - inter_w)")
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_w",
+            wj.cast("bigint").alias("wj_ppm"),
+        )
+        .filter(F.col("wj_ppm") >= _IDF_WJ_MIN_PPM)
+    )
+
+
+register(
+    "doc_idf_weighted_jaccard",
+    q_doc_idf_weighted_jaccard,
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS s FROM documents
+    ),
+    post AS (
+      SELECT lang, doc_id, unnest(s) AS shingle FROM sh
+    ),
+    dfreq AS (
+      SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df
+      FROM post GROUP BY lang, shingle
+    ),
+    nd AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    kept AS (
+      SELECT p.lang, p.doc_id, p.shingle,
+             ({_IDF_W_SCALE} * n.n_docs) // d.df AS w
+      FROM post p
+      JOIN dfreq d ON d.lang = p.lang AND d.shingle = p.shingle
+      JOIN nd n ON n.lang = p.lang
+      WHERE d.df <= {_NGRAM_MAX_DF}
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM kept GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w) AS BIGINT) AS inter_w
+      FROM kept a
+      JOIN kept b ON a.lang = b.lang AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_w, wj_ppm FROM (
+      SELECT i.doc_a, i.doc_b, i.inter_w,
+             CAST((1000000 * i.inter_w) // (ta.tw + tb.tw - i.inter_w)
+                  AS BIGINT) AS wj_ppm
+      FROM inter i
+      JOIN tot ta ON ta.doc_id = i.doc_a
+      JOIN tot tb ON tb.doc_id = i.doc_b
+    )
+    WHERE wj_ppm >= {_IDF_WJ_MIN_PPM}
+    """,
+)

@@ -107,7 +107,8 @@ def make_documents_sf100() -> None:
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
-    off3 = 1_000_000_000
+    # CAST: DuckDB folds {i} * off3 in INT32 otherwise and overflows
+    off3 = "CAST(1000000000 AS BIGINT)"
     parts = [
         "SELECT doc_id, text, lang, source,"
         " CAST(length(text) AS BIGINT) AS n_chars FROM ("
@@ -216,6 +217,73 @@ def make_graph_emb_sf10() -> None:
     print("done ->", dst_dir)
 
 
+def make_graph_sf100() -> None:
+    """10 further replicas of the sf10 graph tables (= 1000x the
+    driver's sf0.1) at .scale/sf100: events (the co-occurrence graph)
+    plus lineitem + orders (the trade graph) — the r10 verdict's ask
+    #5 (graph family third decade; dedup already has three measured
+    decades, graph owned the five most expensive bench rows with two).
+
+    Same discipline as the second level: keys offset by i * 1B (sf10
+    keys are < 10 * 100M = 1B) so the hundred resulting subgraphs are
+    DISJOINT — nodes and edges scale 10x again; events ts shifts by
+    i * 3700 days, clearing the whole sf10 span (sf0.1 base year +
+    second-level shifts up to 9 * 366 days ~ 3294 + 366 < 3700), so
+    co-occurrence (props.k, hour) cells stay disjoint across replicas
+    (the documented sf10 lesson: unshifted replicas densify cells and
+    the pair stage goes quadratic).  Embeddings/documents are not
+    built here — this level exists for the graph family only."""
+    src_dir = os.path.join(os.path.dirname(DST), "sf10")
+    for t in ("events", "lineitem", "orders"):
+        if not os.path.exists(os.path.join(src_dir, f"{t}.parquet")):
+            raise SystemExit(
+                "build .scale/sf10 first (python tools/make_scale.py "
+                "--graph-emb-sf100x)"
+            )
+    dst_dir = os.path.join(os.path.dirname(DST), "sf100")
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # CAST: DuckDB folds {i} * off3 in INT32 otherwise and overflows
+    off3 = "CAST(1000000000 AS BIGINT)"
+
+    def build100(table: str, select_tpl: str) -> None:
+        src = f"'{src_dir}/{table}.parquet'"
+        union = " UNION ALL ".join(
+            select_tpl.format(i=i, src=src) for i in range(10)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{dst_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst_dir}/{table}.parquet'"
+        ).fetchone()[0]
+        print(f"{table} (sf100): {n} rows")
+
+    build100(
+        "events",
+        "SELECT event_id + {i} * " + str(off3) + " AS event_id,"
+        " ts + INTERVAL ({i} * 3700) DAY AS ts,"
+        " user_id + {i} * " + str(off3) + " AS user_id,"
+        " event_type, value, props FROM {src}",
+    )
+    build100(
+        "orders",
+        "SELECT o_orderkey + {i} * " + str(off3) + " AS o_orderkey,"
+        " o_custkey + {i} * " + str(off3) + " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src}",
+    )
+    build100(
+        "lineitem",
+        "SELECT l_orderkey + {i} * " + str(off3) + " AS l_orderkey,"
+        " l_partkey + {i} * " + str(off3) + " AS l_partkey,"
+        " l_suppkey + {i} * " + str(off3) + " AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM {src}",
+    )
+    print("done ->", dst_dir)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--documents-sf100x":
         make_documents_sf10()
@@ -225,6 +293,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--documents-sf1000x":
         make_documents_sf100()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--graph-sf1000x":
+        make_graph_sf100()
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # The embedding decorrelation rolls by (i % dim); replicas > dim
