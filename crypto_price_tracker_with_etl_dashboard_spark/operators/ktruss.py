@@ -93,6 +93,7 @@ def ktruss(
     rounds: int = 2,
     src: str = "u",
     dst: str = "v",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Surviving edges after ``rounds`` synchronous k-truss peels:
     one row ``(u, v, support)`` per edge still present, reporting the
@@ -105,7 +106,16 @@ def ktruss(
     choice CTE-for-CTE.
 
     ``edges`` holds each undirected edge once as (u, v), u < v, no
-    self-loops (the triangle_counts input contract)."""
+    self-loops (the triangle_counts input contract).
+
+    ``max_degree`` is the celebrity-node guard (the triangle_counts
+    precedent — SAME graph, same failure): the peel runs on the
+    subgraph induced by nodes whose FULL-graph degree is <= the cap.
+    On a densified near-complete graph the support pass's wedge
+    stage is Theta(n^3) (the sf1 co-occurrence replica wedged this
+    operator for >10 min uncapped); capped, wedge volume is
+    <= n * C(max_degree, 2).  At every certified SF the max observed
+    degree is far below the cap, so oracle results are unchanged."""
     if k < 3:
         raise ValueError(f"k must be >= 3 (k-2 >= 1 support), got {k}")
     if rounds < 1:
@@ -116,6 +126,19 @@ def ktruss(
         prev.unpersist()
     e.count()  # materialize before the multi-branch support pass
     held = [e]
+    if max_degree is not None:
+        keep = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") <= max_degree)
+            .select("node")
+        )
+        ku = keep.select(F.col("node").alias("u"))
+        kv = keep.select(F.col("node").alias("v"))
+        e = e.join(ku, "u").join(kv, "v").select("u", "v").cache()
+        e.count()
+        held.append(e)
     kept = None
     for _ in range(rounds):
         sup = _edge_support(e)
@@ -134,7 +157,12 @@ def ktruss(
     return kept
 
 
-def sql_ktruss(edges_cte: str, k: int = 4, rounds: int = 2) -> str:
+def sql_ktruss(
+    edges_cte: str,
+    k: int = 4,
+    rounds: int = 2,
+    max_degree: int | None = None,
+) -> str:
     """DuckDB twin, peels unrolled one CTE triple per round.
     ``edges_cte`` must end in a CTE named ``edges`` with (u, v),
     u < v, each undirected edge once.  Every unrolled CTE is
@@ -170,8 +198,23 @@ def sql_ktruss(edges_cte: str, k: int = 4, rounds: int = 2) -> str:
       WHERE s.support >= {k - 2}
     )""")
         prev = nxt
+    if max_degree is None:
+        e0 = "e0 AS MATERIALIZED (SELECT u, v FROM edges)"
+    else:
+        e0 = f"""keepn AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+      ) WHERE deg <= {max_degree}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT e.u, e.v FROM edges e
+      JOIN keepn a ON a.node = e.u
+      JOIN keepn b ON b.node = e.v
+    )"""
     return f"""
     WITH {edges_cte},
-    e0 AS MATERIALIZED (SELECT u, v FROM edges),{','.join(its)}
+    {e0},{','.join(its)}
     SELECT u, v, support FROM {prev}
     """

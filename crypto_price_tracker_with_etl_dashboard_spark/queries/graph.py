@@ -1413,7 +1413,11 @@ register(
 #
 # Scale shape: 2 triangle passes (one per peel), each the certified
 # degree-oriented O(m^1.5) wedge plan over a SHRINKING cached edge
-# set; all keys bigint, no floats.
+# set; all keys bigint, no floats.  The _MAX_NODE_DEGREE celebrity
+# cap applies (the triangle_counts precedent — same graph, same
+# densified-sf1 failure: uncapped, the near-complete replica wedges
+# the support pass); at certified SFs max degree is 136, so results
+# are unchanged.
 
 _KTRUSS_K = 3
 _KTRUSS_ROUNDS = 2
@@ -1421,13 +1425,21 @@ _KTRUSS_ROUNDS = 2
 
 def q_events_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(
-        _cooccur_edges(spark, sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+        _cooccur_edges(spark, sf_dir),
+        k=_KTRUSS_K,
+        rounds=_KTRUSS_ROUNDS,
+        max_degree=_MAX_NODE_DEGREE,
     ).orderBy(F.col("support").desc(), "u", "v")
 
 
 register(
     "events_ktruss",
     q_events_ktruss,
-    sql_ktruss(_TRI_EDGES_CTE, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    sql_ktruss(
+        _TRI_EDGES_CTE,
+        k=_KTRUSS_K,
+        rounds=_KTRUSS_ROUNDS,
+        max_degree=_MAX_NODE_DEGREE,
+    )
     + " ORDER BY support DESC, u, v",
 )

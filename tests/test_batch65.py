@@ -45,6 +45,22 @@ def test_ktruss_survivors_meet_threshold_and_subset(spark, bowtie):
         assert (r.u, r.v) in edges  # u < v keying preserved
 
 
+def test_ktruss_max_degree_guard(spark, bowtie):
+    """The celebrity cap peels on the subgraph induced by nodes with
+    full-graph degree <= cap: capping at 2 drops nodes 2, 3, 4
+    (degrees 3/3/3) and with them every triangle — empty output —
+    while a non-binding cap changes nothing."""
+    assert ktruss(bowtie, k=3, rounds=1, max_degree=2).count() == 0
+    capped = sorted(
+        (r.u, r.v, r.support)
+        for r in ktruss(bowtie, k=3, rounds=2, max_degree=100).collect()
+    )
+    uncapped = sorted(
+        (r.u, r.v, r.support) for r in ktruss(bowtie, k=3, rounds=2).collect()
+    )
+    assert capped == uncapped
+
+
 def test_ktruss_validates_inputs(spark, bowtie):
     with pytest.raises(ValueError, match="k must be >= 3"):
         ktruss(bowtie, k=2)
