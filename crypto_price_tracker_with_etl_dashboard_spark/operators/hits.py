@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
     colocate_for_guarded_joins,
+    evict_stale_app_entries,
     guarded_broadcast,
     hint_will_fit,
 )
@@ -96,6 +97,7 @@ def hits(
         raise ValueError(f"iters must be >= 1, got {iters}")
     edges = edges.cache()
     app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_app_entries(_HITS_CACHE, app_id)
     for prev in _HITS_CACHE.pop(app_id, []):
         prev.unpersist()
     # materialize once before the two-branch node union; 2x this is
@@ -119,6 +121,17 @@ def hits(
         # a production graph store writes at ingest — plus the node
         # table on node.  Each half-step's shuffle_hash join then
         # streams its edge layout with zero edge-side Exchange.
+        #
+        # COST (r11 ADVICE): this holds TWO full edge-list copies at
+        # once, and the guard binds exactly when the graph is huge.
+        # Deliberate trade: both layouts are probed EVERY iteration
+        # (a lazy dst build would save nothing past round 1), and
+        # Dataset cache() defaults to StorageLevel.MEMORY_AND_DISK —
+        # partitions that don't fit SPILL to disk instead of OOMing,
+        # so the 2x footprint degrades to disk reads, never to the
+        # failure mode the guard exists to stop.
+        # The one-layout alternative re-shuffles the 100 TB side every
+        # round — strictly worse than spilling the second copy.
         edges_by_src = colocate_for_guarded_joins(edges, src).cache()
         edges_by_src.count()
         edges_by_dst = colocate_for_guarded_joins(edges, dst).cache()

@@ -120,12 +120,25 @@ def ktruss(
         raise ValueError(f"k must be >= 3 (k-2 >= 1 support), got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     app_id = edges.sparkSession.sparkContext.applicationId
+    from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+        evict_stale_app_entries,
+    )
+
+    evict_stale_app_entries(_KTRUSS_CACHE, app_id)
     for prev in _KTRUSS_CACHE.pop(app_id, []):
         prev.unpersist()
+    # Skip the cache when the CALLER already cached the input (r11
+    # ADVICE): re-caching an identical plan warns ("Asked to cache
+    # already cached data") and the pop-and-unpersist on the NEXT call
+    # would drop a cache entry a sibling operator on the same edge
+    # build still relies on, forcing a silent recompute.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    held = []
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        e = e.cache()
+        held.append(e)
     e.count()  # materialize before the multi-branch support pass
-    held = [e]
     if max_degree is not None:
         keep = (
             e.select(F.explode(F.array("u", "v")).alias("node"))

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
     colocate_for_guarded_joins,
+    evict_stale_app_entries,
     guarded_broadcast,
     hint_will_fit,
 )
@@ -63,6 +64,7 @@ def label_propagation(
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_app_entries(_LPA_CACHE, app_id)
     for prev in _LPA_CACHE.pop(app_id, []):
         prev.unpersist()
     n_edges = e.count()  # materialize before the mirror fan-out

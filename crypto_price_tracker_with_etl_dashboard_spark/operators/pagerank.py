@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
     colocate_for_guarded_joins,
+    evict_stale_app_entries,
     guarded_broadcast,
     hint_will_fit,
 )
@@ -88,6 +89,7 @@ def pagerank(
     # lineitem-orders join dominated and the 6 iterations cost 0.3s.
     edges = edges.cache()
     app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_app_entries(_PR_CACHE, app_id)
     for prev in _PR_CACHE.pop(app_id, []):
         prev.unpersist()
     # materialize the cache with ONE cheap action BEFORE the node

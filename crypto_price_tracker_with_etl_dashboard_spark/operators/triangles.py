@@ -39,6 +39,11 @@ _CACHE: dict[str, list[DataFrame]] = {}
 
 
 def _hold(app_id: str, *dfs: DataFrame) -> None:
+    from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
+        evict_stale_app_entries,
+    )
+
+    evict_stale_app_entries(_CACHE, app_id)
     prev = _CACHE.pop(app_id, None)
     if prev is not None:
         for d in prev:

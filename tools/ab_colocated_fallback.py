@@ -32,6 +32,9 @@ def main() -> int:
         _broadcast_guard as bg,
     )
     from crypto_price_tracker_with_etl_dashboard_spark.operators import hits as hm
+    from crypto_price_tracker_with_etl_dashboard_spark.operators import (
+        kcore as km,
+    )
     from crypto_price_tracker_with_etl_dashboard_spark.operators import lpa as lm
     from crypto_price_tracker_with_etl_dashboard_spark.operators import (
         pagerank as pm,
@@ -48,7 +51,7 @@ def main() -> int:
             lim = bg.MAX_BROADCAST_NODES if limit is None else limit
             return F.broadcast(df) if n_nodes <= lim else df
 
-        for mod in (pm, lm, hm):
+        for mod in (pm, lm, hm, km):
             mod.guarded_broadcast = bare
             mod.colocate_for_guarded_joins = lambda df, *k: df
 
