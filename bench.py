@@ -321,6 +321,9 @@ HEADLINE = [
     # r11 batch 65
     "events_ktruss",
     "doc_idf_weighted_jaccard",
+    # r12 batch 66
+    "events_core_number",
+    "events_bot_ring_screen",
 ]
 
 # Regression budget (BASELINE.md): a query is a breach when its

@@ -74,6 +74,21 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _mirror(e: DataFrame) -> DataFrame:
+    """Mirrored neighbor table (a, b), one row per edge DIRECTION
+    (the LPA shape): ONE join per peel round instead of two chained
+    endpoint semi-joins, and one co-located layout instead of the
+    dual layout the chained form would need above-threshold."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
 def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     """Nodes of the k-core with their in-core degree.
 
@@ -106,18 +121,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_alive = alive.count()
-    # mirrored neighbor table, one row per edge direction (the LPA
-    # shape: 2x the edge rows, but ONE join per round instead of two
-    # chained endpoint semi-joins — and one co-located layout, not
-    # the dual layout the chained form would need above-threshold)
-    nbr = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
-                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    nbr = _mirror(e)
     if not hint_will_fit(n_alive):
         # the guard will drop the per-round broadcast: lay the cached
         # mirror out hash-partitioned on the per-round join key ONCE,
@@ -153,6 +157,164 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
             )
         alive, n_alive = new_alive, n_new
     raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
+
+
+def core_decomposition(
+    edges: DataFrame, max_k: int = 8, rounds_per_level: int = 8
+) -> DataFrame:
+    """Per-node coreness, capped at ``max_k``: ``core(v)`` = the
+    largest ``k <= max_k`` such that ``v`` survives the k-core peel
+    (Matula & Beck's decomposition, batched by level).  The
+    graph-density analogue of a per-document quality score — ring
+    detection thresholds on it, sampling stratifies by it — where
+    :func:`kcore` answers only the single-threshold membership
+    question.
+
+    One running alive set peels at increasing thresholds k = 2..max_k
+    (every edge endpoint is trivially in the 1-core): because alive
+    sets shrink monotonically and thresholds only rise, a node dead
+    at any earlier level can never re-pass a later ``>= k`` filter —
+    the same monotonicity argument that justifies :func:`kcore`'s
+    single-join form, extended across levels.  So the whole
+    decomposition reuses ONE cached mirrored neighbor table and the
+    per-level peel is the identical guarded semi-join + hash
+    aggregate: broadcast below MAX_BROADCAST_NODES, co-located
+    shuffle_hash above it, zero edge-side Exchange either way.  The
+    guard bound is the entering alive count, already materialized for
+    the convergence check.  ``core(v) = 1 + #levels v survived``,
+    assembled with one union + hash aggregate at the end — no
+    per-level anti-joins.
+
+    Raises if any level fails to converge within
+    ``rounds_per_level`` — the contract that lets
+    :func:`sql_core_decomposition` unroll exactly that many rounds
+    per level (extra unrolled rounds are no-ops once converged).
+    """
+    if max_k < 1:
+        raise ValueError(f"max_k must be >= 1, got {max_k}")
+    app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_app_entries(_KCORE_CACHE, app_id)
+    for prev in _KCORE_CACHE.pop(app_id, []):
+        prev.unpersist()
+    held: list[DataFrame] = []
+    e = edges.select("u", "v")
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        e = e.cache()
+        held.append(e)
+    # the 1-core: every node incident to an edge
+    alive = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    base = alive
+    if max_k == 1:
+        _KCORE_CACHE[app_id] = held
+        return base.select(
+            "node", F.lit(1).cast("bigint").alias("core")
+        )
+    nbr = _mirror(e)
+    if not hint_will_fit(n_alive):
+        # the guard will bind at level 2 already (alive only shrinks
+        # from here): lay the cached mirror out hash-partitioned on
+        # the per-round join key ONCE — every level's every round
+        # then streams it with zero edge-side Exchange
+        nbr = colocate_for_guarded_joins(nbr, "b")
+    nbr = nbr.cache()
+    nbr.count()
+    held.append(nbr)
+    _KCORE_CACHE[app_id] = held
+    level_finals: list[DataFrame] = []
+    for k in range(2, max_k + 1):
+        converged = False
+        for _ in range(rounds_per_level):
+            al = alive.select(F.col("node").alias("__kb"))
+            deg = (
+                nbr.join(
+                    guarded_broadcast(al, n_alive, op="core_decomposition"),
+                    F.col("b") == F.col("__kb"),
+                    "left_semi",
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count("*").alias("deg"))
+            )
+            new_alive = (
+                deg.filter(F.col("deg") >= k).select("node")
+                .localCheckpoint(eager=True)
+            )
+            n_new = new_alive.count()
+            if n_new == n_alive:
+                converged = True
+                break
+            alive, n_alive = new_alive, n_new
+        if not converged:
+            raise RuntimeError(
+                f"core peel at k={k} did not converge in "
+                f"{rounds_per_level} rounds"
+            )
+        if n_alive == 0:
+            break  # every higher core is empty too
+        level_finals.append(alive)
+    survived = base.select("node").limit(0)
+    for fin in level_finals:
+        survived = survived.unionByName(fin.select("node"))
+    extra = survived.groupBy("node").agg(F.count("*").alias("__x"))
+    return base.join(extra, "node", "left").select(
+        "node",
+        (F.lit(1) + F.coalesce(F.col("__x"), F.lit(0)))
+        .cast("bigint")
+        .alias("core"),
+    )
+
+
+def sql_core_decomposition(
+    edges_cte: str, max_k: int, rounds_per_level: int
+) -> str:
+    """DuckDB mirror of :func:`core_decomposition`: for each level
+    k = 2..max_k, ``rounds_per_level`` unrolled in-subgraph peel
+    steps chained from the previous level's final alive set;
+    ``core = 1 + #levels survived``.  Valid whenever every level
+    converges within the unroll — the Spark operator raises
+    otherwise.  Alive CTEs are MATERIALIZED (each is referenced
+    twice by the next degree pass — the sql_kcore lesson)."""
+    parts = [edges_cte.rstrip().rstrip(",")]
+    parts.append("edges_m AS MATERIALIZED (SELECT u, v FROM edges)")
+    parts.append(
+        """af1 AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT unnest([u, v]) AS node FROM edges_m
+      )
+    )"""
+    )
+    prev = "af1"
+    finals = []
+    for k in range(2, max_k + 1):
+        for r in range(1, rounds_per_level + 1):
+            cur = f"a{k}_{r}"
+            parts.append(
+                f"""{cur} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT unnest([u, v]) AS node FROM edges_m
+          WHERE u IN (SELECT node FROM {prev})
+            AND v IN (SELECT node FROM {prev})
+        ) GROUP BY node
+      ) WHERE deg >= {k}
+    )"""
+            )
+            prev = cur
+        finals.append(prev)
+    membership = " + ".join(
+        f"(CASE WHEN n.node IN (SELECT node FROM {f}) THEN 1 ELSE 0 END)"
+        for f in finals
+    ) or "0"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT n.node, CAST(1 + {membership} AS BIGINT) AS core"
+        + "\n    FROM af1 n"
+    )
 
 
 def sql_kcore(edges_cte: str, k: int, rounds: int) -> str:

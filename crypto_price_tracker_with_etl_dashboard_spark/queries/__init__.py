@@ -289,6 +289,8 @@ ROTATION_POOL: list[str] = [
     "trade_components", "doc_char_gini", "emb_distance_histogram",
     "region_revenue_trend", "events_type_cooccurrence",
     "events_user_hhi_weekly", "orders_priority_mix_drift",
+    # r12-built batch 66 (r13 debut candidates)
+    "events_core_number", "events_bot_ring_screen",
 ]
 
 def current_window() -> list[str]:

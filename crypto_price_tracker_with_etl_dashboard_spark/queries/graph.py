@@ -33,7 +33,9 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators.bfs import (
     widest_path,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.kcore import (
+    core_decomposition,
     kcore,
+    sql_core_decomposition,
     sql_kcore,
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators.ktruss import (
@@ -1442,4 +1444,129 @@ register(
         max_degree=_MAX_NODE_DEGREE,
     )
     + " ORDER BY support DESC, u, v",
+)
+
+
+# ---- coreness decomposition (batch 66) -------------------------------------
+# Per-user coreness over the co-occurrence graph, capped at
+# _CORE_MAX_K: where events_kcore answers "is the user in the 6-core"
+# the decomposition grades EVERY user by graph density — the
+# stratification key ring detection and density-aware sampling both
+# consume.  One cached mirrored neighbor table serves every level's
+# guarded peel (operators/kcore.py::core_decomposition — the r12
+# guard discipline from day one).  The oracle unrolls
+# (_CORE_MAX_K - 1) x _CORE_ROUNDS in-subgraph peel steps; the
+# operator raises if any level needs more (sql_kcore convention).
+
+_CORE_MAX_K = 8
+_CORE_ROUNDS = 8
+
+
+def q_events_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core_decomposition(
+        _cooccur_edges(spark, sf_dir),
+        max_k=_CORE_MAX_K,
+        rounds_per_level=_CORE_ROUNDS,
+    ).orderBy(F.col("core").desc(), "node")
+
+
+register(
+    "events_core_number",
+    q_events_core_number,
+    sql_core_decomposition(
+        "WITH_PLACEHOLDER", max_k=_CORE_MAX_K, rounds_per_level=_CORE_ROUNDS
+    ).replace("WITH WITH_PLACEHOLDER,", "WITH " + _TRI_EDGES_CTE + ",")
+    + " ORDER BY core DESC, node",
+)
+
+
+# ---- dense-ring activity screen (batch 66) ---------------------------------
+# The abuse-detection readout coreness exists for: users embedded in
+# a >= _RING_MIN_CORE co-occurrence core, with their activity volume
+# and intensity attached — rings co-occur densely AND fire events at
+# high per-cell rates.  The composition is two certified pipelines
+# (core_decomposition + a per-user events rollup) joined on user_id;
+# intensity is exact integer ppm (events per active hour-cell).
+# Empty at sf0.001 (the tiny graph tops out at core 1) — a correct
+# screen result, certified by the row-for-row empty oracle match.
+
+_RING_MIN_CORE = 4
+
+
+def q_events_bot_ring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ring = (
+        core_decomposition(
+            _cooccur_edges(spark, sf_dir),
+            max_k=_CORE_MAX_K,
+            rounds_per_level=_CORE_ROUNDS,
+        )
+        .filter(F.col("core") >= _RING_MIN_CORE)
+        .select(F.col("node").alias("user_id"), "core")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.date_trunc("hour", F.col("ts")).alias("cell"),
+    )
+    volume = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    cells = (
+        ev.select("user_id", "k", "cell")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_cells"))
+    )
+    return (
+        ring.join(volume, "user_id")
+        .join(cells, "user_id")
+        .select(
+            "user_id",
+            "core",
+            "n_events",
+            "n_cells",
+            F.expr("1000000 * n_events div n_cells").alias("epc_ppm"),
+        )
+        .orderBy(
+            F.col("core").desc(), F.col("epc_ppm").desc(), "user_id"
+        )
+    )
+
+
+def _bot_ring_screen_sql() -> str:
+    cores = sql_core_decomposition(
+        "WITH_PLACEHOLDER", max_k=_CORE_MAX_K, rounds_per_level=_CORE_ROUNDS
+    ).replace("WITH WITH_PLACEHOLDER,", "WITH " + _TRI_EDGES_CTE + ",")
+    return f"""
+    WITH cores AS (
+      {cores}
+    ),
+    ev AS (
+      SELECT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             date_trunc('hour', ts) AS cell
+      FROM events
+    ),
+    volume AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY user_id
+    ),
+    cells AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM (SELECT DISTINCT user_id, k, cell FROM ev) GROUP BY user_id
+    )
+    SELECT c.node AS user_id, c.core, v.n_events, s.n_cells,
+           1000000 * v.n_events // s.n_cells AS epc_ppm
+    FROM cores c
+    JOIN volume v ON v.user_id = c.node
+    JOIN cells s ON s.user_id = c.node
+    WHERE c.core >= {_RING_MIN_CORE}
+    ORDER BY c.core DESC, epc_ppm DESC, user_id
+    """
+
+
+register(
+    "events_bot_ring_screen",
+    q_events_bot_ring_screen,
+    _bot_ring_screen_sql(),
 )
