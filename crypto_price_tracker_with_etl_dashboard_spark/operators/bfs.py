@@ -21,7 +21,12 @@ level expansion with MIN(level) and still match bit-for-bit.
 Frontier and visited sets are localCheckpoint-ed per round: the
 lineage of round k otherwise nests k copies of the edge join, and a
 failure-recovery replay would be quadratic (same eager-truncation
-rationale as operators/components.py).
+rationale as operators/components.py).  Checkpoints are LAZY since
+r12: the plan is truncated immediately either way, and the round's
+own isEmpty / the next round's action materializes the persisted
+partitions — so each BFS round costs one job instead of three, and
+the fixed-round relaxations (bellman_ford, widest_path) run as ONE
+job whose stages chain through the per-round checkpoint boundaries.
 """
 
 from __future__ import annotations
@@ -49,12 +54,12 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt.select("node", F.lit(k).alias("hops")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     out = levels[0]
     for lvl in levels[1:]:
@@ -117,12 +122,12 @@ def multi_bfs_hops(
             .select("root", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt.select("root", "node", F.lit(k).alias("hops")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     out = levels[0]
     for lvl in levels[1:]:
@@ -194,7 +199,7 @@ def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -255,7 +260,7 @@ def widest_path(edges: DataFrame, source: int, rounds: int) -> DataFrame:
             cap.unionByName(relaxed)
             .groupBy("node")
             .agg(F.max("width").alias("width"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cap.filter(F.col("node") != source)
 

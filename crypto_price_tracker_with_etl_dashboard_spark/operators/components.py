@@ -79,9 +79,12 @@ def connected_components(
     # (sc.setCheckpointDir + .checkpoint()) or persist(DISK_ONLY);
     # local[n] test runs and bounded dup-cluster graphs take the
     # cheap path.
-    sym = sym.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout (r12): the plan is truncated either
+    # way, and the first action (round 1's changed-count) materializes
+    # the persisted partitions — one job per round instead of two.
+    sym = sym.localCheckpoint(eager=False)
     labels = sym.select("n").distinct().withColumn("component", F.col("n"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
 
     import time as _time
 
@@ -128,7 +131,7 @@ def connected_components(
         updated = updated.select(
             "n", "component", (F.col("component") < F.col("__prev")).alias("__changed")
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if round_stats is not None:

@@ -41,7 +41,12 @@ def resolve_forest(
     cycles — to (node, root, depth).  Nodes appearing only as
     parents are roots (depth 0); a child with multiple parent rows
     is rejected (a DAG is not a forest)."""
-    rel = parents.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+    # rel feeds four consumers (dup check, both node-union branches,
+    # the state seed join): truncate it once — the dup-count action
+    # below materializes it (r12, the components.py lazy discipline)
+    rel = parents.select(
+        F.col(child).alias("c"), F.col(parent).alias("p")
+    ).localCheckpoint(eager=False)
     dup = rel.groupBy("c").agg(F.count("*").alias("__n")).filter(F.col("__n") > 1)
     n_dup = dup.count()
     if n_dup:
@@ -64,7 +69,7 @@ def resolve_forest(
             .cast("bigint")
             .alias("depth"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         hop = state.select(
@@ -80,7 +85,7 @@ def resolve_forest(
                 (F.col("depth") + F.col("__d2")).alias("depth"),
                 (F.col("anc") != F.col("__anc2")).alias("__moved"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         moved = nxt.filter(F.col("__moved")).count()
         state = nxt.drop("__moved")
         if moved == 0:

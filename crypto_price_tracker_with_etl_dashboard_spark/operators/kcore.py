@@ -116,9 +116,12 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     # initial alive set from full-graph degrees; its count doubles as
     # the broadcast-guard bound for EVERY round (alive only shrinks),
     # already materialized for the convergence check — zero extra jobs
+    # LAZY checkpoint + count = ONE job per materialization (r12
+    # optimization: eager=True ran a materialize job and then a count
+    # job every round — the count now triggers the checkpoint)
     alive = (
         _degrees(e).filter(F.col("deg") >= k).select("node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_alive = alive.count()
     nbr = _mirror(e)
@@ -147,13 +150,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         )
         new_alive = (
             deg.filter(F.col("deg") >= k).select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_new = new_alive.count()
         if n_new == n_alive:
+            # lazy: the caller's first action materializes it once
             return (
                 deg.filter(F.col("deg") >= k).select("node", "deg")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         alive, n_alive = new_alive, n_new
     raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
@@ -201,11 +205,12 @@ def core_decomposition(
     if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
         e = e.cache()
         held.append(e)
-    # the 1-core: every node incident to an edge
+    # the 1-core: every node incident to an edge (lazy checkpoint +
+    # count = one job, the kcore() r12 discipline)
     alive = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_alive = alive.count()
     base = alive
@@ -241,7 +246,7 @@ def core_decomposition(
             )
             new_alive = (
                 deg.filter(F.col("deg") >= k).select("node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n_new = new_alive.count()
             if n_new == n_alive:

@@ -17,14 +17,38 @@ bounded cost, and on real graphs support collapses geometrically (two
 rounds remove the overwhelming majority of sub-truss edges).
 
 Scale shape per round (the Suri-Vassilvitskii orientation from
-operators/triangles.py): orient the surviving edges by (degree, id),
-enumerate wedges from out-neighborhoods — O(m^1.5) total wedge work,
-no reducer sees a super-heavy key — close them against the oriented
-edge list, then explode each triangle into its three undirected
-edges and hash-aggregate per-edge support.  Everything is joins +
-aggregates on bigint keys; the edge list is cached once per round and
-the round count is fixed, so total cost is rounds x one triangle
-pass over a shrinking edge set.
+operators/triangles.py): orient the edges ONCE by (degree, id) of
+the capped input graph, enumerate wedges from out-neighborhoods —
+O(m^1.5) total wedge work, no reducer sees a super-heavy key — close
+them against the oriented edge list, then explode each triangle into
+its three ORIENTED edges and hash-aggregate per-edge support.
+Everything is joins + aggregates on bigint keys; the oriented edge
+list is cached once, each later round peels a checkpointed subset of
+it, so total cost is rounds x one triangle pass over a shrinking
+edge set.
+
+Why one FIXED orientation is enough (r12 optimization): the wedge
+enumeration finds each triangle exactly once at its minimum vertex
+under ANY total order on nodes — acyclicity and the unique
+two-out-edge apex follow from totality alone, and the per-edge
+support counts are orientation-independent (every triangle credits
+the same three undirected edges).  Re-orienting each round by the
+CURRENT subgraph's degrees (the pre-r12 shape) therefore computed
+the identical support table while paying one degree aggregate plus
+two degree-attach joins per round; orienting once by the round-0
+(deg, id) order drops those three per-round shuffles.  The
+O(m^1.5) bound degrades only in the adversarial case where peeled
+rounds invert the degree order — support peeling only ever REMOVES
+edges, so stale out-degrees never grow.
+
+Lineage discipline (r12): each peel's survivor set is
+``localCheckpoint(eager=True)``-ed, not just cached — with plain
+``cache()`` every round's logical plan embeds the previous round's
+FOUR references (two wedge arms, the closer, the support join-back),
+so the tree grows ~4^rounds; at two rounds the returned plan carried
+~13.5k Exchange nodes and Catalyst planning time dominated the query
+(the components.py lesson, quadratically worse).  The checkpoint
+resets each round's plan to a LogicalRDD scan.
 """
 
 from __future__ import annotations
@@ -35,13 +59,13 @@ from pyspark.sql import functions as F
 _KTRUSS_CACHE: dict[str, list[DataFrame]] = {}
 
 
-def _edge_support(e: DataFrame) -> DataFrame:
-    """(u, v, support) for every edge of ``e`` that closes at least
-    one triangle in ``e``.  ``e`` holds each undirected edge once as
-    (u, v), u < v.  Enumeration is degree-oriented (each triangle
-    found exactly once as a -> b -> c in (deg, id) order), then each
-    triangle credits its three edges in id order via least/greatest —
-    so the support table is keyed exactly like ``e``."""
+def _orient(e: DataFrame) -> DataFrame:
+    """(src, dst, ddeg) orientation of the undirected (u, v) edge
+    list ``e`` by the total order (degree-in-``e``, id): src is the
+    lower endpoint under that order, ddeg the dst's degree (carried
+    so the wedge dedup filter needs no further join).  Built ONCE per
+    ktruss call — any fixed total order enumerates each triangle
+    exactly once, see module docstring."""
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -50,7 +74,7 @@ def _edge_support(e: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("udeg"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg"))
     lower_first = F.struct("udeg", "u") < F.struct("vdeg", "v")
-    oriented = (
+    return (
         e.join(du, "u")
         .join(dv, "v")
         .select(
@@ -59,17 +83,25 @@ def _edge_support(e: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("vdeg")).otherwise(F.col("udeg")).alias("ddeg"),
         )
     )
-    e1 = oriented.select(
+
+
+def _oriented_support(o: DataFrame) -> DataFrame:
+    """(src, dst, support) for every edge of the oriented list ``o``
+    that closes at least one triangle in ``o``.  All three edges of
+    an enumerated triangle (a->b, a->c, b->c) are themselves oriented
+    edges, so support is counted — and joined back — directly on the
+    (src, dst) key with no least/greatest re-canonicalization."""
+    e1 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")
     )
-    e2 = oriented.select(
+    e2 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddeg").alias("cdeg")
     )
     wedges = e1.join(e2, "a").filter(F.struct("bdeg", "b") < F.struct("cdeg", "c"))
-    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closer = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
     pair = lambda x, y: F.struct(  # noqa: E731
-        F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+        x.alias("src"), y.alias("dst")
     )
     return (
         tri.select(
@@ -81,8 +113,8 @@ def _edge_support(e: DataFrame) -> DataFrame:
                 )
             ).alias("p")
         )
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .groupBy("u", "v")
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("support"))
     )
 
@@ -135,11 +167,16 @@ def ktruss(
     # build still relies on, forcing a silent recompute.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     held = []
-    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+    input_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    if not input_cached:
+        # the orientation build consumes e twice (degree pass + the
+        # two-sided degree attach); cache an uncached input once
         e = e.cache()
         held.append(e)
-    e.count()  # materialize before the multi-branch support pass
     if max_degree is not None:
+        # celebrity cap on FULL-graph degree (module docstring); the
+        # capped projection feeds only the orientation build below,
+        # so it is not separately materialized
         keep = (
             e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
@@ -149,25 +186,34 @@ def ktruss(
         )
         ku = keep.select(F.col("node").alias("u"))
         kv = keep.select(F.col("node").alias("v"))
-        e = e.join(ku, "u").join(kv, "v").select("u", "v").cache()
-        e.count()
-        held.append(e)
+        e = e.join(ku, "u").join(kv, "v").select("u", "v")
+    # ONE orientation for every round (see module docstring): cache
+    # and materialize it, then the raw edge projection is never read
+    # again
+    o = _orient(e).cache()
+    o.count()
+    held.append(o)
     kept = None
-    for _ in range(rounds):
-        sup = _edge_support(e)
-        # keep (u, v, support) CACHED so the returned last round needs
-        # no recompute; the next round's edge set is a projection
+    for r in range(rounds):
+        sup = _oriented_support(o)
         kept = (
-            e.join(sup, ["u", "v"])
+            o.join(sup, ["src", "dst"])
             .filter(F.col("support") >= k - 2)
-            .select("u", "v", F.col("support").cast("bigint").alias("support"))
-            .cache()
+            .select("src", "dst", "ddeg", F.col("support").cast("bigint").alias("support"))
         )
-        kept.count()
-        held.append(kept)
-        e = kept.select("u", "v")
+        if r < rounds - 1:
+            # truncate the 4-reference round lineage (module
+            # docstring) — one job, partitions persisted like cache()
+            kept = kept.localCheckpoint(eager=True)
+        o = kept.select("src", "dst", "ddeg")
     _KTRUSS_CACHE[app_id] = held
-    return kept
+    # restore the canonical u < v key of the input contract; the
+    # orientation key order is an internal detail
+    return kept.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        "support",
+    )
 
 
 def sql_ktruss(

@@ -61,17 +61,30 @@ from crypto_price_tracker_with_etl_dashboard_spark.queries import register
 from crypto_price_tracker_with_etl_dashboard_spark.sources import load_table
 
 _PR_ITERS = 4  # two full supplier<->customer diffusion round-trips
-_HALF_CACHE: dict[str, DataFrame] = {}
+# (applicationId, sf_dir) -> the cached aggregated supplier->customer
+# pair table.  Keyed like _EDGE_CACHE (r12 optimization): ~10 trade_*
+# queries run the identical lineitem-orders join + groupBy build, so
+# the second and later queries in one session reuse the one cached
+# table instead of rebuilding it (~1.4 s each at sf0.1).  The cache
+# dies with the application — nothing persists across bench runs.
+_HALF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Node ids are numeric — supplier s -> 2s, customer c -> 2c+1
-    (disjoint key spaces, and integer shuffle keys hash ~2x faster
-    than the 's123'/'c456' string encoding).  The directed pair
-    table is AGGREGATED ONCE and then mirrored: unioning the raw
-    600k-row pair stream in both directions before the groupBy paid
-    double shuffle volume AND re-ran the lineitem-orders join per
-    union branch (~3.3s -> ~1.4s edge build at sf0.1)."""
+def _trade_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated supplier->customer pair table (sup, cust, w),
+    cached once per (applicationId, sf_dir) and shared by every
+    trade_* query — the _EDGE_CACHE discipline.  Node ids are
+    numeric — supplier s -> 2s, customer c -> 2c+1 (disjoint key
+    spaces, and integer shuffle keys hash ~2x faster than the
+    's123'/'c456' string encoding)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _HALF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _HALF_CACHE if k != key]:
+        if stale[0] == spark.sparkContext.applicationId:
+            _HALF_CACHE[stale].unpersist()  # other sf_dir, same app
+        _HALF_CACHE.pop(stale, None)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # the certified graph is the FIRST ORDER YEAR's trade network —
     # a time-sliced influence analysis (the usual analytical cut);
@@ -89,13 +102,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("sup", "cust")
         .agg(F.count("*").cast("bigint").alias("w"))
-        .cache()  # consumed by both mirror branches (evicted below)
+        .cache()  # consumed by both mirror branches + later queries
     )
-    app_id = spark.sparkContext.applicationId
-    prev = _HALF_CACHE.get(app_id)
-    if prev is not None:
-        prev.unpersist()
-    _HALF_CACHE[app_id] = half
+    _HALF_CACHE[key] = half
+    return half
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrored undirected trade graph (src, dst, w): the directed
+    pair table is AGGREGATED ONCE (and session-cached, _trade_half)
+    and then mirrored — unioning the raw 600k-row pair stream in both
+    directions before the groupBy paid double shuffle volume AND
+    re-ran the lineitem-orders join per union branch (~3.3s -> ~1.4s
+    edge build at sf0.1)."""
+    half = _trade_half(spark, sf_dir)
     return half.select(
         F.col("sup").alias("src"), F.col("cust").alias("dst"), "w"
     ).unionByName(
@@ -483,22 +503,11 @@ _HITS_ITERS = 4
 
 
 def _trade_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The aggregated supplier->customer half (same build as
-    _trade_edges, direction kept)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") < "1996-01-01")
-        .select("o_orderkey", "o_custkey")
-    )
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
-            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
+    """The aggregated supplier->customer half (the _trade_half build,
+    direction kept): a pure rename of the session-cached pair table,
+    so trade_hits shares the one lineitem-orders build too (r12)."""
+    return _trade_half(spark, sf_dir).select(
+        F.col("sup").alias("src"), F.col("cust").alias("dst"), "w"
     )
 
 
@@ -719,7 +728,11 @@ _MOD_EXPR = (
 
 def q_events_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _cooccur_edges(spark, sf_dir)
-    comm = label_propagation(edges, iters=_LPA_ITERS)
+    # the label table feeds THREE consumers (the two tag joins + the
+    # per-community degree rollup) and LPA's final round is lazy —
+    # truncate it once so the round isn't re-executed per branch
+    # (the hits._l1_normalize discipline, r12 optimization)
+    comm = label_propagation(edges, iters=_LPA_ITERS).localCheckpoint(eager=False)
     m = edges.count()  # one scalar (edge count), the |nodes| discipline
     cu = comm.select(F.col("node").alias("u"), F.col("community").alias("cu"))
     cv = comm.select(F.col("node").alias("v"), F.col("community").alias("cv"))

@@ -2427,12 +2427,16 @@ _PR_TRUTH_J = 0.35
 
 def q_doc_lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # both pair pipelines feed TWO consumers each (the tp semi-join
+    # and their own count) — truncate each once instead of paying the
+    # banded join / posting join twice (r12 optimization, the
+    # hits._l1_normalize discipline)
     lsh = D.minhash_lsh_pairs(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     truth = D.ngram_jaccard_pairs(
         docs, threshold=_PR_TRUTH_J, max_doc_freq=_NGRAM_MAX_DF
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     tp = lsh.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
         F.count("*").alias("tp")
     )
@@ -4115,6 +4119,10 @@ def q_doc_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             F.expr(f"({_IDF_W_SCALE} * n_docs) div df").alias("w"),
         )
+        # three consumers (per-doc totals + both posting-join arms):
+        # truncate the tokenize->shingle->df-join pipeline once
+        # instead of re-running it per branch (r12 optimization)
+        .localCheckpoint(eager=False)
     )
     tot = kept.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("tw"))
     a = kept.select(
