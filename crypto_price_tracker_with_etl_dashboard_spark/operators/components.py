@@ -59,9 +59,21 @@ def connected_components(
     changed_count, seconds)`` tuple per round — the per-round
     convergence telemetry the scale table reads; no behavior
     change."""
+    # explode-mirror, not union-of-projections (the lpa/kcore _mirror
+    # pattern, r12): a union's branches each re-read their upstream
+    # inside one action, so an expensive edge producer (the MinHash
+    # band join feeding dup clustering) executed TWICE per sym
+    # materialization
     sym = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("n"), F.col(dst).alias("m")),
+                    F.struct(F.col(dst).alias("n"), F.col(src).alias("m")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.n").alias("n"), F.col("p.m").alias("m"))
         .distinct()
     )
     # Materialize the edge list ONCE: every round joins sym, and

@@ -1458,10 +1458,12 @@ def q_events_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
+    # ui feeds TWO consumers (item counts + per-user sets): truncate
+    # the scan -> json parse -> distinct pipeline once (r12)
     ui = ev.select(
         "user_id",
         F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
-    ).filter(F.col("item").isNotNull()).distinct()
+    ).filter(F.col("item").isNotNull()).distinct().localCheckpoint(eager=False)
     item_n = ui.groupBy("item").agg(F.count("*").alias("n"))
     sets = (
         ui.groupBy("user_id")

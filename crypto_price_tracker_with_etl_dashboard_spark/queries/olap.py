@@ -532,9 +532,11 @@ _MAX_BASKET_ITEMS = 64
 
 def q_orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # items feeds THREE consumers (per-part counts, basket-universe
+    # count, the basket sets): truncate the scan + distinct once (r12)
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # per-part basket frequency and the basket universe size N come
     # from the UNCAPPED item table (lift's marginals must not depend
     # on the pair-stage guard); both are tiny aggregates

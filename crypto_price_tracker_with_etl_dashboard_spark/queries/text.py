@@ -3893,10 +3893,14 @@ _WEDGE_CACHE: dict[str, DataFrame] = {}
 
 def q_doc_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # pairs feeds FOUR consumers (both mirror branches, the closure
+    # probe, the pair count) — truncate the band join + distinct once
+    # (r12, the hits._l1_normalize discipline)
     pairs = (
         D.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
         .filter(F.col("est_jaccard") >= _CLUSTER_MIN_EST_J)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
