@@ -143,6 +143,15 @@ def hits(
         nodes = nodes_co
     else:
         edges_by_src = edges_by_dst = edges
+    # SPARSE-SUPPORT recursion (r12, the pagerank rewrite's twin): a
+    # node missing from a raw score table carries exactly 0 — it
+    # contributes nothing to the next half-step's sums and
+    # L1-normalizes to floor(0/T) = 0 — so the per-half-step O(nodes)
+    # zero-extension join (nodes LEFT JOIN raw, coalesce 0) the
+    # pre-r12 shape paid TWICE per iteration is dropped from the
+    # loop; the full node table re-enters exactly once, in the final
+    # extension below.  L1 totals are unchanged (zeros add 0), so
+    # every surviving score is bit-identical to the dense recursion.
     h = nodes.select("node", F.lit(unit).cast("bigint").alias("h"))
     a = None
     for it in range(iters):
@@ -158,14 +167,9 @@ def hits(
                 (F.col("__hs") * F.col(weight).cast("bigint")).alias("__c"),
             )
             .groupBy("node")
-            .agg(F.sum("__c").alias("a"))
+            .agg(F.sum("__c").cast("bigint").alias("a"))
         )
-        a_full = nodes.join(
-            guarded_broadcast(a_raw, n_nodes, op="hits_auth_total"), "node", "left"
-        ).select(
-            "node", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
-        )
-        a = _l1_normalize(a_full, "a", unit)
+        a = _l1_normalize(a_raw, "a", unit)
         # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
         ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
         h_raw = (
@@ -178,24 +182,29 @@ def hits(
                 (F.col("__as") * F.col(weight).cast("bigint")).alias("__c"),
             )
             .groupBy("node")
-            .agg(F.sum("__c").alias("h"))
+            .agg(F.sum("__c").cast("bigint").alias("h"))
         )
-        h_full = nodes.join(
-            guarded_broadcast(h_raw, n_nodes, op="hits_hub_total"), "node", "left"
-        ).select(
-            "node", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
-        )
-        h = _l1_normalize(h_full, "h", unit)
+        h = _l1_normalize(h_raw, "h", unit)
         if it < iters - 1:
             h = h.localCheckpoint(eager=False)
             a = a.localCheckpoint(eager=False)
-    # the O(nodes) authority table broadcasts onto h (the same
-    # ranks-fit-memory premise as every per-round join; pre-AQE the
-    # two derived sides have unknown size and would sort-merge)
-    out = h.join(guarded_broadcast(a, n_nodes, op="hits_final"), "node").select(
-        "node",
-        (F.col("h").cast("double") / unit).alias("hub"),
-        (F.col("a").cast("double") / unit).alias("authority"),
+    # ONE final zero-extension over the full node table (was twice
+    # per iteration): nodes with no out-edges get hub 0, no in-edges
+    # authority 0 — exactly the dense recursion's values
+    out = (
+        nodes.join(
+            guarded_broadcast(h, n_nodes, op="hits_hub_total"), "node", "left"
+        )
+        .join(
+            guarded_broadcast(a, n_nodes, op="hits_auth_total"), "node", "left"
+        )
+        .select(
+            "node",
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / unit).alias("hub"),
+            (F.coalesce(F.col("a"), F.lit(0)).cast("double") / unit).alias(
+                "authority"
+            ),
+        )
     )
     _HITS_CACHE[app_id] = [edges, edges_by_src, edges_by_dst, nodes]
     return out

@@ -137,37 +137,61 @@ def pagerank(
         .cache()
     )
     if personalize is None:
-        base_col = F.lit((3 * unit + 10 * n) // (20 * n)).cast("bigint")
-        init_col = F.lit((unit + n // 2) // n).cast("bigint")
+        base_of = lambda node_col: F.lit(  # noqa: E731
+            (3 * unit + 10 * n) // (20 * n)
+        ).cast("bigint")
+        init_of = lambda node_col: F.lit(  # noqa: E731
+            (unit + n // 2) // n
+        ).cast("bigint")
     else:
         # all teleport/start mass on the source node (same roundings)
-        base_col = (
-            F.when(F.col("node") == personalize, (3 * unit + 10) // 20)
+        base_of = lambda node_col: (  # noqa: E731
+            F.when(node_col == personalize, (3 * unit + 10) // 20)
             .otherwise(0)
             .cast("bigint")
         )
-        init_col = (
-            F.when(F.col("node") == personalize, unit).otherwise(0).cast("bigint")
+        init_of = lambda node_col: (  # noqa: E731
+            F.when(node_col == personalize, unit).otherwise(0).cast("bigint")
         )
-    ranks = nodes.select("node", init_col.alias("pr"))
+    # SPARSE-SUPPORT recursion (r12): a node absent from the damped
+    # contribution sum s carries exactly pr = base, a constant the
+    # next round can synthesize inline — so the loop never needs the
+    # O(nodes) zero-extension join the pre-r12 shape paid every round
+    # (nodes LEFT JOIN s).  Per round: attach s to the cached
+    # out-weight table (coalesce(__S, 0) reproduces the dense
+    # recursion bit-for-bit), rebuild pr inline, one map-side edge
+    # join + partial aggregate.  The full node table re-enters ONCE,
+    # in the final extension below.  Values are identical to the
+    # dense form: contributions only flow from nodes WITH out-edges
+    # (exactly outw's rows), and zero-extended ranks contribute 0.
+    s = None
     for it in range(iters):
-        # rank columns renamed per round: ranks shares lineage with
-        # edges, and duplicate attribute names across a
-        # self-referencing join trip AMBIGUOUS_REFERENCE
-        r = ranks.join(
-            outw, F.col("node") == F.col("__onode")
-        ).select(
-            F.col("node").alias("__rnode"),
-            F.col("pr").alias("__rpr"),
-            "__ow",
-        )
-        # broadcast the O(nodes) (rank, out-weight) table: the
+        if s is None:
+            r = outw.select(
+                F.col("__onode"),
+                init_of(F.col("__onode")).alias("__rpr"),
+                "__ow",
+            )
+        else:
+            r = outw.join(
+                guarded_broadcast(s, n, op="pagerank_sum"),
+                F.col("__onode") == F.col("node"),
+                "left",
+            ).select(
+                F.col("__onode"),
+                (
+                    base_of(F.col("__onode"))
+                    + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
+                ).alias("__rpr"),
+                "__ow",
+            )
+        # broadcast the O(out-nodes) (rank, out-weight) table: the
         # (100 TB-side) edge list is never shuffled after its one
         # build — each round is a map-side join + one
         # O(nodes x tasks) partial aggregate
         contrib = edges_rt.join(
             guarded_broadcast(r, n, op="pagerank_rank"),
-            F.col(src) == F.col("__rnode"),
+            F.col(src) == F.col("__onode"),
         ).select(
             F.col(dst).alias("node"),
             (
@@ -179,24 +203,24 @@ def pagerank(
             "node", F.expr("__num div __ow").alias("__c")
         )
         s = contrib.groupBy("node").agg(F.sum("__c").alias("__S"))
-        ranks = nodes.join(
-            guarded_broadcast(s, n, op="pagerank_sum"), "node", "left"
-        ).select(
-            "node",
-            (
-                base_col
-                + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
-            ).alias("pr"),
-        )
         # truncate the iteration lineage (components.py lesson);
         # lazy checkpoint materializes with the next action.  The
         # LAST round keeps its lineage: one checkpoint less, and the
         # returned plan shows the real round shape (broadcast join +
         # partial agg) for the plan pin instead of a bare RDD scan.
         if it < iters - 1:
-            ranks = ranks.localCheckpoint(eager=False)
-    # ranks is already total over nodes (each round left-joins the
-    # full node table), so no final re-join is needed
+            s = s.localCheckpoint(eager=False)
+    # ONE final zero-extension over the full node table (was per
+    # round): absent nodes get pr = base exactly as before
+    ranks = nodes.join(
+        guarded_broadcast(s, n, op="pagerank_sum"), "node", "left"
+    ).select(
+        "node",
+        (
+            base_of(F.col("node"))
+            + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
+        ).alias("pr"),
+    )
     out = ranks.select(
         "node", (F.col("pr").cast("double") / unit).alias("pagerank")
     )
