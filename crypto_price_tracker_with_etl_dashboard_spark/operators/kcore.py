@@ -230,10 +230,35 @@ def core_decomposition(
     nbr.count()
     held.append(nbr)
     _KCORE_CACHE[app_id] = held
+    # Degree MEMOIZATION across rounds and levels (r12): ``deg``
+    # always holds each node's alive-neighbor count over the CURRENT
+    # alive set, so a round first filters the inherited table and
+    # recomputes it only when the filter actually removed nodes.  A
+    # converged level hands its still-valid table straight to the
+    # next threshold — on graphs where whole levels drop nothing the
+    # edge-linear pass is skipped entirely and the level costs one
+    # O(nodes) filter count.  Round-for-round the alive sets equal
+    # the recompute-every-round form (monotone removal: equal counts
+    # imply equal sets), so the unrolled oracle is unchanged.
+    deg = (
+        nbr.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     level_finals: list[DataFrame] = []
     for k in range(2, max_k + 1):
         converged = False
         for _ in range(rounds_per_level):
+            new_alive = (
+                deg.filter(F.col("deg") >= k).select("node")
+                .localCheckpoint(eager=False)
+            )
+            n_new = new_alive.count()
+            if n_new == n_alive:
+                converged = True
+                alive = new_alive
+                break
+            alive, n_alive = new_alive, n_new
             al = alive.select(F.col("node").alias("__kb"))
             deg = (
                 nbr.join(
@@ -243,16 +268,8 @@ def core_decomposition(
                 )
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.count("*").alias("deg"))
-            )
-            new_alive = (
-                deg.filter(F.col("deg") >= k).select("node")
                 .localCheckpoint(eager=False)
             )
-            n_new = new_alive.count()
-            if n_new == n_alive:
-                converged = True
-                break
-            alive, n_alive = new_alive, n_new
         if not converged:
             raise RuntimeError(
                 f"core peel at k={k} did not converge in "
