@@ -310,6 +310,10 @@ def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
 # app (oldest unpersisted) so parameter sweeps cannot stack
 # corpus-sized tables; the caches die with the application — nothing
 # persists across bench runs.
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (  # noqa: E402
+    session_plan_cache as _plan_cache,
+)
+
 _BANDED_CACHE: dict[str, list[tuple[object, DataFrame]]] = {}
 _NGRAM_COUNTS_CACHE: dict[str, list[tuple[object, DataFrame]]] = {}
 _PLAN_CACHE_MAX = 2
@@ -320,25 +324,7 @@ def _session_plan_cache(
     df: DataFrame,
     max_entries: int = _PLAN_CACHE_MAX,
 ) -> DataFrame:
-    """Return the session-cached materialization of ``df`` — the
-    stored entry whose analyzed plan ``sameResult``-matches, else
-    ``df.cache()`` newly stored (evicting beyond ``max_entries``,
-    oldest first).  Stale-application entries are dropped without
-    unpersist (their SparkContext is stopped)."""
-    app_id = df.sparkSession.sparkContext.applicationId
-    for stale in [k for k in cache if k != app_id]:
-        cache.pop(stale, None)
-    entries = cache.setdefault(app_id, [])
-    new_plan = df._jdf.queryExecution().analyzed()
-    for plan, cached in entries:
-        if plan.sameResult(new_plan):
-            return cached
-    df = df.cache()
-    entries.append((new_plan, df))
-    while len(entries) > max_entries:
-        _, old = entries.pop(0)
-        old.unpersist()
-    return df
+    return _plan_cache(cache, df, max_entries)
 
 
 # Band buckets larger than this never join: a bucket of n docs

@@ -52,6 +52,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard im
     guarded_broadcast,
     hint_will_fit,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
+    MIRROR_CACHE,
+    session_plan_cache,
+)
 
 
 # applicationId -> cached DataFrames from the previous kcore call
@@ -133,9 +137,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         # set shuffles; InMemoryTableScan preserves the layout —
         # the LPA/pagerank discipline)
         nbr = colocate_for_guarded_joins(nbr, "b")
-    nbr = nbr.cache()
+    # the mirror is SHARED with LPA and the coreness decomposition
+    # via the semantic-plan session cache (r12) — owned there, never
+    # in this operator's pop-and-unpersist list
+    nbr = session_plan_cache(MIRROR_CACHE, nbr)
     nbr.count()  # materializes the cached layout before the rounds
-    held.append(nbr)
     _KCORE_CACHE[app_id] = held
     for _ in range(max_rounds):
         al = alive.select(F.col("node").alias("__kb"))
@@ -226,9 +232,9 @@ def core_decomposition(
         # the per-round join key ONCE — every level's every round
         # then streams it with zero edge-side Exchange
         nbr = colocate_for_guarded_joins(nbr, "b")
-    nbr = nbr.cache()
+    # shared with LPA / kcore via the session plan cache (r12)
+    nbr = session_plan_cache(MIRROR_CACHE, nbr)
     nbr.count()
-    held.append(nbr)
     _KCORE_CACHE[app_id] = held
     # Degree MEMOIZATION across rounds and levels (r12): ``deg``
     # always holds each node's alive-neighbor count over the CURRENT

@@ -42,6 +42,10 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard im
     guarded_broadcast,
     hint_will_fit,
 )
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
+    MIRROR_CACHE,
+    session_plan_cache,
+)
 
 _LPA_CACHE: dict[str, list] = {}
 
@@ -62,11 +66,17 @@ def label_propagation(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
     app_id = edges.sparkSession.sparkContext.applicationId
     evict_stale_app_entries(_LPA_CACHE, app_id)
     for prev in _LPA_CACHE.pop(app_id, []):
         prev.unpersist()
+    held = []
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        # cache an UNCACHED input once (the ktruss/kcore convention,
+        # r12): a caller-cached edge build is reused as-is
+        e = e.cache()
+        held.append(e)
     n_edges = e.count()  # materialize before the mirror fan-out
     nbr = e.select(
         F.explode(
@@ -85,7 +95,9 @@ def label_propagation(
         # so every round's shuffle_hash join streams it with zero
         # edge-side Exchange (only the O(nodes) label table shuffles)
         nbr = colocate_for_guarded_joins(nbr, "a")
-    nbr = nbr.cache()
+    # shared with kcore / the coreness decomposition via the session
+    # plan cache (r12) — owned there, not in _LPA_CACHE
+    nbr = session_plan_cache(MIRROR_CACHE, nbr)
     nbr.count()  # materializes the cache
     labels = nbr.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -115,7 +127,7 @@ def label_propagation(
         if it < iters - 1:
             labels = labels.localCheckpoint(eager=False)
     out = labels.select("node", F.col("lbl").alias("community"))
-    _LPA_CACHE[app_id] = [e, nbr]
+    _LPA_CACHE[app_id] = held
     return out
 
 
