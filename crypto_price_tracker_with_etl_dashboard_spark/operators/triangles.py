@@ -117,8 +117,15 @@ def triangle_counts(
         # With max_degree >= 1 every hub has deg >= 2 neighbors, the
         # capped adjacency keeps >= 2 of them (cap >= 2), and w >= 1.
         raise ValueError("est_neighbor_cap requires max_degree >= 1")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).cache()
-    e.count()  # materialize BEFORE fan-out (first-action branches recompute)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    own_e = []
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        # cache an UNCACHED input once (the ktruss/kcore convention,
+        # r12): a caller-cached edge build is reused as-is — no
+        # second cache layer, no extra materialize job
+        e = e.cache()
+        e.count()  # materialize BEFORE fan-out (first-action branches recompute)
+        own_e.append(e)
 
     # explode, not union-of-projections: a union's branches each
     # re-read their upstream inside one action, doubling the pass
@@ -152,7 +159,7 @@ def triangle_counts(
         .cache()
     )
     oriented.count()  # materialize; feeds the two wedge sides + closure
-    held = [e, deg, oriented]
+    held = own_e + [deg, oriented]
 
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")

@@ -1361,6 +1361,10 @@ def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = T.quality_features("text")
+    # each funnel stage feeds 2-3 consumers (the next stage, its own
+    # count branch, the dropper semi-join): truncate each once so the
+    # quality-feature scan and the fingerprint window run once, not
+    # per branch (r12, the hits._l1_normalize discipline)
     quality = docs.select(
         "doc_id", "text",
         feats["n_tokens"].alias("__nt"),
@@ -1368,12 +1372,13 @@ def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         (F.col("__nt") >= _FUNNEL_MIN_TOKENS)
         & (F.col("__sw") >= _FUNNEL_MIN_STOPWORDS)
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy(T.fingerprint("text"))
     kept_exact = (
         quality.withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     pairs = D.minhash_lsh_pairs(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS
@@ -1381,7 +1386,9 @@ def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     droppers = pairs.join(
         kept_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
     ).select(F.col("doc_b").alias("doc_id")).distinct()
-    after_near = kept_exact.join(droppers, "doc_id", "left_anti")
+    after_near = kept_exact.join(droppers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     split = hash_split(fan_out(docs), "doc_id", hasher=lcg_bucket)
     contaminated = (
         D.contamination_report(
