@@ -185,9 +185,15 @@ def hits(
             .agg(F.sum("__c").cast("bigint").alias("h"))
         )
         h = _l1_normalize(h_raw, "h", unit)
+        # `a` is checkpointed EVERY iteration: the hub half-step AND
+        # the final extension both consume it, and on the last
+        # iteration the un-truncated authority subtree would execute
+        # twice (once inside h's lineage, once standalone).  `h`
+        # feeds only the next iteration / the final extension, so the
+        # last round's hub plan stays visible for the plan pins.
+        a = a.localCheckpoint(eager=False)
         if it < iters - 1:
             h = h.localCheckpoint(eager=False)
-            a = a.localCheckpoint(eager=False)
     # ONE final zero-extension over the full node table (was twice
     # per iteration): nodes with no out-edges get hub 0, no in-edges
     # authority 0 — exactly the dense recursion's values
