@@ -316,7 +316,15 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache impo
 
 _BANDED_CACHE: dict[str, list[tuple[object, DataFrame]]] = {}
 _NGRAM_COUNTS_CACHE: dict[str, list[tuple[object, DataFrame]]] = {}
-_PLAN_CACHE_MAX = 2
+# Capacity covers the distinct (corpus, params) variants the
+# registered queries actually use — ONE banded variant (every
+# minhash_lsh_pairs consumer passes _NUM_HASHES/_BANDS over the same
+# corpus) and ONE sized-posting variant (k=3, _NGRAM_MAX_DF) — plus
+# headroom so three-plus interleaved variants (e.g. an sf-dir switch
+# inside one session, or minhash_lsh_pairs' two-sided consumption of
+# the banded table) can never unpersist/recache corpus-sized tables
+# mid-query (r12 ADVICE).
+_PLAN_CACHE_MAX = 4
 
 
 def _session_plan_cache(

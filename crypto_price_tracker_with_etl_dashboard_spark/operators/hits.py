@@ -51,14 +51,21 @@ from pyspark.sql import functions as F
 
 from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard import (
     colocate_for_guarded_joins,
-    evict_stale_app_entries,
     guarded_broadcast,
     hint_will_fit,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
+    session_plan_cache,
 )
 
 UNIT = 10**6
 
+# Session-scoped, sameResult-keyed cache of the HITS build tables
+# (edges, nodes, dual co-located layouts) — the pagerank _PR_CACHE
+# discipline (r13): repeat calls over the same edge expression reuse
+# the builds with zero jobs; the mutual recursion itself always runs.
 _HITS_CACHE: dict[str, list] = {}
+_HITS_MAX_ENTRIES = 8
 
 
 def _l1_normalize(scores: DataFrame, col: str, unit: int) -> DataFrame:
@@ -95,19 +102,21 @@ def hits(
     Nodes with no out-edges get hub 0, no in-edges authority 0."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    edges = edges.cache()
-    app_id = edges.sparkSession.sparkContext.applicationId
-    evict_stale_app_entries(_HITS_CACHE, app_id)
-    for prev in _HITS_CACHE.pop(app_id, []):
-        prev.unpersist()
-    # materialize once before the two-branch node union; 2x this is
-    # the guard's free node bound (see comment below)
-    n_nodes = 2 * edges.count()
-    nodes = (
+    # materialize once before the two-branch node union (count job
+    # only on a cache miss, memoized on the object — r13); 2x the
+    # edge count is the guard's free node bound (see comment below)
+    edges = session_plan_cache(
+        _HITS_CACHE, edges, max_entries=_HITS_MAX_ENTRIES, materialize=True
+    )
+    n_nodes = 2 * edges._graft_count
+    # lazy entry: the first action's broadcast build populates it,
+    # exactly the pre-r13 job structure
+    nodes = session_plan_cache(
+        _HITS_CACHE,
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .cache()
+        .distinct(),
+        max_entries=_HITS_MAX_ENTRIES,
     )
     # FREE upper bound for the broadcast guard: |nodes| <= 2 * |edges|
     # (each edge names two endpoints), and the edge count was already
@@ -131,16 +140,28 @@ def hits(
         # so the 2x footprint degrades to disk reads, never to the
         # failure mode the guard exists to stop.
         # The one-layout alternative re-shuffles the 100 TB side every
-        # round — strictly worse than spilling the second copy.
-        edges_by_src = colocate_for_guarded_joins(edges, src).cache()
-        edges_by_src.count()
-        edges_by_dst = colocate_for_guarded_joins(edges, dst).cache()
-        edges_by_dst.count()
-        nodes_co = colocate_for_guarded_joins(nodes, "node").cache()
-        nodes_co.count()
-        nodes.unpersist()
-        edges.unpersist()
-        nodes = nodes_co
+        # round — strictly worse than spilling the second copy.  The
+        # raw layouts stay in the plan cache next to the co-located
+        # ones (r13, the same spill-not-OOM argument): a repeat call
+        # re-hits every layout instead of rebuilding the raw one.
+        edges_by_src = session_plan_cache(
+            _HITS_CACHE,
+            colocate_for_guarded_joins(edges, src),
+            max_entries=_HITS_MAX_ENTRIES,
+            materialize=True,
+        )
+        edges_by_dst = session_plan_cache(
+            _HITS_CACHE,
+            colocate_for_guarded_joins(edges, dst),
+            max_entries=_HITS_MAX_ENTRIES,
+            materialize=True,
+        )
+        nodes = session_plan_cache(
+            _HITS_CACHE,
+            colocate_for_guarded_joins(nodes, "node"),
+            max_entries=_HITS_MAX_ENTRIES,
+            materialize=True,
+        )
     else:
         edges_by_src = edges_by_dst = edges
     # SPARSE-SUPPORT recursion (r12, the pagerank rewrite's twin): a
@@ -170,6 +191,14 @@ def hits(
             .agg(F.sum("__c").cast("bigint").alias("a"))
         )
         a = _l1_normalize(a_raw, "a", unit)
+        # `a` is checkpointed BEFORE the hub half-step consumes it
+        # (r13, closing the r12 ADVICE note): the hub join AND the
+        # final extension both read `a`, and checkpointing after
+        # h_raw was built left h's lineage embedding the
+        # non-truncated normalize projection — the raw authority
+        # subtree was already truncated inside _l1_normalize, but the
+        # crossJoin/floor projection re-ran once per consumer.
+        a = a.localCheckpoint(eager=False)
         # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
         ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
         h_raw = (
@@ -185,19 +214,14 @@ def hits(
             .agg(F.sum("__c").cast("bigint").alias("h"))
         )
         h = _l1_normalize(h_raw, "h", unit)
-        # `a` is checkpointed EVERY iteration: the hub half-step AND
-        # the final extension both consume it, and on the last
-        # iteration the un-truncated authority subtree would execute
-        # twice (once inside h's lineage, once standalone).  `h`
-        # feeds only the next iteration / the final extension, so the
-        # last round's hub plan stays visible for the plan pins.
-        a = a.localCheckpoint(eager=False)
+        # `h` feeds only the next iteration / the final extension, so
+        # the last round's hub plan stays visible for the plan pins.
         if it < iters - 1:
             h = h.localCheckpoint(eager=False)
     # ONE final zero-extension over the full node table (was twice
     # per iteration): nodes with no out-edges get hub 0, no in-edges
     # authority 0 — exactly the dense recursion's values
-    out = (
+    return (
         nodes.join(
             guarded_broadcast(h, n_nodes, op="hits_hub_total"), "node", "left"
         )
@@ -212,8 +236,6 @@ def hits(
             ),
         )
     )
-    _HITS_CACHE[app_id] = [edges, edges_by_src, edges_by_dst, nodes]
-    return out
 
 
 def sql_hits(edges_cte: str, iters: int = 4, unit: int = UNIT) -> str:

@@ -140,8 +140,9 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     # the mirror is SHARED with LPA and the coreness decomposition
     # via the semantic-plan session cache (r12) — owned there, never
     # in this operator's pop-and-unpersist list
-    nbr = session_plan_cache(MIRROR_CACHE, nbr)
-    nbr.count()  # materializes the cached layout before the rounds
+    # materialize-on-miss (r13): the count job runs only when the
+    # mirror is newly cached — LPA/coreness hits pay zero jobs here
+    nbr = session_plan_cache(MIRROR_CACHE, nbr, materialize=True)
     _KCORE_CACHE[app_id] = held
     for _ in range(max_rounds):
         al = alive.select(F.col("node").alias("__kb"))
@@ -233,8 +234,7 @@ def core_decomposition(
         # then streams it with zero edge-side Exchange
         nbr = colocate_for_guarded_joins(nbr, "b")
     # shared with LPA / kcore via the session plan cache (r12)
-    nbr = session_plan_cache(MIRROR_CACHE, nbr)
-    nbr.count()
+    nbr = session_plan_cache(MIRROR_CACHE, nbr, materialize=True)
     _KCORE_CACHE[app_id] = held
     # Degree MEMOIZATION across rounds and levels (r12): ``deg``
     # always holds each node's alive-neighbor count over the CURRENT

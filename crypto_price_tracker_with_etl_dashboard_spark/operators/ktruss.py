@@ -41,6 +41,21 @@ O(m^1.5) bound degrades only in the adversarial case where peeled
 rounds invert the degree order — support peeling only ever REMOVES
 edges, so stale out-degrees never grow.
 
+Which fixed order (r13): the FULL-graph (deg, id) order on the
+capped-node-induced subgraph — exactly the orientation
+operators/triangles.py builds for the same (edge list, cap), so the
+two operators share ONE cached degree table and ONE cached oriented
+edge list (ORIENT_CACHE).  The pre-r13 choice (degrees recounted
+WITHIN the capped subgraph) is just a different total order: by the
+argument above both enumerate every capped-subgraph triangle exactly
+once, the per-edge support counts are identical, hence each peel
+keeps the identical undirected edge set and the reported survival
+supports match row for row; the output re-canonicalizes to u < v, so
+no orientation detail leaks.  The capped edge sets are identical
+too — both keep exactly the edges whose endpoints have full-graph
+degree <= the cap (the pre-r13 keep-semi-join and the orientation's
+inner degree joins induce the same subgraph).
+
 Lineage discipline (r12): each peel's survivor set is
 ``localCheckpoint(eager=True)``-ed, not just cached — with plain
 ``cache()`` every round's logical plan embeds the previous round's
@@ -56,33 +71,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
+    ORIENT_CACHE,
+    session_plan_cache,
+)
+from crypto_price_tracker_with_etl_dashboard_spark.operators.triangles import (
+    _ORIENT_MAX_ENTRIES,
+    capped_degree_table,
+    degree_oriented_edges,
+)
+
 _KTRUSS_CACHE: dict[str, list[DataFrame]] = {}
-
-
-def _orient(e: DataFrame) -> DataFrame:
-    """(src, dst, ddeg) orientation of the undirected (u, v) edge
-    list ``e`` by the total order (degree-in-``e``, id): src is the
-    lower endpoint under that order, ddeg the dst's degree (carried
-    so the wedge dedup filter needs no further join).  Built ONCE per
-    ktruss call — any fixed total order enumerates each triangle
-    exactly once, see module docstring."""
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("udeg"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg"))
-    lower_first = F.struct("udeg", "u") < F.struct("vdeg", "v")
-    return (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(lower_first, F.col("vdeg")).otherwise(F.col("udeg")).alias("ddeg"),
-        )
-    )
 
 
 def _oriented_support(o: DataFrame) -> DataFrame:
@@ -173,26 +172,28 @@ def ktruss(
         # two-sided degree attach); cache an uncached input once
         e = e.cache()
         held.append(e)
-    if max_degree is not None:
-        # celebrity cap on FULL-graph degree (module docstring); the
-        # capped projection feeds only the orientation build below,
-        # so it is not separately materialized
-        keep = (
-            e.select(F.explode(F.array("u", "v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") <= max_degree)
-            .select("node")
-        )
-        ku = keep.select(F.col("node").alias("u"))
-        kv = keep.select(F.col("node").alias("v"))
-        e = e.join(ku, "u").join(kv, "v").select("u", "v")
-    # ONE orientation for every round (see module docstring): cache
-    # and materialize it, then the raw edge projection is never read
-    # again
-    o = _orient(e).cache()
-    o.count()
-    held.append(o)
+    # ONE orientation for every round, SHARED with triangle_counts
+    # (see module docstring "Which fixed order"): the capped degree
+    # table and the (src, dst, ddeg) orientation are the identical
+    # expressions triangles.py builds, so whichever operator runs
+    # second gets both as plan-cache hits with zero build jobs.  The
+    # orientation's inner degree joins double as the celebrity cap —
+    # the pre-r13 keep-semi-join is gone.  materialize-on-miss: the
+    # degree pass reads e once (populating an uncached-input cache in
+    # a single branch — the r12 ADVICE e.count() concern), then the
+    # orientation build reads cached e + cached deg.
+    deg = session_plan_cache(
+        ORIENT_CACHE,
+        capped_degree_table(e, max_degree),
+        max_entries=_ORIENT_MAX_ENTRIES,
+        materialize=True,
+    )
+    o = session_plan_cache(
+        ORIENT_CACHE,
+        degree_oriented_edges(e, deg),
+        max_entries=_ORIENT_MAX_ENTRIES,
+        materialize=True,
+    )
     kept = None
     for r in range(rounds):
         sup = _oriented_support(o)

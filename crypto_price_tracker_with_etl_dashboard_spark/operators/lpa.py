@@ -44,6 +44,7 @@ from crypto_price_tracker_with_etl_dashboard_spark.operators._broadcast_guard im
 )
 from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
     MIRROR_CACHE,
+    cached_count,
     session_plan_cache,
 )
 
@@ -77,7 +78,12 @@ def label_propagation(
         # r12): a caller-cached edge build is reused as-is
         e = e.cache()
         held.append(e)
-    n_edges = e.count()  # materialize before the mirror fan-out
+        n_edges = e.count()  # materialize before the mirror fan-out
+    else:
+        # caller-cached input: the count is memoized on the caller's
+        # object (r13), so repeat LPA calls over the same session-
+        # cached edge table skip the job entirely
+        n_edges = cached_count(edges)
     nbr = e.select(
         F.explode(
             F.array(
@@ -97,8 +103,9 @@ def label_propagation(
         nbr = colocate_for_guarded_joins(nbr, "a")
     # shared with kcore / the coreness decomposition via the session
     # plan cache (r12) — owned there, not in _LPA_CACHE
-    nbr = session_plan_cache(MIRROR_CACHE, nbr)
-    nbr.count()  # materializes the cache
+    # materialize-on-miss (r13): zero jobs when kcore/coreness
+    # already cached the identical mirror this session
+    nbr = session_plan_cache(MIRROR_CACHE, nbr, materialize=True)
     labels = nbr.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

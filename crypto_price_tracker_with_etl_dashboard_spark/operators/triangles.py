@@ -26,8 +26,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crypto_price_tracker_with_etl_dashboard_spark.operators._session_cache import (
+    ORIENT_CACHE,
+    session_plan_cache,
+)
+
 # fixed-point scale for the clustering coefficient (parts-per-million)
 CC_SCALE = 1_000_000
+
+# ORIENT_CACHE holds TWO entries (deg + oriented) per (edge list,
+# cap) variant; 6 covers three interleaved variants without
+# unpersist/recache churn (the r12 ADVICE cap note).
+_ORIENT_MAX_ENTRIES = 6
+
+
+def capped_degree_table(e: DataFrame, max_degree: int | None) -> DataFrame:
+    """(node, deg) over the undirected u<v edge list ``e`` — FULL-graph
+    degrees, filtered to nodes under the celebrity cap when set.  One
+    explode + partial-agged count (not a union of two projections,
+    whose branches would each re-read the upstream).  Shared between
+    triangle counting and the k-truss peel via ORIENT_CACHE (r13)."""
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    return deg
+
+
+def degree_oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(src, dst, ddeg): every edge of ``e`` whose BOTH endpoints
+    appear in ``deg`` (the inner joins double as the celebrity-cap
+    subgraph cut), oriented from the lower (deg, id) endpoint to the
+    higher, carrying the destination's degree so the wedge join can
+    order endpoints without a third lookup.  (deg, id) is a total
+    order, so the oriented graph is a DAG and every triangle is
+    enumerated exactly once as (a -> b -> c, a -> c).  Shared between
+    triangle counting and the k-truss peel via ORIENT_CACHE (r13)."""
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("udeg"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg"))
+    lower_first = F.struct("udeg", "u") < F.struct("vdeg", "v")
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("vdeg")).otherwise(F.col("udeg")).alias("ddeg"),
+        )
+    )
 
 # Session-scoped cache of the materialized intermediates (the oriented
 # edge list feeds THREE join branches and the degree table three more;
@@ -128,38 +177,32 @@ def triangle_counts(
         own_e.append(e)
 
     # explode, not union-of-projections: a union's branches each
-    # re-read their upstream inside one action, doubling the pass
+    # re-read their upstream inside one action, doubling the pass.
+    # deg and oriented live in the SHARED orientation cache (r13):
+    # the k-truss peel over the same (edge list, cap) builds the
+    # identical pair, so whichever of events_triangles/events_ktruss
+    # runs second skips both builds.  materialize-on-miss keeps the
+    # pre-r13 job structure on a miss (deg feeds both orientation
+    # joins + the final join; oriented feeds the two wedge sides +
+    # the closure) and runs zero jobs on a hit.
     deg_full = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    deg = deg_full
-    if max_degree is not None:
-        deg = deg_full.filter(F.col("deg") <= max_degree)
-    deg = deg.cache()
-    deg.count()  # feeds both orientation joins and the final join
-
-    # Orient u->v when (deg(u), u) < (deg(v), v): a total order, so the
-    # oriented graph is a DAG and every triangle is counted exactly
-    # once as (a -> b -> c, a -> c).  Carry the destination's
-    # (deg, id) so the wedge join can order endpoints without a third
-    # lookup.
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("udeg"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg"))
-    lower_first = F.struct("udeg", "u") < F.struct("vdeg", "v")
-    oriented = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(lower_first, F.col("vdeg")).otherwise(F.col("udeg")).alias("ddeg"),
-        )
-        .cache()
+    deg = session_plan_cache(
+        ORIENT_CACHE,
+        capped_degree_table(e, max_degree),
+        max_entries=_ORIENT_MAX_ENTRIES,
+        materialize=True,
     )
-    oriented.count()  # materialize; feeds the two wedge sides + closure
-    held = own_e + [deg, oriented]
+    oriented = session_plan_cache(
+        ORIENT_CACHE,
+        degree_oriented_edges(e, deg),
+        max_entries=_ORIENT_MAX_ENTRIES,
+        materialize=True,
+    )
+    held = own_e
 
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")

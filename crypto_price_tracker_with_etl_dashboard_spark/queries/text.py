@@ -1386,9 +1386,6 @@ def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     droppers = pairs.join(
         kept_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
     ).select(F.col("doc_b").alias("doc_id")).distinct()
-    after_near = kept_exact.join(droppers, "doc_id", "left_anti").localCheckpoint(
-        eager=False
-    )
     split = hash_split(fan_out(docs), "doc_id", hasher=lcg_bucket)
     contaminated = (
         D.contamination_report(
@@ -1398,13 +1395,46 @@ def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= _FUNNEL_CONTAM)
         .select("doc_id")
     )
-    final = after_near.join(contaminated, "doc_id", "left_anti")
+    # ONE multi-aggregate pass over the checkpointed kept_exact set
+    # replaces the last three count branches (r13, VERDICT #5): the
+    # dropper and contamination sets become left-join marker columns
+    # (both are DISTINCT doc_id sets, so the joins are row-preserving
+    # and a null marker means "not in the set" — exactly the
+    # pre-r13 anti-join semantics), and the three funnel counts fall
+    # out of one aggregate:
+    #   n_after_exact   = every kept_exact row
+    #   n_after_neardup = rows with no dropper match
+    #   n_final         = rows with no dropper AND no contamination
+    # F.count(when(...)) (never-null bigint, 0 on empty input) keeps
+    # the output schema and values bit-identical to the old
+    # count(*)-per-branch form, while two crossJoined scalar
+    # subqueries and two anti-join re-traversals of the funnel drop
+    # out of the plan.
+    dropper_mark = droppers.select(
+        "doc_id", F.lit(1).alias("__dropped")
+    )
+    contam_mark = contaminated.distinct().select(
+        "doc_id", F.lit(1).alias("__contam")
+    )
+    tail_counts = (
+        kept_exact.join(dropper_mark, "doc_id", "left")
+        .join(contam_mark, "doc_id", "left")
+        .agg(
+            F.count("*").alias("n_after_exact"),
+            F.count(F.when(F.col("__dropped").isNull(), 1)).alias(
+                "n_after_neardup"
+            ),
+            F.count(
+                F.when(
+                    F.col("__dropped").isNull() & F.col("__contam").isNull(), 1
+                )
+            ).alias("n_final"),
+        )
+    )
     return (
         docs.agg(F.count("*").alias("n_input"))
         .crossJoin(quality.agg(F.count("*").alias("n_quality")))
-        .crossJoin(kept_exact.agg(F.count("*").alias("n_after_exact")))
-        .crossJoin(after_near.agg(F.count("*").alias("n_after_neardup")))
-        .crossJoin(final.agg(F.count("*").alias("n_final")))
+        .crossJoin(tail_counts)
     )
 
 
