@@ -21,8 +21,10 @@ edge side shuffles ZERO times after its one build; each round costs
 one map-side join + a (node, lbl) hash aggregate with map-side
 partials + an argmax agg on node.  The argmax is max(struct(count,
 -label)) — an aggregate, NOT a row_number window, so partial
-aggregation applies and no global sort sneaks in.  Label lineage is
-truncated per round with localCheckpoint (the components.py lesson).
+aggregation applies and no global sort sneaks in.  Label lineage
+stays a linear chain (r13, the pagerank rationale): no per-round
+actions, one reference per round, so per-round checkpoints only
+added construction-time stage-execution jobs.
 Past MAX_BROADCAST_NODES the broadcast swaps automatically to the
 co-located fallback (operators/_broadcast_guard.py, r10 verdict ask
 #4): the cached mirror is hash-partitioned on the per-round join key
@@ -131,8 +133,12 @@ def label_propagation(
             )
             .select("node", (-F.col("__m.__nl")).alias("lbl"))
         )
-        if it < iters - 1:
-            labels = labels.localCheckpoint(eager=False)
+        # NO per-round checkpoint (r13, the pagerank rationale): no
+        # per-round actions, each round references the previous label
+        # table exactly once — a linear chain over the cached mirror.
+        # Under AQE a lazy localCheckpoint executes all upstream
+        # stages at CONSTRUCTION (one toRdd compile + jobs per round);
+        # the caller's single action now runs the identical stages.
     out = labels.select("node", F.col("lbl").alias("community"))
     _LPA_CACHE[app_id] = held
     return out

@@ -16,11 +16,12 @@ damped update ``base + (17*S + 10) // 20`` (0.85 = 17/20, 0.15 =
 same iterations in SQL reproduces every rank bit-for-bit, and the
 result is independent of partitioning/AQE decisions.
 
-Scale shape per iteration: the O(nodes) rank table is BROADCAST
-onto the cached edge list — the (large) edge side is shuffled ZERO
-times after its one build; each round costs one map-side join plus
-one hash aggregate on dst with map-side partials (O(nodes x tasks)
-exchange).  Correct while ranks fit executor memory (|nodes| <<
+Scale shape per iteration: the O(nodes) damped-sum table is
+BROADCAST onto the cached out-weight-enriched edge list — the
+(large) edge side is shuffled ZERO times after its one build; each
+round costs one map-side join plus one hash aggregate on dst with
+map-side partials (O(nodes x tasks) exchange), and round 0 is the
+aggregate alone (the init rank is a constant).  Correct while ranks fit executor memory (|nodes| <<
 |edges|, the usual link-graph shape); past MAX_BROADCAST_NODES the
 co-located fallback engages automatically
 (operators/_broadcast_guard.py, r10 verdict ask #4): the edge list is
@@ -28,10 +29,11 @@ hash-partitioned on src ONCE, the node table on node, and every
 round's shuffle_hash join streams the cached layouts — still zero
 edge-side Exchange per round — with the bind recorded in the
 observable guard log.
-Rank lineage is truncated each round with localCheckpoint (the
-connected-components lesson — an unpersisted iteration chain
-re-derives the whole prefix per round).  The driver holds exactly
-one scalar: |nodes|.
+Rank lineage stays a linear chain (r13): with no per-round actions
+and a single reference per round, nothing re-derives a prefix, and
+per-round checkpoints only added construction-time jobs (under AQE a
+lazy localCheckpoint executes all upstream stages at toRdd time).
+The driver holds exactly one scalar: |nodes|.
 
 Dangling nodes (no out-edges) simply leak their damped mass — the
 standard simplification; both engines drop it identically, so ranks
@@ -142,19 +144,36 @@ def pagerank(
         )
     else:
         edges_rt = edges
-    # out-weights live on the BROADCAST side, not on an enriched
-    # edge copy: joining W onto the edge list materialized a second
-    # edge-sized cache (~2s at sf0.1) the rank broadcast makes
-    # redundant — per round the O(nodes) (rank, W) table is joined
-    # map-side onto the one cached edge list.  Lazy entry
-    # (materialize=False): the first iteration's broadcast build
-    # populates it, exactly the pre-r13 job structure.
-    outw = session_plan_cache(
-        _PR_CACHE,
+    # Out-weights are attached to the cached edge list ONCE (r13,
+    # reversing the r12 broadcast-side choice): the r12 shape joined
+    # outw to the rank table per round, costing TWO broadcast-build
+    # jobs per round (outw ⋈ s, then edges ⋈ r) — measured 3 jobs and
+    # ~0.75 s of pure stage/scheduling latency per round on the warm
+    # sf0.1 trade graph.  With __ow riding on the enriched edge cache,
+    # each round is ONE guarded join (broadcast(s) onto the cached
+    # enriched list) + one partial aggregate; round 0 needs no join at
+    # all (the init rank is a constant).  The build join goes through
+    # the same guard as the rounds (broadcast below the threshold,
+    # co-located shuffle_hash above — outw's agg output inherits the
+    # src layout, zero edge-side Exchange).  Session-shared like the
+    # other build tables, so the second pagerank call skips it.  The
+    # footprint is the raw edge cache + the enriched copy (one extra
+    # bigint column) — the HITS dual-layout trade: MEMORY_AND_DISK
+    # degrades to spill, never OOM, and the raw entry keeps repeat
+    # calls build-free.
+    outw = (
         edges_rt.groupBy(src)
         .agg(F.sum(weight).cast("bigint").alias("__ow"))
-        .select(F.col(src).alias("__onode"), "__ow"),
+        .select(F.col(src).alias("__onode"), "__ow")
+    )
+    enriched = session_plan_cache(
+        _PR_CACHE,
+        edges_rt.join(
+            guarded_broadcast(outw, n, op="pagerank_outw"),
+            F.col(src) == F.col("__onode"),
+        ).select(src, dst, weight, "__ow"),
         max_entries=_PR_MAX_ENTRIES,
+        materialize=True,
     )
     if personalize is None:
         base_of = lambda node_col: F.lit(  # noqa: E731
@@ -177,42 +196,40 @@ def pagerank(
     # contribution sum s carries exactly pr = base, a constant the
     # next round can synthesize inline — so the loop never needs the
     # O(nodes) zero-extension join the pre-r12 shape paid every round
-    # (nodes LEFT JOIN s).  Per round: attach s to the cached
-    # out-weight table (coalesce(__S, 0) reproduces the dense
-    # recursion bit-for-bit), rebuild pr inline, one map-side edge
-    # join + partial aggregate.  The full node table re-enters ONCE,
-    # in the final extension below.  Values are identical to the
-    # dense form: contributions only flow from nodes WITH out-edges
-    # (exactly outw's rows), and zero-extended ranks contribute 0.
+    # (nodes LEFT JOIN s).  Per round (r13 shape): LEFT-join s onto
+    # the cached enriched edge list (s has one row per node, so the
+    # join is row-preserving; coalesce(__S, 0) reproduces the dense
+    # recursion bit-for-bit), rebuild the source's rank inline PER
+    # EDGE ROW — the rank depends only on src, so the values are
+    # identical to the r12 per-node form — and take one partial
+    # aggregate on dst.  The full node table re-enters ONCE, in the
+    # final extension below.  Contributions still only flow from
+    # nodes WITH out-edges (exactly the enriched rows), and
+    # zero-extended ranks contribute 0.
     s = None
     for it in range(iters):
         if s is None:
-            r = outw.select(
-                F.col("__onode"),
-                init_of(F.col("__onode")).alias("__rpr"),
+            ranked = enriched.select(
+                F.col(dst),
+                init_of(F.col(src)).alias("__rpr"),
+                F.col(weight),
                 "__ow",
             )
         else:
-            r = outw.join(
+            ranked = enriched.join(
                 guarded_broadcast(s, n, op="pagerank_sum"),
-                F.col("__onode") == F.col("node"),
+                F.col(src) == F.col("node"),
                 "left",
             ).select(
-                F.col("__onode"),
+                F.col(dst),
                 (
-                    base_of(F.col("__onode"))
+                    base_of(F.col(src))
                     + F.expr("(17 * coalesce(__S, CAST(0 AS BIGINT)) + 10) div 20")
                 ).alias("__rpr"),
+                F.col(weight),
                 "__ow",
             )
-        # broadcast the O(out-nodes) (rank, out-weight) table: the
-        # (100 TB-side) edge list is never shuffled after its one
-        # build — each round is a map-side join + one
-        # O(nodes x tasks) partial aggregate
-        contrib = edges_rt.join(
-            guarded_broadcast(r, n, op="pagerank_rank"),
-            F.col(src) == F.col("__onode"),
-        ).select(
+        contrib = ranked.select(
             F.col(dst).alias("node"),
             (
                 (F.col("__rpr") * F.col(weight).cast("bigint"))
@@ -223,13 +240,18 @@ def pagerank(
             "node", F.expr("__num div __ow").alias("__c")
         )
         s = contrib.groupBy("node").agg(F.sum("__c").alias("__S"))
-        # truncate the iteration lineage (components.py lesson);
-        # lazy checkpoint materializes with the next action.  The
-        # LAST round keeps its lineage: one checkpoint less, and the
-        # returned plan shows the real round shape (broadcast join +
-        # partial agg) for the plan pin instead of a bare RDD scan.
-        if it < iters - 1:
-            s = s.localCheckpoint(eager=False)
+        # NO per-round checkpoint (r13): the loop has no per-round
+        # actions (unlike the convergence operators) and each round
+        # references the previous damped-sum table exactly ONCE, so
+        # the un-truncated plan is a linear chain over the cached
+        # edge/out-weight tables — nothing re-derives a prefix, and
+        # depth stays O(iters).  The r12 lazy checkpoints were not
+        # free either: under AQE, localCheckpoint's toRdd at
+        # CONSTRUCTION executes every upstream query stage as its own
+        # job (measured 8 jobs / ~3 s of construction time per warm
+        # trade-graph call at sf0.1); deferring everything to the
+        # caller's single action removes those jobs and the per-round
+        # plan-compile overhead while executing the identical stages.
     # ONE final zero-extension over the full node table (was per
     # round): absent nodes get pr = base exactly as before
     ranks = nodes.join(

@@ -88,8 +88,12 @@ def test_pagerank_and_hits_guard_same_result(spark, small_graph, monkeypatch):
     assert _analyzed(hits_above_df).count("strategy=broadcast") < hits_hints_below
     hits_above = sorted(hits_above_df.collect())
 
+    # r13: the per-round rank broadcast (pagerank_rank) is gone — the
+    # out-weights ride on the enriched edge cache (one guarded build
+    # join, pagerank_outw) and each round guards only the damped-sum
+    # table (pagerank_sum)
     ops = {d["op"] for d in bg.guard_log(spark) if not d["hinted"]}
-    assert {"pagerank_rank", "pagerank_sum", "hits_hub", "hits_auth"} <= ops
+    assert {"pagerank_outw", "pagerank_sum", "hits_hub", "hits_auth"} <= ops
     assert pr_below == pr_above
     assert hits_below == hits_above
 
@@ -137,8 +141,22 @@ def test_lpa_above_threshold_edge_side_never_reshuffled(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ShuffledHashJoin") >= 2  # both rounds present
     assert _edge_side_ensure_exchanges(plan, ("a",)) == []
-    # the per-round O(nodes) exchanges ARE there (the label side)
-    assert len(re.findall(r"Exchange hashpartitioning\(__ln#\d+", plan)) >= 2
+    # The label side's shuffles are its own per-round aggregates
+    # (node-keyed): since r13 the un-truncated chain lets the rename
+    # node -> __ln carry the agg's hash partitioning straight into
+    # the next round's join, so there is NO extra __ln re-shuffle —
+    # one fewer O(nodes) Exchange per round than the r12 checkpointed
+    # shape (a checkpoint's RDD scan erased the partitioning).
+    assert len(re.findall(r"Exchange hashpartitioning\(__ln#\d+", plan)) == 0
+    assert (
+        len(
+            re.findall(
+                r"Exchange hashpartitioning\(node#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+                plan,
+            )
+        )
+        >= 2
+    )
 
 
 def test_pagerank_hits_above_threshold_edge_side_never_reshuffled(

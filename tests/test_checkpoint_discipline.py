@@ -22,6 +22,12 @@ fan-outs:
 - bfs/bellman-ford/widest-path SEED frames wrap a driver-local
   createDataFrame that several rounds reference.
 
+pagerank and LPA have NO checkpoint sites at all (r13): their loops
+run no per-round actions and reference the previous state exactly
+once per round, so the plan is a linear chain — and under AQE a lazy
+localCheckpoint is not free (its construction-time toRdd executes
+every upstream query stage as separate jobs).
+
 This test reads the operator SOURCE and asserts each file's
 eager/lazy census, so a future edit cannot silently flip a site from
 the safe choice without updating the documented reasoning here.
@@ -54,10 +60,6 @@ EXPECTED = {
     # survivor set eager: FOUR references in the next round's plan
     # would otherwise double-compute inside one action
     "operators/ktruss.py": (1, 0),
-    # label loop: lazy (serial rounds)
-    "operators/lpa.py": (0, 1),
-    # damped-sum loop: lazy (serial rounds)
-    "operators/pagerank.py": (0, 1),
     # session spines feeding multi-branch fan-outs: eager
     "operators/indicators.py": (2, 0),
     # Lloyd loop + k-center/MMR states: eager (parallel consumers
