@@ -191,14 +191,19 @@ def hits(
             .agg(F.sum("__c").cast("bigint").alias("a"))
         )
         a = _l1_normalize(a_raw, "a", unit)
-        # `a` is checkpointed BEFORE the hub half-step consumes it
-        # (r13, closing the r12 ADVICE note): the hub join AND the
-        # final extension both read `a`, and checkpointing after
-        # h_raw was built left h's lineage embedding the
-        # non-truncated normalize projection — the raw authority
-        # subtree was already truncated inside _l1_normalize, but the
-        # crossJoin/floor projection re-ran once per consumer.
-        a = a.localCheckpoint(eager=False)
+        # checkpoint `a` only on the LAST iteration (r13): there it
+        # feeds TWO consumers (the hub half-step inside h's lineage
+        # AND the final extension), so without truncation the
+        # normalize projection + L1-total agg would evaluate twice.
+        # On earlier iterations `a` feeds only the next half-step —
+        # and plan growth is already contained by the checkpoint
+        # inside _l1_normalize (the expensive raw subtree is an RDD
+        # scan), so the extra per-iteration checkpoints bought
+        # nothing while each one executed its upstream stages at
+        # construction (the AQE toRdd cost the pagerank/LPA loops
+        # document).
+        if it == iters - 1:
+            a = a.localCheckpoint(eager=False)
         # hub half-step: h_raw(u) = sum_{u->v} a(v) * w
         ar = a.select(F.col("node").alias("__an"), F.col("a").alias("__as"))
         h_raw = (
@@ -214,10 +219,10 @@ def hits(
             .agg(F.sum("__c").cast("bigint").alias("h"))
         )
         h = _l1_normalize(h_raw, "h", unit)
-        # `h` feeds only the next iteration / the final extension, so
-        # the last round's hub plan stays visible for the plan pins.
-        if it < iters - 1:
-            h = h.localCheckpoint(eager=False)
+        # `h` is never checkpointed (r13): it feeds exactly one
+        # consumer per iteration (the next authority half-step, or
+        # the final extension), and _l1_normalize already truncated
+        # the expensive subtree beneath it.
     # ONE final zero-extension over the full node table (was twice
     # per iteration): nodes with no out-edges get hub 0, no in-edges
     # authority 0 — exactly the dense recursion's values

@@ -53,8 +53,10 @@ EXPECTED = {
     "operators/components.py": (0, 3),
     # forest resolution: all lazy (serial rounds)
     "operators/hierarchy.py": (0, 3),
-    # normalize subtree + per-round a/h: lazy (serial half-steps)
-    "operators/hits.py": (0, 3),
+    # normalize subtree lazy (truncates the double-referenced raw
+    # scores); plus ONE last-iteration authority checkpoint (feeds
+    # the hub half-step AND the final extension)
+    "operators/hits.py": (0, 2),
     # peel loop states: lazy (serial rounds)
     "operators/kcore.py": (0, 7),
     # survivor set eager: FOUR references in the next round's plan
